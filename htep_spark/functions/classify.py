@@ -1,0 +1,134 @@
+"""Document classification, urgency scoring, basic entity regexes (C1–C4).
+
+Pure-Python kernels mirroring ``src/nlp/classifier.py`` exactly; regexes are
+precompiled at module import (the reference compiles at init,
+``src/nlp/classifier.py:124-128``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+from ..dictionaries import (
+    DOCUMENT_PATTERNS,
+    ENTITY_PATTERNS,
+    HIGH_KEYWORDS,
+    URGENT_KEYWORDS,
+)
+
+__all__ = [
+    "classify_document",
+    "classify_segments",
+    "document_urgency",
+    "extract_medical_entities",
+]
+
+_COMPILED_PATTERNS = {
+    doc_type: [re.compile(p, re.IGNORECASE) for p in data["patterns"]]
+    for doc_type, data in DOCUMENT_PATTERNS.items()
+}
+_COMPILED_ENTITY = {
+    key: [re.compile(p, re.IGNORECASE if key != "measurements" else 0) for p in pats]
+    for key, pats in ENTITY_PATTERNS.items()
+}
+
+
+def classify_document(text: str) -> Dict:
+    """Rule-based document-type classification (C1).
+
+    ``MedicalDocumentClassifier.classify_document``
+    (``src/nlp/classifier.py:130-200``): score per type = keyword substring
+    hits (+1 each) + 2 x regex match count; no hits → ``general_medical``
+    conf 0.3; best type by score with dict-order stable tie-break;
+    confidence = best/total capped at 0.95; top-2 nonzero runner-ups as
+    secondary types; keywords dedup via ``set`` (order not guaranteed —
+    consumers must treat as a set; we sort for determinism).
+    """
+    if not text or not text.strip():
+        return {
+            "document_type": "unknown",
+            "confidence": 0.0,
+            "secondary_types": [],
+            "keywords_found": [],
+        }
+
+    text_lower = text.lower()
+    scores: Dict[str, int] = {}
+    all_keywords: List[str] = []
+    for doc_type, data in DOCUMENT_PATTERNS.items():
+        score = 0
+        for keyword in data["keywords"]:
+            if keyword in text_lower:
+                score += 1
+                all_keywords.append(keyword)
+        for pattern in _COMPILED_PATTERNS[doc_type]:
+            matches = pattern.findall(text)
+            score += len(matches) * 2
+            all_keywords.extend(matches)
+        scores[doc_type] = score
+
+    if not any(scores.values()):
+        return {
+            "document_type": "general_medical",
+            "confidence": 0.3,
+            "secondary_types": [],
+            "keywords_found": [],
+        }
+
+    ranked = sorted(scores.items(), key=lambda kv: kv[1], reverse=True)
+    best_type, best_score = ranked[0]
+    total = sum(scores.values())
+    confidence = best_score / max(total, 1)
+    secondary = [
+        {"document_type": t, "confidence": s / max(total, 1)}
+        for t, s in ranked[1:3]
+        if s > 0
+    ]
+    return {
+        "document_type": best_type,
+        "confidence": min(confidence, 0.95),
+        # deterministic ordering for byte-stable comparison (reference uses
+        # an unordered set at :199)
+        "keywords_found": sorted(set(all_keywords)),
+        "secondary_types": secondary,
+    }
+
+
+def classify_segments(segments: List[Dict]) -> Dict[str, Dict]:
+    """C3 (``src/nlp/classifier.py:202-219``): C1 per segment, keyed
+    ``{segment_type}_{start_line}``."""
+    return {
+        f"{seg['segment_type']}_{seg['start_line']}": classify_document(seg["content"])
+        for seg in segments
+    }
+
+
+def document_urgency(text: str) -> Tuple[str, float]:
+    """C2 (``src/nlp/classifier.py:221-257``): two keyword tiers,
+    thresholded substring-hit counts → (level, confidence)."""
+    text_lower = text.lower()
+    urgent = sum(1 for k in URGENT_KEYWORDS if k in text_lower)
+    high = sum(1 for k in HIGH_KEYWORDS if k in text_lower)
+    if urgent >= 2:
+        return ("urgent", 0.9)
+    if urgent >= 1:
+        return ("urgent", 0.7)
+    if high >= 2:
+        return ("high", 0.8)
+    if high >= 1:
+        return ("high", 0.6)
+    return ("routine", 0.5)
+
+
+def extract_medical_entities(text: str) -> Dict[str, List[str]]:
+    """C4 (``src/nlp/classifier.py:259-320``): four entity regex families,
+    set-dedup (sorted here for determinism; measurement patterns are
+    case-sensitive in the reference — ``re.findall`` without flags at :314)."""
+    entities: Dict[str, List[str]] = {}
+    for key, patterns in _COMPILED_ENTITY.items():
+        found: List[str] = []
+        for pattern in patterns:
+            found.extend(pattern.findall(text))
+        entities[key] = sorted(set(found))
+    return entities

@@ -1,0 +1,124 @@
+"""Deterministic pure-Python fuzzy string matching.
+
+The reference relies on ``rapidfuzz`` (``src/nlp/ocr_postprocessor.py:20-25``)
+for ``fuzz.ratio`` / ``process.extractOne``. rapidfuzz is absent in this
+environment, so the engine defines the scorer once here — used identically by
+the pytest oracle, the DuckDB cross-checks, and the executor-side UDFs —
+keeping driver/executor/oracle byte-consistent.
+
+``fuzz.ratio`` is the normalized Indel similarity:
+``ratio(a, b) = 100 * 2 * LCS(a, b) / (len(a) + len(b))``
+(insert/delete cost 1, substitution disallowed). ``extract_one`` mirrors
+rapidfuzz ``process.extractOne``: highest score wins, first-seen candidate on
+ties, candidates below ``score_cutoff`` discarded.
+
+Also hosts the banded edit distance of the beam decoder
+(``src/nlp/lexicon_beam_decoder.py:64-87``): classic Levenshtein with an
+early exit once every cell of a row exceeds ``max_distance``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence, Tuple
+
+__all__ = ["indel_ratio", "extract_one", "banded_edit_distance"]
+
+
+def _lcs_len(a: str, b: str) -> int:
+    """Length of the longest common subsequence (row-rolling DP)."""
+    if not a or not b:
+        return 0
+    if len(a) < len(b):  # keep the inner row short
+        a, b = b, a
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        curr = [0]
+        append = curr.append
+        for j, cb in enumerate(b, start=1):
+            if ca == cb:
+                append(prev[j - 1] + 1)
+            else:
+                pj, cj = prev[j], curr[j - 1]
+                append(pj if pj >= cj else cj)
+        prev = curr
+    return prev[-1]
+
+
+def indel_ratio(a: str, b: str) -> float:
+    """Normalized Indel similarity in [0, 100] (rapidfuzz ``fuzz.ratio``)."""
+    total = len(a) + len(b)
+    if total == 0:
+        return 100.0
+    return 200.0 * _lcs_len(a, b) / total
+
+
+def extract_one(
+    query: str,
+    choices: Sequence[str],
+    score_cutoff: float = 0.0,
+) -> Optional[Tuple[str, float]]:
+    """Best-scoring choice by ``indel_ratio`` (first wins on ties).
+
+    Returns ``(choice, score)`` or ``None`` when nothing reaches
+    ``score_cutoff``. A length-based upper bound prunes hopeless pairs:
+    ``ratio <= 200 * min(la, lb) / (la + lb)``.
+    """
+    lq = len(query)
+    best: Optional[Tuple[str, float]] = None
+    best_score = score_cutoff
+    for choice in choices:
+        lc = len(choice)
+        if lq + lc == 0:
+            bound = 100.0
+        else:
+            bound = 200.0 * min(lq, lc) / (lq + lc)
+        if bound < best_score:
+            continue
+        score = indel_ratio(query, choice)
+        if score >= best_score and (best is None or score > best[1]):
+            best = (choice, score)
+            best_score = score
+    return best
+
+
+def banded_edit_distance(a: str, b: str, max_distance: int) -> int:
+    """Levenshtein distance, returning ``max_distance + 1`` once exceeded.
+
+    Semantics of ``LexiconBeamDecoder._edit_distance``
+    (``src/nlp/lexicon_beam_decoder.py:64-87``): length-difference short
+    circuit, then row DP with an early exit when the row minimum passes
+    ``max_distance``.
+    """
+    if abs(len(a) - len(b)) > max_distance:
+        return max_distance + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        curr = [i]
+        min_row = i
+        for j, cb in enumerate(b, start=1):
+            cost = 0 if ca == cb else 1
+            val = min(prev[j] + 1, curr[j - 1] + 1, prev[j - 1] + cost)
+            curr.append(val)
+            if val < min_row:
+                min_row = val
+        if min_row > max_distance:
+            return max_distance + 1
+        prev = curr
+    return prev[-1]
+
+
+def close_matches(
+    word: str,
+    possibilities: Iterable[str],
+    cutoff: float,
+) -> Optional[str]:
+    """First best match with difflib ratio >= cutoff, else None.
+
+    Wraps stdlib ``difflib.get_close_matches(n=1)`` — the scorer of the
+    block parser's fuzzy layers (``src/nlp/block_parser.py:300-315``).
+    difflib is stdlib and deterministic, so it is used as-is.
+    """
+    import difflib
+
+    hits = difflib.get_close_matches(word, list(possibilities), n=1, cutoff=cutoff)
+    return hits[0] if hits else None

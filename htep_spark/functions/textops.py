@@ -1,0 +1,345 @@
+"""Per-turn text correction / normalization operators (pure Python core).
+
+Each function reimplements one reference operator's semantics from scratch
+(file:line citations inline). These functions are the *shared kernel*: the
+pytest oracle calls them directly, and the Spark pandas UDFs call them over
+Arrow batches — equality by construction, then tested anyway.
+
+Whitespace quirks are load-bearing and preserved exactly:
+- ``fusion_correct`` rejoins tokens with a single space, collapsing newlines
+  (``src/pipeline/fusion.py:36``);
+- ``dictionary_correct`` does the same in its single-word pass
+  (``src/nlp/ocr_postprocessor.py:270``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .fuzzy import close_matches, extract_one, indel_ratio
+
+__all__ = [
+    "fusion_correct",
+    "normalize_ocr_confusions",
+    "apply_case",
+    "correct_token",
+    "correct_text_regex",
+    "dictionary_correct",
+    "postprocess",
+]
+
+_NUMERIC_RE = re.compile(r"^\d+(\.\d+)?$")
+
+
+def fusion_correct(text: str) -> str:
+    """Rule-based OCR/ICR fusion (T1).
+
+    Semantics of ``OCRICRFusion.correct_text`` (``src/pipeline/fusion.py:13-36``):
+    per whitespace token, numeric tokens map ``O→0, l→1, I→1`` (a no-op on
+    tokens already matching ``^\\d+(\\.\\d+)?$`` — faithful quirk), other
+    tokens map ``0→O, 1→l``; tokens rejoined with a single space.
+    """
+    if not text:
+        return ""
+    out = []
+    for word in text.split():
+        if _NUMERIC_RE.match(word):
+            out.append(word.replace("O", "0").replace("l", "1").replace("I", "1"))
+        else:
+            out.append(word.replace("0", "O").replace("1", "l"))
+    return " ".join(out)
+
+
+_CONFUSION_TABLE = str.maketrans({"0": "o", "1": "l", "3": "e", "5": "s", "6": "g", "8": "b"})
+
+
+def normalize_ocr_confusions(token: str) -> str:
+    """Digit→letter confusion translate for matching (T2).
+
+    ``BlockTextParser._normalize_ocr_confusions``
+    (``src/nlp/block_parser.py:245-255``): ``0→o 1→l 3→e 5→s 6→g 8→b``.
+    """
+    return token.translate(_CONFUSION_TABLE)
+
+
+def apply_case(source: str, target: str) -> str:
+    """Map a corrected term onto the source token's casing (T3).
+
+    ``BlockTextParser._apply_case`` (``src/nlp/block_parser.py:257-265``).
+    """
+    if source.isupper():
+        return target.upper()
+    if source[:1].isupper() and source[1:].islower():
+        return target.capitalize()
+    if source.islower():
+        return target.lower()
+    return target
+
+
+_HAS_LETTER_RE = re.compile(r"[A-Za-z]")
+_NON_ALPHA_RE = re.compile(r"[^A-Za-z]")
+# Token pattern of the regex correction backend
+# (``src/nlp/block_parser.py:360``): whitespace runs, alnum words with one
+# optional internal hyphen/apostrophe, or single non-word chars — lossless.
+_PARSER_TOKEN_RE = re.compile(r"\s+|[A-Za-z0-9]+(?:[-'][A-Za-z0-9]+)?|[^\w\s]")
+
+
+def _is_word_token(token: str) -> bool:
+    """``src/nlp/block_parser.py:267-269``: len>=3 and contains a letter."""
+    return len(token) >= 3 and bool(_HAS_LETTER_RE.search(token))
+
+
+class TokenCorrector:
+    """Two-layer token correction (T4) with per-instance memoization.
+
+    Semantics of ``BlockTextParser._correct_token``
+    (``src/nlp/block_parser.py:281-322``): OCR-confusion normalize → strip
+    non-alpha + lowercase → exact medical → exact english → difflib close
+    match vs medical (cutoff 0.84) → vs english (cutoff 0.93), casing mapped
+    back via ``apply_case``. The memo dict is the batch-level fast path that
+    makes the Arrow-vectorized UDF cheap on repetitive corpora.
+    """
+
+    def __init__(
+        self,
+        medical_terms: Sequence[str],
+        english_terms: Sequence[str],
+        similarity_cutoff: float = 0.84,
+        english_similarity_cutoff: float = 0.93,
+    ):
+        self.similarity_cutoff = similarity_cutoff
+        self.english_similarity_cutoff = english_similarity_cutoff
+        self._medical_lookup = {t.lower(): t for t in sorted(set(medical_terms))}
+        self._medical_lower = sorted(self._medical_lookup)
+        self._english_lookup = {t.lower(): t for t in sorted(set(english_terms))}
+        self._english_lower = sorted(self._english_lookup)
+        self._memo: Dict[str, Tuple[str, Optional[str]]] = {}
+
+    def correct(self, token: str) -> Tuple[str, Optional[str]]:
+        if not _is_word_token(token):
+            return token, None
+        hit = self._memo.get(token)
+        if hit is not None:
+            return hit
+        result = self._correct_uncached(token)
+        if len(self._memo) < 1_000_000:
+            self._memo[token] = result
+        return result
+
+    def _correct_uncached(self, token: str) -> Tuple[str, Optional[str]]:
+        original = token
+        cleaned = _NON_ALPHA_RE.sub("", normalize_ocr_confusions(token)).lower()
+        if not cleaned:
+            return original, None
+
+        exact_medical = self._medical_lookup.get(cleaned)
+        if exact_medical:
+            return apply_case(original, exact_medical), "medical"
+        exact_english = self._english_lookup.get(cleaned)
+        if exact_english:
+            return apply_case(original, exact_english), "english"
+
+        close_medical = close_matches(cleaned, self._medical_lower, self.similarity_cutoff)
+        if close_medical:
+            return apply_case(original, self._medical_lookup[close_medical]), "medical"
+        close_english = close_matches(cleaned, self._english_lower, self.english_similarity_cutoff)
+        if close_english:
+            return apply_case(original, self._english_lookup[close_english]), "english"
+        return original, None
+
+
+def correct_token(
+    token: str,
+    medical_terms: Sequence[str],
+    english_terms: Sequence[str],
+    similarity_cutoff: float = 0.84,
+    english_similarity_cutoff: float = 0.93,
+) -> Tuple[str, Optional[str]]:
+    """One-shot wrapper over :class:`TokenCorrector` (tests/convenience)."""
+    return TokenCorrector(
+        medical_terms, english_terms, similarity_cutoff, english_similarity_cutoff
+    ).correct(token)
+
+
+def correct_text_regex(
+    text: str, corrector: TokenCorrector
+) -> Tuple[str, List[Dict[str, str]]]:
+    """Whole-text correction, whitespace-lossless (T6).
+
+    Semantics of ``BlockTextParser._correct_with_regex``
+    (``src/nlp/block_parser.py:359-373``): tokenize preserving every
+    character, correct word tokens, emit ``{from, to, source}`` lineage,
+    exact concatenation.
+    """
+    corrected_parts: List[str] = []
+    corrections: List[Dict[str, str]] = []
+    for part in _PARSER_TOKEN_RE.findall(text):
+        corrected, source = corrector.correct(part)
+        if corrected != part:
+            rec = {"from": part, "to": corrected}
+            if source:
+                rec["source"] = source
+            corrections.append(rec)
+        corrected_parts.append(corrected)
+    return "".join(corrected_parts), corrections
+
+
+def _find_multi_word_matches(
+    text: str, multi_dict: Sequence[str], threshold: float
+) -> List[str]:
+    """N-gram sliding-window detection of multi-word entries.
+
+    ``OCRPostProcessor._find_multi_word_matches``
+    (``src/nlp/ocr_postprocessor.py:165-186``): per entry, slide an n-gram
+    window over the lowercased whitespace tokens; first window scoring
+    ``>= threshold`` claims the entry (detection only — text unchanged).
+    """
+    matched: List[str] = []
+    words = text.lower().split()
+    nwords = len(words)
+    for entry in multi_dict:
+        n = entry.count(" ") + 1
+        if n > nwords:
+            continue
+        for i in range(nwords - n + 1):
+            ngram = " ".join(words[i : i + n])
+            # length-bound prune before the DP scorer
+            tot = len(ngram) + len(entry)
+            if tot and 200.0 * min(len(ngram), len(entry)) / tot < threshold:
+                continue
+            if indel_ratio(ngram, entry) >= threshold:
+                matched.append(entry)
+                break
+    return matched
+
+
+_NON_ALPHA_ALL_RE = re.compile(r"[^A-Za-z]")
+
+
+def dictionary_correct(
+    text: str,
+    single_dict: Sequence[str],
+    multi_dict: Sequence[str],
+    exact_set: frozenset,
+    threshold: float,
+    label: str,
+    memo: Optional[Dict[str, Optional[Tuple[str, float]]]] = None,
+) -> Tuple[str, List[Dict], List[str]]:
+    """One dictionary stage of the post-processor (T7).
+
+    Semantics of ``OCRPostProcessor._correct_with_dictionary``
+    (``src/nlp/ocr_postprocessor.py:188-283``): per whitespace token, strip
+    non-alpha + lowercase; len<3 passes through; exact-set hit records a
+    match (fast path, no edit); otherwise fuzzy ``extractOne`` vs the
+    single-word dictionary at ``threshold`` — on a differing match the token
+    is rewritten with leading/trailing non-alpha characters peeled and
+    re-attached and the matched term recased (UPPER / Capitalized / as-is).
+    Tokens rejoin with a single space (newline-collapsing quirk, ``:270``).
+    Then the n-gram multi-word detection pass. Returns
+    ``(corrected_text, corrections, sorted-dedup matched terms)``.
+    """
+    corrections: List[Dict] = []
+    matched: List[str] = []
+    new_words: List[str] = []
+    if memo is None:
+        memo = {}
+
+    for word in text.split():
+        clean = _NON_ALPHA_ALL_RE.sub("", word).lower()
+        if len(clean) < 3:
+            new_words.append(word)
+            continue
+        if clean in exact_set:
+            matched.append(clean)
+            new_words.append(word)
+            continue
+
+        if clean in memo:
+            result = memo[clean]
+        else:
+            result = extract_one(clean, single_dict, score_cutoff=threshold)
+            memo[clean] = result
+        if result is None:
+            new_words.append(word)
+            continue
+
+        match_term, score = result
+        if match_term == clean:
+            matched.append(match_term)
+            new_words.append(word)
+            continue
+
+        # Peel non-alpha prefix/suffix (``:238-247``).
+        prefix = ""
+        suffix = ""
+        stripped = word
+        while stripped and not stripped[0].isalpha():
+            prefix += stripped[0]
+            stripped = stripped[1:]
+        while stripped and not stripped[-1].isalpha():
+            suffix = stripped[-1] + suffix
+            stripped = stripped[:-1]
+
+        if stripped.isupper():
+            corrected = match_term.upper()
+        elif stripped and stripped[0].isupper():
+            corrected = match_term.capitalize()
+        else:
+            corrected = match_term
+
+        full = prefix + corrected + suffix
+        corrections.append(
+            {"from": word, "to": full, "type": label, "score": int(score)}
+        )
+        new_words.append(full)
+        matched.append(match_term)
+
+    out_text = " ".join(new_words)
+    for entry in _find_multi_word_matches(out_text, multi_dict, threshold):
+        if entry not in matched:
+            matched.append(entry)
+    return out_text, corrections, sorted(set(matched))
+
+
+def postprocess(
+    text: str,
+    drugs_single: Sequence[str],
+    drugs_multi: Sequence[str],
+    drug_set: frozenset,
+    diseases_single: Sequence[str],
+    diseases_multi: Sequence[str],
+    disease_set: frozenset,
+    threshold: float = 85.0,
+    drug_memo: Optional[Dict] = None,
+    disease_memo: Optional[Dict] = None,
+) -> Dict:
+    """Full two-stage post-processing pipeline (T7 public API).
+
+    ``OCRPostProcessor.process`` (``src/nlp/ocr_postprocessor.py:289-340``):
+    empty/blank input yields the canonical empty struct; stage 1 drugs then
+    stage 2 diseases, corrections concatenated, matched lists independent.
+    """
+    if not text or not text.strip():
+        return {
+            "corrected_text": "",
+            "corrections": [],
+            "matched_drugs": [],
+            "matched_diseases": [],
+        }
+    corrections: List[Dict] = []
+    text, drug_corr, matched_drugs = dictionary_correct(
+        text, drugs_single, drugs_multi, drug_set, threshold, "drug", drug_memo
+    )
+    corrections.extend(drug_corr)
+    text, disease_corr, matched_diseases = dictionary_correct(
+        text, diseases_single, diseases_multi, disease_set, threshold, "disease",
+        disease_memo,
+    )
+    corrections.extend(disease_corr)
+    return {
+        "corrected_text": text,
+        "corrections": corrections,
+        "matched_drugs": matched_drugs,
+        "matched_diseases": matched_diseases,
+    }

@@ -1,0 +1,405 @@
+"""Unit tests for the pure-Python operator kernels.
+
+Ports the reference's own test semantics (SURVEY.md §5):
+``tests/test_block_parser.py``, ``tests/test_lexicon_beam_decoder.py``,
+``tests/test_pipeline.py`` — plus exact-behavior tests for the quirks the
+rebuild must preserve (T1 newline collapse, T7 punctuation/case handling).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from htep_spark.dictionaries import (
+    DISEASES_MULTI,
+    DISEASES_SINGLE,
+    DISEASE_SET,
+    DRUGS_MULTI,
+    DRUGS_SINGLE,
+    DRUG_SET,
+)
+from htep_spark.functions.beam import LexiconBeamDecoder
+from htep_spark.functions.classify import (
+    classify_document,
+    document_urgency,
+    extract_medical_entities,
+)
+from htep_spark.functions.extract_fields import extract_record, parse_medicine_line
+from htep_spark.functions.fuzzy import banded_edit_distance, extract_one, indel_ratio
+from htep_spark.functions.html_extract import extract_main_content, strip_markdown_fences
+from htep_spark.functions.parser import BlockTextParser
+from htep_spark.functions.pdf_layout import parse_pdf_layout
+from htep_spark.functions.segments import segment_document
+from htep_spark.functions.textops import fusion_correct, postprocess
+from htep_spark.reference import decode_payload, extract_turn
+
+
+# ---------------------------------------------------------------- fuzzy ----
+def test_indel_ratio_basics():
+    assert indel_ratio("abc", "abc") == 100.0
+    assert indel_ratio("", "") == 100.0
+    assert indel_ratio("abc", "xyz") == 0.0
+    # indel: "aspirin" vs "asprin" → LCS 6, ratio 200*6/13
+    assert indel_ratio("aspirin", "asprin") == pytest.approx(200 * 6 / 13)
+
+
+def test_extract_one_prefers_first_on_tie():
+    assert extract_one("ab", ["abx", "aby"], 50)[0] == "abx"
+    assert extract_one("zzz", ["abc"], 85) is None
+
+
+def test_banded_edit_distance():
+    assert banded_edit_distance("HELLD", "HELLO", 2) == 1
+    assert banded_edit_distance("ABCDE", "VWXYZ", 2) == 3  # max+1 early exit
+    assert banded_edit_distance("AB", "ABCDEF", 2) == 3  # length short-circuit
+
+
+# --------------------------------------------------------------- fusion ----
+def test_fusion_numeric_and_alpha_rules():
+    # faithful quirks: a token matching ^\d+(\.\d+)?$ has no O/l/I left to
+    # replace (no-op); "120/80" is NOT purely numeric → alpha rule applies
+    assert fusion_correct("BP 120/80 c0de l1ne") == "BP l2O/8O cOde llne"
+    assert fusion_correct("hell0 w0rld 42 3.14") == "hellO wOrld 42 3.14"
+    assert fusion_correct("") == ""
+
+
+def test_fusion_collapses_whitespace():
+    # faithful quirk: src/pipeline/fusion.py:36 rejoins with single spaces
+    assert fusion_correct("a\nb\t c") == "a b c"
+
+
+# --------------------------------------------------------- block parser ----
+def test_block_parser_corrects_ocr_confusions():
+    # reference tests/test_block_parser.py:4-16
+    parser = BlockTextParser(
+        dictionary_terms=["aspirin", "diabetes", "metformin", "hypertension"]
+    )
+    result = parser.parse("Patient has diabete5 and takes asp1rin daily.")
+    assert "diabetes" in result["corrected_text"].lower()
+    assert "aspirin" in result["corrected_text"].lower()
+    assert any(c["from"] == "diabete5" for c in result["corrections"])
+    assert any(c["from"] == "asp1rin" for c in result["corrections"])
+
+
+def test_block_parser_dictionary_matches_and_backend():
+    # reference tests/test_block_parser.py:19-28
+    parser = BlockTextParser(dictionary_terms=["hypertension", "metformin"])
+    result = parser.parse("Hypertens1on treated with metformin")
+    lowered = {m.lower() for m in result["dictionary_matches"]}
+    assert "hypertension" in lowered
+    assert "metformin" in lowered
+    assert result["backend"] == "regex"
+
+
+def test_block_parser_english_layer():
+    # reference tests/test_block_parser.py:31-40
+    parser = BlockTextParser(
+        dictionary_terms=["aspirin"],
+        english_terms=["hello", "world", "test"],
+        english_similarity_cutoff=0.8,
+    )
+    result = parser.parse("he11o wor1d te5t")
+    assert result["corrected_text"].lower() == "hello world test"
+    assert all(c.get("source") == "english" for c in result["corrections"])
+
+
+def test_block_parser_layered_matches():
+    # reference tests/test_block_parser.py:43-53
+    parser = BlockTextParser(
+        dictionary_terms=["diabetes"], english_terms=["patient", "daily"]
+    )
+    result = parser.parse("Patient has diabetes daily")
+    assert "diabetes" in {m.lower() for m in result["dictionary_layers"]["medical"]}
+    english = {m.lower() for m in result["dictionary_layers"]["english"]}
+    assert {"patient", "daily"} <= english
+
+
+def test_block_parser_preserves_whitespace_exactly():
+    parser = BlockTextParser(dictionary_terms=["diabetes"])
+    result = parser.parse("line one\n  diabete5\tend")
+    assert result["corrected_text"] == "line one\n  diabetes\tend"
+
+
+# ---------------------------------------------------------- beam decode ----
+def test_beam_low_confidence_lexicon_fallback():
+    # reference tests/test_lexicon_beam_decoder.py:4-29
+    decoder = LexiconBeamDecoder(
+        lexicon_terms=["hello", "name", "nilesh"],
+        replacement_confidence_threshold=0.8,
+        non_primary_replacement_min_char_confidence=0.55,
+    )
+    candidates = [
+        [{"character": "H", "confidence": 0.95}],
+        [{"character": "E", "confidence": 0.94}],
+        [{"character": "L", "confidence": 0.93}],
+        [{"character": "L", "confidence": 0.92}],
+        [
+            {"character": "D", "confidence": 0.52},
+            {"character": "O", "confidence": 0.48},
+        ],
+    ]
+    decoded = decoder.decode_word(candidates)
+    assert decoded["raw_word"] == "HELLD"
+    assert decoded["decoded_word"] == "HELLO"
+    assert decoded["replacement_applied"] is True
+    assert decoded["replacement_reason"] == "low-confidence-lexicon-fallback"
+
+
+def test_beam_high_confidence_keeps_raw():
+    # reference tests/test_lexicon_beam_decoder.py:32-52
+    decoder = LexiconBeamDecoder(
+        lexicon_terms=["hello", "name", "nilesh"],
+        replacement_confidence_threshold=0.8,
+    )
+    candidates = [
+        [{"character": c, "confidence": 0.99}] for c in "HELL"
+    ] + [[{"character": "D", "confidence": 0.99}, {"character": "O", "confidence": 0.01}]]
+    decoded = decoder.decode_word(candidates)
+    assert decoded["raw_word"] == "HELLD"
+    assert decoded["decoded_word"] == "HELLD"
+    assert decoded["replacement_applied"] is False
+    assert decoded["replacement_reason"] == "high-confidence-kept-raw"
+
+
+def test_beam_primary_fallback():
+    decoder = LexiconBeamDecoder(
+        lexicon_terms=["form"], primary_terms=["fora"]
+    )
+    candidates = [
+        [{"character": c, "confidence": 0.5}] for c in "FORM"
+    ]
+    decoded = decoder.decode_word(candidates)
+    # FORM is a non-primary exact hit; FORA is a primary term at distance 1
+    # and confidence is low → primary fallback wins
+    assert decoded["decoded_word"] == "FORA"
+    assert decoded["replacement_reason"] == "low-confidence-primary-fallback"
+
+
+# -------------------------------------------------------- postprocessor ----
+def test_postprocess_exact_and_fuzzy():
+    result = postprocess(
+        "Patient takes asprin and has diabetis",
+        DRUGS_SINGLE, DRUGS_MULTI, DRUG_SET,
+        DISEASES_SINGLE, DISEASES_MULTI, DISEASE_SET,
+    )
+    assert "aspirin" in result["matched_drugs"]
+    assert "diabetes" in result["matched_diseases"]
+    assert "aspirin" in result["corrected_text"]
+    assert "diabetes" in result["corrected_text"]
+    types = {c["type"] for c in result["corrections"]}
+    assert types == {"drug", "disease"}
+
+
+def test_postprocess_preserves_punct_and_case():
+    result = postprocess(
+        "Gave (Asprin).",
+        DRUGS_SINGLE, DRUGS_MULTI, DRUG_SET,
+        DISEASES_SINGLE, DISEASES_MULTI, DISEASE_SET,
+    )
+    assert result["corrected_text"] == "Gave (Aspirin)."
+    assert result["corrections"][0]["from"] == "(Asprin)."
+    assert result["corrections"][0]["to"] == "(Aspirin)."
+
+
+def test_postprocess_multiword_detection():
+    result = postprocess(
+        "History of heart failure and acute kidney injury noted",
+        DRUGS_SINGLE, DRUGS_MULTI, DRUG_SET,
+        DISEASES_SINGLE, DISEASES_MULTI, DISEASE_SET,
+    )
+    assert "heart failure" in result["matched_diseases"]
+    assert "acute kidney injury" in result["matched_diseases"]
+
+
+def test_postprocess_empty():
+    result = postprocess(
+        "  ", DRUGS_SINGLE, DRUGS_MULTI, DRUG_SET,
+        DISEASES_SINGLE, DISEASES_MULTI, DISEASE_SET,
+    )
+    assert result == {
+        "corrected_text": "",
+        "corrections": [],
+        "matched_drugs": [],
+        "matched_diseases": [],
+    }
+
+
+# ------------------------------------------------------------- segments ----
+def test_segment_document_types_and_spans():
+    text = "General line\nDiagnosis: flu\n\nRx: aspirin\nBP: 120/80\nPlan: rest"
+    segments = segment_document(text)
+    assert [s["segment_type"] for s in segments] == [
+        "general", "diagnosis", "medication", "vitals", "plan",
+    ]
+    assert [s["start_line"] for s in segments] == [0, 1, 2, 3, 4]
+    for seg in segments:
+        assert text[seg["start_char"] : seg["end_char"]] == seg["content"]
+
+
+def test_segment_document_empty():
+    assert segment_document("") == []
+    assert segment_document("  \n ") == []
+
+
+# ------------------------------------------------------------- classify ----
+def test_classify_discharge_summary():
+    text = "Discharge Summary\nAdmission Date: 01/02/2025\nCondition on discharge good"
+    result = classify_document(text)
+    assert result["document_type"] == "discharge_summary"
+    assert 0 < result["confidence"] <= 0.95
+    assert result["keywords_found"]
+
+
+def test_classify_no_hits_and_empty():
+    assert classify_document("xyzzy plugh")["document_type"] == "general_medical"
+    assert classify_document("xyzzy plugh")["confidence"] == 0.3
+    assert classify_document("")["document_type"] == "unknown"
+
+
+def test_urgency_ladder():
+    assert document_urgency("emergency stat now") == ("urgent", 0.9)
+    assert document_urgency("urgent case") == ("urgent", 0.7)
+    assert document_urgency("abnormal and concerning") == ("high", 0.8)
+    assert document_urgency("abnormal finding") == ("high", 0.6)
+    assert document_urgency("all good") == ("routine", 0.5)
+
+
+def test_entities():
+    ents = extract_medical_entities(
+        "Took Amoxicillin for pneumonia. BP 120/80 mmHg, temp 98.6 °F"
+    )
+    assert "Amoxicillin" in ents["medications"]
+    assert "pneumonia" in ents["conditions"]
+    assert "120/80 mmHg" in ents["measurements"]
+
+
+# ------------------------------------------------------- field extract -----
+def test_parse_medicine_line():
+    med = parse_medicine_line("- Metformin 500mg twice daily")
+    assert med == {"name": "Metformin", "dosage": "500mg", "frequency": "twice daily"}
+    assert parse_medicine_line("- ab") is None
+
+
+def test_extract_record_ground_truth_shape():
+    # raw_text of tests/ground_truth.json item 1 (reference golden corpus)
+    text = (
+        "CityCare Hospital - Discharge Summary\n"
+        "Patient Name : Vikas Reddy\nPatient ID : CH-3021\n"
+        "Age\n:45\nGender\n: Male\n"
+        "Admission Date: 02/08/2025\nDischarge Date: 07/08/2025\n"
+        "Diagnosis:\n- Type 2 Diabetes Mellitus (controlled)\n- Mild Hypertension\n"
+        "Treatment Summary:\n- Metformin 500mg twice daily\n- Amlodipine 5mg once daily\n"
+        "Follow up instructions:\n- Visit endocrinology OPD after 15 days.\n"
+        "Consultant: Dr. Sanjay Kapoor\nSignature:"
+    )
+    rec = extract_record(text)
+    assert rec["patient_name"] == "Vikas Reddy"
+    assert rec["date"] == "02/08/2025"
+    assert "Type 2 Diabetes Mellitus (controlled)" in rec["diagnosis"]
+    med_names = [m["name"] for m in rec["medicines"]]
+    assert "Metformin" in med_names
+    mf = next(m for m in rec["medicines"] if m["name"] == "Metformin")
+    assert mf["dosage"] == "500mg" and mf["frequency"] == "twice daily"
+    assert rec["gender"] == "Male"
+
+
+def test_extract_record_vitals():
+    rec = extract_record("BP: 120 / 80, Temp: 98.6 F, Pulse: 72 bpm")
+    assert rec["vitals"]["bp"] == "120/80"
+    assert rec["vitals"]["temp"] == "98.6F"
+    assert rec["vitals"]["pulse"] == "72"
+
+
+def test_extract_record_empty():
+    assert extract_record("") == {}
+
+
+# ------------------------------------------------------- html / layout -----
+def test_html_boilerplate_strip():
+    html = (
+        "<html><head><script>var x=1;</script><style>p{}</style></head>"
+        "<body><nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+        "<div class='main'><p>Patient has diabetes &amp; hypertension.</p>"
+        "<p>Rx: aspirin 100mg once daily</p></div>"
+        "<footer><a href='/x'>contact</a></footer><!-- comment --></body></html>"
+    )
+    text, kept, dropped = extract_main_content(html)
+    assert text == (
+        "Patient has diabetes & hypertension.\nRx: aspirin 100mg once daily"
+    )
+    assert kept == 2
+    assert dropped >= 2  # nav + footer content dropped
+
+
+def test_html_entity_decode_and_order():
+    text, kept, _ = extract_main_content(
+        "<body><p>first &#64; block</p><p>second block here</p></body>"
+    )
+    assert text == "first @ block\nsecond block here"
+    assert kept == 2
+
+
+def test_markdown_fence_strip():
+    assert strip_markdown_fences("```text\nTranscription: hello\nworld\n```") == (
+        "hello\nworld"
+    )
+
+
+def test_pdf_layout_reading_order():
+    payload = (
+        '{"kind":"pdf_layout","pages":['
+        '{"page":2,"blocks":[{"bbox":[0,0,10,5],"text":"page2"}]},'
+        '{"page":1,"blocks":['
+        '{"bbox":[50,10,90,20],"text":"right"},'
+        '{"bbox":[0,10,40,20],"text":"left"},'
+        '{"bbox":[0,0,40,5],"text":"top"}]}]}'
+    )
+    parsed = parse_pdf_layout(payload)
+    assert parsed is not None
+    assert parsed[0] == "top\nleft\nright\npage2"
+    assert parsed[1] == 4
+
+
+# -------------------------------------------------------------- router -----
+def test_decode_payload_router():
+    assert decode_payload("plain note")[1] == "plain"
+    assert decode_payload("<html><body><p>hello there world</p></body></html>")[1] == "html"
+    assert decode_payload('{"kind":"pdf_layout","pages":[]}')[1] == "pdf_layout"
+    assert decode_payload("```\nfenced\n```")[1] == "markdown"
+    assert decode_payload(None) == ("", "plain", 0, 0)
+
+
+# ---------------------------------------------------------- extract_turn ---
+def test_extract_turn_canonical_noisy_string():
+    # the reference's canonical pipeline fixture string
+    # (tests/test_pipeline.py:10)
+    result = extract_turn("Patient has diabete5 and takes asp1rin daily")
+    assert "aspirin" in result["matched_drugs"]
+    assert result["metrics"]["failed"] is False
+    assert result["segments"][0]["segment_type"] == "general"
+    assert result["urgency"] == "routine"
+
+
+def test_extract_turn_empty_and_none():
+    for value in ("", None, "   "):
+        result = extract_turn(value)
+        assert result["corrected_text"] == ""
+        assert result["segments"] == []
+        assert result["document_type"] == "unknown"
+        assert result["metrics"]["failed"] is False
+
+
+def test_extract_turn_html_discharge_note():
+    html = (
+        "<html><body><nav><a href='/'>x</a><a href='/y'>y</a></nav><div>"
+        "<p>General Hospital - Discharge Summary</p>"
+        "<p>Patient Name : John Smith</p><p>Age : 44</p>"
+        "<p>Diagnosis:</p><p>- Hypertension</p>"
+        "<p>Rx:</p><p>- Metformin 500mg twice daily</p></div></body></html>"
+    )
+    result = extract_turn(html)
+    assert result["payload_kind"] == "html"
+    assert result["extracted"]["patient_name"] == "John Smith"
+    assert "metformin" in result["matched_drugs"]
+    assert "hypertension" in result["matched_diseases"]
+    assert result["metrics"]["blocks_dropped"] >= 1
