@@ -1,0 +1,121 @@
+"""The load-bearing invariant (SURVEY.md §5, north_star):
+
+``spark_pipeline(turns) == [reference(t) for t in turns]`` byte-for-byte per
+turn under stable ``(conv_id, turn_idx)`` ordering — plus the per-
+conversation grouped stages (salted metrics, order validation) and the
+checkpoint/resume protocol.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from htep_spark.plans.checkpoint import run_with_checkpoint
+from htep_spark.plans.pipeline import per_conversation_metrics, run_extraction, validate_turn_order
+from htep_spark.reference import extract_turn
+from htep_spark.schema import TRANSCRIPT_SCHEMA
+from htep_spark.sources.io import synthesize_transcripts, synthesize_transcripts_pdf
+
+N_TURNS = 240
+
+
+@pytest.fixture(scope="module")
+def transcripts_pdf():
+    return synthesize_transcripts_pdf(N_TURNS, n_convs=12)
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark, transcripts_pdf):
+    return spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA).cache()
+
+
+def _normalize(value):
+    """Recursively convert Spark Rows/arrays to plain Python for equality."""
+    if hasattr(value, "asDict"):
+        return {k: _normalize(v) for k, v in value.asDict().items()}
+    if isinstance(value, list):
+        return [_normalize(v) for v in value]
+    if isinstance(value, dict):
+        return {k: _normalize(v) for k, v in value.items()}
+    if isinstance(value, float) and math.isnan(value):
+        return None
+    return value
+
+
+def test_spark_equals_oracle_byte_for_byte(spark, transcripts, transcripts_pdf):
+    result = (
+        run_extraction(transcripts)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    expected = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(result) == len(expected)
+    for row, (_, exp) in zip(result, expected.iterrows()):
+        assert row["conv_id"] == exp["conv_id"]
+        assert row["turn_idx"] == exp["turn_idx"]
+        oracle = extract_turn(exp["text"])
+        got = _normalize(row["result"])
+        # struct-wise comparison with exact string equality per field
+        assert got == _normalize(oracle), (
+            f"mismatch at {row['conv_id']}/{row['turn_idx']}"
+        )
+
+
+def test_distributed_synthesis_matches_driver_synthesis(spark, transcripts_pdf):
+    dist = (
+        synthesize_transcripts(spark, N_TURNS, n_convs=12, partitions=7)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    exp = transcripts_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert dist["text"].tolist() == exp["text"].tolist()
+    assert dist["conv_id"].tolist() == exp["conv_id"].tolist()
+
+
+def test_per_conversation_metrics_and_salting(spark, transcripts):
+    extracted = run_extraction(transcripts)
+    # tiny salt bucket forces multi-bucket merge even on small fixtures
+    metrics = per_conversation_metrics(extracted, bucket_size=5).collect()
+    by_conv = {m["conv_id"]: m for m in metrics}
+    # conv-000000 is the mega conversation (~20% of turns)
+    assert by_conv["conv-000000"]["n_turns"] == 48
+    assert all(m["ordered_ok"] for m in metrics)
+    total = sum(m["n_turns"] for m in metrics)
+    assert total == N_TURNS
+    assert validate_turn_order(extracted, bucket_size=5)
+
+
+def test_order_validation_catches_gaps(spark, transcripts):
+    from pyspark.sql import functions as F
+
+    broken = transcripts.filter(
+        ~((F.col("conv_id") == "conv-000001") & (F.col("turn_idx") == 3))
+    )
+    assert not validate_turn_order(run_extraction(broken), bucket_size=5)
+
+
+def test_checkpoint_resume(spark, transcripts_pdf, tmp_path):
+    input_dir = str(tmp_path / "input")
+    out_dir = str(tmp_path / "out")
+    manifest_dir = str(tmp_path / "manifest")
+    # write input as several parquet files (work units)
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    df.repartition(4).write.mode("overwrite").parquet(input_dir)
+
+    first = run_with_checkpoint(spark, input_dir, out_dir, manifest_dir, "run-a")
+    assert first["processed"] >= 4
+    assert first["skipped"] == 0
+
+    # resume: everything already done → nothing reprocessed
+    second = run_with_checkpoint(spark, input_dir, out_dir, manifest_dir, "run-b")
+    assert second["processed"] == 0
+    assert second["skipped"] == first["processed"]
+
+    # output completeness: all turns present exactly once
+    out = spark.read.parquet(out_dir + "/part-*")
+    assert out.count() == len(transcripts_pdf)
+    manifest = spark.read.parquet(manifest_dir)
+    assert manifest.filter("status = 'done'").count() == first["processed"]
+    assert manifest.agg({"n_turns": "sum"}).collect()[0][0] == len(transcripts_pdf)
