@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship per-turn extraction pipeline; ``queries`` /
+``oracle_sql`` expose the operator inventory (SURVEY.md §2) with DuckDB
+oracles for every SQL-expressible operator. UDF-heavy operators
+(full extraction chain, fuzzy dictionary correction, MinHash/SimHash) have
+``queries()`` entries without oracle SQL → driver records rows-only checks;
+their exact semantics are pytest-gated against the pure-Python oracle
+instead (tests/test_functions_core.py, tests/test_spark_pipeline.py).
 """
 
 from __future__ import annotations
@@ -12,27 +14,63 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full canonical per-turn extraction over the documents table viewed as
+    single-turn conversations (clinical prelude makes hits non-vacuous)."""
+    from htep_spark.driver_queries import _clinical_col
+    from htep_spark.plans.pipeline import run_extraction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    transcripts = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        _clinical_col().alias("text"),
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    extracted = run_extraction(transcripts)
+    return extracted.select(
+        "conv_id",
+        "turn_idx",
+        F.col("result.document_type").alias("document_type"),
+        F.col("result.urgency").alias("urgency"),
+        F.col("result.matched_drugs").alias("matched_drugs"),
+        F.col("result.matched_diseases").alias("matched_diseases"),
+        F.col("result.corrected_text").alias("corrected_text"),
+        F.col("result.metrics.n_segments").alias("n_segments"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from htep_spark.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in QUERIES.items()
+    }
+    # rows-only (non-SQL-expressible) operators
+    out["extract_full"] = _flagship
+    from htep_spark.operators.dedup import q_minhash_lsh, q_simhash
+    from htep_spark.operators.text_analysis import q_lang_id
+
+    out["minhash_lsh"] = q_minhash_lsh
+    out["simhash"] = q_simhash
+    out["lang_id"] = q_lang_id
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from htep_spark.driver_queries import QUERIES
+    from htep_spark.operators.text_analysis import SQL_LANG_ID
+
+    out = {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    out["lang_id"] = SQL_LANG_ID
+    return out

@@ -1,0 +1,759 @@
+"""Driver-facing operator queries with DuckDB oracle SQL.
+
+One entry per implemented operator from SURVEY.md §2, each in two forms
+generated from the SAME Python constants so Spark and DuckDB compute
+identical semantics:
+
+- a Spark callable ``(spark, sf_dir) -> DataFrame`` built from **built-in
+  column expressions** (JVM-side, whole-stage codegen — the SQL-expressible
+  subset of the operator inventory deliberately avoids Python UDFs), and
+- an ANSI-SQL string for DuckDB over the same parquet tables.
+
+Column names are aliased identically on both sides (the driver's comparator
+sorts columns by name before hashing).
+
+Because the driver's ``documents`` table is synthetic word-soup with no
+clinical content, operators that need clinical text run over a **derived
+clinical corpus**: a deterministic per-doc prelude (``doc_id % 8`` picks a
+clinical snippet) prepended to the document text with a newline — expressed
+identically as a CASE in SQL and an ``element_at`` in Spark. This makes the
+section/urgency/classifier/dictionary checks exercise real hits instead of
+vacuously empty results.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dictionaries import (
+    DISEASES_MULTI,
+    DOCUMENT_PATTERNS,
+    DOCUMENT_TYPE_ORDER,
+    DRUGS_SINGLE,
+    HIGH_KEYWORDS,
+    SECTION_KEYWORDS,
+    URGENT_KEYWORDS,
+)
+
+# --------------------------------------------------------------------------
+# Shared constants (single source for both engines)
+# --------------------------------------------------------------------------
+
+CLINICAL_SNIPPETS = [
+    "Diagnosis: diabetes and mild hypertension",
+    "Rx: Metformin 500mg twice daily",
+    "BP: 120 / 80, Pulse: 72 bpm, glucose 5.5 mmol/l, weight 70 kg",
+    "Plan: follow up in 2 weeks",
+    "emergency stat critical condition",
+    "Patient takes aspirin daily for fever",
+    "History of heart failure and acute kidney injury",
+    "abnormal concerning results noted by physician",
+]
+
+STOPWORDS_EN = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
+
+_TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _sql_str_list(terms) -> str:
+    return ", ".join(_sql_quote(t) for t in terms)
+
+
+# ---- clinical prelude ------------------------------------------------------
+
+def _clinical_sql(alias: str = "") -> str:
+    p = f"{alias}." if alias else ""
+    whens = "".join(
+        f" WHEN {i} THEN {_sql_quote(s)}" for i, s in enumerate(CLINICAL_SNIPPETS)
+    )
+    return (
+        f"(CASE ({p}doc_id % {len(CLINICAL_SNIPPETS)}){whens} END"
+        f" || chr(10) || {p}text)"
+    )
+
+
+def _clinical_col():
+    arr = F.array(*[F.lit(s) for s in CLINICAL_SNIPPETS])
+    idx = (F.col("doc_id") % len(CLINICAL_SNIPPETS) + 1).cast("int")
+    return F.concat(F.element_at(arr, idx), F.lit("\n"), F.col("text"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# T1 — rule-based OCR fusion (src/pipeline/fusion.py:13-36)
+# --------------------------------------------------------------------------
+
+_NUM_RE = r"^[0-9]+(\.[0-9]+)?$"
+
+
+def q_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    fused = F.array_join(
+        F.transform(
+            tokens,
+            lambda x: F.when(x.rlike(_NUM_RE), F.translate(x, "OlI", "011"))
+            .otherwise(F.translate(x, "01", "Ol")),
+        ),
+        " ",
+    )
+    return _docs(spark, sf_dir).select("doc_id", fused.alias("fused_text"))
+
+
+SQL_FUSION = f"""
+SELECT doc_id,
+       array_to_string(
+         list_transform(
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+           x -> CASE WHEN regexp_matches(x, '{_NUM_RE}')
+                     THEN translate(x, 'OlI', '011')
+                     ELSE translate(x, '01', 'Ol') END),
+         ' ') AS fused_text
+FROM documents
+"""
+
+
+def q_fusion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same operator over ``events.props`` (digit-bearing payloads)."""
+    tokens = F.filter(F.split(F.col("props"), r"\s+"), lambda x: x != "")
+    fused = F.array_join(
+        F.transform(
+            tokens,
+            lambda x: F.when(x.rlike(_NUM_RE), F.translate(x, "OlI", "011"))
+            .otherwise(F.translate(x, "01", "Ol")),
+        ),
+        " ",
+    )
+    return _events(spark, sf_dir).select("event_id", fused.alias("fused_text"))
+
+
+SQL_FUSION_EVENTS = f"""
+SELECT event_id,
+       array_to_string(
+         list_transform(
+           list_filter(regexp_split_to_array(props, '\\s+'), x -> x <> ''),
+           x -> CASE WHEN regexp_matches(x, '{_NUM_RE}')
+                     THEN translate(x, 'OlI', '011')
+                     ELSE translate(x, '01', 'Ol') END),
+         ' ') AS fused_text
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# G5 — line segmentation + section classification
+# (src/segmentation/medical_segmenter.py:25-60)
+# --------------------------------------------------------------------------
+
+def _section_case_sql(line_expr: str) -> str:
+    parts = []
+    for stype, kws in SECTION_KEYWORDS.items():
+        cond = " OR ".join(f"contains(lower({line_expr}), {_sql_quote(k)})" for k in kws)
+        parts.append(f"WHEN {cond} THEN {_sql_quote(stype)}")
+    return "CASE " + " ".join(parts) + " ELSE 'general' END"
+
+
+def _section_case_col(line_col):
+    expr = None
+    low = F.lower(line_col)
+    for stype, kws in SECTION_KEYWORDS.items():
+        cond = None
+        for k in kws:
+            c = low.contains(k)
+            cond = c if cond is None else (cond | c)
+        expr = (
+            F.when(cond, F.lit(stype)) if expr is None else expr.when(cond, F.lit(stype))
+        )
+    return expr.otherwise(F.lit("general"))
+
+
+def q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lines = F.filter(
+        F.transform(F.split(_clinical_col(), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    df = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(lines).alias("start_line", "content")
+    )
+    return df.select(
+        "doc_id",
+        "start_line",
+        "content",
+        _section_case_col(F.col("content")).alias("segment_type"),
+    )
+
+
+SQL_SECTIONS = f"""
+WITH prepared AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split({_clinical_sql()}, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(ls) AS content,
+         unnest(range(0, len(ls))) AS start_line
+  FROM prepared
+)
+SELECT doc_id, start_line, content, {_section_case_sql('content')} AS segment_type
+FROM lines
+"""
+
+
+# --------------------------------------------------------------------------
+# C2 — urgency scoring (src/nlp/classifier.py:221-257)
+# --------------------------------------------------------------------------
+
+def _hits_sql(text_expr: str, kws) -> str:
+    return " + ".join(
+        f"CASE WHEN contains(lower({text_expr}), {_sql_quote(k)}) THEN 1 ELSE 0 END"
+        for k in kws
+    )
+
+
+def _hits_col(text_col, kws):
+    low = F.lower(text_col)
+    total = F.lit(0)
+    for k in kws:
+        total = total + F.when(low.contains(k), 1).otherwise(0)
+    return total
+
+
+def q_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = _clinical_col()
+    urgent = _hits_col(text, URGENT_KEYWORDS)
+    high = _hits_col(text, HIGH_KEYWORDS)
+    level = (
+        F.when(urgent >= 2, F.lit("urgent"))
+        .when(urgent >= 1, F.lit("urgent"))
+        .when(high >= 2, F.lit("high"))
+        .when(high >= 1, F.lit("high"))
+        .otherwise(F.lit("routine"))
+    )
+    conf = (
+        F.when(urgent >= 2, F.lit(0.9))
+        .when(urgent >= 1, F.lit(0.7))
+        .when(high >= 2, F.lit(0.8))
+        .when(high >= 1, F.lit(0.6))
+        .otherwise(F.lit(0.5))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", level.alias("urgency"), conf.alias("urgency_confidence")
+    )
+
+
+SQL_URGENCY = f"""
+WITH scored AS (
+  SELECT doc_id,
+         ({_hits_sql(_clinical_sql(), URGENT_KEYWORDS)}) AS urgent_n,
+         ({_hits_sql(_clinical_sql(), HIGH_KEYWORDS)}) AS high_n
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN urgent_n >= 1 THEN 'urgent'
+            WHEN high_n >= 1 THEN 'high'
+            ELSE 'routine' END AS urgency,
+       CASE WHEN urgent_n >= 2 THEN 0.9
+            WHEN urgent_n >= 1 THEN 0.7
+            WHEN high_n >= 2 THEN 0.8
+            WHEN high_n >= 1 THEN 0.6
+            ELSE 0.5 END AS urgency_confidence
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------------
+# C1 — document-type classification (src/nlp/classifier.py:130-200)
+# --------------------------------------------------------------------------
+
+def _type_score_col(text_col, doc_type: str):
+    data = DOCUMENT_PATTERNS[doc_type]
+    score = _hits_col(text_col, data["keywords"])
+    for p in data["patterns"]:
+        score = score + F.regexp_count(text_col, F.lit(f"(?i){p}")) * 2
+    return score
+
+
+def _type_score_sql(text_expr: str, doc_type: str) -> str:
+    data = DOCUMENT_PATTERNS[doc_type]
+    kw = _hits_sql(text_expr, data["keywords"])
+    pats = " + ".join(
+        f"2 * len(regexp_extract_all({text_expr}, {_sql_quote('(?i)' + p)}))"
+        for p in data["patterns"]
+    )
+    return f"({kw}) + ({pats})"
+
+
+def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = _clinical_col()
+    df = _docs(spark, sf_dir).select(
+        "doc_id",
+        *[
+            _type_score_col(text, t).alias(f"s_{t}")
+            for t in DOCUMENT_TYPE_ORDER
+        ],
+    )
+    total = None
+    best = None
+    for t in DOCUMENT_TYPE_ORDER:
+        c = F.col(f"s_{t}")
+        total = c if total is None else total + c
+        best = c if best is None else F.greatest(best, c)
+    # first type (dict order) achieving the max score — the stable sort
+    # tie-break of classifier.py:183
+    pick = None
+    for t in DOCUMENT_TYPE_ORDER:
+        cond = F.col(f"s_{t}") == best
+        pick = (
+            F.when(cond, F.lit(t)) if pick is None else pick.when(cond, F.lit(t))
+        )
+    doc_type = F.when(total == 0, F.lit("general_medical")).otherwise(pick)
+    confidence = F.when(total == 0, F.lit(0.3)).otherwise(
+        F.least(best.cast("double") / total, F.lit(0.95))
+    )
+    return df.select(
+        "doc_id",
+        doc_type.alias("document_type"),
+        F.round(confidence, 6).alias("confidence"),
+    )
+
+
+def _classify_sql() -> str:
+    text = _clinical_sql()
+    score_cols = ",\n         ".join(
+        f"({_type_score_sql(text, t)}) AS s_{t}" for t in DOCUMENT_TYPE_ORDER
+    )
+    total = " + ".join(f"s_{t}" for t in DOCUMENT_TYPE_ORDER)
+    best = "greatest(" + ", ".join(f"s_{t}" for t in DOCUMENT_TYPE_ORDER) + ")"
+    pick = " ".join(
+        f"WHEN s_{t} = best THEN '{t}'" for t in DOCUMENT_TYPE_ORDER
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         {score_cols}
+  FROM documents
+), ranked AS (
+  SELECT *, {total} AS total, {best} AS best
+  FROM scored
+)
+SELECT doc_id,
+       CASE WHEN total = 0 THEN 'general_medical' ELSE (CASE {pick} END) END AS document_type,
+       round(CASE WHEN total = 0 THEN 0.3
+                  ELSE least(CAST(best AS DOUBLE) / total, 0.95) END, 6) AS confidence
+FROM ranked
+"""
+
+
+SQL_CLASSIFY = _classify_sql()
+
+
+# --------------------------------------------------------------------------
+# E5-lite — dictionary term scan as a broadcast semi join over tokens
+# (semantics: term equals a lowercase alphanumeric token; the tokenized
+# form of the \b-regex single-word rule at medical_extractor.py:231-237)
+# --------------------------------------------------------------------------
+
+def q_dict_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(_clinical_col()), F.lit(_TOKEN_PATTERN), 0)
+    )
+    exploded = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(toks).alias("term")
+    )
+    terms = spark.createDataFrame([(t,) for t in DRUGS_SINGLE], ["term"])
+    return exploded.join(F.broadcast(terms), "term").select("doc_id", "term")
+
+
+SQL_DICT_MATCH = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower({_clinical_sql()}),
+                                                 '{_TOKEN_PATTERN}'))) AS term
+  FROM documents
+)
+SELECT doc_id, term
+FROM toks
+WHERE term IN ({_sql_str_list(DRUGS_SINGLE)})
+"""
+
+
+# --------------------------------------------------------------------------
+# T7 n-gram multi-word detection (exact-substring form) —
+# ocr_postprocessor.py:165-186 / medical_extractor.py:239-246
+# --------------------------------------------------------------------------
+
+def q_multiword_disease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = spark.createDataFrame([(t,) for t in DISEASES_MULTI], ["term"])
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.lower(_clinical_col()).alias("ltext")
+    )
+    return (
+        docs.join(F.broadcast(terms))
+        .filter(F.col("ltext").contains(F.col("term")))
+        .select("doc_id", "term")
+    )
+
+
+SQL_MULTIWORD_DISEASE = f"""
+SELECT d.doc_id, t.term
+FROM documents d
+CROSS JOIN (SELECT unnest([{_sql_str_list(DISEASES_MULTI)}]) AS term) t
+WHERE contains(lower({_clinical_sql('d')}), t.term)
+"""
+
+
+# --------------------------------------------------------------------------
+# E1 subset — lookahead-free scalar field extraction (medical_extractor.py:98-118)
+# --------------------------------------------------------------------------
+
+_FIELD_PATTERNS = {
+    "age": (r"(?i)(?:Age)\s*[:\-]\s*(\d+)", 1),
+    "bp": (r"(?i)(?:BP|Blood Pressure)\s*[:\-]\s*(\d{2,3}\s*/\s*\d{2,3})", 1),
+    "temp": (r"(?i)(?:Temp|Temperature)\s*[:\-]\s*(\d{2,3}(\.\d)?\s*[FC])", 1),
+    "pulse": (r"(?i)(?:Pulse|HR|Heart Rate)\s*[:\-]\s*(\d{2,3})", 1),
+}
+
+
+def q_vitals_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = _clinical_col()
+    cols = [
+        F.nullif(F.regexp_extract(text, pat, grp), F.lit("")).alias(name)
+        for name, (pat, grp) in _FIELD_PATTERNS.items()
+    ]
+    return _docs(spark, sf_dir).select("doc_id", *cols)
+
+
+SQL_VITALS_FIELDS = f"""
+SELECT doc_id,
+       {", ".join(
+           f"nullif(regexp_extract({_clinical_sql()}, {_sql_quote(pat)}, {grp}), '') AS {name}"
+           for name, (pat, grp) in _FIELD_PATTERNS.items()
+       )}
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# C4 — measurement entity extraction, exploded (classifier.py:307-315)
+# --------------------------------------------------------------------------
+
+_MEASUREMENT_PATTERN = r"\d+(?:\.\d+)?\s*(?:mg/dl|mmol/l|g/dl|kg|lbs|cm|ft|in)|\d+/\d+\s*mmHg"
+
+
+def q_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    text = _clinical_col()
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(text, F.lit(_MEASUREMENT_PATTERN), 0)
+        ).alias("measurement"),
+    )
+
+
+SQL_MEASUREMENTS = f"""
+SELECT doc_id,
+       unnest(regexp_extract_all({_clinical_sql()}, {_sql_quote(_MEASUREMENT_PATTERN)})) AS measurement
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis: token count + quality score (training-data pipeline ops)
+# --------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda x: F.array_contains(
+                F.array(*[F.lit(s) for s in STOPWORDS_EN]), x
+            ),
+        )
+    )
+    alnum = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]", ""))
+    quality = F.round(
+        0.5 * F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
+        + 0.3 * (stop_hits.cast("double") / F.greatest(n_tokens, F.lit(1)))
+        + 0.2 * (alnum.cast("double") / F.greatest(F.length("text"), F.lit(1))),
+        6,
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("n_stopwords"),
+        quality.alias("quality_score"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, x -> x IN ({_sql_str_list(STOPWORDS_EN)}))) AS n_stopwords,
+       round(0.5 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+             + 0.3 * (CAST(len(list_filter(toks, x -> x IN ({_sql_str_list(STOPWORDS_EN)}))) AS DOUBLE)
+                      / greatest(len(toks), 1))
+             + 0.2 * (CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE)
+                      / greatest(length(text), 1)), 6) AS quality_score
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint + exact dedup (training-data pipeline ops)
+# --------------------------------------------------------------------------
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.md5(norm).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        _docs(spark, sf_dir)
+        .select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keeper_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs (exact small-scale form; the LSH-banded
+# MinHash variant is the at-scale path, see operators/dedup.py)
+# --------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.18
+_SHINGLE_N = 3
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    shingle_arr = F.when(
+        F.size("toks") >= _SHINGLE_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - _SHINGLE_N),
+                lambda i: F.array_join(F.slice("toks", i + 1, _SHINGLE_N), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = docs.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        shingles.alias("a")
+        .join(shingles.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
+  FROM documents
+), shingles AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - {_SHINGLE_N} + 1, 0) + 1),
+             i -> array_to_string(t[i : i + {_SHINGLE_N} - 1], ' ')))) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# ANN: brute-force cosine top-k over embeddings (similarity-search baseline)
+# --------------------------------------------------------------------------
+
+ANN_K = 5
+ANN_N_QUERIES = 8
+
+
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    dot = F.aggregate(
+        F.zip_with("q", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(emb, F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("q")) * norm(F.col("v"))), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+SQL_ANN_COSINE = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < {ANN_N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM q JOIN emb e ON e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {ANN_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Windowed event aggregation (streaming-shaped batch op over events)
+# --------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Sort/limit: top-k docs by length (reading-order/top-k family, SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+def q_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "n_chars")
+    )
+
+
+SQL_TOP_DOCS = """
+SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
+    "fusion": (q_fusion, SQL_FUSION),
+    "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
+    "sections": (q_sections, SQL_SECTIONS),
+    "urgency": (q_urgency, SQL_URGENCY),
+    "classify": (q_classify, SQL_CLASSIFY),
+    "dict_match": (q_dict_match, SQL_DICT_MATCH),
+    "multiword_disease": (q_multiword_disease, SQL_MULTIWORD_DISEASE),
+    "vitals_fields": (q_vitals_fields, SQL_VITALS_FIELDS),
+    "measurements": (q_measurements, SQL_MEASUREMENTS),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "top_docs": (q_top_docs, SQL_TOP_DOCS),
+}

@@ -1,0 +1,232 @@
+"""Near-duplicate detection at scale: MinHash+LSH and SimHash.
+
+Training-data pipeline operators (task brief): exact dedup and n-gram
+Jaccard live in ``driver_queries.py`` (SQL-expressible, DuckDB-checked);
+these are the *scale paths* whose candidate generation avoids the O(n²)
+self-join:
+
+- **MinHash + LSH**: shingle → k permutation-hash minima → band → bucket
+  join. All JVM-side column expressions (``xxhash64`` + modular affine
+  hashes under p = 2^31-1 so products fit in signed 64-bit with ANSI mode
+  on); one groupBy computes the whole signature with map-side partial
+  aggregation; candidate pairs come from equi-joins on (band, band_hash) —
+  shuffle is O(n·bands), never O(n²).
+- **SimHash**: 64-bit signature via an Arrow-vectorized pandas UDF (numpy
+  bit ops — no per-row Python), then 4×16-bit band equi-join for
+  candidates and exact Hamming filter via ``bit_count(a XOR b)``.
+
+Both are deterministic (fixed hash constants, no RNG at runtime).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+__all__ = [
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "simhash_udf",
+    "simhash_near_dup_pairs",
+    "q_minhash_lsh",
+    "q_simhash",
+]
+
+_P = (1 << 31) - 1  # Mersenne prime 2^31-1
+_TOKEN_PATTERN = "[a-z0-9]+"
+SHINGLE_N = 3
+NUM_HASHES = 32
+BANDS = 8  # 8 bands x 4 rows → catches jaccard ≳ 0.6 reliably
+
+
+def _hash_params(k: int) -> List[Tuple[int, int]]:
+    """Deterministic affine-hash constants (multiplicative-hash derived)."""
+    params = []
+    a, b = 1103515245, 12345
+    x = 42
+    for _ in range(k):
+        x = (a * x + b) % _P
+        aa = x or 1
+        x = (a * x + b) % _P
+        params.append((aa, x))
+    return params
+
+
+_PARAMS = _hash_params(NUM_HASHES)
+
+
+def _shingle_col(text_col, n: int = SHINGLE_N):
+    toks = F.regexp_extract_all(F.lower(text_col), F.lit(_TOKEN_PATTERN), 0)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (id, minhash array of NUM_HASHES) — one shuffle, map-side combined."""
+    shingled = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingle_col(F.col(text_col))).alias("shingle"),
+    ).withColumn("x", F.pmod(F.xxhash64("shingle"), F.lit(_P)))
+    aggs = [
+        F.min(F.pmod(F.col("x") * a + b, F.lit(_P))).alias(f"h{j}")
+        for j, (a, b) in enumerate(_PARAMS)
+    ]
+    sig = shingled.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{j}") for j in range(NUM_HASHES)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Band-bucket equi-join → candidate pairs with estimated jaccard
+    (fraction of equal signature positions)."""
+    rows_per_band = NUM_HASHES // BANDS
+    bands = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    est = (
+        cand.join(signatures.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+        .join(signatures.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                        lambda e: e == 1,
+                    )
+                ).cast("double")
+                / NUM_HASHES,
+                6,
+            ),
+        )
+    )
+    return est.select("doc_a", "doc_b", "est_jaccard")
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6
+) -> DataFrame:
+    sig = minhash_signatures(df, id_col, text_col)
+    return lsh_candidate_pairs(sig).filter(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------- SimHash --
+
+@F.pandas_udf(LongType())
+def simhash_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    """64-bit SimHash over lowercase alnum tokens (numpy-vectorized)."""
+    import re
+
+    token_re = re.compile(_TOKEN_PATTERN)
+    mask64 = (1 << 64) - 1
+
+    def one(text) -> int:
+        if not isinstance(text, str) or not text:
+            return 0
+        toks = token_re.findall(text.lower())
+        if not toks:
+            return 0
+        # deterministic 64-bit FNV-1a per token
+        hs = []
+        for t in toks:
+            h = 0xCBF29CE484222325
+            for ch in t.encode("utf-8"):
+                h = ((h ^ ch) * 0x100000001B3) & mask64
+            hs.append(h)
+        arr = np.array(hs, dtype=np.uint64)
+        bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        for i in np.nonzero(votes > 0)[0]:
+            sim |= np.uint64(1) << np.uint64(i)
+        return int(sim.astype(np.int64))  # two's-complement into Spark LongType
+
+    for series in texts:
+        yield series.map(one).astype("int64")
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """4×16-bit band join + exact Hamming ≤ max_hamming filter."""
+    sigs = df.select(
+        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sim")
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("sim"), 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "chunk"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
+
+
+# ------------------------------------------------------ driver query forms --
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
