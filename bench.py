@@ -1,0 +1,110 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: ``{"metric", "value", "unit", "queries", "sf", ...}``.
+
+Timing: one warm-up action first (JVM/codegen warm), then each query runs
+to a ``noop`` sink (forces full computation — a bare ``count()`` would let
+Catalyst prune the extraction UDF away).
+
+The authoritative throughput number (BASELINE.md) is ``turns_per_sec``:
+the full per-turn extraction chain over a deterministic synthetic
+transcript corpus sized by sf. Scaling evidence across two parallelism
+levels lives in ``tools/bench_scaling.py`` → ``BENCH/BASELINE.md``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# transcript turns for the throughput measurement, scaled by sf
+_sf_match = re.search(r"sf([0-9.]+)", SF_DIR)
+SF = float(_sf_match.group(1)) if _sf_match else 0.1
+N_TURNS = int(os.environ.get("SPARK_GRAFT_TURNS", str(int(200_000 * SF / 0.1))))
+
+
+def _run(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from htep_spark.driver_queries import QUERIES
+    from htep_spark.plans.pipeline import per_conversation_metrics, run_extraction
+    from htep_spark.sources.io import get_spark, synthesize_transcripts
+
+    spark = get_spark("htep-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: JVM, codegen, Python workers
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+
+    # headline 1: full per-turn extraction throughput over transcripts
+    transcripts = synthesize_transcripts(
+        spark, N_TURNS, partitions=CPUS * 2
+    ).cache()
+    n = transcripts.count()  # materialize input outside the timed window
+    t0 = time.time()
+    _run(run_extraction(transcripts))
+    extract_sec = time.time() - t0
+    timings["extract_transcripts"] = round(extract_sec, 3)
+
+    t0 = time.time()
+    _run(per_conversation_metrics(run_extraction(transcripts)))
+    timings["conv_metrics"] = round(time.time() - t0, 3)
+    transcripts.unpersist()
+
+    # headline 2: operator queries over the driver testdata tables
+    for name in (
+        "extract_full_docs",
+        "classify",
+        "sections",
+        "dict_match",
+        "text_stats",
+        "ngram_jaccard",
+        "minhash_lsh",
+        "ann_cosine",
+        "events_hourly",
+    ):
+        if name == "extract_full_docs":
+            import __spark_entry__ as entrymod
+
+            fn = entrymod._flagship
+        elif name == "minhash_lsh":
+            from htep_spark.operators.dedup import q_minhash_lsh as fn
+        else:
+            fn = QUERIES[name][0]
+        t0 = time.time()
+        _run(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF,
+                "turns": n,
+                "turns_per_sec": round(n / extract_sec, 1),
+                "cores": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -185,9 +185,14 @@ def simhash_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 7
 ) -> DataFrame:
-    """4×16-bit band join + exact Hamming ≤ max_hamming filter."""
+    """8×8-bit band join + exact Hamming ≤ max_hamming filter.
+
+    Pigeonhole: any pair within Hamming distance 7 shares at least one of
+    the 8 byte-chunks, so candidate generation at this banding is *exact*
+    for the default threshold — no recall loss, shuffle stays O(n·8).
+    """
     sigs = df.select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sim")
     )
@@ -197,8 +202,8 @@ def simhash_near_dup_pairs(
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("sim"), 16 * b).bitwiseAND(F.lit(0xFFFF))
-                    for b in range(4)
+                    F.shiftrightunsigned(F.col("sim"), 8 * b).bitwiseAND(F.lit(0xFF))
+                    for b in range(8)
                 ]
             )
         ).alias("band", "chunk"),

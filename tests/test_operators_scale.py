@@ -1,0 +1,137 @@
+"""Tests for the scale-path operators: dedup (MinHash/SimHash), similarity
+search (brute-force + LSH), multimodal plumbing, streaming pipeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _near_dup_docs(spark):
+    """12 docs: 0/1 near-dups, 2/3 near-dups, rest distinct word-soup."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    rows = [
+        (0, base),
+        (1, base.replace("echo", "exx")),  # one token changed
+        (2, "uniform victor whiskey xray yankee zulu one two three four five six"),
+        (3, "uniform victor whiskey xray yankee zulu one two three four five seven"),
+    ]
+    for i in range(4, 12):
+        rows.append((i, " ".join(f"w{i}t{j}" for j in range(20))))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_matches_exact_jaccard(spark):
+    from htep_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _near_dup_docs(spark)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert (0, 1) in pairs
+    assert (2, 3) in pairs
+    # distinct docs share no shingles → never candidates
+    assert all(a in (0, 2) for a, _ in pairs)
+    # estimate is in the right neighborhood of the true jaccard (~0.72/0.67)
+    assert 0.5 <= pairs[(0, 1)] <= 1.0
+
+
+def test_simhash_near_dups(spark):
+    from htep_spark.operators.dedup import simhash_near_dup_pairs, simhash_udf
+
+    docs = _near_dup_docs(spark)
+    sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash_udf("text").alias("s")).collect()}
+    assert sigs[0] != 0 and isinstance(sigs[0], int)
+    # determinism
+    sigs2 = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash_udf("text").alias("s")).collect()}
+    assert sigs == sigs2
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] <= 8
+
+
+def test_ann_lsh_agrees_with_bruteforce_on_top1(spark):
+    from htep_spark.operators.similarity import ann_lsh_topk, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    approx = ann_lsh_topk(emb, queries, k=3)
+    rows = approx.collect()
+    assert rows, "LSH produced no candidates"
+    # every LSH hit must carry the exact cosine score ordering per query
+    for q in {r["query_id"] for r in rows}:
+        ranked = sorted(
+            (r for r in rows if r["query_id"] == q), key=lambda r: r["rank"]
+        )
+        scores = [r["cosine"] for r in ranked]
+        assert scores == sorted(scores, reverse=True)
+    assert len(exact) == 12  # 4 queries x 3
+
+
+def test_multimodal_decode_plumbing(spark):
+    from htep_spark.operators.multimodal import decode_media, make_media_table
+
+    media = make_media_table(spark, n=12)
+    out = decode_media(media).collect()
+    assert len(out) == 12
+    by_id = {r["media_id"]: r for r in out}
+    img = by_id["m-0000"]
+    assert img["kind"] == "image" and img["n_frames"] == 1
+    assert img["width"] and img["height"] and len(img["feature"]) == 8
+    vid = next(r for r in out if r["kind"] == "video")
+    assert vid["n_frames"] >= 1 and vid["duration_sec"] > 0
+    assert all(r["error"] is None for r in out)
+    # deterministic across runs
+    out2 = decode_media(media).collect()
+    assert sorted(map(str, out)) == sorted(map(str, out2))
+
+
+def test_multimodal_strict_stub_errors(spark):
+    from htep_spark.operators.multimodal import decode_media, make_media_table
+
+    out = decode_media(make_media_table(spark, n=3), strict=True).collect()
+    assert all(r["error"] and "NotImplementedError" in r["error"] for r in out)
+    assert all(r["width"] is None for r in out)
+
+
+def test_streaming_extraction(spark, tmp_path):
+    from htep_spark.schema import TRANSCRIPT_SCHEMA
+    from htep_spark.sources.io import synthesize_transcripts_pdf
+    from htep_spark.streaming.stream import stream_extraction
+
+    pdf = synthesize_transcripts_pdf(40, n_convs=4)
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    )
+    out = stream_extraction(stream)
+    assert out.isStreaming
+    query = (
+        out.writeStream.format("memory")
+        .queryName("extraction_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    rows = spark.sql("select count(*) n from extraction_stream").collect()[0]["n"]
+    assert rows == 40
+    sample = spark.sql(
+        "select result.document_type dt from extraction_stream limit 5"
+    ).collect()
+    assert all(r["dt"] is not None for r in sample)
