@@ -162,6 +162,25 @@ def extract_regex_fields(text: str) -> Dict:
     return data
 
 
+_WORD_RUN_RE = re.compile(r"\w+")
+# Single-word terms made purely of word characters: ``\b term \b`` matches
+# iff the term equals some maximal \w+ run — so one tokenization pass plus
+# set membership replaces one regex search per term (exact equivalence).
+_DRUGS_SORTED = sorted(DRUG_SET)
+_DISEASES_SORTED = sorted(DISEASE_SET)
+_SIMPLE_SINGLE = {
+    t for t in (DRUG_SET | DISEASE_SET) if " " not in t and re.fullmatch(r"\w+", t)
+}
+
+
+def _term_hit(term: str, text_lower: str, word_runs: frozenset) -> bool:
+    if " " in term:
+        return term in text_lower
+    if term in _SIMPLE_SINGLE:
+        return term in word_runs
+    return bool(re.search(r"\b" + re.escape(term) + r"\b", text_lower))
+
+
 def scan_dictionaries(text: str) -> Dict[str, List[str]]:
     """E5 scan (``src/nlp/medical_extractor.py:226-251``): word-boundary
     regex for single-word terms, substring for multi-word; longest-first.
@@ -172,15 +191,10 @@ def scan_dictionaries(text: str) -> Dict[str, List[str]]:
     length class).
     """
     text_lower = text.lower()
-    found_drugs = [
-        d
-        for d in sorted(DRUG_SET)
-        if (re.search(r"\b" + re.escape(d) + r"\b", text_lower) if " " not in d else d in text_lower)
-    ]
+    word_runs = frozenset(_WORD_RUN_RE.findall(text_lower))
+    found_drugs = [d for d in _DRUGS_SORTED if _term_hit(d, text_lower, word_runs)]
     found_diseases = [
-        d
-        for d in sorted(DISEASE_SET)
-        if (re.search(r"\b" + re.escape(d) + r"\b", text_lower) if " " not in d else d in text_lower)
+        d for d in _DISEASES_SORTED if _term_hit(d, text_lower, word_runs)
     ]
     return {
         "drugs": sorted(found_drugs, key=len, reverse=True),

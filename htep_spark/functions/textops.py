@@ -185,33 +185,88 @@ def correct_text_regex(
     return "".join(corrected_parts), corrections
 
 
+class MultiWordMatcher:
+    """N-gram sliding-window detection of multi-word entries.
+
+    Semantics of ``OCRPostProcessor._find_multi_word_matches``
+    (``src/nlp/ocr_postprocessor.py:165-186``): an entry is detected iff
+    some n-gram window over the lowercased whitespace tokens scores
+    ``indel_ratio >= threshold`` against it (detection only — text is
+    unchanged; the consumer sort-dedups, so only the matched *set*
+    matters).
+
+    Fast paths (set-identical results): entries grouped by word count so
+    each window string is built once; per-ngram memo of matching entries
+    (template-heavy corpora repeat n-grams massively); char-multiset +
+    length upper bounds prune the DP scorer.
+    """
+
+    def __init__(self, multi_dict: Sequence[str], threshold: float):
+        from collections import Counter, defaultdict
+
+        self.threshold = threshold
+        self.by_n: Dict[int, List[Tuple[str, int, Counter]]] = defaultdict(list)
+        for entry in multi_dict:
+            self.by_n[entry.count(" ") + 1].append(
+                (entry, len(entry), Counter(entry))
+            )
+        self._memo: Dict[str, Tuple[str, ...]] = {}
+
+    def _match_ngram(self, ngram: str) -> Tuple[str, ...]:
+        hit = self._memo.get(ngram)
+        if hit is not None:
+            return hit
+        from collections import Counter
+
+        n = ngram.count(" ") + 1
+        lg = len(ngram)
+        cg = Counter(ngram)
+        out = []
+        for entry, le, ce in self.by_n.get(n, ()):
+            total = lg + le
+            if total == 0:
+                continue
+            if 200.0 * min(lg, le) / total < self.threshold:
+                continue
+            if 200.0 * sum((cg & ce).values()) / total < self.threshold:
+                continue
+            if indel_ratio(ngram, entry) >= self.threshold:
+                out.append(entry)
+        result = tuple(out)
+        if len(self._memo) < 2_000_000:
+            self._memo[ngram] = result
+        return result
+
+    def find(self, text: str) -> List[str]:
+        words = text.lower().split()
+        nwords = len(words)
+        matched: List[str] = []
+        seen = set()
+        for n in self.by_n:
+            if n > nwords:
+                continue
+            for i in range(nwords - n + 1):
+                ngram = " ".join(words[i : i + n])
+                for entry in self._match_ngram(ngram):
+                    if entry not in seen:
+                        seen.add(entry)
+                        matched.append(entry)
+        return matched
+
+
+_MW_CACHE: Dict[tuple, MultiWordMatcher] = {}
+
+
 def _find_multi_word_matches(
     text: str, multi_dict: Sequence[str], threshold: float
 ) -> List[str]:
-    """N-gram sliding-window detection of multi-word entries.
-
-    ``OCRPostProcessor._find_multi_word_matches``
-    (``src/nlp/ocr_postprocessor.py:165-186``): per entry, slide an n-gram
-    window over the lowercased whitespace tokens; first window scoring
-    ``>= threshold`` claims the entry (detection only — text unchanged).
-    """
-    matched: List[str] = []
-    words = text.lower().split()
-    nwords = len(words)
-    for entry in multi_dict:
-        n = entry.count(" ") + 1
-        if n > nwords:
-            continue
-        for i in range(nwords - n + 1):
-            ngram = " ".join(words[i : i + n])
-            # length-bound prune before the DP scorer
-            tot = len(ngram) + len(entry)
-            if tot and 200.0 * min(len(ngram), len(entry)) / tot < threshold:
-                continue
-            if indel_ratio(ngram, entry) >= threshold:
-                matched.append(entry)
-                break
-    return matched
+    key = (tuple(multi_dict), threshold)
+    matcher = _MW_CACHE.get(key)
+    if matcher is None:
+        matcher = MultiWordMatcher(multi_dict, threshold)
+        if len(_MW_CACHE) < 64:
+            _MW_CACHE[key] = matcher
+    return matcher.find(text)
 
 
 _NON_ALPHA_ALL_RE = re.compile(r"[^A-Za-z]")
