@@ -89,6 +89,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _clinical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + materialized clinical text (``ctext``/``ltext``).
+
+    The ``repartition`` serves two physical purposes: Catalyst's
+    CollapseProject would otherwise inline the prelude expression into
+    every downstream keyword predicate (re-evaluating the concat per
+    keyword — measured 10-20x slower), and a single small parquet file
+    otherwise scans as one task. An exchange is a projection barrier and
+    spreads the regex-heavy scoring across all cores. Results unchanged.
+    """
+    n = spark.sparkContext.defaultParallelism
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            _clinical_col().alias("ctext"),
+            F.lower(_clinical_col()).alias("ltext"),
+        )
+        .repartition(n)
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -182,10 +204,10 @@ def _section_case_col(line_col):
 
 def q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines = F.filter(
-        F.transform(F.split(_clinical_col(), "\n"), lambda x: F.trim(x)),
+        F.transform(F.split(F.col("ctext"), "\n"), lambda x: F.trim(x)),
         lambda x: x != "",
     )
-    df = _docs(spark, sf_dir).select(
+    df = _clinical_docs(spark, sf_dir).select(
         "doc_id", F.posexplode(lines).alias("start_line", "content")
     )
     return df.select(
@@ -224,8 +246,8 @@ def _hits_sql(text_expr: str, kws) -> str:
     )
 
 
-def _hits_col(text_col, kws):
-    low = F.lower(text_col)
+def _hits_col(low, kws):
+    """Keyword-hit count over an already-lowercased text column."""
     total = F.lit(0)
     for k in kws:
         total = total + F.when(low.contains(k), 1).otherwise(0)
@@ -233,9 +255,9 @@ def _hits_col(text_col, kws):
 
 
 def q_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    text = _clinical_col()
-    urgent = _hits_col(text, URGENT_KEYWORDS)
-    high = _hits_col(text, HIGH_KEYWORDS)
+    low = F.col("ltext")
+    urgent = _hits_col(low, URGENT_KEYWORDS)
+    high = _hits_col(low, HIGH_KEYWORDS)
     level = (
         F.when(urgent >= 2, F.lit("urgent"))
         .when(urgent >= 1, F.lit("urgent"))
@@ -250,7 +272,7 @@ def q_urgency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(high >= 1, F.lit(0.6))
         .otherwise(F.lit(0.5))
     )
-    return _docs(spark, sf_dir).select(
+    return _clinical_docs(spark, sf_dir).select(
         "doc_id", level.alias("urgency"), conf.alias("urgency_confidence")
     )
 
@@ -279,9 +301,9 @@ FROM scored
 # C1 — document-type classification (src/nlp/classifier.py:130-200)
 # --------------------------------------------------------------------------
 
-def _type_score_col(text_col, doc_type: str):
+def _type_score_col(low, text_col, doc_type: str):
     data = DOCUMENT_PATTERNS[doc_type]
-    score = _hits_col(text_col, data["keywords"])
+    score = _hits_col(low, data["keywords"])
     for p in data["patterns"]:
         score = score + F.regexp_count(text_col, F.lit(f"(?i){p}")) * 2
     return score
@@ -298,11 +320,10 @@ def _type_score_sql(text_expr: str, doc_type: str) -> str:
 
 
 def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    text = _clinical_col()
-    df = _docs(spark, sf_dir).select(
+    df = _clinical_docs(spark, sf_dir).select(
         "doc_id",
         *[
-            _type_score_col(text, t).alias(f"s_{t}")
+            _type_score_col(F.col("ltext"), F.col("ctext"), t).alias(f"s_{t}")
             for t in DOCUMENT_TYPE_ORDER
         ],
     )
@@ -369,9 +390,9 @@ SQL_CLASSIFY = _classify_sql()
 
 def q_dict_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.array_distinct(
-        F.regexp_extract_all(F.lower(_clinical_col()), F.lit(_TOKEN_PATTERN), 0)
+        F.regexp_extract_all(F.col("ltext"), F.lit(_TOKEN_PATTERN), 0)
     )
-    exploded = _docs(spark, sf_dir).select(
+    exploded = _clinical_docs(spark, sf_dir).select(
         "doc_id", F.explode(toks).alias("term")
     )
     terms = spark.createDataFrame([(t,) for t in DRUGS_SINGLE], ["term"])
@@ -398,9 +419,7 @@ WHERE term IN ({_sql_str_list(DRUGS_SINGLE)})
 
 def q_multiword_disease(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = spark.createDataFrame([(t,) for t in DISEASES_MULTI], ["term"])
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", F.lower(_clinical_col()).alias("ltext")
-    )
+    docs = _clinical_docs(spark, sf_dir).select("doc_id", "ltext")
     return (
         docs.join(F.broadcast(terms))
         .filter(F.col("ltext").contains(F.col("term")))
@@ -429,12 +448,12 @@ _FIELD_PATTERNS = {
 
 
 def q_vitals_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    text = _clinical_col()
+    text = F.col("ctext")
     cols = [
         F.nullif(F.regexp_extract(text, pat, grp), F.lit("")).alias(name)
         for name, (pat, grp) in _FIELD_PATTERNS.items()
     ]
-    return _docs(spark, sf_dir).select("doc_id", *cols)
+    return _clinical_docs(spark, sf_dir).select("doc_id", *cols)
 
 
 SQL_VITALS_FIELDS = f"""
@@ -455,8 +474,8 @@ _MEASUREMENT_PATTERN = r"\d+(?:\.\d+)?\s*(?:mg/dl|mmol/l|g/dl|kg|lbs|cm|ft|in)|\
 
 
 def q_measurements(spark: SparkSession, sf_dir: str) -> DataFrame:
-    text = _clinical_col()
-    return _docs(spark, sf_dir).select(
+    text = F.col("ctext")
+    return _clinical_docs(spark, sf_dir).select(
         "doc_id",
         F.explode(
             F.regexp_extract_all(text, F.lit(_MEASUREMENT_PATTERN), 0)

@@ -202,36 +202,51 @@ class MultiWordMatcher:
     """
 
     def __init__(self, multi_dict: Sequence[str], threshold: float):
-        from collections import Counter, defaultdict
+        from collections import defaultdict
+
+        import numpy as np
 
         self.threshold = threshold
-        self.by_n: Dict[int, List[Tuple[str, int, Counter]]] = defaultdict(list)
+        groups = defaultdict(list)
         for entry in multi_dict:
-            self.by_n[entry.count(" ") + 1].append(
-                (entry, len(entry), Counter(entry))
-            )
+            groups[entry.count(" ") + 1].append(entry)
+        # per word-count group: entries + stacked char-count matrix for a
+        # vectorized multiset upper bound (valid since LCS <= multiset
+        # intersection size)
+        self.by_n: Dict[int, Tuple[list, "np.ndarray", "np.ndarray"]] = {}
+        for n, entries in groups.items():
+            mat = np.stack([self._charvec(e) for e in entries])
+            lens = np.array([len(e) for e in entries], dtype=np.int64)
+            self.by_n[n] = (entries, mat, lens)
         self._memo: Dict[str, Tuple[str, ...]] = {}
+
+    @staticmethod
+    def _charvec(s: str):
+        import numpy as np
+
+        b = np.frombuffer(s.encode("utf-8", "replace"), dtype=np.uint8)
+        return np.bincount(b, minlength=256).astype(np.int64)
 
     def _match_ngram(self, ngram: str) -> Tuple[str, ...]:
         hit = self._memo.get(ngram)
         if hit is not None:
             return hit
-        from collections import Counter
+        import numpy as np
 
         n = ngram.count(" ") + 1
+        group = self.by_n.get(n)
+        if group is None:
+            return ()
+        entries, mat, lens = group
         lg = len(ngram)
-        cg = Counter(ngram)
-        out = []
-        for entry, le, ce in self.by_n.get(n, ()):
-            total = lg + le
-            if total == 0:
-                continue
-            if 200.0 * min(lg, le) / total < self.threshold:
-                continue
-            if 200.0 * sum((cg & ce).values()) / total < self.threshold:
-                continue
-            if indel_ratio(ngram, entry) >= self.threshold:
-                out.append(entry)
+        vec = self._charvec(ngram)
+        common = np.minimum(mat, vec).sum(axis=1)
+        bound = 200.0 * np.minimum(common, np.minimum(lens, lg)) / (lens + lg)
+        out = [
+            entries[i]
+            for i in np.nonzero(bound >= self.threshold)[0]
+            if indel_ratio(ngram, entries[i]) >= self.threshold
+        ]
         result = tuple(out)
         if len(self._memo) < 2_000_000:
             self._memo[ngram] = result

@@ -1,0 +1,51 @@
+"""Single-measurement extraction throughput at a given core count.
+
+Prints one JSON line: {"cores", "turns", "sec", "turns_per_sec"}.
+Used by tools/bench_scaling.py, which runs this at two parallelism levels
+(the sandbox proxy for N vs 4N executors — task brief scaling rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    n_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 60_000
+
+    from htep_spark.plans.pipeline import run_extraction
+    from htep_spark.sources.io import get_spark, synthesize_transcripts
+
+    spark = get_spark(f"throughput-{cores}", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: spin up JVM, codegen, and every Python worker
+    warm = synthesize_transcripts(spark, 2_000, partitions=cores)
+    run_extraction(warm).write.format("noop").mode("overwrite").save()
+
+    transcripts = synthesize_transcripts(spark, n_turns, partitions=cores * 2).cache()
+    n = transcripts.count()
+    t0 = time.time()
+    run_extraction(transcripts).write.format("noop").mode("overwrite").save()
+    sec = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "turns": n,
+                "sec": round(sec, 3),
+                "turns_per_sec": round(n / sec, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
