@@ -23,7 +23,11 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from htep_spark.driver_queries import _clinical_col
     from htep_spark.plans.pipeline import run_extraction
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # a small single-file table scans as one partition — spread the
+    # UDF-heavy extraction across every core (cheap 5MB exchange)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     transcripts = docs.select(
         F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),

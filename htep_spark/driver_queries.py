@@ -711,6 +711,107 @@ QUALIFY rank <= {ANN_K}
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (exact small-scale form; the
+# LSH-bucketed variant is operators/similarity.ann_lsh_topk)
+# --------------------------------------------------------------------------
+
+EMBED_DUP_THRESHOLD = 0.2
+EMBED_DUP_N = 100
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < EMBED_DUP_N)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+        )
+
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("va")) * norm(F.col("vb"))), 6))
+        .filter(F.col("cosine") >= EMBED_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+SQL_EMBED_NEAR_DUP = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {EMBED_DUP_N}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {EMBED_DUP_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# Event sessionization: lag-gap rule (window functions, SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("tsec", F.date_trunc("second", F.col("ts")))
+        .withColumn("prev", F.lag("tsec").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev").isNull()
+                | (F.expr("timestampdiff(SECOND, prev, tsec)") > SESSION_GAP_MIN * 60),
+                1,
+            ).otherwise(0),
+        )
+    )
+    sess = ev.withColumn("session_no", F.sum("new_session").over(w))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_no").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH base AS (
+  SELECT user_id, ts, event_id,
+         date_trunc('second', ts) AS tsec
+  FROM events
+), ev AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(tsec) OVER w IS NULL
+                   OR date_diff('second', lag(tsec) OVER w, tsec)
+                      > {SESSION_GAP_MIN} * 60 THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no
+  FROM ev
+)
+SELECT user_id, count(DISTINCT session_no) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Windowed event aggregation (streaming-shaped batch op over events)
 # --------------------------------------------------------------------------
 
@@ -773,6 +874,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "top_docs": (q_top_docs, SQL_TOP_DOCS),
 }
