@@ -68,6 +68,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["minhash_lsh"] = q_minhash_lsh
     out["simhash"] = q_simhash
     out["lang_id"] = q_lang_id
+    from htep_spark.operators.decode import q_beam_decode, q_parse
+
+    out["beam_decode"] = q_beam_decode
+    out["block_parse"] = q_parse
     return out
 
 

@@ -1,0 +1,195 @@
+"""Spark surfaces for the beam decoder (R9–R11) and block parser (T2–T6).
+
+Both are Arrow-vectorized pandas UDFs over closure-captured broadcast
+lexicons — per word/turn the work is embarrassingly parallel; the lexicon
+signature buckets are the broadcast-hash-join build side (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.beam import LexiconBeamDecoder
+from ..functions.parser import BlockTextParser
+
+__all__ = ["beam_decode_udf", "make_beam_decode_udf", "make_parse_udf", "PARSE_RESULT_TYPE", "DECODE_RESULT_TYPE"]
+
+DECODE_RESULT_TYPE = StructType(
+    [
+        StructField("raw_word", StringType(), True),
+        StructField("decoded_word", StringType(), True),
+        StructField("lexicon_word", StringType(), True),
+        StructField("distance", IntegerType(), True),
+        StructField("raw_confidence", DoubleType(), True),
+        StructField("replacement_applied", BooleanType(), True),
+        StructField("replacement_reason", StringType(), True),
+    ]
+)
+
+# input: per word, an array of per-position candidate lists
+CANDIDATES_TYPE = ArrayType(
+    ArrayType(
+        StructType(
+            [
+                StructField("character", StringType(), True),
+                StructField("confidence", DoubleType(), True),
+            ]
+        )
+    )
+)
+
+PARSE_RESULT_TYPE = StructType(
+    [
+        StructField("corrected_text", StringType(), True),
+        StructField(
+            "corrections",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("from", StringType(), True),
+                        StructField("to", StringType(), True),
+                        StructField("source", StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("dictionary_matches", ArrayType(StringType()), True),
+        StructField("medical_matches", ArrayType(StringType()), True),
+        StructField("english_matches", ArrayType(StringType()), True),
+        StructField("backend", StringType(), True),
+    ]
+)
+
+
+def make_beam_decode_udf(
+    lexicon_terms: Sequence[str],
+    primary_terms: Optional[Sequence[str]] = None,
+    beam_width: int = 20,
+):
+    """candidates column → decode-result struct (decoder built once per
+    Python worker via closure capture)."""
+    lex = list(lexicon_terms)
+    prim = list(primary_terms) if primary_terms else None
+
+    @F.pandas_udf(DECODE_RESULT_TYPE)
+    def decode(cands: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        decoder = LexiconBeamDecoder(lex, prim)
+        for series in cands:
+            rows = []
+            for word_cands in series:
+                if word_cands is None:
+                    word_cands = []
+                norm = [
+                    [
+                        {
+                            "character": c["character"],
+                            "confidence": c["confidence"],
+                        }
+                        for c in (pos or [])
+                    ]
+                    for pos in word_cands
+                ]
+                d = decoder.decode_word(norm, beam_width=beam_width)
+                rows.append(
+                    {
+                        "raw_word": d["raw_word"],
+                        "decoded_word": d["decoded_word"],
+                        "lexicon_word": d["lexicon_word"],
+                        "distance": d["distance"],
+                        "raw_confidence": float(d["raw_confidence"]),
+                        "replacement_applied": bool(d["replacement_applied"]),
+                        "replacement_reason": d["replacement_reason"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_RESULT_TYPE])
+
+    return decode
+
+
+def make_parse_udf(
+    dictionary_terms: Optional[Sequence[str]] = None,
+    english_terms: Optional[Sequence[str]] = None,
+):
+    """text column → BlockTextParser result struct (T2–T6, regex backend)."""
+    dterms = list(dictionary_terms) if dictionary_terms else None
+    eterms = list(english_terms) if english_terms else None
+
+    @F.pandas_udf(PARSE_RESULT_TYPE)
+    def parse(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        parser = BlockTextParser(dterms, eterms)
+        for series in texts:
+            rows = []
+            for text in series:
+                r = parser.parse(text if isinstance(text, str) else "")
+                rows.append(
+                    {
+                        "corrected_text": r["corrected_text"],
+                        "corrections": r["corrections"],
+                        "dictionary_matches": r["dictionary_matches"],
+                        "medical_matches": r["dictionary_layers"]["medical"],
+                        "english_matches": r["dictionary_layers"]["english"],
+                        "backend": r["backend"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PARSE_RESULT_TYPE])
+
+    return parse
+
+
+beam_decode_udf = None  # built lazily with default lexicons on first use
+
+
+def q_beam_decode(spark, sf_dir: str):
+    """Rows-only driver query: deterministic synthetic candidate matrices
+    from document tokens (confidence = stable per-char hash), decoded
+    against the drug lexicon with diseases as broad lexicon."""
+    from ..dictionaries import DISEASES_SINGLE, DRUGS_SINGLE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.slice(
+        F.regexp_extract_all(F.upper(F.col("text")), F.lit("[A-Z]+"), 0), 1, 5
+    )
+    words = docs.select("doc_id", F.posexplode(toks).alias("word_idx", "word"))
+    # per character position: top-1 candidate = the char itself with a
+    # deterministic confidence in [0.35, 0.99]
+    cands = F.transform(
+        F.split(F.col("word"), ""),
+        lambda ch, i: F.array(
+            F.struct(
+                ch.alias("character"),
+                (
+                    0.35
+                    + F.pmod(F.xxhash64(ch, F.col("word"), i), F.lit(64)).cast("double")
+                    / 100.0
+                ).alias("confidence"),
+            )
+        ),
+    )
+    decode = make_beam_decode_udf(DRUGS_SINGLE + DISEASES_SINGLE, DRUGS_SINGLE)
+    return words.select(
+        "doc_id", "word_idx", decode(cands).alias("decoded")
+    ).select("doc_id", "word_idx", "decoded.*")
+
+
+def q_parse(spark, sf_dir: str):
+    """Rows-only driver query: block-parser correction over documents."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    parse = make_parse_udf()
+    return docs.select("doc_id", parse(F.col("text")).alias("parsed")).select(
+        "doc_id", "parsed.*"
+    )

@@ -40,6 +40,9 @@ def get_spark(app_name: str = "htep-spark", cores: Optional[int] = None,
     from pyspark.sql import SparkSession
 
     master = f"local[{cores}]" if cores else "local[*]"
+    # single-JVM local mode: scale heap with task slots, as a real cluster
+    # scales total memory with executor count (4N executors = 4N x memory)
+    heap_gb = max(8, int((cores or 32) * 1.5))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -49,7 +52,7 @@ def get_spark(app_name: str = "htep-spark", cores: Optional[int] = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", f"{heap_gb}g")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
