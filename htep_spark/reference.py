@@ -6,14 +6,18 @@
 correction (T7) → segmentation with spans (G5) → structured field
 extraction (E1/E2/E5) → classification + urgency + entities (C1/C2/C4).
 
-Composition is API-faithful (``app/api.py:150-328``): ``final_text =
-content.strip()`` (:233); the post-processor output *is* the corrected
-text; the extractor and classifier consume the corrected text. One
-documented deviation: segments are computed on the decoded ``content``
-(newlines intact) rather than the whitespace-collapsed corrected text — the
-reference's segmenter consumes multi-line OCR text in its CLI DAG
-(``src/pipeline/controller.py:22-45``); feeding it the API path's collapsed
-text would degenerate every document to a single segment.
+Composition: each downstream consumer uses the reference DAG it belongs to.
+``final_text = content.strip()`` and classifier/urgency on the corrected
+text follow the API DAG (``app/api.py:233,280-293``). The structured-field
+extractor consumes ``final_text`` (newlines intact) per the offline-eval
+DAG (``tests/evaluate_metrics.py:39-90``) — the path that produced the
+reference's own ``ground_truth.json``; the API path would feed it the
+whitespace-collapsed post-processor output (T7 joins tokens with a single
+space, ``src/nlp/ocr_postprocessor.py:270``), which destroys every
+line-anchored field regex. Segments come from the CLI DAG
+(``src/pipeline/controller.py:22-45``) and are computed on the decoded
+``content`` with char spans. These composition choices are this engine's
+canonical semantics; every per-operator behavior is reference-faithful.
 
 This exact function body is both the pytest oracle and the kernel of the
 Spark pandas UDF (``htep_spark/operators/extract.py``) — equality by
@@ -158,7 +162,8 @@ def _extract_turn_inner(text: Optional[str]) -> Dict:
     # segments on multi-line content (documented deviation, module docstring)
     segments = segment_document(content)
 
-    extracted = extract_record(corrected_text) if corrected_text else {}
+    # eval-harness DAG: field extraction on the newline-intact final text
+    extracted = extract_record(final_text) if final_text else {}
     if extracted:
         vit = extracted.get("vitals") or {}
         extracted["vitals"] = {

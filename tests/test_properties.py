@@ -1,0 +1,122 @@
+"""Property-based differential tests (hypothesis).
+
+The fuzzy fast paths (length/char-multiset pruning, memoization, n-gram
+grouping) must be *result-identical* to the naive reference forms — these
+tests drive random inputs through both.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from htep_spark.functions.fuzzy import (
+    FuzzyMatcher,
+    banded_edit_distance,
+    indel_ratio,
+)
+from htep_spark.functions.textops import (
+    MultiWordMatcher,
+    _PARSER_TOKEN_RE,
+    correct_text_regex,
+    TokenCorrector,
+    fusion_correct,
+)
+
+words = st.text(alphabet="abcdefgh ", min_size=0, max_size=24)
+tokens = st.text(alphabet="abcdefgh", min_size=0, max_size=12)
+
+
+def naive_extract_one(query, choices, cutoff):
+    best, best_score = None, cutoff
+    for c in choices:
+        s = indel_ratio(query, c)
+        if s >= best_score and (best is None or s > best[1]):
+            best, best_score = (c, s), s
+    return best
+
+
+@settings(max_examples=300, deadline=None)
+@given(tokens, st.lists(tokens, min_size=1, max_size=12), st.floats(0, 100))
+def test_fuzzy_matcher_equals_naive(query, choices, cutoff):
+    assert FuzzyMatcher(choices).extract_one(query, cutoff) == naive_extract_one(
+        query, choices, cutoff
+    )
+
+
+def naive_multiword(text, multi_dict, threshold):
+    matched = []
+    ws = text.lower().split()
+    for entry in multi_dict:
+        n = entry.count(" ") + 1
+        if n > len(ws):
+            continue
+        for i in range(len(ws) - n + 1):
+            if indel_ratio(" ".join(ws[i : i + n]), entry) >= threshold:
+                matched.append(entry)
+                break
+    return set(matched)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    words,
+    st.lists(
+        st.tuples(tokens.filter(bool), tokens.filter(bool)).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([60.0, 75.0, 85.0]),
+)
+def test_multiword_matcher_equals_naive(text, multi_dict, threshold):
+    got = set(MultiWordMatcher(multi_dict, threshold).find(text))
+    assert got == naive_multiword(text, multi_dict, threshold)
+
+
+@settings(max_examples=300, deadline=None)
+@given(tokens, tokens)
+def test_indel_ratio_properties(a, b):
+    r = indel_ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert r == indel_ratio(b, a)  # symmetric
+    assert indel_ratio(a, a) == 100.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(tokens, tokens, st.integers(0, 3))
+def test_banded_edit_distance_vs_full(a, b, maxd):
+    def full_lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            curr = [i]
+            for j, cy in enumerate(y, 1):
+                curr.append(
+                    min(prev[j] + 1, curr[j - 1] + 1, prev[j - 1] + (cx != cy))
+                )
+            prev = curr
+        return prev[-1]
+
+    got = banded_edit_distance(a, b, maxd)
+    true = full_lev(a, b)
+    assert got == true if true <= maxd else got == maxd + 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab01l IO.\n\t-'", min_size=0, max_size=60))
+def test_fusion_token_count_invariant(text):
+    # fusion preserves the (whitespace-split) token multiset size
+    assert len(fusion_correct(text).split()) == len(text.split())
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abce135 \n\tX.-", min_size=0, max_size=80))
+def test_correct_text_regex_whitespace_lossless(text):
+    # T6 invariant: tokenization is lossless and corrections never touch
+    # whitespace — the whitespace runs of the output equal the input's
+    corrector = TokenCorrector(["abcde"], ["ace"])
+    corrected, _ = correct_text_regex(text, corrector)
+    import re
+
+    assert re.findall(r"\s+", corrected) == re.findall(r"\s+", text)
+    # tokenization covers every character
+    assert "".join(_PARSER_TOKEN_RE.findall(text)) == text
