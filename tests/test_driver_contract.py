@@ -1,0 +1,43 @@
+"""Driver-contract guards: entry() smoke, queries/oracle key consistency."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+
+
+def test_queries_and_oracles_consistent():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    # every oracle belongs to a query
+    assert set(oracles) <= set(qs)
+    # the SQL-expressible core is oracled
+    for name in (
+        "fusion", "sections", "urgency", "classify", "dict_match",
+        "vitals_fields", "text_stats", "fingerprint", "dedup_exact",
+        "ngram_jaccard", "ann_cosine", "embed_near_dup", "sessionize",
+        "events_hourly", "lang_id",
+    ):
+        assert name in oracles, name
+    # rows-only operators present
+    for name in ("extract_full", "minhash_lsh", "simhash", "beam_decode", "block_parse"):
+        assert name in qs
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+    assert {"conv_id", "turn_idx", "document_type", "urgency"} <= set(df.columns)
+
+
+def test_flagship_finds_clinical_content(spark):
+    from pyspark.sql import functions as F
+
+    df = entrymod._flagship(spark, "/root/testdata/sf0.001")
+    hits = df.filter(F.size("matched_drugs") > 0).count()
+    assert hits > 0  # clinical prelude guarantees non-vacuous extraction
