@@ -320,12 +320,51 @@ def _type_score_sql(text_expr: str, doc_type: str) -> str:
 
 
 def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _clinical_docs(spark, sf_dir).select(
-        "doc_id",
-        *[
-            _type_score_col(F.col("ltext"), F.col("ctext"), t).alias(f"s_{t}")
-            for t in DOCUMENT_TYPE_ORDER
-        ],
+    """C1 as a relational plan (the 'relational skeleton' of SURVEY §2.6):
+    keyword hits via a broadcast theta-join + partial-aggregated count,
+    pattern hits via a small regexp_count projection, pivot to per-type
+    scores, then the same argmax/tie-break/confidence expressions. Scales
+    with map-side combine and avoids the 64KB-method codegen cliff of the
+    fully-inlined expression form (18s one-time janino compile → ~1s)."""
+    docs = _clinical_docs(spark, sf_dir)
+    kw_rows = [
+        (t, kw) for t in DOCUMENT_TYPE_ORDER for kw in DOCUMENT_PATTERNS[t]["keywords"]
+    ]
+    kw = spark.createDataFrame(kw_rows, ["doc_type", "kw"])
+    kscores = (
+        docs.join(F.broadcast(kw), F.instr(F.col("ltext"), F.col("kw")) > 0)
+        .groupBy("doc_id", "doc_type")
+        .agg(F.count("*").alias("score"))
+    )
+    pat_structs = [
+        F.struct(
+            F.lit(t).alias("doc_type"),
+            (F.regexp_count(F.col("ctext"), F.lit(f"(?i){p}")) * 2).alias("cnt"),
+        )
+        for t in DOCUMENT_TYPE_ORDER
+        for p in DOCUMENT_PATTERNS[t]["patterns"]
+    ]
+    pscores = (
+        docs.select("doc_id", F.explode(F.array(*pat_structs)).alias("x"))
+        .groupBy("doc_id", F.col("x.doc_type").alias("doc_type"))
+        .agg(F.sum("x.cnt").alias("score"))
+    )
+    scores = (
+        kscores.unionByName(pscores)
+        .groupBy("doc_id")
+        .pivot("doc_type", DOCUMENT_TYPE_ORDER)
+        .agg(F.sum("score"))
+    )
+    df = (
+        docs.select("doc_id")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(f"s_{t}")
+                for t in DOCUMENT_TYPE_ORDER
+            ],
+        )
     )
     total = None
     best = None

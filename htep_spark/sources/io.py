@@ -64,6 +64,21 @@ def load_table(spark, sf_dir: str, name: str):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def write_bucketed_transcripts(df, table_name: str, n_buckets: int = 32) -> None:
+    """Persist transcripts bucketed by ``conv_id`` (the parquet analogue of
+    the Iceberg partition transform ``bucket(N, conv_id)`` from SURVEY.md
+    §4). Reading this table back lets every per-conversation groupBy/join
+    reuse the layout — Catalyst elides the shuffle entirely (asserted in
+    ``tests/test_bucketing.py``)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, "conv_id")
+        .sortBy("conv_id", "turn_idx")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 # --------------------------------------------------------------------------
 # Deterministic transcript synthesis
 # --------------------------------------------------------------------------
