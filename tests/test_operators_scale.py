@@ -135,3 +135,38 @@ def test_streaming_extraction(spark, tmp_path):
         "select result.document_type dt from extraction_stream limit 5"
     ).collect()
     assert all(r["dt"] is not None for r in sample)
+
+
+def test_stateful_conversation_stream(spark, tmp_path):
+    from htep_spark.schema import TRANSCRIPT_SCHEMA
+    from htep_spark.sources.io import synthesize_transcripts_pdf
+    from htep_spark.streaming.stream import stream_conversation_state
+
+    pdf = synthesize_transcripts_pdf(60, n_convs=5)
+    src = str(tmp_path / "state_src")
+    spark.createDataFrame(pdf, TRANSCRIPT_SCHEMA).write.parquet(src)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    out = stream_conversation_state(stream)
+    assert out.isStreaming
+    query = (
+        out.writeStream.format("memory")
+        .queryName("conv_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(180)
+    rows = {
+        r["conv_id"]: r
+        for r in spark.sql(
+            "select * from (select *, row_number() over "
+            "(partition by conv_id order by n_turns desc) rn from conv_state) "
+            "where rn = 1"
+        ).collect()
+    }
+    expected = pdf.groupby("conv_id").size().to_dict()
+    for conv_id, n in expected.items():
+        assert rows[conv_id]["n_turns"] == n
+        assert rows[conv_id]["max_turn"] == n - 1
+        assert rows[conv_id]["contiguous"] is True
