@@ -225,6 +225,75 @@ def simhash_near_dup_pairs(
     ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
 
 
+def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Duplicate-cluster canonicalization: (doc_a, doc_b) similarity pairs →
+    (doc_id, cluster_id) with cluster_id = min doc_id of the component.
+
+    Iterative label propagation (small-star style): each node repeatedly
+    adopts the minimum label among itself and its neighbors until a fixed
+    point. Every iteration is one shuffle (groupBy min); convergence needs
+    O(diameter) rounds — near-dup clusters are shallow (stars/cliques), so
+    a handful. ``localCheckpoint`` truncates the lineage each round to keep
+    plans bounded at scale.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keepers(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6
+) -> DataFrame:
+    """Full dedup flow: MinHash-LSH pairs → components → keep/drop verdict.
+    Returns (doc_id, cluster_id, keep) for every document in ``df``; the
+    keeper of each duplicate cluster is its minimum doc_id."""
+    pairs = minhash_dedup_pairs(df, id_col, text_col, threshold)
+    comps = connected_components(pairs)
+    all_docs = df.select(F.col(id_col).alias("doc_id"))
+    return (
+        all_docs.join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
 # ------------------------------------------------------ driver query forms --
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

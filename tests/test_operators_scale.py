@@ -170,3 +170,27 @@ def test_stateful_conversation_stream(spark, tmp_path):
         assert rows[conv_id]["n_turns"] == n
         assert rows[conv_id]["max_turn"] == n - 1
         assert rows[conv_id]["contiguous"] is True
+
+
+def test_dedup_keepers_connected_components(spark):
+    from htep_spark.operators.dedup import connected_components, dedup_keepers
+
+    # chain component {1,2,3} (1-2, 2-3), pair {7,9}, singletons elsewhere
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"]
+    )
+    comps = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = _near_dup_docs(spark)
+    verdicts = {
+        r["doc_id"]: r
+        for r in dedup_keepers(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert len(verdicts) == 12
+    assert verdicts[0]["keep"] and not verdicts[1]["keep"]
+    assert verdicts[1]["cluster_id"] == 0
+    assert verdicts[2]["keep"] and not verdicts[3]["keep"]
+    assert all(verdicts[i]["keep"] for i in range(4, 12))  # singletons kept
