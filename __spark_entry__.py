@@ -69,9 +69,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["simhash"] = q_simhash
     out["lang_id"] = q_lang_id
     from htep_spark.operators.decode import q_beam_decode, q_parse
+    from htep_spark.operators.text_analysis import q_winnow_fingerprints
 
     out["beam_decode"] = q_beam_decode
     out["block_parse"] = q_parse
+    out["winnow_fingerprints"] = q_winnow_fingerprints
     return out
 
 

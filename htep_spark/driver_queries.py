@@ -533,9 +533,15 @@ FROM documents
 # Text analysis: token count + quality score (training-data pipeline ops)
 # --------------------------------------------------------------------------
 
+# BPE-ish pre-tokenizer (GPT-2-style contraction/word/number/punct/space
+# classes, ASCII form) — identical in Java regex and RE2
+_BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
     n_tokens = F.size(toks)
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
     stop_hits = F.size(
         F.filter(
             toks,
@@ -554,6 +560,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
         n_tokens.alias("n_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
         stop_hits.alias("n_stopwords"),
         quality.alias("quality_score"),
     )
@@ -567,6 +574,7 @@ WITH t AS (
 )
 SELECT doc_id,
        len(toks) AS n_tokens,
+       len(regexp_extract_all(text, {_sql_quote(_BPE_PATTERN)})) AS n_bpe_tokens,
        len(list_filter(toks, x -> x IN ({_sql_str_list(STOPWORDS_EN)}))) AS n_stopwords,
        round(0.5 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
              + 0.3 * (CAST(len(list_filter(toks, x -> x IN ({_sql_str_list(STOPWORDS_EN)}))) AS DOUBLE)

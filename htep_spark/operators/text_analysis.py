@@ -9,10 +9,21 @@ UDF chain.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
 
-__all__ = ["LANG_STOPWORDS", "q_lang_id", "SQL_LANG_ID"]
+__all__ = [
+    "LANG_STOPWORDS",
+    "q_lang_id",
+    "SQL_LANG_ID",
+    "winnow_udf",
+    "q_winnow_fingerprints",
+]
 
 # order = tie-break priority
 LANG_STOPWORDS = {
@@ -79,3 +90,72 @@ FROM r
 
 
 SQL_LANG_ID = _lang_sql()
+
+
+# --------------------------------------------------------------------------
+# Winnowing document fingerprints (rolling hash)
+# --------------------------------------------------------------------------
+
+WINNOW_K = 8   # char k-gram length
+WINNOW_W = 6   # winnowing window
+
+def _make_winnow_udf(k: int = WINNOW_K, w: int = WINNOW_W):
+    """text → array<bigint> winnowed fingerprints.
+
+    Classic winnowing (Schleimer/Wilkerson/Aiken): polynomial rolling hash
+    over char k-grams, then the minimum hash of every w-length window
+    (rightmost on ties), deduplicated. Vectorized with numpy sliding
+    windows inside an Arrow batch — a rolling-hash fingerprint usable for
+    plagiarism-style overlap detection at corpus scale (fingerprints →
+    explode → inverted-index equi-join, same O(n·f) shape as MinHash).
+    """
+    import re
+
+    base = np.uint64(1000003)
+    mod_mask = np.uint64((1 << 61) - 1)
+    ws_re = re.compile(r"\s+")
+
+    def fingerprints(text) -> list:
+        if not isinstance(text, str):
+            return []
+        norm = ws_re.sub(" ", text.lower()).strip()
+        if len(norm) < k:
+            return []
+        data = np.frombuffer(norm.encode("utf-8", "replace"), dtype=np.uint8)
+        n = len(data) - k + 1
+        powers = np.array(
+            [pow(int(base), k - 1 - i, int(mod_mask) + 1) for i in range(k)],
+            dtype=np.uint64,
+        )
+        # hash of every k-gram via strided matmul (wraparound mod 2^64 is
+        # deterministic; final mask to 61 bits keeps values positive int64)
+        grams = np.lib.stride_tricks.sliding_window_view(data, k)[:n]
+        hashes = (grams.astype(np.uint64) * powers).sum(axis=1) & mod_mask
+        if n <= w:
+            return [int(hashes.min())]
+        windows = np.lib.stride_tricks.sliding_window_view(hashes, w)
+        # rightmost minimum per window
+        rev_argmin = w - 1 - np.argmin(windows[:, ::-1], axis=1)
+        picks = windows[np.arange(len(windows)), rev_argmin]
+        return sorted(set(int(x) for x in np.unique(picks)))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def winnow(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in texts:
+            yield series.map(fingerprints)
+
+    return winnow
+
+
+winnow_udf = _make_winnow_udf()
+
+
+def q_winnow_fingerprints(spark, sf_dir: str):
+    """Rows-only driver query: winnowed fingerprints per document."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.explode(winnow_udf(F.col("text"))).alias("fingerprint"),
+    )

@@ -194,3 +194,25 @@ def test_dedup_keepers_connected_components(spark):
     assert verdicts[1]["cluster_id"] == 0
     assert verdicts[2]["keep"] and not verdicts[3]["keep"]
     assert all(verdicts[i]["keep"] for i in range(4, 12))  # singletons kept
+
+
+def test_winnow_fingerprints(spark):
+    from htep_spark.operators.text_analysis import winnow_udf
+
+    docs = _near_dup_docs(spark)
+    fps = {
+        r["doc_id"]: set(r["f"])
+        for r in docs.select("doc_id", winnow_udf("text").alias("f")).collect()
+    }
+    # deterministic, non-empty, and near-dups share most fingerprints
+    assert all(fps[i] for i in fps)
+    overlap01 = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    overlap04 = len(fps[0] & fps[4]) / len(fps[0] | fps[4])
+    assert overlap01 > 0.5
+    assert overlap04 < 0.1
+    # whitespace-normalization invariance
+    from htep_spark.operators.text_analysis import _make_winnow_udf
+    rows = spark.createDataFrame(
+        [(0, "alpha  bravo\ncharlie"), (1, "alpha bravo charlie")], ["i", "t"]
+    ).select(winnow_udf("t").alias("f")).collect()
+    assert rows[0]["f"] == rows[1]["f"]
