@@ -119,3 +119,41 @@ def test_checkpoint_resume(spark, transcripts_pdf, tmp_path):
     manifest = spark.read.parquet(manifest_dir)
     assert manifest.filter("status = 'done'").count() == first["processed"]
     assert manifest.agg({"n_turns": "sum"}).collect()[0][0] == len(transcripts_pdf)
+
+
+def test_extraction_plan_is_narrow(spark, transcripts):
+    """The hot path must stay shuffle-free with pruned input columns."""
+    plan = (
+        run_extraction(transcripts.select("*"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_job_entrypoint_checkpoint_and_resume(spark, transcripts_pdf, tmp_path):
+    import json
+    import job
+
+    input_dir = str(tmp_path / "jin")
+    out_dir = str(tmp_path / "jout")
+    spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA).repartition(
+        3
+    ).write.parquet(input_dir)
+    rc = job.main(
+        ["--input", input_dir, "--output", out_dir, "--conv-metrics"]
+    )
+    assert rc == 0
+    out = spark.read.parquet(out_dir + "/part-*")
+    assert out.count() == len(transcripts_pdf)
+    metrics = spark.read.parquet(out_dir + "_conv_metrics")
+    assert metrics.filter("NOT ordered_ok").count() == 0
+    # second invocation resumes: nothing reprocessed
+    rc = job.main(["--input", input_dir, "--output", out_dir])
+    assert rc == 0
+    from htep_spark.plans.checkpoint import plan_units
+
+    manifest = spark.read.parquet(out_dir + "_manifest")
+    assert manifest.count() == len(plan_units(input_dir))  # each unit once
