@@ -157,3 +157,42 @@ def test_job_entrypoint_checkpoint_and_resume(spark, transcripts_pdf, tmp_path):
 
     manifest = spark.read.parquet(out_dir + "_manifest")
     assert manifest.count() == len(plan_units(input_dir))  # each unit once
+
+
+def test_conversation_rollup(spark, transcripts):
+    from htep_spark.operators.conversation import conversation_rollup
+
+    records = {
+        r["conv_id"]: r
+        for r in conversation_rollup(run_extraction(transcripts)).collect()
+    }
+    assert len(records) == 12
+    mega = records["conv-000000"]
+    assert mega["n_turns"] == 48
+    assert mega["all_drugs"]  # clinical payloads guarantee drug mentions
+    assert mega["max_urgency"] in ("routine", "high", "urgent")
+    assert mega["patient_name"]  # earliest non-null patient wins
+    # determinism across runs
+    again = {
+        r["conv_id"]: r
+        for r in conversation_rollup(run_extraction(transcripts)).collect()
+    }
+    assert {k: v.asDict() for k, v in records.items()} == {
+        k: v.asDict() for k, v in again.items()
+    }
+
+
+def test_sql_function_registration(spark, transcripts):
+    from htep_spark.functions.register import register_all
+
+    register_all(spark)
+    transcripts.createOrReplaceTempView("transcripts_v")
+    row = spark.sql(
+        "SELECT htep_fusion('he 0K l1') AS f, "
+        "htep_extract(text).document_type AS dt, "
+        "htep_simhash(text) AS sh "
+        "FROM transcripts_v WHERE turn_idx = 0 LIMIT 1"
+    ).collect()[0]
+    assert row["f"] == "he OK ll"
+    assert row["dt"] is not None
+    assert isinstance(row["sh"], int)
