@@ -74,7 +74,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["beam_decode"] = q_beam_decode
     out["block_parse"] = q_parse
     out["winnow_fingerprints"] = q_winnow_fingerprints
+    out["conv_rollup"] = _conv_rollup
     return out
+
+
+def _conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: per-conversation applyInPandas rollup, viewing each
+    ``source`` as a conversation of its documents in doc_id order."""
+    from pyspark.sql.window import Window
+
+    from htep_spark.driver_queries import _clinical_col
+    from htep_spark.operators.conversation import conversation_rollup
+    from htep_spark.plans.pipeline import run_extraction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        _clinical_col().alias("text"),
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    return conversation_rollup(run_extraction(transcripts))
 
 
 def oracle_sql() -> dict[str, str]:

@@ -403,3 +403,25 @@ def test_extract_turn_html_discharge_note():
     assert "metformin" in result["matched_drugs"]
     assert "hypertension" in result["matched_diseases"]
     assert result["metrics"]["blocks_dropped"] >= 1
+
+
+def test_decode_payload_malformed_inputs():
+    # malformed layout JSON falls through to plain (or markdown if fenced)
+    assert decode_payload('{"kind":"pdf_layout", broken')[1] == "plain"
+    assert decode_payload('{"kind":"other","pages":[]}')[1] == "plain"
+    # broken html still extracts without raising (stage isolation)
+    content, kind, kept, dropped = decode_payload("<div><p>unclosed tags here")
+    assert kind == "html" and "unclosed tags here" in content
+    # nested/unterminated fences
+    assert decode_payload("```\n```\n```")[0] == ""
+
+
+def test_extract_turn_never_raises_on_hostile_input():
+    hostile = [
+        "\x00\x01\x02", "<" * 500, "{" * 500, "à" * 100,
+        '{"kind":"pdf_layout","pages":[{"blocks":[{"text":null}]}]}',
+        "\ud800" if False else "\\ud800", "```" * 33,
+    ]
+    for text in hostile:
+        result = extract_turn(text)
+        assert isinstance(result["corrected_text"], str)

@@ -126,3 +126,24 @@ def test_correct_text_regex_whitespace_lossless(text):
     assert re.findall(r"\s+", corrected) == re.findall(r"\s+", text)
     # tokenization covers every character
     assert "".join(_PARSER_TOKEN_RE.findall(text)) == text
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="<>ab c/='\"!-\n&;#pdivscrpt", min_size=0, max_size=120))
+def test_html_extraction_total_and_deterministic(raw):
+    from htep_spark.functions.html_extract import extract_main_content
+
+    out1 = extract_main_content(raw)
+    out2 = extract_main_content(raw)
+    assert out1 == out2
+    assert isinstance(out1[0], str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(min_size=0, max_size=200))
+def test_extract_turn_total(raw):
+    from htep_spark.reference import extract_turn
+
+    result = extract_turn(raw)
+    assert isinstance(result["corrected_text"], str)
+    assert result["metrics"]["content_chars"] >= 0
