@@ -288,11 +288,11 @@ SELECT doc_id,
        CASE WHEN urgent_n >= 1 THEN 'urgent'
             WHEN high_n >= 1 THEN 'high'
             ELSE 'routine' END AS urgency,
-       CASE WHEN urgent_n >= 2 THEN 0.9
+       CAST(CASE WHEN urgent_n >= 2 THEN 0.9
             WHEN urgent_n >= 1 THEN 0.7
             WHEN high_n >= 2 THEN 0.8
             WHEN high_n >= 1 THEN 0.6
-            ELSE 0.5 END AS urgency_confidence
+            ELSE 0.5 END AS DOUBLE) AS urgency_confidence
 FROM scored
 """
 
@@ -412,8 +412,8 @@ WITH scored AS (
 )
 SELECT doc_id,
        CASE WHEN total = 0 THEN 'general_medical' ELSE (CASE {pick} END) END AS document_type,
-       round(CASE WHEN total = 0 THEN 0.3
-                  ELSE least(CAST(best AS DOUBLE) / total, 0.95) END, 6) AS confidence
+       CAST(round(CASE WHEN total = 0 THEN 0.3
+                  ELSE least(CAST(best AS DOUBLE) / total, 0.95) END, 6) AS DOUBLE) AS confidence
 FROM ranked
 """
 
@@ -758,6 +758,54 @@ QUALIFY rank <= {ANN_K}
 
 
 # --------------------------------------------------------------------------
+# CER — character error rate of the fusion stage vs the raw text
+# (evaluation harness metric, tests/evaluate_metrics.py:14-16; built-in
+# levenshtein exists in both engines)
+# --------------------------------------------------------------------------
+
+def q_cer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tokens = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    fused = F.array_join(
+        F.transform(
+            tokens,
+            lambda x: F.when(x.rlike(_NUM_RE), F.translate(x, "OlI", "011"))
+            .otherwise(F.translate(x, "01", "Ol")),
+        ),
+        " ",
+    )
+    return (
+        _docs(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.round(
+                F.levenshtein(fused, F.col("text"))
+                / F.greatest(F.length("text"), F.lit(1)),
+                6,
+            ).alias("cer"),
+        )
+    )
+
+
+SQL_CER = f"""
+WITH fused AS (
+  SELECT doc_id, text,
+         array_to_string(
+           list_transform(
+             list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+             x -> CASE WHEN regexp_matches(x, '{_NUM_RE}')
+                       THEN translate(x, 'OlI', '011')
+                       ELSE translate(x, '01', 'Ol') END),
+           ' ') AS f
+  FROM documents
+)
+SELECT doc_id,
+       round(CAST(levenshtein(f, text) AS DOUBLE) / greatest(length(text), 1), 6) AS cer
+FROM fused
+"""
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs (exact small-scale form; the
 # LSH-bucketed variant is operators/similarity.ann_lsh_topk)
 # --------------------------------------------------------------------------
@@ -921,6 +969,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "cer": (q_cer, SQL_CER),
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

@@ -425,3 +425,34 @@ def test_extract_turn_never_raises_on_hostile_input():
     for text in hostile:
         result = extract_turn(text)
         assert isinstance(result["corrected_text"], str)
+
+
+# ----------------------------------------------------------- evaluation ----
+def test_cer_and_entity_accuracy():
+    from htep_spark.functions.evaluation import (
+        character_error_rate,
+        entity_set_accuracy,
+        flatten_record,
+    )
+
+    assert character_error_rate("abc", "abc") == 0.0
+    assert character_error_rate("abd", "abc") == pytest.approx(1 / 3)
+    assert character_error_rate("", "") == 0.0
+
+    truth = {
+        "patient_name": "Vikas Reddy",
+        "age": "45",
+        "diagnosis": ["Hypertension"],
+        "medicines": [{"name": "Metformin", "dosage": "500mg", "frequency": None}],
+        "vitals": {"bp": "120/80", "temp": None},
+    }
+    flat = flatten_record(truth)
+    assert "patient_name:vikas reddy" in flat
+    assert "medicines.name:metformin" in flat
+    assert "vitals.bp:120/80" in flat
+    assert not any("temp" in f or "frequency" in f for f in flat)
+
+    assert entity_set_accuracy(truth, truth) == 1.0
+    pred = dict(truth, age="46")
+    acc = entity_set_accuracy(pred, truth)
+    assert 0 < acc < 1.0
