@@ -68,25 +68,34 @@ def main() -> None:
     transcripts.unpersist()
 
     # headline 2: operator queries over the driver testdata tables
+    import __spark_entry__ as entrymod
+
+    from htep_spark.operators.dedup import q_minhash_lsh
+    from htep_spark.operators.text_analysis import q_winnow_fingerprints
+
+    extra = {
+        "extract_full_docs": entrymod._flagship,
+        "minhash_lsh": q_minhash_lsh,
+        "winnow": q_winnow_fingerprints,
+        "conv_rollup": entrymod._conv_rollup,
+    }
     for name in (
         "extract_full_docs",
+        "conv_rollup",
         "classify",
         "sections",
         "dict_match",
         "text_stats",
+        "cer",
+        "sessionize",
         "ngram_jaccard",
         "minhash_lsh",
+        "winnow",
         "ann_cosine",
+        "embed_near_dup",
         "events_hourly",
     ):
-        if name == "extract_full_docs":
-            import __spark_entry__ as entrymod
-
-            fn = entrymod._flagship
-        elif name == "minhash_lsh":
-            from htep_spark.operators.dedup import q_minhash_lsh as fn
-        else:
-            fn = QUERIES[name][0]
+        fn = extra.get(name) or QUERIES[name][0]
         t0 = time.time()
         _run(fn(spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)

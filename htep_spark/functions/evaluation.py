@@ -13,7 +13,7 @@ dict → ``key.sub:value`` — all lowercased, Nones skipped.
 
 from __future__ import annotations
 
-from typing import Dict, List, Set
+from typing import Dict, Set
 
 __all__ = ["character_error_rate", "flatten_record", "entity_set_accuracy"]
 

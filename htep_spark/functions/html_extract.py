@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import re
 from html.parser import HTMLParser
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 __all__ = [
     "extract_main_content",

@@ -53,8 +53,6 @@ def stream_conversation_state(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..schema import TRANSCRIPT_SCHEMA  # noqa: F401  (schema contract)
-
     output_schema = (
         "conv_id string, n_turns long, max_turn long, distinct_turns long, "
         "contiguous boolean, n_drug_turns long, closed boolean"

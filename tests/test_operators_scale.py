@@ -3,7 +3,6 @@ search (brute-force + LSH), multimodal plumbing, streaming pipeline."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 
@@ -211,7 +210,6 @@ def test_winnow_fingerprints(spark):
     assert overlap01 > 0.5
     assert overlap04 < 0.1
     # whitespace-normalization invariance
-    from htep_spark.operators.text_analysis import _make_winnow_udf
     rows = spark.createDataFrame(
         [(0, "alpha  bravo\ncharlie"), (1, "alpha bravo charlie")], ["i", "t"]
     ).select(winnow_udf("t").alias("f")).collect()

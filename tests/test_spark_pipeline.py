@@ -134,7 +134,6 @@ def test_extraction_plan_is_narrow(spark, transcripts):
 
 
 def test_job_entrypoint_checkpoint_and_resume(spark, transcripts_pdf, tmp_path):
-    import json
     import job
 
     input_dir = str(tmp_path / "jin")
