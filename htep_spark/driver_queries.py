@@ -631,6 +631,13 @@ GROUP BY 1
 
 JACCARD_THRESHOLD = 0.18
 _SHINGLE_N = 3
+# stop-shingle cap: a shingle appearing in more than this many documents is
+# excluded from pair generation — at corpus scale a single hot shingle
+# otherwise contributes O(df²) join rows (the classic self-join blow-up);
+# capped shingles cannot evidence near-duplication anyway. The doc-size
+# denominator keeps ALL shingles, so capping only loses candidate recall on
+# pairs whose entire overlap is stop-shingles.
+SHINGLE_DOC_FREQ_CAP = 100
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,9 +654,16 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     shingles = docs.select("doc_id", F.explode(shingle_arr).alias("shingle"))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    rare = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= SHINGLE_DOC_FREQ_CAP)
+        .select("shingle")
+    )
+    joinable = shingles.join(rare, "shingle")
     pairs = (
-        shingles.alias("a")
-        .join(shingles.alias("b"), "shingle")
+        joinable.alias("a")
+        .join(joinable.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -684,9 +698,14 @@ WITH toks AS (
   FROM toks
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+), rare AS (
+  SELECT shingle FROM shingles GROUP BY shingle
+  HAVING count(*) <= {SHINGLE_DOC_FREQ_CAP}
+), joinable AS (
+  SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-  FROM shingles a JOIN shingles b USING (shingle)
+  FROM joinable a JOIN joinable b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )

@@ -24,7 +24,7 @@ from pyspark.sql.types import (
 from ..functions.beam import LexiconBeamDecoder
 from ..functions.parser import BlockTextParser
 
-__all__ = ["beam_decode_udf", "make_beam_decode_udf", "make_parse_udf", "PARSE_RESULT_TYPE", "DECODE_RESULT_TYPE"]
+__all__ = ["make_beam_decode_udf", "make_parse_udf", "PARSE_RESULT_TYPE", "DECODE_RESULT_TYPE"]
 
 DECODE_RESULT_TYPE = StructType(
     [
@@ -147,9 +147,6 @@ def make_parse_udf(
             yield pd.DataFrame(rows, columns=[f.name for f in PARSE_RESULT_TYPE])
 
     return parse
-
-
-beam_decode_udf = None  # built lazily with default lexicons on first use
 
 
 def q_beam_decode(spark, sf_dir: str):

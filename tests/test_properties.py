@@ -147,3 +147,15 @@ def test_extract_turn_total(raw):
     result = extract_turn(raw)
     assert isinstance(result["corrected_text"], str)
     assert result["metrics"]["content_chars"] >= 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab c:.\nrx bp plan\t", min_size=0, max_size=120))
+def test_segment_spans_always_slice_back(text):
+    from htep_spark.functions.segments import segment_document
+
+    segments = segment_document(text)
+    for i, seg in enumerate(segments):
+        assert text[seg["start_char"] : seg["end_char"]] == seg["content"]
+        assert seg["start_line"] == seg["end_line"] == i
+        assert seg["content"] == seg["content"].strip() != ""
