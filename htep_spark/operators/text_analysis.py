@@ -159,3 +159,36 @@ def q_winnow_fingerprints(spark, sf_dir: str):
         "doc_id",
         F.explode(winnow_udf(F.col("text"))).alias("fingerprint"),
     )
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
+                         min_common: int = 5) -> DataFrame:
+    """Fingerprint-overlap near-dup pairs via inverted-index equi-join.
+
+    Same candidate-generation shape as MinHash banding: explode winnowed
+    fingerprints, equi-join on fingerprint (shuffle O(n·fingerprints), never
+    O(n²)), count shared fingerprints per pair, keep pairs with
+    >= ``min_common`` and report the containment ratio vs the smaller set.
+    """
+    fps = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(winnow_udf(F.col(text_col))).alias("fp"),
+    )
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("common") / F.least(F.col("na"), F.col("nb")), 6),
+        )
+        .select("doc_a", "doc_b", "common", "containment")
+    )

@@ -242,3 +242,16 @@ def test_streaming_windowed_metrics(spark, tmp_path):
     # per-conversation last can close → at least the bulk of turns appear
     assert rows["w"] >= 1
     assert rows["t"] > 0
+
+
+def test_winnow_overlap_pairs(spark):
+    from htep_spark.operators.text_analysis import winnow_overlap_pairs
+
+    docs = _near_dup_docs(spark)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in winnow_overlap_pairs(docs, "doc_id", "text", min_common=3).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5
+    assert (2, 3) in pairs
+    assert all(a in (0, 2) for a, _ in pairs)  # no spurious pairs
