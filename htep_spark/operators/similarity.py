@@ -21,10 +21,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import ArrayType, IntegerType, LongType
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_topk", "hyperplane_signature_udf", "ann_lsh_topk"]
+__all__ = ["cosine_topk", "hyperplane_signature_udf", "ann_lsh_topk", "ann_ivf_topk"]
 
 N_PLANES = 16
 N_BANDS = 4
@@ -144,6 +144,98 @@ def ann_lsh_topk(
     scored = cand.withColumn(
         "cosine", _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
     )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------- IVF ANN --
+
+IVF_N_CELLS = 16
+IVF_N_PROBE = 2
+_IVF_KMEANS_ITERS = 5
+
+
+def _ivf_centroids(vectors: np.ndarray, n_cells: int = IVF_N_CELLS) -> np.ndarray:
+    """Deterministic Lloyd iterations from seeded initial centroids.
+
+    Trained driver-side on a bounded sample (IVF training is always a
+    sample-based offline step; the assignment below is the distributed
+    part). Fixed seed → same cells every run."""
+    rng = np.random.default_rng(20260817)
+    n = len(vectors)
+    centroids = vectors[rng.choice(n, size=min(n_cells, n), replace=False)].copy()
+    for _ in range(_IVF_KMEANS_ITERS):
+        # cosine assignment: normalize then argmax dot
+        vn = vectors / np.maximum(np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+        cn = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+        assign = (vn @ cn.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = vectors[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def make_cell_assign_udf(centroids: np.ndarray, n_probe: int = 1):
+    """vector → array of the n_probe nearest cell ids (numpy-vectorized)."""
+    cn = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def assign(vecs: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for series in vecs:
+            mat = np.stack([np.asarray(v, dtype=np.float64) for v in series])
+            mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mn @ cn.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            yield pd.Series([row.astype(int).tolist() for row in top])
+
+    return assign
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_cells: int = IVF_N_CELLS,
+    n_probe: int = IVF_N_PROBE,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into cells, probe the query's nearest
+    ``n_probe`` cells, exact cosine re-rank within probed cells only.
+
+    Shuffle shape: equi-join on ``cell`` — O(n·1) for the index side and
+    O(q·n_probe) for queries; the cross product never materializes."""
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in embeddings.select(vec_col).limit(train_sample).collect()
+        ]
+    )
+    centroids = _ivf_centroids(sample, n_cells)
+    assign1 = make_cell_assign_udf(centroids, n_probe=1)
+    assign_p = make_cell_assign_udf(centroids, n_probe=n_probe)
+
+    emb = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("cell", F.element_at(assign1(F.col("v")), 1))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("cell", F.explode(assign_p(F.col("qv"))))
+
+    cand = q.join(emb, "cell").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.withColumn(
+        "cosine", _dot(F.col("qv"), F.col("v")) / (_norm(F.col("qv")) * _norm(F.col("v")))
+    ).dropDuplicates(["query_id", "vec_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -255,3 +255,32 @@ def test_winnow_overlap_pairs(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.5
     assert (2, 3) in pairs
     assert all(a in (0, 2) for a, _ in pairs)  # no spurious pairs
+
+
+def test_ann_ivf_topk(spark):
+    from htep_spark.operators.similarity import ann_ivf_topk, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    approx = ann_ivf_topk(emb, queries, k=3)
+    rows = approx.collect()
+    assert rows, "IVF produced no candidates"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    exact_top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in cosine_topk(emb, queries, k=1).collect()
+    }
+    # recall check: IVF top-1 equals exact top-1 for most queries
+    hits = sum(
+        1
+        for q, rs in by_q.items()
+        if sorted(rs, key=lambda r: r["rank"])[0]["vec_id"] == exact_top1.get(q)
+    )
+    assert hits >= len(by_q) * 0.5
+    # deterministic across invocations
+    again = sorted(map(str, ann_ivf_topk(emb, queries, k=3).collect()))
+    assert again == sorted(map(str, rows))
