@@ -55,3 +55,37 @@ def test_payload_variants_extract_same_fields():
         assert {m["name"] for m in got["medicines"]} == {
             m["name"] for m in plain["medicines"]
         }
+
+
+def test_golden_corpus_through_spark(spark):
+    """Every golden case must round-trip identically through the Spark UDF
+    (not just the oracle function) — payload variants included."""
+    from pyspark.sql import functions as F
+
+    from htep_spark.operators.extract import extract_turn_udf
+
+    df = spark.createDataFrame(
+        [(g["case_id"], g["text"]) for g in _GOLDEN], ["case_id", "text"]
+    )
+    rows = {
+        r["case_id"]: r["result"]
+        for r in df.select(
+            "case_id", extract_turn_udf(F.col("text")).alias("result")
+        ).collect()
+    }
+
+    import math
+
+    def norm(v):
+        if hasattr(v, "asDict"):
+            return {k: norm(x) for k, x in v.asDict().items()}
+        if isinstance(v, list):
+            return [norm(x) for x in v]
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        if isinstance(v, float) and math.isnan(v):
+            return None
+        return v
+
+    for g in _GOLDEN:
+        assert norm(rows[g["case_id"]]) == norm(g["expected"]), g["case_id"]
