@@ -29,7 +29,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["MEDIA_SCHEMA", "MEDIA_FEATURES_SCHEMA", "decode_media", "make_media_table"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "MEDIA_FEATURES_SCHEMA",
+    "decode_media",
+    "make_media_table",
+    "resize_media",
+    "sample_frames",
+]
 
 MEDIA_SCHEMA = StructType(
     [
@@ -122,3 +129,94 @@ def make_media_table(spark, n: int = 32) -> DataFrame:
         payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 4)
         rows.append((f"m-{i:04d}", kind, bytearray(payload), f"{kind}/x-fake"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("kind", StringType(), False),
+        StructField("target_w", IntegerType(), True),
+        StructField("target_h", IntegerType(), True),
+        StructField("payload", BinaryType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def resize_media(df: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
+    """Resize stage (STUB codec, real plumbing): emits a deterministic
+    fake-resized payload (sha256 of payload+dims, truncated proportionally
+    to the pixel count) with the target dimensions recorded. The Spark
+    shape — binary in, binary out via ``mapInPandas``, per-item error
+    isolation — is exactly what a real codec kernel drops into."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, r in batch.iterrows():
+                base = {
+                    "media_id": r["media_id"],
+                    "kind": r["kind"],
+                    "target_w": width,
+                    "target_h": height,
+                    "payload": None,
+                    "error": None,
+                }
+                try:
+                    if strict:
+                        raise NotImplementedError("no image codec in container")
+                    seed = hashlib.sha256(
+                        bytes(r["payload"] or b"") + f"{width}x{height}".encode()
+                    ).digest()
+                    reps = max(1, (width * height) // (64 * 256))
+                    base["payload"] = bytearray(seed * reps)
+                except Exception as exc:
+                    base["error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(base)
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_n: int = 24, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling stage for video payloads (STUB decode): emits one row
+    per sampled frame index (deterministic stride over the fake-decoded
+    frame count) — a flatMap-shaped ``mapInPandas`` (1 → N rows), the same
+    batch shape a real ffmpeg-backed sampler would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, r in batch.iterrows():
+                if r["kind"] != "video":
+                    continue
+                meta = _fake_decode(r["payload"], r["kind"])
+                for j, idx in enumerate(range(0, meta["n_frames"], every_n)):
+                    if j >= max_frames:
+                        break
+                    frame = hashlib.sha256(
+                        bytes(r["payload"] or b"") + idx.to_bytes(4, "big")
+                    ).digest()
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "frame_idx": idx,
+                            "frame_payload": bytearray(frame),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=FRAME_SCHEMA
+    )

@@ -284,3 +284,31 @@ def test_ann_ivf_topk(spark):
     # deterministic across invocations
     again = sorted(map(str, ann_ivf_topk(emb, queries, k=3).collect()))
     assert again == sorted(map(str, rows))
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from htep_spark.operators.multimodal import (
+        make_media_table,
+        resize_media,
+        sample_frames,
+    )
+
+    media = make_media_table(spark, n=9)
+    resized = resize_media(media, 128, 128).collect()
+    assert len(resized) == 9
+    assert all(r["target_w"] == 128 and r["error"] is None for r in resized)
+    assert all(r["payload"] is not None for r in resized)
+    # deterministic payloads
+    again = resize_media(media, 128, 128).collect()
+    assert sorted(bytes(r["payload"]) for r in resized) == sorted(
+        bytes(r["payload"]) for r in again
+    )
+
+    frames = sample_frames(media, every_n=24, max_frames=3).collect()
+    assert frames, "no frames sampled"
+    by_media = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f["frame_idx"])
+    for idxs in by_media.values():
+        assert len(idxs) <= 3
+        assert sorted(idxs) == idxs or len(set(idxs)) == len(idxs)
