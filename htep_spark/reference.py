@@ -49,6 +49,7 @@ from .functions.html_extract import (
     looks_like_html,
     strip_markdown_fences,
 )
+from .functions.chat_json import looks_like_chat_json, parse_chat_json
 from .functions.pdf_layout import looks_like_pdf_layout, parse_pdf_layout
 from .functions.segments import segment_document
 from .functions.textops import fusion_correct, postprocess
@@ -75,6 +76,11 @@ def decode_payload(text: Optional[str]) -> Tuple[str, str, int, int]:
         if parsed is not None:
             content, n_blocks = parsed
             return content, "pdf_layout", n_blocks, 0
+    if looks_like_chat_json(text):
+        parsed = parse_chat_json(text)
+        if parsed is not None:
+            content, n_blocks = parsed
+            return content, "chat_json", n_blocks, 0
     if looks_like_html(text):
         content, kept, dropped = extract_main_content(text)
         return content, "html", kept, dropped

@@ -456,3 +456,33 @@ def test_cer_and_entity_accuracy():
     pred = dict(truth, age="46")
     acc = entity_set_accuracy(pred, truth)
     assert 0 < acc < 1.0
+
+
+def test_chat_json_payload():
+    import json as _json
+
+    from htep_spark.functions.chat_json import parse_chat_json
+
+    payload = _json.dumps(
+        {
+            "kind": "chat_json",
+            "messages": [
+                {"role": "user", "text": "Patient has diabete5"},
+                {"role": "assistant", "text": "Diagnosis:\n- Diabetes"},
+                {"role": "tool", "text": "   "},
+            ],
+        }
+    )
+    parsed = parse_chat_json(payload)
+    assert parsed == (
+        "user: Patient has diabete5\nassistant: Diagnosis:\n- Diabetes",
+        2,
+    )
+    assert decode_payload(payload)[1] == "chat_json"
+    result = extract_turn(payload)
+    assert result["payload_kind"] == "chat_json"
+    assert "diabetes" in result["matched_diseases"]
+    assert any(s["segment_type"] == "diagnosis" for s in result["segments"])
+    # malformed chat payloads degrade to plain
+    assert decode_payload('{"kind":"chat_json", broken')[1] == "plain"
+    assert parse_chat_json('{"kind":"other"}') is None
