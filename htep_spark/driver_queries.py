@@ -212,7 +212,7 @@ def q_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.select(
         "doc_id",
-        "start_line",
+        F.col("start_line").cast("long").alias("start_line"),
         "content",
         _section_case_col(F.col("content")).alias("segment_type"),
     )
@@ -559,9 +559,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _docs(spark, sf_dir).select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        n_bpe.alias("n_bpe_tokens"),
-        stop_hits.alias("n_stopwords"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        stop_hits.cast("long").alias("n_stopwords"),
         quality.alias("quality_score"),
     )
 
@@ -754,7 +754,9 @@ def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= ANN_K)
-        .select("query_id", "vec_id", "cosine", "rank")
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
     )
 
 
