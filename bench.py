@@ -62,6 +62,8 @@ def main() -> None:
     extract_sec = time.time() - t0
     timings["extract_transcripts"] = round(extract_sec, 3)
 
+    # note: conv_metrics re-runs the extraction UDF upstream of the rollup —
+    # this timing is the full grouped-pipeline cost, not the rollup alone
     t0 = time.time()
     _run(per_conversation_metrics(run_extraction(transcripts)))
     timings["conv_metrics"] = round(time.time() - t0, 3)
