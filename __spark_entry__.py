@@ -80,7 +80,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["block_parse"] = q_parse
     out["winnow_fingerprints"] = q_winnow_fingerprints
     out["conv_rollup"] = _conv_rollup
+    out["dedup_keepers"] = _dedup_keepers
     return out
+
+
+def _dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full dedup verdict per document (MinHash-LSH pairs →
+    connected components → keeper = min doc_id per cluster)."""
+    from htep_spark.operators.dedup import dedup_keepers
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_keepers(docs, "doc_id", "text", threshold=0.5)
 
 
 def _conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

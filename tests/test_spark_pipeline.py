@@ -195,3 +195,38 @@ def test_sql_function_registration(spark, transcripts):
     assert row["f"] == "he OK ll"
     assert row["dt"] is not None
     assert isinstance(row["sh"], int)
+
+
+def test_checkpoint_crash_between_data_and_manifest(spark, transcripts_pdf, tmp_path):
+    """Crash simulation: a unit whose output was written but whose manifest
+    row never committed must be re-processed idempotently on resume."""
+    import shutil
+
+    from htep_spark.plans.checkpoint import plan_units, run_with_checkpoint
+
+    input_dir = str(tmp_path / "cin")
+    out_dir = str(tmp_path / "cout")
+    manifest_dir = str(tmp_path / "cmanifest")
+    df = spark.createDataFrame(transcripts_pdf, schema=TRANSCRIPT_SCHEMA)
+    df.repartition(3).write.parquet(input_dir)
+
+    first = run_with_checkpoint(spark, input_dir, out_dir, manifest_dir, "run-a")
+    total = spark.read.parquet(out_dir + "/part-*").count()
+
+    # simulate the crash window: drop ONE manifest row (rewrite without it)
+    units = plan_units(input_dir)
+    victim = units[0]["partition_id"]
+    manifest = spark.read.parquet(manifest_dir)
+    kept = manifest.filter(manifest.partition_id != victim).collect()
+    shutil.rmtree(manifest_dir)
+    if kept:
+        spark.createDataFrame(kept, manifest.schema).write.parquet(manifest_dir)
+
+    second = run_with_checkpoint(spark, input_dir, out_dir, manifest_dir, "run-b")
+    assert second["processed"] == 1  # only the victim re-ran
+    # idempotent: same totals, no duplicates
+    assert spark.read.parquet(out_dir + "/part-*").count() == total
+    assert (
+        spark.read.parquet(manifest_dir).filter("status='done'").count()
+        == first["processed"]
+    )
