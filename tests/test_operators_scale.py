@@ -312,3 +312,18 @@ def test_multimodal_resize_and_frame_sample(spark):
     for idxs in by_media.values():
         assert len(idxs) <= 3
         assert sorted(idxs) == idxs or len(set(idxs)) == len(idxs)
+
+
+def test_connected_components_long_chain(spark):
+    """A 60-node chain must converge (pointer jumping: O(log n) rounds)."""
+    from htep_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], ["doc_a", "doc_b"]
+    )
+    comps = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs, max_iterations=10).collect()
+    }
+    assert len(comps) == 60
+    assert set(comps.values()) == {0}
