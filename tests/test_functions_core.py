@@ -486,3 +486,13 @@ def test_chat_json_payload():
     # malformed chat payloads degrade to plain
     assert decode_payload('{"kind":"chat_json", broken')[1] == "plain"
     assert parse_chat_json('{"kind":"other"}') is None
+
+
+def test_classify_segments_keys():
+    # C3 (src/nlp/classifier.py:202-219): per-segment C1, keyed type_startline
+    from htep_spark.functions.classify import classify_segments
+
+    segments = segment_document("Diagnosis: flu\nRx: aspirin 100mg")
+    results = classify_segments(segments)
+    assert set(results) == {"diagnosis_0", "medication_1"}
+    assert all("document_type" in v for v in results.values())
