@@ -81,7 +81,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["winnow_fingerprints"] = q_winnow_fingerprints
     out["conv_rollup"] = _conv_rollup
     out["dedup_keepers"] = _dedup_keepers
+    out["deid"] = _deid
     return out
+
+
+def _deid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: full multi-kind de-identification with PII spans."""
+    from htep_spark.driver_queries import _clinical_docs
+    from htep_spark.operators.extract import deid_udf
+
+    return (
+        _clinical_docs(spark, sf_dir)
+        .select("doc_id", deid_udf(F.col("ctext")).alias("d"))
+        .select("doc_id", "d.masked_text", F.explode_outer("d.spans").alias("span"))
+        .select(
+            "doc_id",
+            "masked_text",
+            F.col("span.start_char").alias("start_char"),
+            F.col("span.end_char").alias("end_char"),
+            F.col("span.kind").alias("kind"),
+        )
+    )
 
 
 def _dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -779,6 +779,71 @@ QUALIFY rank <= {ANN_K}
 
 
 # --------------------------------------------------------------------------
+# Sentence boundary extraction (north_star normalizer; RE2-safe rule shared
+# with htep_spark.functions.deid.SENTENCE_PATTERN)
+# --------------------------------------------------------------------------
+
+_SENTENCE_PATTERN = "[^.!?]+[.!?]?"
+
+
+def q_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sents = F.filter(
+        F.transform(
+            F.regexp_extract_all(F.col("ctext"), F.lit(_SENTENCE_PATTERN), 0),
+            lambda x: F.trim(x),
+        ),
+        lambda x: x != "",
+    )
+    return _clinical_docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(sents).alias("sent_idx", "content")
+    ).select("doc_id", F.col("sent_idx").cast("long").alias("sent_idx"), "content")
+
+
+SQL_SENTENCES = f"""
+WITH prepared AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+             regexp_extract_all({_clinical_sql()}, '{_SENTENCE_PATTERN}'),
+             x -> trim(x)), x -> x <> '') AS ss
+  FROM documents
+)
+SELECT doc_id,
+       unnest(range(0, len(ss))) AS sent_idx,
+       unnest(ss) AS content
+FROM prepared
+"""
+
+
+# --------------------------------------------------------------------------
+# De-identification, SQL-expressible slice: date masking (the full
+# multi-kind masker with spans is the deid UDF — rows-only query `deid`)
+# --------------------------------------------------------------------------
+
+_DATE_MASK_PATTERN = (
+    r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}|"
+    r"\d{1,2}(?:st|nd|rd|th)?\s+"
+    r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{4}"
+)
+
+
+def q_deid_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clinical_docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("ctext"), F.lit(f"(?i){_DATE_MASK_PATTERN}"), F.lit("[DATE]")
+        ).alias("masked_text"),
+    )
+
+
+SQL_DEID_DATES = f"""
+SELECT doc_id,
+       regexp_replace({_clinical_sql()}, '(?i){_DATE_MASK_PATTERN}', '[DATE]', 'g')
+         AS masked_text
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
 # CER — character error rate of the fusion stage vs the raw text
 # (evaluation harness metric, tests/evaluate_metrics.py:14-16; built-in
 # levenshtein exists in both engines)
@@ -990,6 +1055,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
+    "sentences": (q_sentences, SQL_SENTENCES),
+    "deid_dates": (q_deid_dates, SQL_DEID_DATES),
     "cer": (q_cer, SQL_CER),
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

@@ -21,12 +21,24 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..reference import extract_turn
 from ..schema import EXTRACTION_RESULT_TYPE
 
-__all__ = ["extract_turn_udf", "extract_transcripts", "corrected_text_udf"]
+__all__ = [
+    "extract_turn_udf",
+    "extract_transcripts",
+    "corrected_text_udf",
+    "deid_udf",
+    "DEID_RESULT_TYPE",
+]
 
 
 @F.pandas_udf(EXTRACTION_RESULT_TYPE)
@@ -67,3 +79,34 @@ def extract_transcripts(df: DataFrame) -> DataFrame:
         "ts",
         extract_turn_udf(F.col("text")).alias("result"),
     )
+
+
+DEID_RESULT_TYPE = StructType(
+    [
+        StructField("masked_text", StringType(), True),
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("start_char", IntegerType(), True),
+                        StructField("end_char", IntegerType(), True),
+                        StructField("kind", StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
+
+@F.pandas_udf(DEID_RESULT_TYPE)
+def deid_udf(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """text → (masked_text, PII spans) — north_star de-identification stage."""
+    from ..functions.deid import deidentify
+
+    for series in texts:
+        yield pd.DataFrame(
+            [deidentify(t if isinstance(t, str) else "") for t in series]
+        )

@@ -496,3 +496,51 @@ def test_classify_segments_keys():
     results = classify_segments(segments)
     assert set(results) == {"diagnosis_0", "medication_1"}
     assert all("document_type" in v for v in results.values())
+
+
+# ------------------------------------------------------------------ deid ----
+def test_deidentify_masks_and_spans():
+    from htep_spark.functions.deid import deidentify
+
+    text = (
+        "CityCare Hospital - Discharge Summary\n"
+        "Patient Name : Vikas Reddy\nPatient ID : CH-3021\n"
+        "Age : 45\nDate : 02/08/2025\nCall 555-123-4567\n"
+        "Consultant: Dr. Sanjay Kapoor\n"
+    )
+    result = deidentify(text)
+    masked = result["masked_text"]
+    assert "Vikas Reddy" not in masked and "[NAME]" in masked
+    assert "CH-3021" not in masked and "[ID]" in masked
+    assert "02/08/2025" not in masked and "[DATE]" in masked
+    assert "555-123-4567" not in masked and "[PHONE]" in masked
+    assert "Age : [AGE]" in masked
+    # spans index the ORIGINAL text, non-overlapping and sorted
+    prev_end = -1
+    for span in result["spans"]:
+        assert span["start_char"] >= prev_end
+        prev_end = span["end_char"]
+    kinds = {s["kind"] for s in result["spans"]}
+    assert {"NAME", "ID", "DATE", "PHONE", "AGE"} <= kinds
+    named = [
+        text[s["start_char"] : s["end_char"]]
+        for s in result["spans"]
+        if s["kind"] == "NAME"
+    ]
+    assert "Vikas Reddy" in named
+    assert deidentify("") == {"masked_text": "", "spans": []}
+    # non-PII text untouched
+    assert deidentify("no secrets here")["masked_text"] == "no secrets here"
+
+
+def test_split_sentences_spans():
+    from htep_spark.functions.deid import split_sentences
+
+    text = "First sentence. Second one! Third?\nNo terminator tail"
+    sentences = split_sentences(text)
+    assert [s["content"] for s in sentences] == [
+        "First sentence.", "Second one!", "Third?", "No terminator tail",
+    ]
+    for s in sentences:
+        assert text[s["start_char"] : s["end_char"]] == s["content"]
+    assert split_sentences("") == []
