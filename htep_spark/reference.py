@@ -38,6 +38,7 @@ from .dictionaries import (
     DRUGS_SINGLE,
     DRUG_SET,
 )
+from .functions.deid import deidentify
 from .functions.classify import (
     classify_document,
     document_urgency,
@@ -118,6 +119,7 @@ def extract_turn(text: Optional[str]) -> Dict:
                 "procedures": [],
                 "measurements": [],
             },
+            "deid": {"masked_text": safe.strip(), "spans": []},
             "metrics": {
                 "blocks_kept": 0,
                 "blocks_dropped": 0,
@@ -183,6 +185,9 @@ def _extract_turn_inner(text: Optional[str]) -> Dict:
     cls = classify_document(corrected_text)
     urgency, urgency_conf = document_urgency(corrected_text)
     entities = extract_medical_entities(corrected_text)
+    # north_star de-identification: masked text + PII spans against the
+    # newline-intact final text (same reference frame as the extractor)
+    deid = deidentify(final_text)
 
     return {
         "payload_kind": payload_kind,
@@ -209,6 +214,7 @@ def _extract_turn_inner(text: Optional[str]) -> Dict:
         "urgency": urgency,
         "urgency_confidence": float(urgency_conf),
         "entities": entities,
+        "deid": deid,
         "metrics": {
             "blocks_kept": kept,
             "blocks_dropped": dropped,

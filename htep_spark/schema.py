@@ -101,6 +101,25 @@ ENTITIES_TYPE = StructType(
     ]
 )
 
+DEID_TYPE = StructType(
+    [
+        StructField("masked_text", StringType(), True),
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("start_char", IntegerType(), True),
+                        StructField("end_char", IntegerType(), True),
+                        StructField("kind", StringType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+    ]
+)
+
 METRICS_TYPE = StructType(
     [
         StructField("blocks_kept", IntegerType(), True),
@@ -131,6 +150,7 @@ EXTRACTION_RESULT_TYPE = StructType(
         StructField("urgency", StringType(), True),
         StructField("urgency_confidence", DoubleType(), True),
         StructField("entities", ENTITIES_TYPE, True),
+        StructField("deid", DEID_TYPE, True),
         StructField("metrics", METRICS_TYPE, True),
     ]
 )
