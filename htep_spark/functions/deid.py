@@ -27,6 +27,8 @@ from typing import Dict, List
 
 __all__ = ["PII_PATTERNS", "deidentify", "split_sentences", "SENTENCE_PATTERN"]
 
+_DIGIT_RE = re.compile(r"\d")
+
 # Detection order matters: earlier kinds claim overlapping spans first.
 PII_PATTERNS = [
     # patient name (medical_extractor.py:83 — lookahead-bounded)
@@ -74,12 +76,26 @@ def deidentify(text: str) -> Dict:
     """
     if not text:
         return {"masked_text": "", "spans": []}
+    # cheap permissive gates (each pattern literally requires these
+    # substrings/digits, so skipping cannot change results)
+    lower = text.lower()
+    has_digit = _DIGIT_RE.search(text) is not None
+    gates = [
+        ("patient" in lower or "name" in lower),
+        ("dr" in lower or "doctor" in lower or "physician" in lower),
+        has_digit,  # DATE
+        has_digit,  # ID
+        has_digit,  # PHONE
+        has_digit and "age" in lower,
+    ]
     taken: List[tuple] = []
 
     def overlaps(s: int, e: int) -> bool:
         return any(s < te and ts < e for ts, te, _ in taken)
 
-    for kind, pattern in PII_PATTERNS:
+    for (kind, pattern), enabled in zip(PII_PATTERNS, gates):
+        if not enabled:
+            continue
         for m in pattern.finditer(text):
             group = 1 if m.groups() else 0
             s, e = m.start(group), m.end(group)
