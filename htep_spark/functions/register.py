@@ -25,7 +25,10 @@ def register_all(spark: SparkSession) -> None:
     from ..operators.text_analysis import winnow_udf
     from .textops import fusion_correct
 
+    from ..operators.extract import deid_udf
+
     spark.udf.register("htep_extract", extract_turn_udf)
+    spark.udf.register("htep_deid", deid_udf)
     spark.udf.register("htep_corrected_text", corrected_text_udf)
     spark.udf.register("htep_simhash", simhash_udf)
     spark.udf.register("htep_winnow", winnow_udf)

@@ -20,11 +20,14 @@ def test_queries_and_oracles_consistent():
         "fusion", "sections", "urgency", "classify", "dict_match",
         "vitals_fields", "text_stats", "fingerprint", "dedup_exact",
         "ngram_jaccard", "ann_cosine", "embed_near_dup", "sessionize",
-        "events_hourly", "lang_id",
+        "events_hourly", "lang_id", "cer", "sentences", "deid_dates",
     ):
         assert name in oracles, name
     # rows-only operators present
-    for name in ("extract_full", "minhash_lsh", "simhash", "beam_decode", "block_parse"):
+    for name in (
+        "extract_full", "minhash_lsh", "simhash", "beam_decode", "block_parse",
+        "winnow_fingerprints", "conv_rollup", "dedup_keepers", "deid",
+    ):
         assert name in qs
 
 

@@ -159,3 +159,39 @@ def test_segment_spans_always_slice_back(text):
         assert text[seg["start_char"] : seg["end_char"]] == seg["content"]
         assert seg["start_line"] == seg["end_line"] == i
         assert seg["content"] == seg["content"].strip() != ""
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="PatienNmDr.:- 0123456789/\nAge", min_size=0, max_size=150))
+def test_deidentify_span_invariants(text):
+    from htep_spark.functions.deid import deidentify
+
+    result = deidentify(text)
+    spans = result["spans"]
+    # sorted, non-overlapping, in-bounds
+    prev = 0
+    for s in spans:
+        assert 0 <= s["start_char"] < s["end_char"] <= len(text)
+        assert s["start_char"] >= prev
+        prev = s["end_char"]
+    # masking is reconstructable: replacing spans with [KIND] yields masked
+    rebuilt = []
+    cursor = 0
+    for s in spans:
+        rebuilt.append(text[cursor : s["start_char"]])
+        rebuilt.append(f"[{s['kind']}]")
+        cursor = s["end_char"]
+    rebuilt.append(text[cursor:])
+    assert "".join(rebuilt) == result["masked_text"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab .!?\n", min_size=0, max_size=120))
+def test_sentence_spans_invariants(text):
+    from htep_spark.functions.deid import split_sentences
+
+    sentences = split_sentences(text)
+    for i, s in enumerate(sentences):
+        assert s["sent_idx"] == i
+        assert text[s["start_char"] : s["end_char"]] == s["content"]
+        assert s["content"] == s["content"].strip() != ""
