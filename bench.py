@@ -89,6 +89,8 @@ def main() -> None:
         "dict_match",
         "text_stats",
         "cer",
+        "sentences",
+        "deid_dates",
         "sessionize",
         "ngram_jaccard",
         "minhash_lsh",
