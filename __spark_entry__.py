@@ -42,13 +42,18 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("ts"),
     )
     extracted = run_extraction(transcripts)
+    # driver-facing select: the driver's canonicalizer sorts/hashes with
+    # pandas, which cannot hash list cells — serialize arrays to strings
+    # (sorted for order-insensitive set semantics). Semantics unchanged.
     return extracted.select(
         "conv_id",
         "turn_idx",
         F.col("result.document_type").alias("document_type"),
         F.col("result.urgency").alias("urgency"),
-        F.col("result.matched_drugs").alias("matched_drugs"),
-        F.col("result.matched_diseases").alias("matched_diseases"),
+        F.array_join(F.array_sort("result.matched_drugs"), "|").alias("matched_drugs"),
+        F.array_join(F.array_sort("result.matched_diseases"), "|").alias(
+            "matched_diseases"
+        ),
         F.col("result.corrected_text").alias("corrected_text"),
         F.col("result.metrics.n_segments").alias("n_segments"),
     )
@@ -132,7 +137,20 @@ def _conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("tool"),
         F.lit(None).cast("timestamp").alias("ts"),
     )
-    return conversation_rollup(run_extraction(transcripts))
+    rolled = conversation_rollup(run_extraction(transcripts))
+    # serialize array columns for the driver canonicalizer (lists are
+    # unhashable in pandas); rollup arrays are already sorted+deduped
+    return rolled.select(
+        "conv_id",
+        "n_turns",
+        "patient_name",
+        "doctor_name",
+        "hospital",
+        F.array_join("all_drugs", "|").alias("all_drugs"),
+        F.array_join("all_diseases", "|").alias("all_diseases"),
+        "max_urgency",
+        F.array_join("document_types", "|").alias("document_types"),
+    )
 
 
 def oracle_sql() -> dict[str, str]:

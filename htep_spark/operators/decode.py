@@ -187,6 +187,15 @@ def q_parse(spark, sf_dir: str):
         spark.sparkContext.defaultParallelism
     )
     parse = make_parse_udf()
+    # driver-facing select: serialize array columns (the driver's pandas
+    # canonicalizer can't hash list cells). Correction order is
+    # deterministic parser output, so to_json/array_join are stable.
     return docs.select("doc_id", parse(F.col("text")).alias("parsed")).select(
-        "doc_id", "parsed.*"
+        "doc_id",
+        F.col("parsed.corrected_text").alias("corrected_text"),
+        F.to_json("parsed.corrections").alias("corrections"),
+        F.array_join("parsed.dictionary_matches", "|").alias("dictionary_matches"),
+        F.array_join("parsed.medical_matches", "|").alias("medical_matches"),
+        F.array_join("parsed.english_matches", "|").alias("english_matches"),
+        F.col("parsed.backend").alias("backend"),
     )

@@ -42,5 +42,20 @@ def test_flagship_finds_clinical_content(spark):
     from pyspark.sql import functions as F
 
     df = entrymod._flagship(spark, "/root/testdata/sf0.001")
-    hits = df.filter(F.size("matched_drugs") > 0).count()
+    hits = df.filter(F.length("matched_drugs") > 0).count()
     assert hits > 0  # clinical prelude guarantees non-vacuous extraction
+
+
+def test_all_driver_queries_canonicalizer_safe(spark):
+    """The driver sorts+hashes results with pandas, which cannot hash list
+    cells — every driver-facing query must emit only atomic column types.
+
+    Schema-only (lazy plan build), so this covers all queries cheaply."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        for f in df.schema.fields:
+            assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+                f"{name}.{f.name} has non-atomic type {f.dataType.simpleString()}"
+            )

@@ -61,12 +61,17 @@ def main() -> int:
         if ONLY and name not in ONLY:
             continue
         if name not in oracles:
+            # the round driver canonicalizes rows-only results too
+            # (pandas sort_values over every column — crashes on list
+            # cells), so replicate that here, not just .count()
             try:
-                n = fn(spark, SF_DIR).count()
-                print(f"{name:20s} rows-only: {n} rows OK")
+                pdf = fn(spark, SF_DIR).toPandas()
+                pdf.sort_values(list(pdf.columns))  # driver _canon step
+                n, _, h, _ = canon(pdf)
+                print(f"{name:20s} rows-only: {n} rows OK (hash {h})")
             except Exception as e:
                 failures += 1
-                print(f"{name:20s} ROWS-ONLY FAILED: {e}")
+                print(f"{name:20s} ROWS-ONLY FAILED: {repr(e)[:300]}")
             continue
         try:
             sdf = fn(spark, SF_DIR).toPandas()
