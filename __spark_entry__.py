@@ -72,20 +72,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # rows-only (non-SQL-expressible) operators
     out["extract_full"] = _flagship
-    from htep_spark.operators.dedup import q_minhash_lsh, q_simhash
+    from htep_spark.operators.dedup import q_minhash_lsh
     from htep_spark.operators.text_analysis import q_lang_id
 
     out["minhash_lsh"] = q_minhash_lsh
-    out["simhash"] = q_simhash
     out["lang_id"] = q_lang_id
     from htep_spark.operators.decode import q_beam_decode, q_parse
-    from htep_spark.operators.text_analysis import q_winnow_fingerprints
 
     out["beam_decode"] = q_beam_decode
     out["block_parse"] = q_parse
-    out["winnow_fingerprints"] = q_winnow_fingerprints
     out["conv_rollup"] = _conv_rollup
-    out["dedup_keepers"] = _dedup_keepers
+    # keepers over MinHash-LSH pairs (the at-scale candidate source;
+    # xxhash64 not DuckDB-expressible — the oracle-checked `dedup_keepers`
+    # verifies the same components/keeper logic over exact-jaccard pairs)
+    out["dedup_keepers_minhash"] = _dedup_keepers
     out["deid"] = _deid
     return out
 

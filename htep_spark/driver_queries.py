@@ -319,21 +319,24 @@ def _type_score_sql(text_expr: str, doc_type: str) -> str:
     return f"({kw}) + ({pats})"
 
 
-def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C1 as a relational plan (the 'relational skeleton' of SURVEY §2.6):
-    keyword hits via a broadcast theta-join + partial-aggregated count,
-    pattern hits via a small regexp_count projection, pivot to per-type
-    scores, then the same argmax/tie-break/confidence expressions. Scales
-    with map-side combine and avoids the 64KB-method codegen cliff of the
-    fully-inlined expression form (18s one-time janino compile → ~1s)."""
-    docs = _clinical_docs(spark, sf_dir)
+def _classify_relational(
+    spark: SparkSession, base: DataFrame, id_cols
+) -> DataFrame:
+    """C1 as a relational plan over ``base`` (columns ``id_cols`` + ``ctext``
+    + ``ltext``), the 'relational skeleton' of SURVEY §2.6: keyword hits via
+    a broadcast theta-join + partial-aggregated count, pattern hits via a
+    small regexp_count projection, pivot to per-type scores, then the same
+    argmax/tie-break/confidence expressions. Scales with map-side combine
+    and avoids the 64KB-method codegen cliff of the fully-inlined expression
+    form (18s one-time janino compile → ~1s)."""
+    id_cols = list(id_cols)
     kw_rows = [
         (t, kw) for t in DOCUMENT_TYPE_ORDER for kw in DOCUMENT_PATTERNS[t]["keywords"]
     ]
     kw = spark.createDataFrame(kw_rows, ["doc_type", "kw"])
     kscores = (
-        docs.join(F.broadcast(kw), F.instr(F.col("ltext"), F.col("kw")) > 0)
-        .groupBy("doc_id", "doc_type")
+        base.join(F.broadcast(kw), F.instr(F.col("ltext"), F.col("kw")) > 0)
+        .groupBy(*id_cols, "doc_type")
         .agg(F.count("*").alias("score"))
     )
     pat_structs = [
@@ -345,21 +348,21 @@ def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in DOCUMENT_PATTERNS[t]["patterns"]
     ]
     pscores = (
-        docs.select("doc_id", F.explode(F.array(*pat_structs)).alias("x"))
-        .groupBy("doc_id", F.col("x.doc_type").alias("doc_type"))
+        base.select(*id_cols, F.explode(F.array(*pat_structs)).alias("x"))
+        .groupBy(*id_cols, F.col("x.doc_type").alias("doc_type"))
         .agg(F.sum("x.cnt").alias("score"))
     )
     scores = (
         kscores.unionByName(pscores)
-        .groupBy("doc_id")
+        .groupBy(*id_cols)
         .pivot("doc_type", DOCUMENT_TYPE_ORDER)
         .agg(F.sum("score"))
     )
     df = (
-        docs.select("doc_id")
-        .join(scores, "doc_id", "left")
+        base.select(*id_cols)
+        .join(scores, id_cols, "left")
         .select(
-            "doc_id",
+            *id_cols,
             *[
                 F.coalesce(F.col(t), F.lit(0)).alias(f"s_{t}")
                 for t in DOCUMENT_TYPE_ORDER
@@ -385,10 +388,14 @@ def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(best.cast("double") / total, F.lit(0.95))
     )
     return df.select(
-        "doc_id",
+        *id_cols,
         doc_type.alias("document_type"),
         F.round(confidence, 6).alias("confidence"),
     )
+
+
+def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _classify_relational(spark, _clinical_docs(spark, sf_dir), ["doc_id"])
 
 
 def _classify_sql() -> str:
@@ -419,6 +426,68 @@ FROM ranked
 
 
 SQL_CLASSIFY = _classify_sql()
+
+
+# --------------------------------------------------------------------------
+# C3 — per-segment classification (src/nlp/classifier.py:202-219): C1 run on
+# each line segment, keyed `{segment_type}_{start_line}`. Reuses the G5
+# segmentation plan and the relational C1 scorer.
+# --------------------------------------------------------------------------
+
+def q_classify_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    segs = q_sections(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws("_", "segment_type", F.col("start_line").cast("string")).alias(
+            "segment_key"
+        ),
+        F.col("content").alias("ctext"),
+        F.lower("content").alias("ltext"),
+    )
+    return _classify_relational(spark, segs, ["doc_id", "segment_key"])
+
+
+def _classify_segments_sql() -> str:
+    text = "content"
+    score_cols = ",\n         ".join(
+        f"({_type_score_sql(text, t)}) AS s_{t}" for t in DOCUMENT_TYPE_ORDER
+    )
+    total = " + ".join(f"s_{t}" for t in DOCUMENT_TYPE_ORDER)
+    best = "greatest(" + ", ".join(f"s_{t}" for t in DOCUMENT_TYPE_ORDER) + ")"
+    pick = " ".join(f"WHEN s_{t} = best THEN '{t}'" for t in DOCUMENT_TYPE_ORDER)
+    return f"""
+WITH prepared AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split({_clinical_sql()}, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls
+  FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(ls) AS content,
+         unnest(range(0, len(ls))) AS start_line
+  FROM prepared
+), seg AS (
+  SELECT doc_id,
+         {_section_case_sql('content')} || '_' || CAST(start_line AS VARCHAR)
+           AS segment_key,
+         content
+  FROM lines
+), scored AS (
+  SELECT doc_id, segment_key,
+         {score_cols}
+  FROM seg
+), ranked AS (
+  SELECT *, {total} AS total, {best} AS best
+  FROM scored
+)
+SELECT doc_id, segment_key,
+       CASE WHEN total = 0 THEN 'general_medical' ELSE (CASE {pick} END) END AS document_type,
+       CAST(round(CASE WHEN total = 0 THEN 0.3
+                  ELSE least(CAST(best AS DOUBLE) / total, 0.95) END, 6) AS DOUBLE) AS confidence
+FROM ranked
+"""
+
+
+SQL_CLASSIFY_SEGMENTS = _classify_segments_sql()
 
 
 # --------------------------------------------------------------------------
@@ -686,8 +755,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_NGRAM_JACCARD = f"""
-WITH toks AS (
+# shared CTE chain: documents → token shingles → rare-shingle inverted-index
+# self-join → jaccard-thresholded pairs (``jpairs``). Embedded by both the
+# ngram_jaccard oracle and the dedup_keepers oracle so the pair semantics
+# stay single-sourced.
+_NGRAM_PAIRS_CTES = f"""toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
   FROM documents
 ), shingles AS (
@@ -708,13 +780,65 @@ WITH toks AS (
   FROM joinable a JOIN joinable b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
+), jpairs AS (
+  SELECT doc_a, doc_b,
+         round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+)"""
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_NGRAM_PAIRS_CTES}
+SELECT doc_a, doc_b, jaccard FROM jpairs
+"""
+
+
+# --------------------------------------------------------------------------
+# Dedup canonicalization: near-dup pairs → connected components → keepers.
+# The driver query feeds the SAME distributed ``connected_components``
+# operator (operators/dedup.py, pointer-jumping label propagation) from the
+# exact n-gram Jaccard pairs above, so the cluster/keeper logic is
+# hash-verified against a DuckDB recursive-CTE transitive closure. The
+# MinHash-LSH pair source (the at-scale candidate generator; xxhash64 is not
+# DuckDB-expressible) stays covered by `minhash_lsh` + `dedup_keepers_minhash`
+# rows-only queries and pytest (test_minhash_matches_exact_jaccard).
+# --------------------------------------------------------------------------
+
+def q_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    pairs = q_ngram_jaccard(spark, sf_dir)
+    comps = connected_components(pairs)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    cluster = F.coalesce("cluster_id", F.col("doc_id"))
+    return docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).cast("long").alias("keep"),
+    )
+
+
+SQL_DEDUP_KEEPERS = f"""
+WITH RECURSIVE {_NGRAM_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM jpairs
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+  FROM reach GROUP BY src
 )
-SELECT doc_a, doc_b,
-       round(CAST(common AS DOUBLE) / (sa.n + sb.n - common), 6) AS jaccard
-FROM pairs
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN labels l USING (doc_id)
 """
 
 
@@ -1040,12 +1164,40 @@ SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10
 # Registry
 # --------------------------------------------------------------------------
 
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import q_simhash
+
+    return q_simhash(spark, sf_dir)
+
+
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import q_winnow_fingerprints
+
+    return q_winnow_fingerprints(spark, sf_dir)
+
+
+def _sql_simhash() -> str:
+    from .operators.dedup import SQL_SIMHASH
+
+    return SQL_SIMHASH
+
+
+def _sql_winnow() -> str:
+    from .operators.text_analysis import SQL_WINNOW
+
+    return SQL_WINNOW
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
     "sections": (q_sections, SQL_SECTIONS),
     "urgency": (q_urgency, SQL_URGENCY),
     "classify": (q_classify, SQL_CLASSIFY),
+    "classify_segments": (q_classify_segments, SQL_CLASSIFY_SEGMENTS),
+    "dedup_keepers": (q_dedup_keepers, SQL_DEDUP_KEEPERS),
+    "simhash": (_q_simhash, _sql_simhash()),
+    "winnow_fingerprints": (_q_winnow, _sql_winnow()),
     "dict_match": (q_dict_match, SQL_DICT_MATCH),
     "multiword_disease": (q_multiword_disease, SQL_MULTIWORD_DISEASE),
     "vitals_fields": (q_vitals_fields, SQL_VITALS_FIELDS),

@@ -36,6 +36,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "q_minhash_lsh",
     "q_simhash",
+    "SQL_SIMHASH",
 ]
 
 _P = (1 << 31) - 1  # Mersenne prime 2^31-1
@@ -43,6 +44,10 @@ _TOKEN_PATTERN = "[a-z0-9]+"
 SHINGLE_N = 3
 NUM_HASHES = 32
 BANDS = 8  # 8 bands x 4 rows → catches jaccard ≳ 0.6 reliably
+
+# FNV-1a 64-bit constants — shared by the SimHash UDF and its DuckDB oracle
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
 
 
 def _hash_params(k: int) -> List[Tuple[int, int]]:
@@ -168,9 +173,9 @@ def simhash_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         # deterministic 64-bit FNV-1a per token
         hs = []
         for t in toks:
-            h = 0xCBF29CE484222325
+            h = _FNV_OFFSET
             for ch in t.encode("utf-8"):
-                h = ((h ^ ch) * 0x100000001B3) & mask64
+                h = ((h ^ ch) * _FNV_PRIME) & mask64
             hs.append(h)
         arr = np.array(hs, dtype=np.uint64)
         bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
@@ -315,3 +320,48 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", simhash_udf(F.col("text")).alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    """DuckDB oracle for ``q_simhash``, generated from the same FNV/token
+    constants as the UDF. The FNV-1a byte step is expressed in HUGEINT
+    arithmetic: tokens are ``[a-z0-9]+`` so every byte < 128 and the xor
+    only touches the low 7 bits (``h - h%128 + xor(h%128, ch)``); the
+    multiply stays within HUGEINT (< 2^104) and is reduced mod 2^64.
+    Bit votes: unnest token hashes × 64 bit positions, majority vote per
+    bit, reassemble, then two's-complement into signed BIGINT to match
+    Spark's LongType."""
+    two64 = 1 << 64
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend({_FNV_OFFSET}::HUGEINT,
+                        list_transform(range(1, length(tok)+1),
+                                       i -> ord(substr(tok, i, 1))::HUGEINT)),
+           (h, ch) -> ((h - (h % 128) + xor((h % 128)::BIGINT, ch::BIGINT)::HUGEINT)
+                       * {_FNV_PRIME}::HUGEINT) % {two64}::HUGEINT
+         ) AS h
+  FROM toks
+), votes AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit::INTEGER) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(range(0, 64)) AS bit)
+  GROUP BY doc_id, bit
+), sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::HUGEINT << bit::INTEGER) ELSE 0::HUGEINT END) AS sim
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN s.sim IS NULL THEN 0
+                 WHEN s.sim >= {two64 // 2}::HUGEINT THEN s.sim - {two64}::HUGEINT
+                 ELSE s.sim END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sims s USING (doc_id)
+"""
+
+
+SQL_SIMHASH = _simhash_sql()

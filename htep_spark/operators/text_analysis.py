@@ -23,6 +23,7 @@ __all__ = [
     "SQL_LANG_ID",
     "winnow_udf",
     "q_winnow_fingerprints",
+    "SQL_WINNOW",
 ]
 
 # order = tie-break priority
@@ -98,6 +99,8 @@ SQL_LANG_ID = _lang_sql()
 
 WINNOW_K = 8   # char k-gram length
 WINNOW_W = 6   # winnowing window
+_WINNOW_BASE = 1000003          # rolling-hash base (shared with the oracle)
+_WINNOW_MOD = 1 << 61           # hash modulus (mask to 61 bits in the UDF)
 
 def _make_winnow_udf(k: int = WINNOW_K, w: int = WINNOW_W):
     """text → array<bigint> winnowed fingerprints.
@@ -111,8 +114,8 @@ def _make_winnow_udf(k: int = WINNOW_K, w: int = WINNOW_W):
     """
     import re
 
-    base = np.uint64(1000003)
-    mod_mask = np.uint64((1 << 61) - 1)
+    base = np.uint64(_WINNOW_BASE)
+    mod_mask = np.uint64(_WINNOW_MOD - 1)
     ws_re = re.compile(r"\s+")
 
     def fingerprints(text) -> list:
@@ -159,6 +162,49 @@ def q_winnow_fingerprints(spark, sf_dir: str):
         "doc_id",
         F.explode(winnow_udf(F.col("text"))).alias("fingerprint"),
     )
+
+
+def _winnow_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """DuckDB oracle for ``q_winnow_fingerprints``, generated from the same
+    k/w/base/modulus constants as the UDF.
+
+    The UDF's k-gram hash is ``(Σ byte_i·p_i mod 2^64) & (2^61-1)`` with
+    powers precomputed mod 2^61; since 2^61 divides 2^64, that equals
+    ``Σ byte_i·p_i mod 2^61`` — computed here in HUGEINT (terms < 2^69,
+    sum of k=8 terms < 2^72, well inside 128 bits). Text is ASCII in this
+    corpus so ``ord(char) == utf-8 byte``. Rightmost-vs-leftmost window-min
+    tie-break is value-identical (ties are equal values and the output is
+    the deduplicated value set), so ``list_min`` per window suffices."""
+    powers = [pow(_WINNOW_BASE, k - 1 - i, _WINNOW_MOD) for i in range(k)]
+    terms = " + ".join(
+        f"b[j+{i}]::HUGEINT * {p}::HUGEINT" for i, p in enumerate(powers)
+    )
+    return f"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         list_transform(range(1, length(s)+1), i -> ord(substr(s, i, 1))) AS b,
+         length(s) - {k} + 1 AS n
+  FROM n WHERE length(s) >= {k}
+), h AS (
+  SELECT doc_id, n,
+         list_transform(range(1, n+1),
+                        j -> CAST(({terms}) % {_WINNOW_MOD}::HUGEINT AS BIGINT)) AS hashes
+  FROM b
+), fp AS (
+  SELECT doc_id,
+         CASE WHEN n <= {w} THEN [list_min(hashes)]
+              ELSE list_distinct(list_transform(range(1, n-{w}+2),
+                                 t -> list_min(hashes[t : t+{w}-1]))) END AS fps
+  FROM h
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM fp
+"""
+
+
+SQL_WINNOW = _winnow_sql()
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -21,12 +21,13 @@ def test_queries_and_oracles_consistent():
         "vitals_fields", "text_stats", "fingerprint", "dedup_exact",
         "ngram_jaccard", "ann_cosine", "embed_near_dup", "sessionize",
         "events_hourly", "lang_id", "cer", "sentences", "deid_dates",
+        "simhash", "winnow_fingerprints", "dedup_keepers", "classify_segments",
     ):
         assert name in oracles, name
     # rows-only operators present
     for name in (
-        "extract_full", "minhash_lsh", "simhash", "beam_decode", "block_parse",
-        "winnow_fingerprints", "conv_rollup", "dedup_keepers", "deid",
+        "extract_full", "minhash_lsh", "beam_decode", "block_parse",
+        "conv_rollup", "dedup_keepers_minhash", "deid",
     ):
         assert name in qs
 
