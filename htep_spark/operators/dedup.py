@@ -95,9 +95,75 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+MAX_BUCKET_SIZE = 10_000  # band-bucket cap: guards the self-join against skew
+
+
+def _capped_band_pairs(
+    bands: DataFrame, keys, max_bucket_size: int, payload: str | None = None
+) -> DataFrame:
+    """(doc_id[, payload], *keys) band rows → candidate (doc_a, doc_b
+    [, payload_a, payload_b]) pairs with a per-bucket size cap.
+
+    Buckets ≤ cap: all-pairs equi-join (the normal LSH path). Buckets > cap
+    (degenerate corpora — boilerplate, empty docs — where one bucket would
+    otherwise contribute O(bucket²) join rows): **star pairs** to the
+    bucket's minimum doc_id — O(bucket) rows that preserve component
+    connectivity, so connected-components dedup reaches the same clusters;
+    downstream exact filters (est_jaccard / Hamming) still apply to every
+    emitted pair. The only loss is pairwise recall *inside* an oversized
+    bucket for pair-listing consumers, traded for a hard O(n·bands) bound.
+
+    ``payload`` names an optional per-doc column (e.g. the simhash value)
+    carried through to both sides of each pair, avoiding a re-join against
+    (and recomputation of) the signature relation.
+    """
+    keys = list(keys)
+    pcols_a = [F.col(f"a.{payload}").alias(f"{payload}_a")] if payload else []
+    pcols_b = [F.col(f"b.{payload}").alias(f"{payload}_b")] if payload else []
+    sizes = bands.groupBy(*keys).agg(F.count("*").alias("_bn"))
+    tagged = bands.join(sizes, keys)
+    small = tagged.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
+    big = tagged.filter(F.col("_bn") > max_bucket_size).drop("_bn")
+    cand_small = (
+        small.alias("a")
+        .join(small.alias("b"), keys)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *pcols_a,
+            *pcols_b,
+        )
+    )
+    # struct-min picks the representative and its payload in one pass
+    rep_struct = F.struct("doc_id", *([payload] if payload else []))
+    reps = big.groupBy(*keys).agg(F.min(rep_struct).alias("_rep"))
+    rcols = (
+        [F.col(f"_rep.{payload}").alias(f"{payload}_a"), F.col(f"b.{payload}").alias(f"{payload}_b")]
+        if payload
+        else []
+    )
+    cand_big = (
+        big.alias("b")
+        .join(reps, keys)
+        .filter(F.col("b.doc_id") != F.col("_rep.doc_id"))
+        .select(
+            F.col("_rep.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *rcols,
+        )
+    )
+    return cand_small.unionByName(cand_big).distinct()
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, max_bucket_size: int = MAX_BUCKET_SIZE
+) -> DataFrame:
     """Band-bucket equi-join → candidate pairs with estimated jaccard
-    (fraction of equal signature positions)."""
+    (fraction of equal signature positions). Bucket sizes are capped
+    (see ``_capped_band_pairs``) — a full 4-hash band collision is a
+    near-certain duplicate, so star-pairing oversized buckets loses no
+    duplicate *clusters*, only redundant intra-bucket pair listings."""
     rows_per_band = NUM_HASHES // BANDS
     bands = signatures.select(
         "doc_id",
@@ -118,15 +184,7 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
             )
         ).alias("band", "band_hash"),
     )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = _capped_band_pairs(bands, ["band", "band_hash"], max_bucket_size)
     est = (
         cand.join(signatures.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
         .join(signatures.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
@@ -190,14 +248,24 @@ def simhash_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
 
 
 def simhash_near_dup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 7
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 7,
+    max_bucket_size: int = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """8×8-bit band join + exact Hamming ≤ max_hamming filter.
 
     Pigeonhole: any pair within Hamming distance 7 shares at least one of
     the 8 byte-chunks, so candidate generation at this banding is *exact*
     for the default threshold — no recall loss, shuffle stays O(n·8).
-    """
+
+    Bucket sizes are capped (``_capped_band_pairs``): a (band, chunk)
+    bucket over ``max_bucket_size`` emits star pairs to its min doc_id
+    instead of all pairs. Unlike MinHash bands, an 8-bit chunk collision is
+    weak evidence, so the cap here trades exactness *inside* degenerate
+    buckets for the hard O(n·8) bound — identical docs (Hamming 0) still
+    pair with the representative and stay connected for dedup."""
     sigs = df.select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sim")
     )
@@ -213,21 +281,14 @@ def simhash_near_dup_pairs(
             )
         ).alias("band", "chunk"),
     )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "chunk"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+    cand = _capped_band_pairs(bands, ["band", "chunk"], max_bucket_size, payload="sim")
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
         )
-        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
     )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    ).filter(F.col("hamming") <= max_hamming).select("doc_a", "doc_b", "hamming")
 
 
 def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:

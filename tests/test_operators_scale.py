@@ -56,6 +56,65 @@ def test_simhash_near_dups(spark):
     assert pairs[(0, 1)] <= 8
 
 
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """Skew guard: a corpus dominated by identical docs must not trigger the
+    O(bucket²) band self-join. With the cap, candidate pairs stay O(n) (star
+    to the bucket representative) and the keeper verdict is identical to
+    exact dedup: one keeper, everything else dropped."""
+    import time
+
+    from htep_spark.operators.dedup import (
+        connected_components,
+        minhash_signatures,
+        lsh_candidate_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    n = 5000
+    text = "duplicate boilerplate page body " * 8
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit(text).alias("text")
+    ).union(
+        spark.createDataFrame(
+            [(n, "a completely different unique document about spark")],
+            ["doc_id", "text"],
+        )
+    )
+    t0 = time.monotonic()
+    sig = minhash_signatures(docs, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, max_bucket_size=100).filter(
+        F.col("est_jaccard") >= 0.6
+    )
+    n_pairs = pairs.count()
+    elapsed = time.monotonic() - t0
+    # star pairs: one per non-representative duplicate, not n*(n-1)/2
+    assert n_pairs == n - 1, n_pairs
+    assert elapsed < 120, f"capped LSH took {elapsed:.1f}s"
+    comps = connected_components(pairs)
+    keepers = {
+        r["doc_id"]
+        for r in comps.filter(F.col("cluster_id") == F.col("doc_id")).collect()
+    }
+    assert keepers == {0}  # one keeper for the duplicate cluster
+    # simhash path under the same degenerate corpus
+    sh_pairs = simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=7, max_bucket_size=100
+    )
+    assert sh_pairs.count() == n - 1
+
+
+def test_lsh_bucket_cap_noop_on_normal_corpus(spark):
+    """Below the cap the candidate set is identical to the uncapped join."""
+    from htep_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _near_dup_docs(spark)
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert capped == {(0, 1), (2, 3)}
+
+
 def test_ann_lsh_agrees_with_bruteforce_on_top1(spark):
     from htep_spark.operators.similarity import ann_lsh_topk, cosine_topk
 
