@@ -25,7 +25,7 @@ import os
 import time
 from typing import Dict, List, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import run_extraction
@@ -93,19 +93,19 @@ def run_with_checkpoint(
         df = spark.read.parquet(unit["input_file"])
         extracted = run_extraction(df)
         out_path = os.path.join(output_dir, f"part-{unit['partition_id']}")
-        extracted.write.mode("overwrite").parquet(out_path)
-
-        stats = (
-            spark.read.parquet(out_path)
-            .agg(
-                F.count("*").alias("n_turns"),
-                F.sum(F.col("result.metrics.failed").cast("int")).alias("n_failed"),
-                F.sum("result.metrics.n_segments").alias("n_segments"),
-                F.sum("result.metrics.blocks_kept").alias("blocks_kept"),
-                F.sum("result.metrics.blocks_dropped").alias("blocks_dropped"),
-            )
-            .collect()[0]
-        )
+        # manifest metrics come out of the write pass itself via observe()
+        # — a second full read of the just-written output per unit would be
+        # a second scan of the whole extraction at 10^12-turn scale
+        obs = Observation(f"unit-{unit['partition_id']}")
+        extracted.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.col("result.metrics.failed").cast("int")).alias("n_failed"),
+            F.sum("result.metrics.n_segments").alias("n_segments"),
+            F.sum("result.metrics.blocks_kept").alias("blocks_kept"),
+            F.sum("result.metrics.blocks_dropped").alias("blocks_dropped"),
+        ).write.mode("overwrite").parquet(out_path)
+        stats = obs.get
         row = [
             (
                 run_id,
