@@ -1,0 +1,336 @@
+"""Pure-Python media codecs for the multimodal operators.
+
+The container has no image/audio libraries, so the decode kernels here are
+built from the stdlib + numpy only:
+
+- **PNG** (via ``zlib``): 8-bit depth, color types 0 (gray), 2 (RGB) and
+  6 (RGBA), non-interlaced; all five scanline filters on decode, filter 0
+  on encode. Critical-chunk parsing with CRC verification.
+- **BMP**: 24-bit uncompressed BITMAPINFOHEADER, bottom-up rows with 4-byte
+  padding.
+- **PPM (P6)**: maxval 255 binary, whitespace/comment-tolerant header.
+- **WAV** (via stdlib ``wave``): PCM metadata + int16 samples.
+- **RAWV**: a deliberately simple frame container for the video operators —
+  ``b"RAWV" + uint32 n_frames`` followed by length-prefixed PPM frames at a
+  nominal 24 fps. Real video containers need ffmpeg-class demuxers; this
+  keeps the *operator* (stride sampling, per-frame decode, resize) real.
+
+Everything is deterministic: same bytes in → same array/bytes out.
+Images are numpy ``uint8`` arrays shaped (H, W, C).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+from typing import List, Tuple
+
+import numpy as np
+
+__all__ = [
+    "sniff_format",
+    "decode_image",
+    "encode_image",
+    "decode_wav",
+    "encode_wav",
+    "decode_rawv",
+    "encode_rawv",
+    "resize_nearest",
+    "encode_png",
+    "decode_png",
+    "encode_bmp",
+    "decode_bmp",
+    "encode_ppm",
+    "decode_ppm",
+]
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def sniff_format(payload: bytes) -> str:
+    """Magic-byte format sniff → 'png' | 'bmp' | 'ppm' | 'wav' | 'rawv' |
+    'unknown'."""
+    if not payload:
+        return "unknown"
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:4] == b"RAWV":
+        return "rawv"
+    return "unknown"
+
+
+# ------------------------------------------------------------------- PNG --
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter 0 per scanline
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(idat)
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 1:  # Sub — sequential left dependency
+            rec = line.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) % 256
+        elif f == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                ul = int(prev[x - bpp]) if x >= bpp else 0
+                rec[x] = (rec[x] + _paeth(left, int(prev[x]), ul)) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+    return out.reshape(h, w, channels)
+
+
+# ------------------------------------------------------------------- BMP --
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 4:
+        img = img[:, :, :3]
+    h, w, _ = img.shape
+    row_size = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_size - w * 3)
+    # bottom-up rows, BGR order
+    body = b"".join(img[y, :, ::-1].tobytes() + pad for y in range(h - 1, -1, -1))
+    file_size = 14 + 40 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    header_size, w, h, _planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if header_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    flip = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h):
+        start = offset + y * row_size
+        row = np.frombuffer(payload, np.uint8, count=w * 3, offset=start)
+        rows.append(row.reshape(w, 3)[:, ::-1])  # BGR → RGB
+    img = np.stack(rows)
+    return img[::-1] if flip else img
+
+
+# ------------------------------------------------------------------- PPM --
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    if img.shape[2] == 4:
+        img = img[:, :, :3]
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    # header: three whitespace-separated ints after the magic, '#' comments
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    data = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3).copy()
+
+
+# ------------------------------------------------------------------- WAV --
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """int16 mono/stereo samples (n,) or (n, ch) → PCM WAV bytes."""
+    samples = np.asarray(samples, dtype=np.int16)
+    channels = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """PCM WAV bytes → (int16 samples shaped (n, channels), sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise ValueError(f"unsupported WAV sample width {wf.getsampwidth()}")
+        n, ch, rate = wf.getnframes(), wf.getnchannels(), wf.getframerate()
+        data = np.frombuffer(wf.readframes(n), dtype=np.int16)
+    return data.reshape(-1, ch), rate
+
+
+# ------------------------------------------------------------------ RAWV --
+
+RAWV_FPS = 24.0
+
+
+def encode_rawv(frames: List[np.ndarray]) -> bytes:
+    parts = [b"RAWV", struct.pack(">I", len(frames))]
+    for fr in frames:
+        ppm = encode_ppm(fr)
+        parts.append(struct.pack(">I", len(ppm)))
+        parts.append(ppm)
+    return b"".join(parts)
+
+
+def decode_rawv(payload: bytes, frame_indices=None) -> List[np.ndarray]:
+    """Decode all frames, or only ``frame_indices`` (others skipped cheaply
+    via the length prefixes — the seekable-container property a real
+    demuxer provides)."""
+    if payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV container")
+    (n,) = struct.unpack(">I", payload[4:8])
+    wanted = set(range(n)) if frame_indices is None else set(frame_indices)
+    pos, frames = 8, {}
+    for i in range(n):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        pos += 4
+        if i in wanted:
+            frames[i] = decode_ppm(payload[pos : pos + length])
+        pos += length
+    return [frames[i] for i in sorted(frames)]
+
+
+def rawv_frame_count(payload: bytes) -> int:
+    if payload[:4] != b"RAWV":
+        raise ValueError("not a RAWV container")
+    return struct.unpack(">I", payload[4:8])[0]
+
+
+# ---------------------------------------------------------------- common --
+
+def decode_image(payload: bytes) -> np.ndarray:
+    fmt = sniff_format(payload)
+    if fmt == "png":
+        return decode_png(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "ppm":
+        return decode_ppm(payload)
+    raise ValueError(f"undecodable image payload (format={fmt})")
+
+
+def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(img)
+    if fmt == "bmp":
+        return encode_bmp(img)
+    if fmt == "ppm":
+        return encode_ppm(img)
+    raise ValueError(f"unknown image format {fmt}")
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (numpy index maps)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(height) * h // height).clip(0, h - 1)
+    xs = (np.arange(width) * w // width).clip(0, w - 1)
+    return img[ys][:, xs]

@@ -1,15 +1,19 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
-Task-brief operators for image/audio/video columns: the media are opaque
+Task-brief operators for image/audio/video columns: media are opaque
 ``binary`` columns; decode / feature-extract / resize / frame-sample run as
-Arrow-vectorized ``mapInPandas`` stages. The image/audio codec libraries are
-not available in this container, so the *decode kernel* is stubbed — either
-a clearly-marked ``NotImplementedError`` (``strict=True``) or a
-deterministic fake decoder (default) — while everything Spark-side is real
-and tested: schema, batch shape, partitioning, UDF signatures.
+Arrow-vectorized ``mapInPandas`` stages (whole batch per Python call, the
+batched-inference pattern of ``src/recognition/icr_block_engine.py:162-195``;
+per-item failures land in an ``error`` column and never fail the job).
 
-The deterministic fake "decoder" derives width/height/n_frames/duration
-from a stable hash of the payload bytes, so tests pin exact outputs.
+Decode kernels are REAL pure-Python codecs (``functions/codecs.py``): PNG
+(stdlib zlib), BMP, PPM, PCM WAV (stdlib wave), and the RAWV length-prefixed
+frame container for video. Formats that would need external demuxer
+libraries (JPEG, MP4, …) are not decodable in this container: with
+``strict=True`` they error per-item (``NotImplementedError`` in the error
+column); by default they fall back to ``_fake_decode`` — a clearly-marked
+deterministic stand-in that derives metadata from a payload hash so the
+Spark plumbing stays testable on arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -17,6 +21,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -28,6 +33,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from ..functions import codecs
 
 __all__ = [
     "MEDIA_SCHEMA",
@@ -52,6 +59,7 @@ MEDIA_FEATURES_SCHEMA = StructType(
         StructField("media_id", StringType(), False),
         StructField("kind", StringType(), False),
         StructField("n_bytes", IntegerType(), True),
+        StructField("format", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("n_frames", IntegerType(), True),
@@ -62,8 +70,66 @@ MEDIA_FEATURES_SCHEMA = StructType(
 )
 
 
+def _image_feature(img: np.ndarray) -> list:
+    """8-bin grayscale-intensity histogram (fractions, 6dp)."""
+    gray = img.mean(axis=2) if img.ndim == 3 else img
+    hist, _ = np.histogram(gray, bins=8, range=(0, 256))
+    total = max(int(hist.sum()), 1)
+    return [round(float(x) / total, 6) for x in hist]
+
+
+def _audio_feature(samples: np.ndarray) -> list:
+    """RMS energy over 8 equal windows, normalized to int16 full scale."""
+    mono = samples.astype(np.float64).mean(axis=1)
+    chunks = np.array_split(mono, 8)
+    return [
+        round(float(np.sqrt(np.mean(c * c)) / 32768.0), 6) if len(c) else 0.0
+        for c in chunks
+    ]
+
+
+def _real_decode(payload: bytes, kind: str) -> dict:
+    """Format-sniffed real decode → metadata dict. Raises on undecodable."""
+    fmt = codecs.sniff_format(payload)
+    if fmt in ("png", "bmp", "ppm"):
+        img = codecs.decode_image(payload)
+        return {
+            "format": fmt,
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "n_frames": 1,
+            "duration_sec": 0.0,
+            "feature": _image_feature(img),
+        }
+    if fmt == "wav":
+        samples, rate = codecs.decode_wav(payload)
+        return {
+            "format": fmt,
+            "width": None,
+            "height": None,
+            "n_frames": int(samples.shape[0]),
+            "duration_sec": round(samples.shape[0] / rate, 6),
+            "feature": _audio_feature(samples),
+        }
+    if fmt == "rawv":
+        n = codecs.rawv_frame_count(payload)
+        first = codecs.decode_rawv(payload, frame_indices=[0])
+        f0 = first[0] if first else None
+        return {
+            "format": fmt,
+            "width": int(f0.shape[1]) if f0 is not None else None,
+            "height": int(f0.shape[0]) if f0 is not None else None,
+            "n_frames": n,
+            "duration_sec": round(n / codecs.RAWV_FPS, 6),
+            "feature": _image_feature(f0) if f0 is not None else None,
+        }
+    raise NotImplementedError(
+        f"no codec for payload format '{fmt}' in this environment"
+    )
+
+
 def _fake_decode(payload: bytes, kind: str) -> dict:
-    """Deterministic stand-in for the real codec (STUB — see module doc)."""
+    """Deterministic stand-in for undecodable formats (STUB — module doc)."""
     h = hashlib.sha256(payload or b"").digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -71,6 +137,7 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     duration = 0.0 if kind == "image" else round(n_frames / 24.0, 6)
     feature = [round(b / 255.0, 6) for b in h[:8]]
     return {
+        "format": "fake",
         "width": width,
         "height": height,
         "n_frames": n_frames,
@@ -82,10 +149,9 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     """media table → per-item decoded metadata + feature vector.
 
-    ``mapInPandas`` keeps the whole Arrow batch in one Python call (the
-    batched-inference pattern of ``src/recognition/icr_block_engine.py:162-195``);
-    per-item failures land in the ``error`` column (stage isolation), never
-    fail the job.
+    Real codecs for PNG/BMP/PPM/WAV/RAWV payloads; unknown formats raise
+    per-item under ``strict=True`` (error column) or fall back to the
+    deterministic fake decoder otherwise.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -97,6 +163,7 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                     "media_id": r["media_id"],
                     "kind": r["kind"],
                     "n_bytes": len(payload) if payload is not None else 0,
+                    "format": None,
                     "width": None,
                     "height": None,
                     "n_frames": None,
@@ -105,11 +172,12 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                     "error": None,
                 }
                 try:
-                    if strict:
-                        raise NotImplementedError(
-                            "real media codecs unavailable in this environment"
-                        )
-                    base.update(_fake_decode(payload, r["kind"]))
+                    try:
+                        base.update(_real_decode(bytes(payload or b""), r["kind"]))
+                    except NotImplementedError:
+                        if strict:
+                            raise
+                        base.update(_fake_decode(payload, r["kind"]))
                 except Exception as exc:
                     base["error"] = f"{type(exc).__name__}: {exc}"
                 rows.append(base)
@@ -120,14 +188,41 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
     )
 
 
+def _synth_image(i: int, w: int = 48, h: int = 32) -> np.ndarray:
+    """Deterministic gradient-plus-stripe test pattern."""
+    ys, xs = np.mgrid[0:h, 0:w]
+    r = (xs * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (ys * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = ((xs + ys + i * 17) % 256).astype(np.uint8)
+    return np.stack([r, g, b], axis=2)
+
+
 def make_media_table(spark, n: int = 32) -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded bytes)."""
+    """Deterministic synthetic media table with REAL payloads: images cycle
+    png/bmp/ppm, audio is PCM WAV (440·(1+i%3) Hz sine), video is a RAWV
+    container of shifted gradient frames."""
     rows = []
     kinds = ["image", "audio", "video"]
+    img_fmts = ["png", "bmp", "ppm"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 4)
-        rows.append((f"m-{i:04d}", kind, bytearray(payload), f"{kind}/x-fake"))
+        if kind == "image":
+            fmt = img_fmts[(i // 3) % 3]
+            payload = codecs.encode_image(_synth_image(i), fmt)
+            mime = f"image/{fmt}"
+        elif kind == "audio":
+            t = np.arange(8000 + (i % 3) * 4000)
+            freq = 440.0 * (1 + i % 3)
+            samples = (np.sin(2 * np.pi * freq * t / 16000.0) * 12000).astype(
+                np.int16
+            )
+            payload = codecs.encode_wav(samples, rate=16000)
+            mime = "audio/wav"
+        else:
+            frames = [_synth_image(i * 100 + j, w=32, h=24) for j in range(30 + i % 60)]
+            payload = codecs.encode_rawv(frames)
+            mime = "video/x-rawv"
+        rows.append((f"m-{i:04d}", kind, bytearray(payload), mime))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
@@ -143,12 +238,13 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_media(df: DataFrame, width: int, height: int, strict: bool = False) -> DataFrame:
-    """Resize stage (STUB codec, real plumbing): emits a deterministic
-    fake-resized payload (sha256 of payload+dims, truncated proportionally
-    to the pixel count) with the target dimensions recorded. The Spark
-    shape — binary in, binary out via ``mapInPandas``, per-item error
-    isolation — is exactly what a real codec kernel drops into."""
+def resize_media(
+    df: DataFrame, width: int, height: int, strict: bool = False
+) -> DataFrame:
+    """Image resize stage: real nearest-neighbor resample, re-encoded in the
+    source format (PNG/BMP/PPM). RAWV videos resize every frame. Non-image
+    payloads (WAV) and unknown formats error per-item under ``strict`` or
+    pass through a deterministic fake payload otherwise (STUB fallback)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -162,14 +258,29 @@ def resize_media(df: DataFrame, width: int, height: int, strict: bool = False) -
                     "payload": None,
                     "error": None,
                 }
+                payload = bytes(r["payload"] or b"")
+                fmt = codecs.sniff_format(payload)
                 try:
-                    if strict:
-                        raise NotImplementedError("no image codec in container")
-                    seed = hashlib.sha256(
-                        bytes(r["payload"] or b"") + f"{width}x{height}".encode()
-                    ).digest()
-                    reps = max(1, (width * height) // (64 * 256))
-                    base["payload"] = bytearray(seed * reps)
+                    if fmt in ("png", "bmp", "ppm"):
+                        img = codecs.decode_image(payload)
+                        out = codecs.resize_nearest(img, width, height)
+                        base["payload"] = bytearray(codecs.encode_image(out, fmt))
+                    elif fmt == "rawv":
+                        frames = [
+                            codecs.resize_nearest(f, width, height)
+                            for f in codecs.decode_rawv(payload)
+                        ]
+                        base["payload"] = bytearray(codecs.encode_rawv(frames))
+                    elif strict:
+                        raise NotImplementedError(
+                            f"no resize codec for format '{fmt}'"
+                        )
+                    else:  # STUB fallback for undecodable payloads
+                        seed = hashlib.sha256(
+                            payload + f"{width}x{height}".encode()
+                        ).digest()
+                        reps = max(1, (width * height) // (64 * 256))
+                        base["payload"] = bytearray(seed * reps)
                 except Exception as exc:
                     base["error"] = f"{type(exc).__name__}: {exc}"
                 rows.append(base)
@@ -190,10 +301,11 @@ FRAME_SCHEMA = StructType(
 
 
 def sample_frames(df: DataFrame, every_n: int = 24, max_frames: int = 8) -> DataFrame:
-    """Frame-sampling stage for video payloads (STUB decode): emits one row
-    per sampled frame index (deterministic stride over the fake-decoded
-    frame count) — a flatMap-shaped ``mapInPandas`` (1 → N rows), the same
-    batch shape a real ffmpeg-backed sampler would use."""
+    """Frame sampling for video payloads: RAWV containers are really
+    demuxed — only the strided frame indices are decoded (length-prefix
+    seeking) and each sampled frame is emitted as a standalone PPM payload.
+    A flatMap-shaped ``mapInPandas`` (1 → N rows). Non-RAWV videos fall back
+    to deterministic fake frames derived from the payload hash (STUB)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -201,20 +313,34 @@ def sample_frames(df: DataFrame, every_n: int = 24, max_frames: int = 8) -> Data
             for _, r in batch.iterrows():
                 if r["kind"] != "video":
                     continue
-                meta = _fake_decode(r["payload"], r["kind"])
-                for j, idx in enumerate(range(0, meta["n_frames"], every_n)):
-                    if j >= max_frames:
-                        break
-                    frame = hashlib.sha256(
-                        bytes(r["payload"] or b"") + idx.to_bytes(4, "big")
-                    ).digest()
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "frame_idx": idx,
-                            "frame_payload": bytearray(frame),
-                        }
-                    )
+                payload = bytes(r["payload"] or b"")
+                if codecs.sniff_format(payload) == "rawv":
+                    n = codecs.rawv_frame_count(payload)
+                    idxs = list(range(0, n, every_n))[:max_frames]
+                    frames = codecs.decode_rawv(payload, frame_indices=idxs)
+                    for idx, frame in zip(idxs, frames):
+                        rows.append(
+                            {
+                                "media_id": r["media_id"],
+                                "frame_idx": idx,
+                                "frame_payload": bytearray(codecs.encode_ppm(frame)),
+                            }
+                        )
+                else:  # STUB fallback: hash-derived fake frames
+                    meta = _fake_decode(r["payload"], r["kind"])
+                    for j, idx in enumerate(range(0, meta["n_frames"], every_n)):
+                        if j >= max_frames:
+                            break
+                        frame = hashlib.sha256(
+                            payload + idx.to_bytes(4, "big")
+                        ).digest()
+                        rows.append(
+                            {
+                                "media_id": r["media_id"],
+                                "frame_idx": idx,
+                                "frame_payload": bytearray(frame),
+                            }
+                        )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
 
     return df.select("media_id", "kind", "payload").mapInPandas(

@@ -140,29 +140,68 @@ def test_ann_lsh_agrees_with_bruteforce_on_top1(spark):
 
 
 def test_multimodal_decode_plumbing(spark):
+    """Real codecs: strict=True passes on the golden media table (PNG/BMP/
+    PPM/WAV/RAWV), dimensions are the true encoded ones, not hash fakes."""
     from htep_spark.operators.multimodal import decode_media, make_media_table
 
     media = make_media_table(spark, n=12)
-    out = decode_media(media).collect()
+    out = decode_media(media, strict=True).collect()
     assert len(out) == 12
+    assert all(r["error"] is None for r in out), [r["error"] for r in out]
     by_id = {r["media_id"]: r for r in out}
     img = by_id["m-0000"]
     assert img["kind"] == "image" and img["n_frames"] == 1
-    assert img["width"] and img["height"] and len(img["feature"]) == 8
-    vid = next(r for r in out if r["kind"] == "video")
-    assert vid["n_frames"] >= 1 and vid["duration_sec"] > 0
-    assert all(r["error"] is None for r in out)
+    # _synth_image default is 48x32 — real decode must report exactly that
+    assert (img["width"], img["height"]) == (48, 32)
+    assert img["format"] == "png" and len(img["feature"]) == 8
+    assert abs(sum(img["feature"]) - 1.0) < 1e-5  # histogram fractions
+    aud = by_id["m-0001"]
+    assert aud["format"] == "wav" and aud["n_frames"] == 12000
+    assert aud["duration_sec"] == 0.75  # 12000 frames @ 16 kHz
+    vid = by_id["m-0002"]
+    assert vid["format"] == "rawv" and vid["n_frames"] == 32
+    assert (vid["width"], vid["height"]) == (32, 24)
     # deterministic across runs
-    out2 = decode_media(media).collect()
+    out2 = decode_media(media, strict=True).collect()
     assert sorted(map(str, out)) == sorted(map(str, out2))
 
 
-def test_multimodal_strict_stub_errors(spark):
-    from htep_spark.operators.multimodal import decode_media, make_media_table
+def test_multimodal_pixel_roundtrip(spark):
+    """Pixel-level: decode(payload) of every image format reproduces the
+    exact synthetic source array."""
+    import numpy as np
 
-    out = decode_media(make_media_table(spark, n=3), strict=True).collect()
+    from htep_spark.functions import codecs
+    from htep_spark.operators.multimodal import _synth_image
+
+    src = _synth_image(5)
+    for fmt in ("png", "bmp", "ppm"):
+        out = codecs.decode_image(codecs.encode_image(src, fmt))
+        assert np.array_equal(out, src), fmt
+    # PNG filters 1-4 decode: round-trip a real-world-filtered image by
+    # re-encoding rows with each filter type manually is overkill here;
+    # instead verify RGBA + grayscale channel counts survive
+    rgba = np.dstack([src, np.full(src.shape[:2], 7, np.uint8)])
+    assert codecs.decode_png(codecs.encode_png(rgba)).shape == rgba.shape
+    gray = src[:, :, 0]
+    assert codecs.decode_png(codecs.encode_png(gray)).shape == (32, 48, 1)
+
+
+def test_multimodal_strict_stub_errors(spark):
+    """Undecodable payloads (no codec available) must error per-item under
+    strict=True and fall back to the deterministic fake otherwise."""
+    from htep_spark.operators.multimodal import MEDIA_SCHEMA, decode_media
+
+    rows = [
+        (f"x-{i}", "image", bytearray(b"\xff\xd8\xff junk jpeg-ish" * (i + 1)), "image/jpeg")
+        for i in range(3)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = decode_media(media, strict=True).collect()
     assert all(r["error"] and "NotImplementedError" in r["error"] for r in out)
     assert all(r["width"] is None for r in out)
+    relaxed = decode_media(media, strict=False).collect()
+    assert all(r["error"] is None and r["format"] == "fake" for r in relaxed)
 
 
 def test_streaming_extraction(spark, tmp_path):
@@ -352,14 +391,27 @@ def test_multimodal_resize_and_frame_sample(spark):
         sample_frames,
     )
 
+    import numpy as np
+
+    from htep_spark.functions import codecs
+    from htep_spark.operators.multimodal import _synth_image
+
     media = make_media_table(spark, n=9)
-    resized = resize_media(media, 128, 128).collect()
+    resized = {r["media_id"]: r for r in resize_media(media, 16, 12).collect()}
     assert len(resized) == 9
-    assert all(r["target_w"] == 128 and r["error"] is None for r in resized)
-    assert all(r["payload"] is not None for r in resized)
+    assert all(r["target_w"] == 16 and r["error"] is None for r in resized.values())
+    # pixel-level: the resized image payload decodes to exactly the
+    # nearest-neighbor resample of the synthetic source
+    out = codecs.decode_image(bytes(resized["m-0000"]["payload"]))
+    expect = codecs.resize_nearest(_synth_image(0), 16, 12)
+    assert out.shape == (12, 16, 3)
+    assert np.array_equal(out, expect)
+    # resized RAWV video: every frame resized
+    vid = codecs.decode_rawv(bytes(resized["m-0002"]["payload"]))
+    assert len(vid) == 32 and vid[0].shape == (12, 16, 3)
     # deterministic payloads
-    again = resize_media(media, 128, 128).collect()
-    assert sorted(bytes(r["payload"]) for r in resized) == sorted(
+    again = resize_media(media, 16, 12).collect()
+    assert sorted(bytes(r["payload"]) for r in resized.values()) == sorted(
         bytes(r["payload"]) for r in again
     )
 
@@ -371,6 +423,14 @@ def test_multimodal_resize_and_frame_sample(spark):
     for idxs in by_media.values():
         assert len(idxs) <= 3
         assert sorted(idxs) == idxs or len(set(idxs)) == len(idxs)
+    # pixel-level: sampled frame 24 of m-0002 equals the synthetic source
+    f24 = next(
+        f for f in frames if f["media_id"] == "m-0002" and f["frame_idx"] == 24
+    )
+    assert np.array_equal(
+        codecs.decode_ppm(bytes(f24["frame_payload"])),
+        _synth_image(2 * 100 + 24, w=32, h=24),
+    )
 
 
 def test_connected_components_long_chain(spark):
