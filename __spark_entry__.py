@@ -70,22 +70,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: fn for name, (fn, _sql) in QUERIES.items()
     }
-    # rows-only (non-SQL-expressible) operators
+    # rows-only (Python-kernel UDF chains — pytest byte-equality gates
+    # their semantics; the SQL-expressible inventory is all oracled)
     out["extract_full"] = _flagship
-    from htep_spark.operators.dedup import q_minhash_lsh
     from htep_spark.operators.text_analysis import q_lang_id
 
-    out["minhash_lsh"] = q_minhash_lsh
     out["lang_id"] = q_lang_id
     from htep_spark.operators.decode import q_beam_decode, q_parse
 
     out["beam_decode"] = q_beam_decode
     out["block_parse"] = q_parse
     out["conv_rollup"] = _conv_rollup
-    # keepers over MinHash-LSH pairs (the at-scale candidate source;
-    # xxhash64 not DuckDB-expressible — the oracle-checked `dedup_keepers`
-    # verifies the same components/keeper logic over exact-jaccard pairs)
-    out["dedup_keepers_minhash"] = _dedup_keepers
     out["deid"] = _deid
     return out
 
@@ -107,15 +102,6 @@ def _deid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("span.kind").alias("kind"),
         )
     )
-
-
-def _dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: full dedup verdict per document (MinHash-LSH pairs →
-    connected components → keeper = min doc_id per cluster)."""
-    from htep_spark.operators.dedup import dedup_keepers
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup_keepers(docs, "doc_id", "text", threshold=0.5)
 
 
 def _conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1170,6 +1170,24 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_simhash(spark, sf_dir)
 
 
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import q_minhash_lsh
+
+    return q_minhash_lsh(spark, sf_dir)
+
+
+def _q_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper verdict over the at-scale MinHash-LSH pair source (the same
+    connected-components operator as `dedup_keepers`, different pairs)."""
+    from .operators.dedup import MINHASH_QUERY_THRESHOLD, dedup_keepers
+
+    docs = _docs(spark, sf_dir)
+    out = dedup_keepers(docs, "doc_id", "text", threshold=MINHASH_QUERY_THRESHOLD)
+    return out.select(
+        "doc_id", "cluster_id", F.col("keep").cast("long").alias("keep")
+    )
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import q_winnow_fingerprints
 
@@ -1180,6 +1198,18 @@ def _sql_simhash() -> str:
     from .operators.dedup import SQL_SIMHASH
 
     return SQL_SIMHASH
+
+
+def _sql_minhash() -> str:
+    from .operators.dedup import SQL_MINHASH_LSH
+
+    return SQL_MINHASH_LSH
+
+
+def _sql_minhash_keepers() -> str:
+    from .operators.dedup import SQL_MINHASH_KEEPERS
+
+    return SQL_MINHASH_KEEPERS
 
 
 def _sql_winnow() -> str:
@@ -1198,6 +1228,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "dedup_keepers": (q_dedup_keepers, SQL_DEDUP_KEEPERS),
     "simhash": (_q_simhash, _sql_simhash()),
     "winnow_fingerprints": (_q_winnow, _sql_winnow()),
+    "minhash_lsh": (_q_minhash_lsh, _sql_minhash()),
+    "dedup_keepers_minhash": (_q_minhash_keepers, _sql_minhash_keepers()),
     "dict_match": (q_dict_match, SQL_DICT_MATCH),
     "multiword_disease": (q_multiword_disease, SQL_MULTIWORD_DISEASE),
     "vitals_fields": (q_vitals_fields, SQL_VITALS_FIELDS),

@@ -80,11 +80,17 @@ def _shingle_col(text_col, n: int = SHINGLE_N):
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """→ (id, minhash array of NUM_HASHES) — one shuffle, map-side combined."""
+    """→ (id, minhash array of NUM_HASHES) — one shuffle, map-side combined.
+
+    The base shingle hash is the first 60 bits of md5 (JVM built-in:
+    ``conv(substring(md5(s),1,15),16,10)``) rather than xxhash64 — md5 is
+    marginally slower per shingle but exists identically in DuckDB, which
+    makes the whole LSH pipeline oracle-checkable end to end."""
+    base = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_shingle_col(F.col(text_col))).alias("shingle"),
-    ).withColumn("x", F.pmod(F.xxhash64("shingle"), F.lit(_P)))
+    ).withColumn("x", F.pmod(base, F.lit(_P)))
     aggs = [
         F.min(F.pmod(F.col("x") * a + b, F.lit(_P))).alias(f"h{j}")
         for j, (a, b) in enumerate(_PARAMS)
@@ -373,9 +379,106 @@ def dedup_keepers(
 
 # ------------------------------------------------------ driver query forms --
 
+MINHASH_QUERY_THRESHOLD = 0.5
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=MINHASH_QUERY_THRESHOLD
+    )
+
+
+def _minhash_pairs_ctes() -> str:
+    """DuckDB CTE chain reproducing the full MinHash+LSH pipeline from the
+    same constants as the Spark operator: md5-based shingle hash → 32
+    affine minima → 8 band signatures → band equi-join → est_jaccard ≥
+    threshold (``mpairs``). Bands join on the raw band string; Spark joins
+    on xxhash64 of that string — identical candidates modulo 64-bit hash
+    collisions."""
+    mins = ",\n           ".join(
+        f"min(({a} * x + {b}) % {_P}) AS h{j}" for j, (a, b) in enumerate(_PARAMS)
+    )
+    rows_per_band = NUM_HASHES // BANDS
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS band_key FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"h{j}" for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    eq_terms = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(NUM_HASHES)
+    )
+    return f"""mtoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
+  FROM documents
+), mshingles AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - {SHINGLE_N} + 1, 0) + 1),
+             i -> array_to_string(t[i : i + {SHINGLE_N} - 1], ' ')))) AS shingle
+  FROM mtoks
+), mx AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {_P} AS x
+  FROM mshingles
+), sig AS (
+  SELECT doc_id,
+           {mins}
+  FROM mx GROUP BY doc_id
+), bands AS (
+{band_rows}
+), mcand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band, band_key)
+  WHERE a.doc_id < b.doc_id
+), mpairs AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST({eq_terms} AS DOUBLE) / {NUM_HASHES}, 6) AS est_jaccard
+  FROM mcand c
+  JOIN sig a ON a.doc_id = c.doc_a
+  JOIN sig b ON b.doc_id = c.doc_b
+  WHERE CAST({eq_terms} AS DOUBLE) / {NUM_HASHES} >= {MINHASH_QUERY_THRESHOLD}
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+WITH {_minhash_pairs_ctes()}
+SELECT doc_a, doc_b, est_jaccard FROM mpairs
+"""
+
+
+def _minhash_keepers_sql() -> str:
+    """Keeper verdict over the MinHash-LSH pairs via recursive-CTE
+    transitive closure — oracle for the full at-scale dedup flow."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_ctes()},
+medges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM mpairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM mpairs
+), mreach AS (
+  SELECT src, dst FROM medges
+  UNION
+  SELECT r.src, e.dst FROM mreach r JOIN medges e ON r.dst = e.src
+), mlabels AS (
+  SELECT src AS doc_id, least(min(dst), src) AS cluster_id
+  FROM mreach GROUP BY src
+)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN coalesce(l.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN mlabels l USING (doc_id)
+"""
+
+
+SQL_MINHASH_LSH = _minhash_sql()
+SQL_MINHASH_KEEPERS = _minhash_keepers_sql()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,7 +14,10 @@ def _near_dup_docs(spark):
     )
     rows = [
         (0, base),
-        (1, base.replace("echo", "exx")),  # one token changed
+        # one token APPENDED: shingle jaccard 18/19 ≈ 0.95 — high enough
+        # that 8x4 LSH banding finds the pair for any decent hash family
+        # (a mid-token edit gives j≈0.71 with an ~8% inherent miss rate)
+        (1, base + " tangent"),
         (2, "uniform victor whiskey xray yankee zulu one two three four five six"),
         (3, "uniform victor whiskey xray yankee zulu one two three four five seven"),
     ]
@@ -35,7 +38,7 @@ def test_minhash_matches_exact_jaccard(spark):
     assert (2, 3) in pairs
     # distinct docs share no shingles → never candidates
     assert all(a in (0, 2) for a, _ in pairs)
-    # estimate is in the right neighborhood of the true jaccard (~0.72/0.67)
+    # estimate is in the right neighborhood of the true jaccard (~0.95/0.82)
     assert 0.5 <= pairs[(0, 1)] <= 1.0
 
 
