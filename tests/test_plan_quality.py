@@ -1,0 +1,60 @@
+"""Physical-plan quality gates: pushdown, pruning, broadcast joins.
+
+The 100 TB story depends on these plan shapes, not just on small-SF
+correctness — a scan that reads every column for a two-column projection
+or a shuffle join against a 200-row dimension table is wrong at scale
+regardless of output equality.
+"""
+
+from __future__ import annotations
+
+
+def test_parquet_scan_pushdown_and_pruning(spark):
+    """Catalyst must push filters into the parquet scan and prune columns:
+    a filtered 2-column projection over documents should show PushedFilters
+    and a ReadSchema restricted to the projected columns."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 100).select("doc_id", "n_chars")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,100)" in plan, plan
+    # ReadSchema carries only the pruned columns, never `text`
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "doc_id" in read_schema and "n_chars" in read_schema
+    assert "text" not in read_schema, read_schema
+
+
+def test_broadcast_join_for_small_dims(spark):
+    """dict_match's term table must broadcast, never shuffle-join."""
+    from htep_spark.driver_queries import q_dict_match
+
+    plan = (
+        q_dict_match(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_extraction_scan_prunes_unused_columns(spark):
+    """The flagship extraction reads transcripts: its parquet scan must not
+    materialize columns the pipeline never touches."""
+    from pyspark.sql import functions as F
+
+    from htep_spark.plans.pipeline import run_extraction
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    transcripts = docs.select(
+        F.concat(F.lit("c"), F.col("doc_id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    out = run_extraction(transcripts).select("conv_id", "result.document_type")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    # only doc_id + text feed this projection; source/n_chars must be pruned
+    assert "source" not in read_schema and "n_chars" not in read_schema, read_schema
