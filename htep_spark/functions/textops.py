@@ -213,11 +213,11 @@ class MultiWordMatcher:
         # per word-count group: entries + stacked char-count matrix for a
         # vectorized multiset upper bound (valid since LCS <= multiset
         # intersection size)
-        self.by_n: Dict[int, Tuple[list, "np.ndarray", "np.ndarray"]] = {}
+        self.by_n: Dict[int, Tuple[list, "np.ndarray", "np.ndarray", int, int]] = {}
         for n, entries in groups.items():
             mat = np.stack([self._charvec(e) for e in entries])
             lens = np.array([len(e) for e in entries], dtype=np.int64)
-            self.by_n[n] = (entries, mat, lens)
+            self.by_n[n] = (entries, mat, lens, int(lens.min()), int(lens.max()))
         self._memo: Dict[str, Tuple[str, ...]] = {}
 
     @staticmethod
@@ -231,38 +231,72 @@ class MultiWordMatcher:
         hit = self._memo.get(ngram)
         if hit is not None:
             return hit
-        import numpy as np
-
-        n = ngram.count(" ") + 1
-        group = self.by_n.get(n)
+        group = self.by_n.get(ngram.count(" ") + 1)
         if group is None:
             return ()
-        entries, mat, lens = group
-        lg = len(ngram)
-        vec = self._charvec(ngram)
-        common = np.minimum(mat, vec).sum(axis=1)
-        bound = 200.0 * np.minimum(common, np.minimum(lens, lg)) / (lens + lg)
-        out = [
-            entries[i]
-            for i in np.nonzero(bound >= self.threshold)[0]
-            if indel_ratio(ngram, entries[i]) >= self.threshold
-        ]
-        result = tuple(out)
+        return self._match_miss(ngram, group)
+
+    def _match_miss(self, ngram: str, group) -> Tuple[str, ...]:
+        return self._match_misses([ngram], group)[ngram]
+
+    def _match_misses(self, ngrams, group) -> Dict[str, Tuple[str, ...]]:
+        """Memo-miss path, batched: one numpy broadcast scores every miss
+        n-gram of a text against the whole entry group at once.
+
+        The length bound ``200·min(L,lg)/(L+lg)`` is maximized at entry
+        length L = lg (increasing below, decreasing above), so clamping lg
+        into the group's [lmin, lmax] gives an exact upper bound over every
+        entry — n-grams failing even that skip the charvec work entirely."""
+        import numpy as np
+
+        entries, mat, lens, lmin, lmax = group
+        out: Dict[str, Tuple[str, ...]] = {}
+        survivors = []
+        for g in ngrams:
+            lg = len(g)
+            best = lg if lmin <= lg <= lmax else (lmin if lg < lmin else lmax)
+            if 200.0 * min(best, lg) / (best + lg) < self.threshold:
+                out[g] = ()
+            else:
+                survivors.append(g)
+        if survivors:
+            vecs = np.stack([self._charvec(g) for g in survivors])
+            lgs = np.array([len(g) for g in survivors], dtype=np.int64)
+            # (M, E) multiset-intersection sizes in one broadcast
+            common = np.minimum(mat[None, :, :], vecs[:, None, :]).sum(axis=2)
+            bound = (
+                200.0
+                * np.minimum(common, np.minimum(lens[None, :], lgs[:, None]))
+                / (lens[None, :] + lgs[:, None])
+            )
+            hits = bound >= self.threshold
+            for m, g in enumerate(survivors):
+                out[g] = tuple(
+                    entries[e]
+                    for e in np.nonzero(hits[m])[0]
+                    if indel_ratio(g, entries[e]) >= self.threshold
+                )
         if len(self._memo) < 2_000_000:
-            self._memo[ngram] = result
-        return result
+            self._memo.update(out)
+        return out
 
     def find(self, text: str) -> List[str]:
         words = text.lower().split()
         nwords = len(words)
         matched: List[str] = []
         seen = set()
-        for n in self.by_n:
+        memo = self._memo
+        for n, group in self.by_n.items():
             if n > nwords:
                 continue
-            for i in range(nwords - n + 1):
-                ngram = " ".join(words[i : i + n])
-                for entry in self._match_ngram(ngram):
+            ngrams = [" ".join(words[i : i + n]) for i in range(nwords - n + 1)]
+            # memo probe — () misses are cached too, so None = true miss
+            resolved = {g: memo.get(g) for g in ngrams}
+            misses = [g for g, hit in resolved.items() if hit is None]
+            if misses:
+                resolved.update(self._match_misses(misses, group))
+            for g in ngrams:
+                for entry in resolved[g]:
                     if entry not in seen:
                         seen.add(entry)
                         matched.append(entry)
