@@ -6,16 +6,21 @@ these are the *scale paths* whose candidate generation avoids the O(n²)
 self-join:
 
 - **MinHash + LSH**: shingle → k permutation-hash minima → band → bucket
-  join. All JVM-side column expressions (``xxhash64`` + modular affine
-  hashes under p = 2^31-1 so products fit in signed 64-bit with ANSI mode
-  on); one groupBy computes the whole signature with map-side partial
-  aggregation; candidate pairs come from equi-joins on (band, band_hash) —
-  shuffle is O(n·bands), never O(n²).
+  join. All JVM-side column expressions (md5-prefix base hash + modular
+  affine hashes under p = 2^31-1 so products fit in signed 64-bit with
+  ANSI mode on); one groupBy computes the whole signature with map-side
+  partial aggregation; candidate pairs come from equi-joins on
+  (band, band_hash) — shuffle is O(n·bands), never O(n²), with oversized
+  buckets star-paired to a representative (``_capped_band_pairs``).
 - **SimHash**: 64-bit signature via an Arrow-vectorized pandas UDF (numpy
-  bit ops — no per-row Python), then 4×16-bit band equi-join for
-  candidates and exact Hamming filter via ``bit_count(a XOR b)``.
+  bit ops — no per-row Python), then 8×8-bit band equi-join for
+  candidates (pigeonhole-exact for Hamming ≤ 7) and exact Hamming filter
+  via ``bit_count(a XOR b)``.
 
-Both are deterministic (fixed hash constants, no RNG at runtime).
+Both are deterministic (fixed hash constants, no RNG at runtime), and both
+are DuckDB-oracle-checked end to end (``SQL_MINHASH_LSH`` /
+``SQL_MINHASH_KEEPERS`` / ``SQL_SIMHASH`` generated from the same
+constants).
 """
 
 from __future__ import annotations
@@ -34,9 +39,13 @@ __all__ = [
     "minhash_dedup_pairs",
     "simhash_udf",
     "simhash_near_dup_pairs",
+    "connected_components",
+    "dedup_keepers",
     "q_minhash_lsh",
     "q_simhash",
     "SQL_SIMHASH",
+    "SQL_MINHASH_LSH",
+    "SQL_MINHASH_KEEPERS",
 ]
 
 _P = (1 << 31) - 1  # Mersenne prime 2^31-1
