@@ -7,6 +7,7 @@ tests drive random inputs through both.
 
 from __future__ import annotations
 
+import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -195,3 +196,54 @@ def test_sentence_spans_invariants(text):
         assert s["sent_idx"] == i
         assert text[s["start_char"] : s["end_char"]] == s["content"]
         assert s["content"] == s["content"].strip() != ""
+
+
+# ---------------------------------------------------------------- codecs --
+
+_img_arrays = st.integers(2, 24).flatmap(
+    lambda h: st.integers(2, 24).flatmap(
+        lambda w: st.lists(
+            st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3
+        ).map(lambda flat: np.array(flat, dtype=np.uint8).reshape(h, w, 3))
+    )
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_img_arrays, st.sampled_from(["png", "bmp", "ppm"]))
+def test_image_codec_roundtrip_exact(img, fmt):
+    """encode→decode is the identity for every format on random pixels."""
+    from htep_spark.functions import codecs
+
+    out = codecs.decode_image(codecs.encode_image(img, fmt))
+    assert np.array_equal(out, img)
+    assert codecs.sniff_format(codecs.encode_image(img, fmt)) == fmt
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=4, max_size=2000),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_codec_roundtrip_exact(samples, rate):
+    from htep_spark.functions import codecs
+
+    arr = np.array(samples, dtype=np.int16)
+    out, out_rate = codecs.decode_wav(codecs.encode_wav(arr, rate))
+    assert out_rate == rate
+    assert np.array_equal(out[:, 0], arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_img_arrays, min_size=1, max_size=5))
+def test_rawv_roundtrip_and_seek(frames):
+    from htep_spark.functions import codecs
+
+    payload = codecs.encode_rawv(frames)
+    assert codecs.rawv_frame_count(payload) == len(frames)
+    out = codecs.decode_rawv(payload)
+    assert all(np.array_equal(a, b) for a, b in zip(out, frames))
+    # index-seek decode returns exactly the requested frames
+    picks = list(range(0, len(frames), 2))
+    seek = codecs.decode_rawv(payload, frame_indices=picks)
+    assert all(np.array_equal(seek[j], frames[i]) for j, i in enumerate(picks))
