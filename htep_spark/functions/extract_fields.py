@@ -163,42 +163,54 @@ def extract_regex_fields(text: str) -> Dict:
 
 
 _WORD_RUN_RE = re.compile(r"\w+")
-# Single-word terms made purely of word characters: ``\b term \b`` matches
-# iff the term equals some maximal \w+ run — so one tokenization pass plus
-# set membership replaces one regex search per term (exact equivalence).
-_DRUGS_SORTED = sorted(DRUG_SET)
-_DISEASES_SORTED = sorted(DISEASE_SET)
-_SIMPLE_SINGLE = {
-    t for t in (DRUG_SET | DISEASE_SET) if " " not in t and re.fullmatch(r"\w+", t)
-}
 
 
-def _term_hit(term: str, text_lower: str, word_runs: frozenset) -> bool:
-    if " " in term:
-        return term in text_lower
-    if term in _SIMPLE_SINGLE:
-        return term in word_runs
-    return bool(re.search(r"\b" + re.escape(term) + r"\b", text_lower))
+def _split_terms(terms):
+    """Partition a dictionary once at import: single word-char-only terms
+    (``\\b term \\b`` matches iff the term equals some maximal \\w+ run, so
+    set membership against the text's word runs is exactly equivalent),
+    multi-word terms (substring rule), and the rare punctuated singles
+    (precompiled word-boundary regex)."""
+    simple, multi, rx = [], [], []
+    for t in sorted(terms):
+        if " " in t:
+            multi.append(t)
+        elif re.fullmatch(r"\w+", t):
+            simple.append(t)
+        else:
+            rx.append((t, re.compile(r"\b" + re.escape(t) + r"\b")))
+    return frozenset(simple), multi, rx
+
+
+_DRUG_SIMPLE, _DRUG_MULTI, _DRUG_RX = _split_terms(DRUG_SET)
+_DISEASE_SIMPLE, _DISEASE_MULTI, _DISEASE_RX = _split_terms(DISEASE_SET)
+
+
+def _scan_terms(text_lower, word_runs, simple_set, multi, rx) -> List[str]:
+    hits = list(word_runs & simple_set)
+    hits += [t for t in multi if t in text_lower]
+    hits += [t for t, pat in rx if pat.search(text_lower)]
+    hits.sort()  # alphabetical base order, then stable length sort
+    return sorted(hits, key=len, reverse=True)
 
 
 def scan_dictionaries(text: str) -> Dict[str, List[str]]:
     """E5 scan (``src/nlp/medical_extractor.py:226-251``): word-boundary
     regex for single-word terms, substring for multi-word; longest-first.
 
-    The reference iterates unordered ``set``s; we iterate sorted terms so
-    the secondary ``sorted(key=len, reverse=True)`` tie-break (equal-length
-    terms) is deterministic (Python sort is stable → alphabetical within a
-    length class).
-    """
+    The reference iterates unordered ``set``s; we produce an alphabetical
+    base order so the secondary ``sorted(key=len, reverse=True)`` tie-break
+    (equal-length terms) is deterministic (Python sort is stable →
+    alphabetical within a length class). Set intersection against the
+    text's word runs replaces one membership probe per dictionary term —
+    O(words in text) instead of O(dictionary)."""
     text_lower = text.lower()
     word_runs = frozenset(_WORD_RUN_RE.findall(text_lower))
-    found_drugs = [d for d in _DRUGS_SORTED if _term_hit(d, text_lower, word_runs)]
-    found_diseases = [
-        d for d in _DISEASES_SORTED if _term_hit(d, text_lower, word_runs)
-    ]
     return {
-        "drugs": sorted(found_drugs, key=len, reverse=True),
-        "diseases": sorted(found_diseases, key=len, reverse=True),
+        "drugs": _scan_terms(text_lower, word_runs, _DRUG_SIMPLE, _DRUG_MULTI, _DRUG_RX),
+        "diseases": _scan_terms(
+            text_lower, word_runs, _DISEASE_SIMPLE, _DISEASE_MULTI, _DISEASE_RX
+        ),
     }
 
 
