@@ -1170,6 +1170,59 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_simhash(spark, sf_dir)
 
 
+def _ann_inputs(spark: SparkSession, sf_dir: str):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, queries
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: LSH-banded ANN (scale path; exact agreement with the
+    brute-force oracle on top-1 is pytest-gated)."""
+    from .operators.similarity import ann_lsh_topk
+
+    emb, queries = _ann_inputs(spark, sf_dir)
+    out = ann_lsh_topk(emb, queries, k=ANN_K)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: IVF ANN (bounded-sample k-means coarse quantizer)."""
+    from .operators.similarity import ann_ivf_topk
+
+    emb, queries = _ann_inputs(spark, sf_dir)
+    out = ann_ivf_topk(emb, queries, k=ANN_K)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _q_conv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: salted two-stage per-conversation metrics over the full
+    extraction output (the bench headline's grouped pass)."""
+    from pyspark.sql.window import Window
+
+    from .plans.pipeline import per_conversation_metrics, run_extraction
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        _clinical_col().alias("text"),
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    return per_conversation_metrics(run_extraction(transcripts))
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import q_minhash_lsh
 
@@ -1192,6 +1245,18 @@ def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import q_winnow_fingerprints
 
     return q_winnow_fingerprints(spark, sf_dir)
+
+
+def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text_analysis import q_winnow_overlap
+
+    return q_winnow_overlap(spark, sf_dir)
+
+
+def _sql_winnow_overlap() -> str:
+    from .operators.text_analysis import SQL_WINNOW_OVERLAP
+
+    return SQL_WINNOW_OVERLAP
 
 
 def _sql_simhash() -> str:
@@ -1230,6 +1295,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "winnow_fingerprints": (_q_winnow, _sql_winnow()),
     "minhash_lsh": (_q_minhash_lsh, _sql_minhash()),
     "dedup_keepers_minhash": (_q_minhash_keepers, _sql_minhash_keepers()),
+    "winnow_overlap": (_q_winnow_overlap, _sql_winnow_overlap()),
+    "ann_lsh": (_q_ann_lsh, None),
+    "ann_ivf": (_q_ann_ivf, None),
+    "conv_metrics": (_q_conv_metrics, None),
     "dict_match": (q_dict_match, SQL_DICT_MATCH),
     "multiword_disease": (q_multiword_disease, SQL_MULTIWORD_DISEASE),
     "vitals_fields": (q_vitals_fields, SQL_VITALS_FIELDS),

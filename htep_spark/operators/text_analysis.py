@@ -23,7 +23,9 @@ __all__ = [
     "SQL_LANG_ID",
     "winnow_udf",
     "q_winnow_fingerprints",
+    "q_winnow_overlap",
     "SQL_WINNOW",
+    "SQL_WINNOW_OVERLAP",
 ]
 
 # order = tie-break priority
@@ -164,9 +166,10 @@ def q_winnow_fingerprints(spark, sf_dir: str):
     )
 
 
-def _winnow_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
-    """DuckDB oracle for ``q_winnow_fingerprints``, generated from the same
-    k/w/base/modulus constants as the UDF.
+def _winnow_ctes(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
+    """Shared CTE chain ending in ``fp(doc_id, fps)`` — the winnowed
+    fingerprint sets, generated from the same k/w/base/modulus constants
+    as the UDF.
 
     The UDF's k-gram hash is ``(Σ byte_i·p_i mod 2^64) & (2^61-1)`` with
     powers precomputed mod 2^61; since 2^61 divides 2^64, that equals
@@ -179,8 +182,7 @@ def _winnow_sql(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     terms = " + ".join(
         f"b[j+{i}]::HUGEINT * {p}::HUGEINT" for i, p in enumerate(powers)
     )
-    return f"""
-WITH n AS (
+    return f"""n AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
   FROM documents
 ), b AS (
@@ -199,12 +201,52 @@ WITH n AS (
               ELSE list_distinct(list_transform(range(1, n-{w}+2),
                                  t -> list_min(hashes[t : t+{w}-1]))) END AS fps
   FROM h
-)
+)"""
+
+
+SQL_WINNOW = f"""
+WITH {_winnow_ctes()}
 SELECT doc_id, unnest(fps) AS fingerprint FROM fp
 """
 
+WINNOW_MIN_COMMON = 5
 
-SQL_WINNOW = _winnow_sql()
+
+def q_winnow_overlap(spark, sf_dir: str):
+    """Driver query: fingerprint-overlap near-dup pairs (inverted-index
+    equi-join over winnowed fingerprints)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_overlap_pairs(
+        docs, "doc_id", "text", min_common=WINNOW_MIN_COMMON
+    )
+
+
+def _winnow_overlap_sql() -> str:
+    """Oracle: the same inverted-index join over the shared winnow
+    fingerprint CTE chain, pair counts + containment vs the smaller
+    fingerprint set."""
+    return f"""
+WITH {_winnow_ctes()},
+fpx AS (
+  SELECT doc_id, unnest(fps) AS fp FROM fp
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM fpx GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM fpx a JOIN fpx b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {WINNOW_MIN_COMMON}
+)
+SELECT doc_a, doc_b, common,
+       round(CAST(common AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+SQL_WINNOW_OVERLAP = _winnow_overlap_sql()
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,

@@ -22,12 +22,13 @@ def test_queries_and_oracles_consistent():
         "ngram_jaccard", "ann_cosine", "embed_near_dup", "sessionize",
         "events_hourly", "lang_id", "cer", "sentences", "deid_dates",
         "simhash", "winnow_fingerprints", "dedup_keepers", "classify_segments",
-        "minhash_lsh", "dedup_keepers_minhash",
+        "minhash_lsh", "dedup_keepers_minhash", "winnow_overlap",
     ):
         assert name in oracles, name
     # rows-only operators present
     for name in (
         "extract_full", "beam_decode", "block_parse", "conv_rollup", "deid",
+        "ann_lsh", "ann_ivf", "conv_metrics",
     ):
         assert name in qs
 
