@@ -58,3 +58,26 @@ def test_extraction_scan_prunes_unused_columns(spark):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     # only doc_id + text feed this projection; source/n_chars must be pruned
     assert "source" not in read_schema and "n_chars" not in read_schema, read_schema
+
+
+def test_aqe_handles_skewed_join(spark):
+    """AQE skew-join handling must be on and the runtime plan adaptive: a
+    heavily-skewed key join still completes with bounded task sizes (AQE
+    splits the skewed partition at runtime)."""
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    left = spark.range(200_000).select(
+        F.when(F.col("id") % 100 < 99, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    right = spark.range(64).select(F.col("id").alias("k"), F.lit("dim").alias("d"))
+    # force a shuffle join so the skewed side actually shuffles
+    joined = left.hint("merge").join(right, "k")
+    n = joined.count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan, plan.splitlines()[0]
+    # 99 of every 100 ids collapse to k=0 (matching dim k=0); the passthrough
+    # ids (id%100==99) are all >63 and match nothing
+    assert n == 198_000
