@@ -76,10 +76,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from htep_spark.operators.text_analysis import q_lang_id
 
     out["lang_id"] = q_lang_id
-    from htep_spark.operators.decode import q_beam_decode, q_parse
+    from htep_spark.operators.decode import q_beam_decode, q_paragraph_decode, q_parse
 
     out["beam_decode"] = q_beam_decode
     out["block_parse"] = q_parse
+    out["paragraph_decode"] = q_paragraph_decode
     out["conv_rollup"] = _conv_rollup
     out["deid"] = _deid
     return out

@@ -24,7 +24,14 @@ from pyspark.sql.types import (
 from ..functions.beam import LexiconBeamDecoder
 from ..functions.parser import BlockTextParser
 
-__all__ = ["make_beam_decode_udf", "make_parse_udf", "PARSE_RESULT_TYPE", "DECODE_RESULT_TYPE"]
+__all__ = [
+    "make_beam_decode_udf",
+    "make_parse_udf",
+    "make_paragraph_decode_udf",
+    "PARSE_RESULT_TYPE",
+    "DECODE_RESULT_TYPE",
+    "PARAGRAPH_RESULT_TYPE",
+]
 
 DECODE_RESULT_TYPE = StructType(
     [
@@ -149,6 +156,86 @@ def make_parse_udf(
     return parse
 
 
+PARAGRAPH_RESULT_TYPE = StructType(
+    [
+        StructField("text", StringType(), True),
+        StructField("n_lines", IntegerType(), True),
+    ]
+)
+
+def make_paragraph_decode_udf(
+    lexicon_terms: Sequence[str],
+    primary_terms: Optional[Sequence[str]] = None,
+):
+    """Paragraph candidate tensor (as a JSON string column — the 4-level
+    nested array type defeats Spark's Arrow→pandas conversion, so the
+    tensor travels serialized) → keep-best decoded text (the reference's
+    three-strategy rich decoder, ``tests/test_paragraph_icr.py:265-311``)."""
+    import json
+
+    from ..functions.strategy import predict_paragraph_best
+
+    lex = list(lexicon_terms)
+    prim = list(primary_terms) if primary_terms else None
+
+    @F.pandas_udf(PARAGRAPH_RESULT_TYPE)
+    def decode(paragraphs: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        decoder = LexiconBeamDecoder(lex, prim)
+        for series in paragraphs:
+            rows = []
+            for payload in series:
+                lines = json.loads(payload) if payload else []
+                text, n_lines = predict_paragraph_best(lines or [], decoder)
+                rows.append({"text": text, "n_lines": n_lines})
+            yield pd.DataFrame(rows, columns=[f.name for f in PARAGRAPH_RESULT_TYPE])
+
+    return decode
+
+
+def _word_candidates_col(word_col):
+    """word string → per-position top-1 candidate list with a deterministic
+    confidence in [0.35, 0.99] (shared by the beam and paragraph queries)."""
+    return F.transform(
+        F.split(word_col, ""),
+        lambda ch, i: F.array(
+            F.struct(
+                ch.alias("character"),
+                (
+                    0.35
+                    + F.pmod(F.xxhash64(ch, word_col, i), F.lit(64)).cast("double")
+                    / 100.0
+                ).alias("confidence"),
+            )
+        ),
+    )
+
+
+def q_paragraph_decode(spark, sf_dir: str):
+    """Rows-only driver query: per document, two synthetic candidate lines
+    (three words each) through the three-strategy keep-best decoder."""
+    from ..dictionaries import DISEASES_SINGLE, DRUGS_SINGLE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.regexp_extract_all(F.upper(F.col("text")), F.lit("[A-Z]+"), 0)
+    line = lambda start: F.transform(
+        F.slice(toks, start, 3), lambda w: _word_candidates_col(w)
+    )
+    paragraph = F.to_json(F.array(line(1), line(4)))
+    decode = make_paragraph_decode_udf(DRUGS_SINGLE + DISEASES_SINGLE, DRUGS_SINGLE)
+    # materialize the JSON tensor behind an exchange before the UDF: in one
+    # projection Catalyst re-inlines the to_json invoke-expression into the
+    # Python-UDF argument, which intermittently fails codegen on repeated
+    # plans (INTERNAL_ERROR "Cannot generate code for expression: decode(
+    # invoke(StructsToJsonEvaluator...))", Spark 4.1) — the barrier keeps
+    # the UDF input a plain attribute and spreads decode across cores
+    staged = docs.select("doc_id", paragraph.alias("pjson")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return staged.select("doc_id", decode(F.col("pjson")).alias("p")).select(
+        "doc_id", F.col("p.text").alias("text"), F.col("p.n_lines").alias("n_lines")
+    )
+
+
 def q_beam_decode(spark, sf_dir: str):
     """Rows-only driver query: deterministic synthetic candidate matrices
     from document tokens (confidence = stable per-char hash), decoded
@@ -160,21 +247,7 @@ def q_beam_decode(spark, sf_dir: str):
         F.regexp_extract_all(F.upper(F.col("text")), F.lit("[A-Z]+"), 0), 1, 5
     )
     words = docs.select("doc_id", F.posexplode(toks).alias("word_idx", "word"))
-    # per character position: top-1 candidate = the char itself with a
-    # deterministic confidence in [0.35, 0.99]
-    cands = F.transform(
-        F.split(F.col("word"), ""),
-        lambda ch, i: F.array(
-            F.struct(
-                ch.alias("character"),
-                (
-                    0.35
-                    + F.pmod(F.xxhash64(ch, F.col("word"), i), F.lit(64)).cast("double")
-                    / 100.0
-                ).alias("confidence"),
-            )
-        ),
-    )
+    cands = _word_candidates_col(F.col("word"))
     decode = make_beam_decode_udf(DRUGS_SINGLE + DISEASES_SINGLE, DRUGS_SINGLE)
     return words.select(
         "doc_id", "word_idx", decode(cands).alias("decoded")

@@ -28,7 +28,7 @@ def test_queries_and_oracles_consistent():
     # rows-only operators present
     for name in (
         "extract_full", "beam_decode", "block_parse", "conv_rollup", "deid",
-        "ann_lsh", "ann_ivf", "conv_metrics",
+        "ann_lsh", "ann_ivf", "conv_metrics", "paragraph_decode",
     ):
         assert name in qs
 

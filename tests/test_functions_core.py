@@ -544,3 +544,93 @@ def test_split_sentences_spans():
     for s in sentences:
         assert text[s["start_char"] : s["end_char"]] == s["content"]
     assert split_sentences("") == []
+
+
+# ------------------------------------------------ multi-strategy decoder --
+
+def _mk_word(chars, conf=0.9):
+    """Per-position single-candidate matrix for a word."""
+    return [[{"character": c, "confidence": conf}] for c in chars]
+
+
+def test_paragraph_keep_best_joins_and_drops_empty():
+    from htep_spark.dictionaries import DRUGS_SINGLE
+    from htep_spark.functions.beam import LexiconBeamDecoder
+    from htep_spark.functions.strategy import predict_paragraph_best
+
+    decoder = LexiconBeamDecoder(DRUGS_SINGLE)
+    lines = [
+        [_mk_word("ASPIRIN"), _mk_word("DAILY")],
+        [],  # empty line decodes to "" -> dropped (test_paragraph_icr.py:308)
+        [_mk_word("METFORMIN")],
+    ]
+    text, n = predict_paragraph_best(lines, decoder)
+    assert text == "ASPIRIN DAILY\nMETFORMIN"
+    assert n == 2
+
+
+def test_paragraph_strategy_tie_keeps_first():
+    """Strict `>` comparison: identical strategies tie, the first wins —
+    observable because the result must equal the first strategy's decode
+    (test_paragraph_icr.py:303, `if conf > best_conf`)."""
+    from htep_spark.dictionaries import DRUGS_SINGLE
+    from htep_spark.functions.beam import LexiconBeamDecoder
+    from htep_spark.functions.strategy import (
+        decode_line_with_strategy,
+        predict_paragraph_best,
+    )
+
+    decoder = LexiconBeamDecoder(DRUGS_SINGLE)
+    line = [_mk_word("ASPIRIN", conf=0.5)]
+    first = decode_line_with_strategy(line, decoder, 20, 0.0)
+    text, n = predict_paragraph_best([line], decoder, strategies=[(20, 0.0), (20, 0.0)])
+    assert (text, n) == (first[0], 1)
+
+
+def test_paragraph_conf_floor_keeps_top1():
+    """A floor above every candidate's confidence must not erase positions —
+    each keeps its top-1 (the min_char_area analogue never deletes slots)."""
+    from htep_spark.dictionaries import DRUGS_SINGLE
+    from htep_spark.functions.beam import LexiconBeamDecoder
+    from htep_spark.functions.strategy import decode_line_with_strategy
+
+    decoder = LexiconBeamDecoder(DRUGS_SINGLE)
+    word = [
+        [
+            {"character": c, "confidence": 0.4},
+            {"character": "X", "confidence": 0.2},
+        ]
+        for c in "ASPIRIN"
+    ]
+    text_floor, _ = decode_line_with_strategy([word], decoder, 20, 0.99)
+    text_plain, _ = decode_line_with_strategy([word], decoder, 20, 0.0)
+    assert text_floor == text_plain == "ASPIRIN"
+
+
+def test_paragraph_strategy_selection_changes_outcome():
+    """A noisy word where the floor flips the decode: position 2 has a
+    wrong top-1 ('Z' 0.5) and right runner-up ('P' 0.45) — floor 0.48
+    prunes the runner-up (decode stays wrong), floor 0.0 lets the beam +
+    lexicon replacement recover ASPIRIN; keep-best must pick the higher-
+    confidence variant deterministically."""
+    from htep_spark.dictionaries import DRUGS_SINGLE
+    from htep_spark.functions.beam import LexiconBeamDecoder
+    from htep_spark.functions.strategy import predict_paragraph_best
+
+    decoder = LexiconBeamDecoder(DRUGS_SINGLE, DRUGS_SINGLE)
+    word = []
+    for i, c in enumerate("ASPIRIN"):
+        if i == 2:
+            word.append(
+                [
+                    {"character": "Z", "confidence": 0.5},
+                    {"character": "P", "confidence": 0.45},
+                ]
+            )
+        else:
+            word.append([{"character": c, "confidence": 0.5}])
+    text, n = predict_paragraph_best(
+        [[word]], decoder, strategies=[(20, 0.48), (20, 0.0)]
+    )
+    assert n == 1
+    assert text == "ASPIRIN"  # low confidence -> primary replacement fires
