@@ -290,13 +290,17 @@ class MultiWordMatcher:
             if n > nwords:
                 continue
             ngrams = [" ".join(words[i : i + n]) for i in range(nwords - n + 1)]
-            # memo probe — () misses are cached too, so None = true miss
-            resolved = {g: memo.get(g) for g in ngrams}
-            misses = [g for g, hit in resolved.items() if hit is None]
+            # memo probe — () misses are cached too, so None = true miss;
+            # the hit-dominated steady state stays a single list pass
+            hits = [memo.get(g) for g in ngrams]
+            misses = [g for g, h in zip(ngrams, hits) if h is None]
             if misses:
-                resolved.update(self._match_misses(misses, group))
-            for g in ngrams:
-                for entry in resolved[g]:
+                extra = self._match_misses(misses, group)
+                hits = [
+                    extra[g] if h is None else h for g, h in zip(ngrams, hits)
+                ]
+            for hit in hits:
+                for entry in hit:
                     if entry not in seen:
                         seen.add(entry)
                         matched.append(entry)
