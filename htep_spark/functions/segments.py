@@ -20,13 +20,24 @@ from ..dictionaries import SECTION_KEYWORDS
 
 __all__ = ["infer_segment_type", "segment_document"]
 
+# pure per-line memo (same line → same type); template corpora repeat
+# section lines massively, so the steady state is one dict probe per line
+_TYPE_MEMO: Dict[str, str] = {}
+
 
 def infer_segment_type(line: str) -> str:
+    hit = _TYPE_MEMO.get(line)
+    if hit is not None:
+        return hit
     text = line.lower()
+    result = "general"
     for segment_type, keywords in SECTION_KEYWORDS.items():
         if any(keyword in text for keyword in keywords):
-            return segment_type
-    return "general"
+            result = segment_type
+            break
+    if len(_TYPE_MEMO) < 1_000_000:
+        _TYPE_MEMO[line] = result
+    return result
 
 
 def segment_document(text: str) -> List[Dict]:
