@@ -72,12 +72,15 @@ def main() -> None:
     # headline 2: operator queries over the driver testdata tables
     import __spark_entry__ as entrymod
 
-    from htep_spark.operators.dedup import q_minhash_lsh
+    # minhash benches the production xxhash64 base-hash path (the driver's
+    # correctness query runs the md5 oracle mode; pair/keeper agreement
+    # between the two modes is pytest-gated — see BENCH/BASELINE.md)
+    from htep_spark.operators.dedup import q_minhash_lsh_fast
     from htep_spark.operators.text_analysis import q_winnow_fingerprints
 
     extra = {
         "extract_full_docs": entrymod._flagship,
-        "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh": q_minhash_lsh_fast,
         "winnow": q_winnow_fingerprints,
         "conv_rollup": entrymod._conv_rollup,
     }

@@ -21,8 +21,13 @@ from ..dictionaries import SECTION_KEYWORDS
 __all__ = ["infer_segment_type", "segment_document"]
 
 # pure per-line memo (same line → same type); template corpora repeat
-# section lines massively, so the steady state is one dict probe per line
+# section lines massively, so the steady state is one dict probe per line.
+# Memory-bounded two ways: long lines (>200 chars, unlikely to repeat) are
+# never memoized, and the total is capped by entry count — so per-worker
+# growth is bounded by count × max key length, not by corpus line lengths.
 _TYPE_MEMO: Dict[str, str] = {}
+_MEMO_MAX_LINE_LEN = 200
+_MEMO_MAX_ENTRIES = 1_000_000
 
 
 def infer_segment_type(line: str) -> str:
@@ -35,7 +40,7 @@ def infer_segment_type(line: str) -> str:
         if any(keyword in text for keyword in keywords):
             result = segment_type
             break
-    if len(_TYPE_MEMO) < 1_000_000:
+    if len(line) <= _MEMO_MAX_LINE_LEN and len(_TYPE_MEMO) < _MEMO_MAX_ENTRIES:
         _TYPE_MEMO[line] = result
     return result
 

@@ -75,9 +75,13 @@ def decode_line_with_strategy(
 ) -> Tuple[str, float]:
     """One line under one strategy → (joined text, mean word confidence).
 
-    Mirrors ``decode_line_with_strategy`` (:227-259): words decode
-    independently, empty decodes contribute neither text nor a confidence
-    sample, and an all-empty line scores 0.0."""
+    Adapted from ``decode_line_with_strategy`` (:227-259): words decode
+    independently and an all-empty line scores 0.0, as there. **Deliberate
+    divergence**: the reference appends every flushed word's decoded text
+    and confidence sample (including empty decodes and literal space
+    slots); this version drops empty decodes from both the joined text and
+    the confidence mean — empty words would only inject doubled separators
+    and zero-confidence noise into the keep-best strategy comparison."""
     texts: List[str] = []
     samples: List[float] = []
     for word in line:

@@ -42,6 +42,7 @@ __all__ = [
     "connected_components",
     "dedup_keepers",
     "q_minhash_lsh",
+    "q_minhash_lsh_fast",
     "q_simhash",
     "SQL_SIMHASH",
     "SQL_MINHASH_LSH",
@@ -88,14 +89,28 @@ def _shingle_col(text_col, n: int = SHINGLE_N):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, base_hash: str = "xxhash64"
+) -> DataFrame:
     """→ (id, minhash array of NUM_HASHES) — one shuffle, map-side combined.
 
-    The base shingle hash is the first 60 bits of md5 (JVM built-in:
-    ``conv(substring(md5(s),1,15),16,10)``) rather than xxhash64 — md5 is
-    marginally slower per shingle but exists identically in DuckDB, which
-    makes the whole LSH pipeline oracle-checkable end to end."""
-    base = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    ``base_hash`` picks the per-shingle base hash:
+
+    - ``"xxhash64"`` (default, the production path): Spark's native 64-bit
+      hash — cheapest per shingle, the right choice at 100 TB.
+    - ``"md5"`` (oracle mode): first 60 bits of md5 via JVM built-ins
+      (``conv(substring(md5(s),1,15),16,10)``) — marginally slower but
+      exists identically in DuckDB, which makes the whole LSH pipeline
+      hash-checkable end to end (the driver queries use this mode; a
+      pytest asserts both modes yield identical pairs/keepers on the
+      fixture corpus).
+    """
+    if base_hash == "md5":
+        base = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+    elif base_hash == "xxhash64":
+        base = F.xxhash64("shingle")
+    else:  # pragma: no cover - guarded API misuse
+        raise ValueError(f"unknown base_hash {base_hash!r}")
     shingled = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_shingle_col(F.col(text_col))).alias("shingle"),
@@ -122,11 +137,15 @@ def _capped_band_pairs(
     Buckets ≤ cap: all-pairs equi-join (the normal LSH path). Buckets > cap
     (degenerate corpora — boilerplate, empty docs — where one bucket would
     otherwise contribute O(bucket²) join rows): **star pairs** to the
-    bucket's minimum doc_id — O(bucket) rows that preserve component
-    connectivity, so connected-components dedup reaches the same clusters;
-    downstream exact filters (est_jaccard / Hamming) still apply to every
-    emitted pair. The only loss is pairwise recall *inside* an oversized
-    bucket for pair-listing consumers, traded for a hard O(n·bands) bound.
+    bucket's minimum doc_id — O(bucket) rows that keep every member
+    *candidate*-connected to the representative. Downstream exact filters
+    (est_jaccard / Hamming) still apply to every emitted pair, so cluster
+    connectivity through the star survives only where the rep-member pair
+    itself passes the filter — docs similar to each other but not to the
+    representative can end up in separate clusters. That pairwise-recall
+    loss inside oversized buckets is the deliberate trade for a hard
+    O(n·bands) bound; the MinHash DuckDB oracle models the same cap, so
+    Spark and oracle agree at any bucket size.
 
     ``payload`` names an optional per-doc column (e.g. the simhash value)
     carried through to both sides of each pair, avoiding a re-join against
@@ -176,9 +195,15 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band-bucket equi-join → candidate pairs with estimated jaccard
     (fraction of equal signature positions). Bucket sizes are capped
-    (see ``_capped_band_pairs``) — a full 4-hash band collision is a
-    near-certain duplicate, so star-pairing oversized buckets loses no
-    duplicate *clusters*, only redundant intra-bucket pair listings."""
+    (see ``_capped_band_pairs``): oversized buckets emit star pairs to the
+    bucket-min representative, preserving *candidate* connectivity at
+    O(bucket) cost. Note the downstream ``est_jaccard`` threshold still
+    applies per pair — if two members of an oversized bucket are similar
+    to each other but neither is similar to the representative, their
+    cluster can split (a band collision alone — 4/32 positions — does not
+    guarantee the rep-member pair passes the threshold). The cap trades
+    that edge case inside degenerate buckets for a hard O(n·bands) bound;
+    the DuckDB oracle models the identical capped plan."""
     rows_per_band = NUM_HASHES // BANDS
     bands = signatures.select(
         "doc_id",
@@ -221,9 +246,13 @@ def lsh_candidate_pairs(
 
 
 def minhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
-    sig = minhash_signatures(df, id_col, text_col)
+    sig = minhash_signatures(df, id_col, text_col, base_hash=base_hash)
     return lsh_candidate_pairs(sig).filter(F.col("est_jaccard") >= threshold)
 
 
@@ -368,12 +397,16 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
 
 
 def dedup_keepers(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Full dedup flow: MinHash-LSH pairs → components → keep/drop verdict.
     Returns (doc_id, cluster_id, keep) for every document in ``df``; the
     keeper of each duplicate cluster is its minimum doc_id."""
-    pairs = minhash_dedup_pairs(df, id_col, text_col, threshold)
+    pairs = minhash_dedup_pairs(df, id_col, text_col, threshold, base_hash=base_hash)
     comps = connected_components(pairs)
     all_docs = df.select(F.col(id_col).alias("doc_id"))
     return (
@@ -392,19 +425,35 @@ MINHASH_QUERY_THRESHOLD = 0.5
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query (oracle mode): md5 base hash so DuckDB can reproduce
+    the full signature→band→pair→est_jaccard flow bit for bit."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_dedup_pairs(
-        docs, "doc_id", "text", threshold=MINHASH_QUERY_THRESHOLD
+        docs, "doc_id", "text", threshold=MINHASH_QUERY_THRESHOLD, base_hash="md5"
     )
 
 
-def _minhash_pairs_ctes() -> str:
+def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production path (xxhash64 base hash) — what a 100 TB run would use;
+    benched as ``minhash_lsh``. Pair/keeper agreement with the md5 oracle
+    mode is pytest-gated on the fixture corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=MINHASH_QUERY_THRESHOLD, base_hash="xxhash64"
+    )
+
+
+def _minhash_pairs_ctes(max_bucket_size: int = MAX_BUCKET_SIZE) -> str:
     """DuckDB CTE chain reproducing the full MinHash+LSH pipeline from the
     same constants as the Spark operator: md5-based shingle hash → 32
-    affine minima → 8 band signatures → band equi-join → est_jaccard ≥
-    threshold (``mpairs``). Bands join on the raw band string; Spark joins
-    on xxhash64 of that string — identical candidates modulo 64-bit hash
-    collisions."""
+    affine minima → 8 band signatures → band equi-join **with the same
+    ``MAX_BUCKET_SIZE`` bucket cap as ``_capped_band_pairs``** (small
+    buckets all-pairs, oversized buckets star-paired to the bucket-min
+    doc_id) → est_jaccard ≥ threshold (``mpairs``). Bands join on the raw
+    band string; Spark joins on xxhash64 of that string — identical
+    candidates modulo 64-bit hash collisions. Because the cap is modeled
+    here too, Spark and oracle stay in agreement even when a (band, key)
+    bucket exceeds the cap at larger scale factors."""
     mins = ",\n           ".join(
         f"min(({a} * x + {b}) % {_P}) AS h{j}" for j, (a, b) in enumerate(_PARAMS)
     )
@@ -440,10 +489,24 @@ def _minhash_pairs_ctes() -> str:
   FROM mx GROUP BY doc_id
 ), bands AS (
 {band_rows}
+), bsizes AS (
+  SELECT band, band_key, count(*) AS bn FROM bands GROUP BY band, band_key
+), btag AS (
+  SELECT b.doc_id, b.band, b.band_key, s.bn
+  FROM bands b JOIN bsizes s USING (band, band_key)
 ), mcand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b USING (band, band_key)
-  WHERE a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM btag a JOIN btag b USING (band, band_key)
+    WHERE a.bn <= {max_bucket_size} AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT r.rep AS doc_a, b.doc_id AS doc_b
+    FROM btag b
+    JOIN (SELECT band, band_key, min(doc_id) AS rep
+          FROM btag WHERE bn > {max_bucket_size}
+          GROUP BY band, band_key) r USING (band, band_key)
+    WHERE b.bn > {max_bucket_size} AND b.doc_id <> r.rep
+  )
 ), mpairs AS (
   SELECT c.doc_a, c.doc_b,
          round(CAST({eq_terms} AS DOUBLE) / {NUM_HASHES}, 6) AS est_jaccard

@@ -9,11 +9,13 @@ per-item failures land in an ``error`` column and never fail the job).
 Decode kernels are REAL pure-Python codecs (``functions/codecs.py``): PNG
 (stdlib zlib), BMP, PPM, PCM WAV (stdlib wave), and the RAWV length-prefixed
 frame container for video. Formats that would need external demuxer
-libraries (JPEG, MP4, …) are not decodable in this container: with
-``strict=True`` they error per-item (``NotImplementedError`` in the error
-column); by default they fall back to ``_fake_decode`` — a clearly-marked
-deterministic stand-in that derives metadata from a payload hash so the
-Spark plumbing stays testable on arbitrary bytes.
+libraries (MP4, …) are not decodable in this container: by default
+(``strict=True``) they error per-item (``NotImplementedError`` in the
+``error`` column, metadata all-null) — **no code path invents media
+metadata unless explicitly opted into** via ``strict=False``, which falls
+back to ``_fake_decode``, a clearly-marked deterministic stand-in
+(``format='fake'``) that derives metadata from a payload hash so the Spark
+plumbing stays testable on arbitrary bytes.
 """
 
 from __future__ import annotations
@@ -146,22 +148,25 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
     }
 
 
-def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
+def decode_media(df: DataFrame, strict: bool = True) -> DataFrame:
     """media table → per-item decoded metadata + feature vector.
 
-    Real codecs for PNG/BMP/PPM/WAV/RAWV payloads; unknown formats raise
-    per-item under ``strict=True`` (error column) or fall back to the
-    deterministic fake decoder otherwise.
+    Real codecs for PNG/BMP/PPM/WAV/RAWV payloads. Unknown formats raise
+    per-item by default (``strict=True``): the row carries the error string
+    and all-null metadata — never fabricated values. ``strict=False`` is an
+    explicit opt-in to the deterministic fake decoder (``format='fake'``)
+    for plumbing tests over arbitrary bytes.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
-            for _, r in batch.iterrows():
-                payload = r["payload"]
+            for media_id, kind, payload in zip(
+                batch["media_id"].values, batch["kind"].values, batch["payload"].values
+            ):
                 base = {
-                    "media_id": r["media_id"],
-                    "kind": r["kind"],
+                    "media_id": media_id,
+                    "kind": kind,
                     "n_bytes": len(payload) if payload is not None else 0,
                     "format": None,
                     "width": None,
@@ -173,11 +178,11 @@ def decode_media(df: DataFrame, strict: bool = False) -> DataFrame:
                 }
                 try:
                     try:
-                        base.update(_real_decode(bytes(payload or b""), r["kind"]))
+                        base.update(_real_decode(bytes(payload or b""), kind))
                     except NotImplementedError:
                         if strict:
                             raise
-                        base.update(_fake_decode(payload, r["kind"]))
+                        base.update(_fake_decode(payload, kind))
                 except Exception as exc:
                     base["error"] = f"{type(exc).__name__}: {exc}"
                 rows.append(base)
@@ -239,26 +244,29 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_media(
-    df: DataFrame, width: int, height: int, strict: bool = False
+    df: DataFrame, width: int, height: int, strict: bool = True
 ) -> DataFrame:
     """Image resize stage: real nearest-neighbor resample, re-encoded in the
     source format (PNG/BMP/PPM). RAWV videos resize every frame. Non-image
-    payloads (WAV) and unknown formats error per-item under ``strict`` or
-    pass through a deterministic fake payload otherwise (STUB fallback)."""
+    payloads (WAV) and unknown formats error per-item by default
+    (``strict=True``, null payload) — ``strict=False`` opts into a
+    deterministic fake payload (STUB fallback for plumbing tests)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
-            for _, r in batch.iterrows():
+            for media_id, kind, raw in zip(
+                batch["media_id"].values, batch["kind"].values, batch["payload"].values
+            ):
                 base = {
-                    "media_id": r["media_id"],
-                    "kind": r["kind"],
+                    "media_id": media_id,
+                    "kind": kind,
                     "target_w": width,
                     "target_h": height,
                     "payload": None,
                     "error": None,
                 }
-                payload = bytes(r["payload"] or b"")
+                payload = bytes(raw or b"")
                 fmt = codecs.sniff_format(payload)
                 try:
                     if fmt in ("png", "bmp", "ppm"):
@@ -300,20 +308,25 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def sample_frames(df: DataFrame, every_n: int = 24, max_frames: int = 8) -> DataFrame:
+def sample_frames(
+    df: DataFrame, every_n: int = 24, max_frames: int = 8, strict: bool = True
+) -> DataFrame:
     """Frame sampling for video payloads: RAWV containers are really
     demuxed — only the strided frame indices are decoded (length-prefix
     seeking) and each sampled frame is emitted as a standalone PPM payload.
-    A flatMap-shaped ``mapInPandas`` (1 → N rows). Non-RAWV videos fall back
-    to deterministic fake frames derived from the payload hash (STUB)."""
+    A flatMap-shaped ``mapInPandas`` (1 → N rows). Non-RAWV videos emit no
+    frames by default (``strict=True``) — ``strict=False`` opts into
+    deterministic fake frames derived from the payload hash (STUB)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             rows = []
-            for _, r in batch.iterrows():
-                if r["kind"] != "video":
+            for media_id, kind, raw in zip(
+                batch["media_id"].values, batch["kind"].values, batch["payload"].values
+            ):
+                if kind != "video":
                     continue
-                payload = bytes(r["payload"] or b"")
+                payload = bytes(raw or b"")
                 if codecs.sniff_format(payload) == "rawv":
                     n = codecs.rawv_frame_count(payload)
                     idxs = list(range(0, n, every_n))[:max_frames]
@@ -321,13 +334,13 @@ def sample_frames(df: DataFrame, every_n: int = 24, max_frames: int = 8) -> Data
                     for idx, frame in zip(idxs, frames):
                         rows.append(
                             {
-                                "media_id": r["media_id"],
+                                "media_id": media_id,
                                 "frame_idx": idx,
                                 "frame_payload": bytearray(codecs.encode_ppm(frame)),
                             }
                         )
-                else:  # STUB fallback: hash-derived fake frames
-                    meta = _fake_decode(r["payload"], r["kind"])
+                elif not strict:  # opt-in STUB fallback: hash-derived frames
+                    meta = _fake_decode(raw, kind)
                     for j, idx in enumerate(range(0, meta["n_frames"], every_n)):
                         if j >= max_frames:
                             break
@@ -336,7 +349,7 @@ def sample_frames(df: DataFrame, every_n: int = 24, max_frames: int = 8) -> Data
                         ).digest()
                         rows.append(
                             {
-                                "media_id": r["media_id"],
+                                "media_id": media_id,
                                 "frame_idx": idx,
                                 "frame_payload": bytearray(frame),
                             }

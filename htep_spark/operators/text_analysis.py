@@ -123,10 +123,14 @@ def _make_winnow_udf(k: int = WINNOW_K, w: int = WINNOW_W):
     def fingerprints(text) -> list:
         if not isinstance(text, str):
             return []
-        norm = ws_re.sub(" ", text.lower()).strip()
+        # drop non-ASCII before hashing: the oracle hashes codepoints
+        # (ord), the UDF hashes bytes — stripping to ASCII on BOTH sides
+        # makes them provably equal instead of assuming an ASCII corpus
+        ascii_text = text.lower().encode("ascii", "ignore").decode("ascii")
+        norm = ws_re.sub(" ", ascii_text).strip()
         if len(norm) < k:
             return []
-        data = np.frombuffer(norm.encode("utf-8", "replace"), dtype=np.uint8)
+        data = np.frombuffer(norm.encode("ascii"), dtype=np.uint8)
         n = len(data) - k + 1
         powers = np.array(
             [pow(int(base), k - 1 - i, int(mod_mask) + 1) for i in range(k)],
@@ -174,8 +178,10 @@ def _winnow_ctes(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
     The UDF's k-gram hash is ``(Σ byte_i·p_i mod 2^64) & (2^61-1)`` with
     powers precomputed mod 2^61; since 2^61 divides 2^64, that equals
     ``Σ byte_i·p_i mod 2^61`` — computed here in HUGEINT (terms < 2^69,
-    sum of k=8 terms < 2^72, well inside 128 bits). Text is ASCII in this
-    corpus so ``ord(char) == utf-8 byte``. Rightmost-vs-leftmost window-min
+    sum of k=8 terms < 2^72, well inside 128 bits). Both sides strip
+    non-ASCII before hashing (UDF: ``encode('ascii','ignore')``; here:
+    ``regexp_replace('[^\\x00-\\x7F]','')``) so ``ord(char) == byte`` is
+    *enforced*, not assumed of the corpus. Rightmost-vs-leftmost window-min
     tie-break is value-identical (ties are equal values and the output is
     the deduplicated value set), so ``list_min`` per window suffices."""
     powers = [pow(_WINNOW_BASE, k - 1 - i, _WINNOW_MOD) for i in range(k)]
@@ -183,7 +189,9 @@ def _winnow_ctes(k: int = WINNOW_K, w: int = WINNOW_W) -> str:
         f"b[j+{i}]::HUGEINT * {p}::HUGEINT" for i, p in enumerate(powers)
     )
     return f"""n AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^\\x00-\\x7F]', '', 'g'),
+                             '\\s+', ' ', 'g')) AS s
   FROM documents
 ), b AS (
   SELECT doc_id,
