@@ -87,12 +87,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _deid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: full multi-kind de-identification with PII spans."""
-    from htep_spark.driver_queries import _clinical_docs
+    """Rows-only: full multi-kind de-identification with PII spans (over
+    the PII prelude — the raw corpus has no digits, so the clinical prelude
+    alone would exercise no detector). The DATE/ID/PHONE slice is
+    hash-checked by `deid_spans`; NAME/AGE (lookahead-bounded) are the
+    genuinely non-SQL residue this query covers."""
+    from htep_spark.driver_queries import _pii_docs
     from htep_spark.operators.extract import deid_udf
 
     return (
-        _clinical_docs(spark, sf_dir)
+        _pii_docs(spark, sf_dir)
         .select("doc_id", deid_udf(F.col("ctext")).alias("d"))
         .select("doc_id", "d.masked_text", F.explode_outer("d.spans").alias("span"))
         .select(

@@ -57,6 +57,13 @@ STOPWORDS_EN = ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"]
 
 _TOKEN_PATTERN = "[a-z0-9]+"
 
+# RE2-safe de-id detector bodies — single source in functions/deid.py,
+# shared by the Python kernel, the deid_dates/deid_spans oracles, and the
+# scalar-field extraction date pattern.
+from .functions.deid import DATE_PATTERN as _DATE_MASK_PATTERN  # noqa: E402
+from .functions.deid import ID_PATTERN as _ID_SPAN_PATTERN  # noqa: E402
+from .functions.deid import PHONE_PATTERN as _PHONE_SPAN_PATTERN  # noqa: E402
+
 
 def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
@@ -85,8 +92,58 @@ def _clinical_col():
     return F.concat(F.element_at(arr, idx), F.lit("\n"), F.col("text"))
 
 
+# PII prelude for the de-identification queries: the raw corpus contains no
+# digits at all, so date/ID/phone detectors would be vacuous. Prepending
+# these deterministic lines (doc_id-keyed, same constants on both engines)
+# makes every detector AND the cross-kind overlap-precedence logic fire
+# ("AB-123 456-7890": the PHONE match overlaps the earlier ID match and
+# must be suppressed identically by kernel and oracle).
+PII_SNIPPETS = [
+    "Visit date 2021-03-15, follow up 4/5/21",
+    "Patient ID : CH-3021, contact 555-123-4567",
+    "Seen on 3rd March 2021 by Dr. Adams",
+    "Record AB-99812 archived 12/11/2019",
+    "Fax AB-123 456-7890 on file",
+    "No identifiers in this note",
+    "DOB 1987-06-02, Age : 38",
+    "Transfer ref XYZ-4410 on 7/7/2023",
+    "Name : Jane Doe, Age : 44",
+    "Hospital : St Mary Medical Center",
+    "Gender : F recorded at intake",
+    "Sex - male patient cooperative",
+]
+
+
+def _pii_sql() -> str:
+    whens = "".join(
+        f" WHEN {i} THEN {_sql_quote(s)}" for i, s in enumerate(PII_SNIPPETS)
+    )
+    return (
+        f"(CASE (doc_id % {len(PII_SNIPPETS)}){whens} END"
+        f" || chr(10) || text)"
+    )
+
+
+def _pii_col():
+    arr = F.array(*[F.lit(s) for s in PII_SNIPPETS])
+    idx = (F.col("doc_id") % len(PII_SNIPPETS) + 1).cast("int")
+    return F.concat(F.element_at(arr, idx), F.lit("\n"), F.col("text"))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + materialized PII-prelude text (``ctext``) for the de-id
+    queries; same exchange-as-projection-barrier rationale as
+    ``_clinical_docs``."""
+    n = spark.sparkContext.defaultParallelism
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", _pii_col().alias("ctext"))
+        .repartition(n)
+    )
 
 
 def _clinical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -575,6 +632,80 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# E1 extension — the remaining scalar fields (date / patient / doctor /
+# hospital / gender, ref medical_extractor.py:78-110), hash-checked via
+# lookahead-free rewrites. The kernel's NAME/DOCTOR patterns are
+# lookahead-bounded; here the terminator is *consumed* into a second group
+# instead — capture group 1 is provably identical for a first-match
+# extraction (pytest-gated against `extract_regex_fields` on the corpus).
+# Runs over the PII prelude, where these fields actually fire.
+# --------------------------------------------------------------------------
+
+_SCALAR_FIELD_DATE = rf"(?i)\b({_DATE_MASK_PATTERN})\b"
+_SCALAR_FIELD_NAME = (
+    r"(?i)(?:Patient|Name)\s*[:\-]\s*([A-Za-z\s]+?)"
+    r"(\n|,|\s+(?:Age|DOB|Date|Gender|Sex|Diagnosis|Rx|BP))"
+)
+_SCALAR_FIELD_DOCTOR = (
+    r"(?im)(?:Dr\.?|Doctor|Physician)\s*[:\-]?\s*([A-Za-z\.\s]+?)"
+    r"(\n|,|$|\s+(?:Patient|Hospital|Clinic|Date|Diagnosis|Rx|Age|BP))"
+)
+_SCALAR_FIELD_HOSPITAL = r"(?i)(?:Hospital|Clinic|Medical Center|Health Center)\s*:\s*([^\n]+)"
+_SCALAR_FIELD_GENDER = r"(?i)(?:Gender|Sex)\s*[:\-]\s*(Male|Female|M|F)"
+
+
+def q_extract_fields_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = F.col("ctext")
+
+    def first(pat):
+        return F.nullif(F.regexp_extract(t, pat, 1), F.lit(""))
+
+    draw = F.nullif(F.trim(F.regexp_extract(t, _SCALAR_FIELD_DOCTOR, 1)), F.lit(""))
+    g = F.upper(first(_SCALAR_FIELD_GENDER))
+    return _pii_docs(spark, sf_dir).select(
+        "doc_id",
+        first(_SCALAR_FIELD_DATE).alias("date_found"),
+        F.nullif(F.trim(F.regexp_extract(t, _SCALAR_FIELD_NAME, 1)), F.lit("")).alias(
+            "patient_name"
+        ),
+        F.when(F.lower(draw).startswith("dr"), draw)
+        .otherwise(F.concat(F.lit("Dr. "), draw))
+        .alias("doctor_name"),
+        F.nullif(
+            F.trim(F.regexp_extract(t, _SCALAR_FIELD_HOSPITAL, 1)), F.lit("")
+        ).alias("hospital"),
+        F.when(g.isin("MALE", "M"), F.lit("Male"))
+        .when(g.isin("FEMALE", "F"), F.lit("Female"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("gender"),
+    )
+
+
+SQL_EXTRACT_FIELDS_SCALAR = f"""
+WITH dd AS (
+  SELECT doc_id, {_pii_sql()} AS s FROM documents
+), raw AS (
+  SELECT doc_id,
+         nullif(regexp_extract(s, {_sql_quote(_SCALAR_FIELD_DATE)}, 1), '') AS date_found,
+         nullif(trim(regexp_extract(s, {_sql_quote(_SCALAR_FIELD_NAME)}, 1)), '') AS patient_name,
+         nullif(trim(regexp_extract(s, {_sql_quote(_SCALAR_FIELD_DOCTOR)}, 1)), '') AS d_raw,
+         nullif(trim(regexp_extract(s, {_sql_quote(_SCALAR_FIELD_HOSPITAL)}, 1)), '') AS hospital,
+         upper(nullif(regexp_extract(s, {_sql_quote(_SCALAR_FIELD_GENDER)}, 1), '')) AS g_raw
+  FROM dd
+)
+SELECT doc_id, date_found, patient_name,
+       CASE WHEN d_raw IS NULL THEN NULL
+            WHEN lower(d_raw) LIKE 'dr%' THEN d_raw
+            ELSE 'Dr. ' || d_raw END AS doctor_name,
+       hospital,
+       CASE WHEN g_raw IN ('MALE', 'M') THEN 'Male'
+            WHEN g_raw IN ('FEMALE', 'F') THEN 'Female'
+            ELSE NULL END AS gender
+FROM raw
+"""
+
+
+# --------------------------------------------------------------------------
 # C4 — measurement entity extraction, exploded (classifier.py:307-315)
 # --------------------------------------------------------------------------
 
@@ -939,19 +1070,13 @@ FROM prepared
 
 
 # --------------------------------------------------------------------------
-# De-identification, SQL-expressible slice: date masking (the full
-# multi-kind masker with spans is the deid UDF — rows-only query `deid`)
+# De-identification, SQL-expressible slice: date masking + the DATE/ID/PHONE
+# span detectors (the full multi-kind masker incl. lookahead-bounded NAME
+# patterns is the deid UDF — rows-only query `deid`)
 # --------------------------------------------------------------------------
 
-_DATE_MASK_PATTERN = (
-    r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}|"
-    r"\d{1,2}(?:st|nd|rd|th)?\s+"
-    r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{4}"
-)
-
-
 def q_deid_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _clinical_docs(spark, sf_dir).select(
+    return _pii_docs(spark, sf_dir).select(
         "doc_id",
         F.regexp_replace(
             F.col("ctext"), F.lit(f"(?i){_DATE_MASK_PATTERN}"), F.lit("[DATE]")
@@ -961,10 +1086,99 @@ def q_deid_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEID_DATES = f"""
 SELECT doc_id,
-       regexp_replace({_clinical_sql()}, '(?i){_DATE_MASK_PATTERN}', '[DATE]', 'g')
+       regexp_replace({_pii_sql()}, '(?i){_DATE_MASK_PATTERN}', '[DATE]', 'g')
          AS masked_text
 FROM documents
 """
+
+
+def q_deid_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED slice of the de-id kernel: the spans of the
+    lookaround-free detectors (DATE/ID/PHONE — ``functions/deid.py``
+    pattern constants) emitted by the REAL Python kernel (``deid_udf``),
+    checked against independent DuckDB offset arithmetic. The
+    lookahead-bounded NAME detectors cannot overlap these spans (their
+    captures are letters/spaces only, these all contain digits), and AGE is
+    detected last, so filtering the kernel output by kind is exact."""
+    from .operators.extract import deid_udf
+
+    return (
+        _pii_docs(spark, sf_dir)
+        .select("doc_id", deid_udf(F.col("ctext")).alias("d"))
+        .select("doc_id", F.explode(F.col("d.spans")).alias("span"))
+        .filter(F.col("span.kind").isin("DATE", "ID", "PHONE"))
+        .select(
+            "doc_id",
+            F.col("span.start_char").cast("long").alias("start_char"),
+            F.col("span.end_char").cast("long").alias("end_char"),
+            F.col("span.kind").alias("kind"),
+        )
+    )
+
+
+def _deid_span_kind_ctes(tag: str, kind: str, pattern: str, prio: int) -> str:
+    """CTE chain computing (doc_id, start_char, end_char, kind, prio) for one
+    RE2-safe detector: matches via ``regexp_extract_all``, offsets
+    reconstructed from the parallel ``regexp_split_to_array`` parts —
+    ``start(i) = Σ len(parts[1..i]) + Σ len(matches[1..i-1])`` (0-based,
+    character units, matching Python ``m.start()``)."""
+    q = _sql_quote(pattern)
+    return (
+        f"m_{tag} AS (\n"
+        f"  SELECT doc_id, regexp_extract_all(s, {q}) AS ms,\n"
+        f"         regexp_split_to_array(s, {q}) AS ps\n"
+        f"  FROM dd\n"
+        f"), i_{tag} AS (\n"
+        f"  SELECT doc_id, ms, ps, unnest(range(1, len(ms)+1)) AS i FROM m_{tag}\n"
+        f"), p_{tag} AS (\n"
+        f"  SELECT doc_id,\n"
+        f"         coalesce(list_sum(list_transform(ps[1:i], x -> length(x))), 0)\n"
+        f"         + coalesce(list_sum(list_transform(ms[1:i-1], x -> length(x))), 0)\n"
+        f"           AS start_char,\n"
+        f"         length(ms[i]) AS mlen\n"
+        f"  FROM i_{tag}\n"
+        f"), s_{tag} AS (\n"
+        f"  SELECT doc_id, CAST(start_char AS BIGINT) AS start_char,\n"
+        f"         CAST(start_char + mlen AS BIGINT) AS end_char,\n"
+        f"         '{kind}' AS kind, {prio} AS prio\n"
+        f"  FROM p_{tag}\n"
+        f")"
+    )
+
+
+def _deid_spans_sql() -> str:
+    """DuckDB oracle for ``q_deid_spans``, generated from the same pattern
+    constants as the kernel; cross-kind overlaps resolved by the kernel's
+    detection order (DATE > ID > PHONE) via a NOT EXISTS anti-join."""
+    date_full = r"(?i)\b(?:" + _DATE_MASK_PATTERN + r")\b"
+    id_full = r"\b" + _ID_SPAN_PATTERN + r"\b"
+    phone_full = r"\b" + _PHONE_SPAN_PATTERN + r"\b"
+    return (
+        "WITH dd AS (\n"
+        f"  SELECT doc_id, {_pii_sql()} AS s FROM documents\n"
+        "),\n"
+        + _deid_span_kind_ctes("date", "DATE", date_full, 1)
+        + ",\n"
+        + _deid_span_kind_ctes("id", "ID", id_full, 2)
+        + ",\n"
+        + _deid_span_kind_ctes("phone", "PHONE", phone_full, 3)
+        + ",\n"
+        "allspans AS (\n"
+        "  SELECT * FROM s_date UNION ALL\n"
+        "  SELECT * FROM s_id UNION ALL\n"
+        "  SELECT * FROM s_phone\n"
+        ")\n"
+        "SELECT a.doc_id, a.start_char, a.end_char, a.kind\n"
+        "FROM allspans a\n"
+        "WHERE NOT EXISTS (\n"
+        "  SELECT 1 FROM allspans b\n"
+        "  WHERE b.doc_id = a.doc_id AND b.prio < a.prio\n"
+        "    AND b.start_char < a.end_char AND a.start_char < b.end_char\n"
+        ")\n"
+    )
+
+
+SQL_DEID_SPANS = _deid_spans_sql()
 
 
 # --------------------------------------------------------------------------
@@ -1179,8 +1393,10 @@ def _ann_inputs(spark: SparkSession, sf_dir: str):
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: LSH-banded ANN (scale path; exact agreement with the
-    brute-force oracle on top-1 is pytest-gated)."""
+    """HASH-CHECKED: LSH-banded ANN (scale path) — the expr signature
+    backend makes the full band→candidate→re-rank flow DuckDB-reproducible
+    (``make_ann_lsh_sql`` from the same plane constants); numpy-backend
+    agreement is pytest-gated."""
     from .operators.similarity import ann_lsh_topk
 
     emb, queries = _ann_inputs(spark, sf_dir)
@@ -1191,16 +1407,32 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_ann_lsh() -> str:
+    from .operators.similarity import make_ann_lsh_sql
+
+    return make_ann_lsh_sql(ANN_N_QUERIES, ANN_K)
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: IVF ANN (bounded-sample k-means coarse quantizer)."""
-    from .operators.similarity import ann_ivf_topk
+    """HASH-CHECKED: IVF ANN with the seeded-row coarse quantizer
+    (``make_ann_ivf_sql`` reproduces assignment + probe + re-rank in
+    DuckDB from the same constants). The k-means quantizer variant
+    (``ann_ivf_topk``) stays pytest-gated (top-1 agreement vs brute
+    force)."""
+    from .operators.similarity import ann_ivf_seeded_topk
 
     emb, queries = _ann_inputs(spark, sf_dir)
-    out = ann_ivf_topk(emb, queries, k=ANN_K)
+    out = ann_ivf_seeded_topk(emb, queries, k=ANN_K)
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def _sql_ann_ivf() -> str:
+    from .operators.similarity import make_ann_ivf_sql
+
+    return make_ann_ivf_sql(ANN_N_QUERIES, ANN_K)
 
 
 def _q_conv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1221,6 +1453,44 @@ def _q_conv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("timestamp").alias("ts"),
     )
     return per_conversation_metrics(run_extraction(transcripts))
+
+
+def _q_conv_metrics_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED: the kernel-free ordering/contiguity slice of
+    ``conv_metrics`` — the north_star stable-turn-ordering invariant
+    (``ordered_ok``) computed by the same salted two-stage plan
+    (``plans/pipeline.py::per_conversation_order``), oracled in DuckDB with
+    window aggregates over raw ``(conv_id, turn_idx)``."""
+    from pyspark.sql.window import Window
+
+    from .plans.pipeline import per_conversation_order
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("doc_id")
+    transcripts = docs.select(
+        F.col("source").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+    )
+    return per_conversation_order(transcripts)
+
+
+SQL_CONV_METRICS_ORDER = """
+WITH t AS (
+  SELECT source AS conv_id,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) AS turn_idx
+  FROM documents
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT turn_idx) AS BIGINT) AS n_distinct_turns,
+       CAST(min(turn_idx) AS BIGINT) AS min_turn,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn,
+       CAST(CASE WHEN min(turn_idx) = 0
+                  AND max(turn_idx) = count(DISTINCT turn_idx) - 1
+                  AND count(DISTINCT turn_idx) = count(*)
+                 THEN 1 ELSE 0 END AS BIGINT) AS ordered_ok
+FROM t GROUP BY conv_id
+"""
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1296,12 +1566,14 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "minhash_lsh": (_q_minhash_lsh, _sql_minhash()),
     "dedup_keepers_minhash": (_q_minhash_keepers, _sql_minhash_keepers()),
     "winnow_overlap": (_q_winnow_overlap, _sql_winnow_overlap()),
-    "ann_lsh": (_q_ann_lsh, None),
-    "ann_ivf": (_q_ann_ivf, None),
+    "ann_lsh": (_q_ann_lsh, _sql_ann_lsh()),
+    "ann_ivf": (_q_ann_ivf, _sql_ann_ivf()),
     "conv_metrics": (_q_conv_metrics, None),
+    "conv_metrics_order": (_q_conv_metrics_order, SQL_CONV_METRICS_ORDER),
     "dict_match": (q_dict_match, SQL_DICT_MATCH),
     "multiword_disease": (q_multiword_disease, SQL_MULTIWORD_DISEASE),
     "vitals_fields": (q_vitals_fields, SQL_VITALS_FIELDS),
+    "extract_fields_scalar": (q_extract_fields_scalar, SQL_EXTRACT_FIELDS_SCALAR),
     "measurements": (q_measurements, SQL_MEASUREMENTS),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
@@ -1310,6 +1582,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "ann_cosine": (q_ann_cosine, SQL_ANN_COSINE),
     "sentences": (q_sentences, SQL_SENTENCES),
     "deid_dates": (q_deid_dates, SQL_DEID_DATES),
+    "deid_spans": (q_deid_spans, SQL_DEID_SPANS),
     "cer": (q_cer, SQL_CER),
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

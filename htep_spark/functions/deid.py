@@ -25,9 +25,27 @@ from __future__ import annotations
 import re
 from typing import Dict, List
 
-__all__ = ["PII_PATTERNS", "deidentify", "split_sentences", "SENTENCE_PATTERN"]
+__all__ = [
+    "PII_PATTERNS",
+    "DATE_PATTERN",
+    "ID_PATTERN",
+    "PHONE_PATTERN",
+    "deidentify",
+    "split_sentences",
+    "SENTENCE_PATTERN",
+]
 
 _DIGIT_RE = re.compile(r"\d")
+
+# Raw RE2-safe (lookaround-free) detector bodies — single source shared by
+# the Python kernel below AND the DuckDB `deid_spans` oracle
+# (`driver_queries.SQL_DEID_SPANS` is generated from these constants).
+DATE_PATTERN = (
+    r"\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}|\d{1,2}(?:st|nd|rd|th)?\s+"
+    r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{4}"
+)
+ID_PATTERN = r"[A-Z]{2,3}-\d{3,}"
+PHONE_PATTERN = r"\d{3}[-.\s]\d{3,4}[-.\s]\d{4}"
 
 # Detection order matters: earlier kinds claim overlapping spans first.
 PII_PATTERNS = [
@@ -50,18 +68,11 @@ PII_PATTERNS = [
         ),
     ),
     # dates (medical_extractor.py:78)
-    (
-        "DATE",
-        re.compile(
-            r"\b(\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4}|\d{1,2}(?:st|nd|rd|th)?\s+"
-            r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]*\s+\d{4})\b",
-            re.IGNORECASE,
-        ),
-    ),
+    ("DATE", re.compile(rf"\b({DATE_PATTERN})\b", re.IGNORECASE)),
     # record IDs (synthetic-corpus shape CH-3021; generic LETTERS-digits)
-    ("ID", re.compile(r"\b[A-Z]{2,3}-\d{3,}\b")),
+    ("ID", re.compile(rf"\b{ID_PATTERN}\b")),
     # phone-ish numbers
-    ("PHONE", re.compile(r"\b\d{3}[-.\s]\d{3,4}[-.\s]\d{4}\b")),
+    ("PHONE", re.compile(rf"\b{PHONE_PATTERN}\b")),
     # age values (medical_extractor.py:98 — mask the number only)
     ("AGE", re.compile(r"(?:Age)\s*[:\-]\s*(\d+)", re.IGNORECASE)),
 ]

@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from ..operators.extract import extract_transcripts
 
-__all__ = ["run_extraction", "per_conversation_metrics", "validate_turn_order"]
+__all__ = [
+    "run_extraction",
+    "per_conversation_metrics",
+    "per_conversation_order",
+    "validate_turn_order",
+]
 
 DEFAULT_SALT_BUCKET = 10_000
 
@@ -86,6 +91,54 @@ def per_conversation_metrics(
         (F.col("min_turn") == 0)
         & (F.col("max_turn") == F.col("n_distinct_turns") - 1)
         & (F.col("n_distinct_turns") == F.col("n_turns")),
+    )
+
+
+def per_conversation_order(
+    transcripts: DataFrame, bucket_size: int = DEFAULT_SALT_BUCKET
+) -> DataFrame:
+    """The kernel-free slice of ``per_conversation_metrics``: the salted
+    two-stage ordering/contiguity rollup over raw ``(conv_id, turn_idx)``.
+
+    This is the north_star's stable-turn-ordering invariant itself —
+    ``ordered_ok = 1`` iff turn indices are exactly ``0..n-1`` with no
+    duplicates — computed with the identical two-stage salted plan (stage 1
+    bounded by ``salt = turn_idx div bucket_size``; per-bucket distinct
+    counts add up exactly because salt buckets partition the index range).
+    Because no Python kernel is involved, the whole thing is
+    SQL-expressible and DuckDB hash-checked by the driver
+    (``conv_metrics_order``). All columns are BIGINT for canonicalizer
+    parity."""
+    light = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        (F.col("turn_idx") / F.lit(bucket_size)).cast("int").alias("salt"),
+    )
+    bucketed = light.groupBy("conv_id", "salt").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("turn_idx").alias("n_distinct"),
+        F.min("turn_idx").alias("min_turn"),
+        F.max("turn_idx").alias("max_turn"),
+    )
+    merged = bucketed.groupBy("conv_id").agg(
+        F.sum("n").alias("n_turns"),
+        F.sum("n_distinct").alias("n_distinct_turns"),
+        F.min("min_turn").alias("min_turn"),
+        F.max("max_turn").alias("max_turn"),
+    )
+    return merged.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        F.col("n_distinct_turns").cast("long").alias("n_distinct_turns"),
+        F.col("min_turn").cast("long").alias("min_turn"),
+        F.col("max_turn").cast("long").alias("max_turn"),
+        (
+            (F.col("min_turn") == 0)
+            & (F.col("max_turn") == F.col("n_distinct_turns") - 1)
+            & (F.col("n_distinct_turns") == F.col("n_turns"))
+        )
+        .cast("long")
+        .alias("ordered_ok"),
     )
 
 

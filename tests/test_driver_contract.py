@@ -61,3 +61,34 @@ def test_all_driver_queries_canonicalizer_safe(spark):
             assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
                 f"{name}.{f.name} has non-atomic type {f.dataType.simpleString()}"
             )
+
+
+def test_scalar_field_query_matches_kernel(spark):
+    """`extract_fields_scalar`'s lookahead-free relational rewrites must
+    agree field-for-field with the Python kernel's lookahead-bounded
+    patterns (`extract_regex_fields`) on every PII-prelude document —
+    the equivalence proof VERDICT r02 #6 asked for."""
+    from htep_spark.driver_queries import PII_SNIPPETS, q_extract_fields_scalar
+    from htep_spark.functions.extract_fields import extract_regex_fields
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {r["doc_id"]: r for r in q_extract_fields_scalar(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(rows) == len(docs)
+    fired = set()
+    for d in docs:
+        ctext = PII_SNIPPETS[d["doc_id"] % len(PII_SNIPPETS)] + "\n" + d["text"]
+        want = extract_regex_fields(ctext)
+        got = rows[d["doc_id"]]
+        assert got["date_found"] == want["date"], d["doc_id"]
+        assert got["patient_name"] == want["patient_name"], d["doc_id"]
+        assert got["doctor_name"] == want["doctor_name"], d["doc_id"]
+        assert got["hospital"] == want["hospital"], d["doc_id"]
+        assert got["gender"] == want["gender"], d["doc_id"]
+        for k in ("date", "patient_name", "doctor_name", "hospital", "gender"):
+            if want[k] is not None:
+                fired.add(k)
+    # the PII prelude must make every field non-vacuous somewhere
+    assert fired == {"date", "patient_name", "doctor_name", "hospital", "gender"}

@@ -194,6 +194,46 @@ def test_lsh_bucket_cap_noop_on_normal_corpus(spark):
     assert capped == {(0, 1), (2, 3)}
 
 
+def test_ann_signature_backends_agree(spark):
+    """The expr (JVM fold, DuckDB-oracled) and numpy (BLAS matmul) LSH
+    signature backends must produce identical top-k — both quantize the
+    hyperplane sign at 6dp, so summation order cannot flip a bit."""
+    from htep_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = {}
+    for mode in ("expr", "numpy"):
+        out[mode] = {
+            (r["query_id"], r["vec_id"], round(r["cosine"], 6), r["rank"])
+            for r in ann_lsh_topk(emb, queries, k=5, signature_mode=mode).collect()
+        }
+    assert out["expr"] == out["numpy"]
+
+
+def test_hyperplane_sign_margin():
+    """Cross-engine safety of the quantized sign: every (vector, plane) dot
+    product on the driver corpora must clear the round-to-6dp decision
+    boundary (0.5e-6) by far more than any float summation-order error
+    (~1e-12), so Spark/BLAS/DuckDB can never disagree on a bit."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from htep_spark.operators.similarity import _DIM_DEFAULT, _planes
+
+    planes = _planes(_DIM_DEFAULT)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        tbl = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()]
+        )
+        dots = mat @ planes.T
+        margin = np.abs(np.abs(dots) - 0.5e-6).min()
+        assert margin > 1e-9, f"{sf}: sign margin {margin} too small"
+
+
 def test_ann_lsh_agrees_with_bruteforce_on_top1(spark):
     from htep_spark.operators.similarity import ann_lsh_topk, cosine_topk
 
