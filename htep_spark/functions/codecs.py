@@ -9,6 +9,9 @@ built from the stdlib + numpy only:
 - **BMP**: 24-bit uncompressed BITMAPINFOHEADER, bottom-up rows with 4-byte
   padding.
 - **PPM (P6)**: maxval 255 binary, whitespace/comment-tolerant header.
+- **JPEG** (``functions/jpeg.py``): baseline sequential DCT — general
+  decoder (arbitrary DHT/DQT, 4:4:4/4:2:2/4:2:0, restart markers) and a
+  spec-compliant flat-quant writer for round-trip tests.
 - **WAV** (via stdlib ``wave``): PCM metadata + int16 samples.
 - **RAWV**: a deliberately simple frame container for the video operators —
   ``b"RAWV" + uint32 n_frames`` followed by length-prefixed PPM frames at a
@@ -50,12 +53,14 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes) -> str:
-    """Magic-byte format sniff → 'png' | 'bmp' | 'ppm' | 'wav' | 'rawv' |
-    'unknown'."""
+    """Magic-byte format sniff → 'png' | 'jpeg' | 'bmp' | 'ppm' | 'wav' |
+    'rawv' | 'unknown'."""
     if not payload:
         return "unknown"
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
@@ -315,6 +320,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"undecodable image payload (format={fmt})")
 
 
@@ -325,6 +334,10 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(img)
     if fmt == "ppm":
         return encode_ppm(img)
+    if fmt == "jpeg":
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(img)
     raise ValueError(f"unknown image format {fmt}")
 
 

@@ -7,9 +7,10 @@ batched-inference pattern of ``src/recognition/icr_block_engine.py:162-195``;
 per-item failures land in an ``error`` column and never fail the job).
 
 Decode kernels are REAL pure-Python codecs (``functions/codecs.py``): PNG
-(stdlib zlib), BMP, PPM, PCM WAV (stdlib wave), and the RAWV length-prefixed
-frame container for video. Formats that would need external demuxer
-libraries (MP4, …) are not decodable in this container: by default
+(stdlib zlib), baseline JPEG (``functions/jpeg.py``), BMP, PPM, PCM WAV
+(stdlib wave), and the RAWV length-prefixed frame container for video.
+Formats that would need external demuxer libraries (MP4, …) are not
+decodable in this container: by default
 (``strict=True``) they error per-item (``NotImplementedError`` in the
 ``error`` column, metadata all-null) — **no code path invents media
 metadata unless explicitly opted into** via ``strict=False``, which falls
@@ -93,7 +94,7 @@ def _audio_feature(samples: np.ndarray) -> list:
 def _real_decode(payload: bytes, kind: str) -> dict:
     """Format-sniffed real decode → metadata dict. Raises on undecodable."""
     fmt = codecs.sniff_format(payload)
-    if fmt in ("png", "bmp", "ppm"):
+    if fmt in ("png", "jpeg", "bmp", "ppm"):
         img = codecs.decode_image(payload)
         return {
             "format": fmt,
@@ -151,7 +152,7 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 def decode_media(df: DataFrame, strict: bool = True) -> DataFrame:
     """media table → per-item decoded metadata + feature vector.
 
-    Real codecs for PNG/BMP/PPM/WAV/RAWV payloads. Unknown formats raise
+    Real codecs for PNG/JPEG/BMP/PPM/WAV/RAWV payloads. Unknown formats raise
     per-item by default (``strict=True``): the row carries the error string
     and all-null metadata — never fabricated values. ``strict=False`` is an
     explicit opt-in to the deterministic fake decoder (``format='fake'``)
@@ -204,15 +205,15 @@ def _synth_image(i: int, w: int = 48, h: int = 32) -> np.ndarray:
 
 def make_media_table(spark, n: int = 32) -> DataFrame:
     """Deterministic synthetic media table with REAL payloads: images cycle
-    png/bmp/ppm, audio is PCM WAV (440·(1+i%3) Hz sine), video is a RAWV
-    container of shifted gradient frames."""
+    png/bmp/ppm/jpeg, audio is PCM WAV (440·(1+i%3) Hz sine), video is a
+    RAWV container of shifted gradient frames."""
     rows = []
     kinds = ["image", "audio", "video"]
-    img_fmts = ["png", "bmp", "ppm"]
+    img_fmts = ["png", "bmp", "ppm", "jpeg"]
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            fmt = img_fmts[(i // 3) % 3]
+            fmt = img_fmts[(i // 3) % 4]
             payload = codecs.encode_image(_synth_image(i), fmt)
             mime = f"image/{fmt}"
         elif kind == "audio":
@@ -269,7 +270,7 @@ def resize_media(
                 payload = bytes(raw or b"")
                 fmt = codecs.sniff_format(payload)
                 try:
-                    if fmt in ("png", "bmp", "ppm"):
+                    if fmt in ("png", "jpeg", "bmp", "ppm"):
                         img = codecs.decode_image(payload)
                         out = codecs.resize_nearest(img, width, height)
                         base["payload"] = bytearray(codecs.encode_image(out, fmt))

@@ -280,6 +280,9 @@ def test_multimodal_decode_plumbing(spark):
     vid = by_id["m-0002"]
     assert vid["format"] == "rawv" and vid["n_frames"] == 32
     assert (vid["width"], vid["height"]) == (32, 24)
+    # image i=9 cycles to the baseline JPEG codec — true dims, real decode
+    jpg = by_id["m-0009"]
+    assert jpg["format"] == "jpeg" and (jpg["width"], jpg["height"]) == (48, 32)
     # deterministic across runs
     out2 = decode_media(media, strict=True).collect()
     assert sorted(map(str, out)) == sorted(map(str, out2))
@@ -297,6 +300,11 @@ def test_multimodal_pixel_roundtrip(spark):
     for fmt in ("png", "bmp", "ppm"):
         out = codecs.decode_image(codecs.encode_image(src, fmt))
         assert np.array_equal(out, src), fmt
+    # JPEG is lossy: near-lossless at the flat default quant, deterministic
+    jout = codecs.decode_image(codecs.encode_image(src, "jpeg"))
+    assert jout.shape == src.shape
+    assert np.abs(jout.astype(int) - src.astype(int)).max() <= 3
+    assert codecs.encode_image(src, "jpeg") == codecs.encode_image(src, "jpeg")
     # PNG filters 1-4 decode: round-trip a real-world-filtered image by
     # re-encoding rows with each filter type manually is overkill here;
     # instead verify RGBA + grayscale channel counts survive
@@ -304,6 +312,39 @@ def test_multimodal_pixel_roundtrip(spark):
     assert codecs.decode_png(codecs.encode_png(rgba)).shape == rgba.shape
     gray = src[:, :, 0]
     assert codecs.decode_png(codecs.encode_png(gray)).shape == (32, 48, 1)
+
+
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG codec: 4:4:4 and 4:2:0, grayscale, odd dimensions,
+    restart markers — all decode within the lossy tolerance and
+    deterministically (ITU T.81 sequential DCT, pure Python)."""
+    import numpy as np
+
+    from htep_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from htep_spark.operators.multimodal import _synth_image
+
+    src = _synth_image(3)
+    # near-lossless at quant=1, 4:4:4
+    out = decode_jpeg(encode_jpeg(src, quant=1))
+    assert out.shape == src.shape
+    assert np.abs(out.astype(int) - src.astype(int)).max() <= 2
+    # 4:2:0 subsampling: chroma box-averaged, still close
+    out420 = decode_jpeg(encode_jpeg(src, quant=1, subsampling="420"))
+    assert np.abs(out420.astype(int) - src.astype(int)).max() <= 16
+    assert np.abs(out420.astype(int) - src.astype(int)).mean() <= 4
+    # restart markers decode identically to the unrestarted stream
+    rst = decode_jpeg(encode_jpeg(src, quant=1, restart_interval=2))
+    assert np.array_equal(rst, out)
+    # grayscale is exact at quant=1 (no chroma conversion rounding)
+    g = src[:, :, 0]
+    gout = decode_jpeg(encode_jpeg(g, quant=1))
+    assert gout.shape == (*g.shape, 1)
+    assert np.array_equal(gout[..., 0], g)
+    # odd (non-multiple-of-8/16) dimensions crop correctly
+    odd = src[:29, :45]
+    assert decode_jpeg(encode_jpeg(odd, quant=1, subsampling="420")).shape == (29, 45, 3)
+    # determinism
+    assert encode_jpeg(src, quant=2) == encode_jpeg(src, quant=2)
 
 
 def test_multimodal_strict_stub_errors(spark):
