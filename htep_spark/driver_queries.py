@@ -486,6 +486,66 @@ SQL_CLASSIFY = _classify_sql()
 
 
 # --------------------------------------------------------------------------
+# Conversation-level rollup of the relational C1/C2 outputs — the
+# aggregation shape of `conv_rollup` (operators/conversation.py) with a
+# fully SQL-expressible per-turn base, so the conversation-grain
+# max-urgency / distinct-doc-type semantics get a hash-checked driver row
+# (the kernel-input variant stays rows-only as `conv_rollup`).
+# --------------------------------------------------------------------------
+
+_URGENCY_RANK_CASES = [("urgent", 2), ("high", 1)]
+
+
+def q_conv_class_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urg = q_urgency(spark, sf_dir).select("doc_id", "urgency")
+    cls = q_classify(spark, sf_dir).select("doc_id", "document_type")
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    joined = docs.join(urg, "doc_id").join(cls, "doc_id")
+    rank = F.when(F.col("urgency") == "urgent", 2).when(
+        F.col("urgency") == "high", 1
+    ).otherwise(0)
+    rolled = joined.groupBy(F.col("source").alias("conv_id")).agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.max(rank).alias("_mr"),
+        F.array_join(F.array_sort(F.collect_set("document_type")), "|").alias(
+            "document_types"
+        ),
+    )
+    return rolled.select(
+        "conv_id",
+        "n_turns",
+        F.when(F.col("_mr") == 2, "urgent")
+        .when(F.col("_mr") == 1, "high")
+        .otherwise("routine")
+        .alias("max_urgency"),
+        "document_types",
+    )
+
+
+SQL_CONV_CLASS_ROLLUP = f"""
+WITH u AS ({SQL_URGENCY}),
+c AS ({SQL_CLASSIFY}),
+j AS (
+  SELECT d.source AS conv_id, u.urgency, c.document_type
+  FROM documents d JOIN u USING (doc_id) JOIN c USING (doc_id)
+), r AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         max(CASE urgency WHEN 'urgent' THEN 2 WHEN 'high' THEN 1 ELSE 0 END) AS mr
+  FROM j GROUP BY conv_id
+), t AS (
+  SELECT DISTINCT conv_id, document_type FROM j
+), ts AS (
+  SELECT conv_id, string_agg(document_type, '|' ORDER BY document_type) AS document_types
+  FROM t GROUP BY conv_id
+)
+SELECT r.conv_id, r.n_turns,
+       CASE r.mr WHEN 2 THEN 'urgent' WHEN 1 THEN 'high' ELSE 'routine' END AS max_urgency,
+       ts.document_types
+FROM r JOIN ts USING (conv_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # C3 — per-segment classification (src/nlp/classifier.py:202-219): C1 run on
 # each line segment, keyed `{segment_type}_{start_line}`. Reuses the G5
 # segmentation plan and the relational C1 scorer.
@@ -1093,20 +1153,21 @@ FROM documents
 
 
 def q_deid_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HASH-CHECKED slice of the de-id kernel: the spans of the
-    lookaround-free detectors (DATE/ID/PHONE — ``functions/deid.py``
-    pattern constants) emitted by the REAL Python kernel (``deid_udf``),
-    checked against independent DuckDB offset arithmetic. The
-    lookahead-bounded NAME detectors cannot overlap these spans (their
-    captures are letters/spaces only, these all contain digits), and AGE is
-    detected last, so filtering the kernel output by kind is exact."""
+    """HASH-CHECKED: ALL spans of the de-id kernel (``deid_udf`` — the six
+    detectors of ``functions/deid.py::PII_PATTERNS``, including the
+    lookahead-bounded NAME patterns and the group-captured AGE), checked
+    against independent DuckDB offset arithmetic. The oracle rewrites each
+    lookahead ``X(?=T)`` as the consuming ``X(T)`` — identical group-1
+    spans for *every* match because no detector's start token can begin
+    inside a consumed terminator — and models the kernel's first-come
+    overlap claiming transitively (a span suppressed by a kept span does
+    not itself suppress later spans)."""
     from .operators.extract import deid_udf
 
     return (
         _pii_docs(spark, sf_dir)
         .select("doc_id", deid_udf(F.col("ctext")).alias("d"))
         .select("doc_id", F.explode(F.col("d.spans")).alias("span"))
-        .filter(F.col("span.kind").isin("DATE", "ID", "PHONE"))
         .select(
             "doc_id",
             F.col("span.start_char").cast("long").alias("start_char"),
@@ -1116,13 +1177,25 @@ def q_deid_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _deid_span_kind_ctes(tag: str, kind: str, pattern: str, prio: int) -> str:
+def _deid_span_kind_ctes(
+    tag: str, kind: str, pattern: str, prio: int, prefix_re: str | None = None
+) -> str:
     """CTE chain computing (doc_id, start_char, end_char, kind, prio) for one
-    RE2-safe detector: matches via ``regexp_extract_all``, offsets
-    reconstructed from the parallel ``regexp_split_to_array`` parts —
-    ``start(i) = Σ len(parts[1..i]) + Σ len(matches[1..i-1])`` (0-based,
-    character units, matching Python ``m.start()``)."""
+    RE2-safe detector: matches via ``regexp_extract_all``, full-match
+    offsets reconstructed from the parallel ``regexp_split_to_array`` parts
+    — ``start(i) = Σ len(parts[1..i]) + Σ len(matches[1..i-1])`` (0-based,
+    character units, matching Python ``m.start()``). With ``prefix_re``
+    set, the emitted span is the *capture group 1* sub-span: start shifts
+    by the anchored prefix length, length is the group-1 text re-extracted
+    from the match."""
     q = _sql_quote(pattern)
+    if prefix_re is None:
+        adjust = "0 AS plen,\n         length(ms[i]) AS slen"
+    else:
+        adjust = (
+            f"length(regexp_extract(ms[i], {_sql_quote(prefix_re)}, 0)) AS plen,\n"
+            f"         length(regexp_extract(ms[i], {q}, 1)) AS slen"
+        )
     return (
         f"m_{tag} AS (\n"
         f"  SELECT doc_id, regexp_extract_all(s, {q}) AS ms,\n"
@@ -1134,51 +1207,129 @@ def _deid_span_kind_ctes(tag: str, kind: str, pattern: str, prio: int) -> str:
         f"  SELECT doc_id,\n"
         f"         coalesce(list_sum(list_transform(ps[1:i], x -> length(x))), 0)\n"
         f"         + coalesce(list_sum(list_transform(ms[1:i-1], x -> length(x))), 0)\n"
-        f"           AS start_char,\n"
-        f"         length(ms[i]) AS mlen\n"
+        f"           AS mstart,\n"
+        f"         {adjust}\n"
         f"  FROM i_{tag}\n"
         f"), s_{tag} AS (\n"
-        f"  SELECT doc_id, CAST(start_char AS BIGINT) AS start_char,\n"
-        f"         CAST(start_char + mlen AS BIGINT) AS end_char,\n"
+        f"  SELECT doc_id, CAST(mstart + plen AS BIGINT) AS start_char,\n"
+        f"         CAST(mstart + plen + slen AS BIGINT) AS end_char,\n"
         f"         '{kind}' AS kind, {prio} AS prio\n"
-        f"  FROM p_{tag}\n"
+        f"  FROM p_{tag} WHERE slen > 0\n"
         f")"
     )
 
 
-def _deid_spans_sql() -> str:
-    """DuckDB oracle for ``q_deid_spans``, generated from the same pattern
-    constants as the kernel; cross-kind overlaps resolved by the kernel's
-    detection order (DATE > ID > PHONE) via a NOT EXISTS anti-join."""
+def _deid_spans_ctes() -> str:
+    """Shared DuckDB CTE body ending in ``ku5`` = the kernel's kept spans,
+    generated from the same pattern constants as the kernel. Kernel
+    claiming semantics: detectors run in ``PII_PATTERNS`` order and a span
+    is kept iff it does not overlap an already-KEPT span — suppressed
+    spans claim nothing. Modeled as a 6-level chained anti-join (``k_*`` /
+    cumulative ``ku*`` CTEs), not one flat pass, because a flat "overlaps
+    any lower-prio span" test would wrongly let a *suppressed* span
+    suppress others."""
+    pat_name = (
+        r"(?i)(?:Patient|Name)\s*[:\-]\s*([A-Za-z\s]+?)"
+        r"(\n|,|\s+(?:Age|DOB|Date|Gender|Sex|Diagnosis|Rx|BP))"
+    )
+    pat_name_prefix = r"(?i)^(?:Patient|Name)\s*[:\-]\s*"
+    pat_doctor = (
+        r"(?im)(?:Dr\.?|Doctor|Physician)\s*[:\-]?\s*([A-Za-z\.\s]+?)"
+        r"(\n|,|$|\s+(?:Patient|Hospital|Clinic|Date|Diagnosis|Rx|Age|BP))"
+    )
+    pat_doctor_prefix = r"(?i)^(?:Dr\.?|Doctor|Physician)\s*[:\-]?\s*"
     date_full = r"(?i)\b(?:" + _DATE_MASK_PATTERN + r")\b"
     id_full = r"\b" + _ID_SPAN_PATTERN + r"\b"
     phone_full = r"\b" + _PHONE_SPAN_PATTERN + r"\b"
+    pat_age = r"(?i)(?:Age)\s*[:\-]\s*([0-9]+)"
+    pat_age_prefix = r"(?i)^(?:Age)\s*[:\-]\s*"
+    levels = ["pname", "pdoc", "pdate", "pid", "pphone", "page"]
+    keeps = []
+    for n, tag in enumerate(levels):
+        if n == 0:
+            keeps.append(f"k_{tag} AS (SELECT * FROM s_{tag})")
+            keeps.append(f"ku{n} AS (SELECT * FROM k_{tag})")
+        else:
+            keeps.append(
+                f"k_{tag} AS (\n"
+                f"  SELECT a.* FROM s_{tag} a WHERE NOT EXISTS (\n"
+                f"    SELECT 1 FROM ku{n-1} b\n"
+                f"    WHERE b.doc_id = a.doc_id\n"
+                f"      AND b.start_char < a.end_char AND a.start_char < b.end_char))"
+            )
+            keeps.append(
+                f"ku{n} AS (SELECT * FROM ku{n-1} UNION ALL SELECT * FROM k_{tag})"
+            )
     return (
-        "WITH dd AS (\n"
+        "dd AS (\n"
         f"  SELECT doc_id, {_pii_sql()} AS s FROM documents\n"
         "),\n"
-        + _deid_span_kind_ctes("date", "DATE", date_full, 1)
+        + _deid_span_kind_ctes("pname", "NAME", pat_name, 1, pat_name_prefix)
         + ",\n"
-        + _deid_span_kind_ctes("id", "ID", id_full, 2)
+        + _deid_span_kind_ctes("pdoc", "NAME", pat_doctor, 2, pat_doctor_prefix)
         + ",\n"
-        + _deid_span_kind_ctes("phone", "PHONE", phone_full, 3)
+        + _deid_span_kind_ctes("pdate", "DATE", date_full, 3)
         + ",\n"
-        "allspans AS (\n"
-        "  SELECT * FROM s_date UNION ALL\n"
-        "  SELECT * FROM s_id UNION ALL\n"
-        "  SELECT * FROM s_phone\n"
-        ")\n"
-        "SELECT a.doc_id, a.start_char, a.end_char, a.kind\n"
-        "FROM allspans a\n"
-        "WHERE NOT EXISTS (\n"
-        "  SELECT 1 FROM allspans b\n"
-        "  WHERE b.doc_id = a.doc_id AND b.prio < a.prio\n"
-        "    AND b.start_char < a.end_char AND a.start_char < b.end_char\n"
-        ")\n"
+        + _deid_span_kind_ctes("pid", "ID", id_full, 4)
+        + ",\n"
+        + _deid_span_kind_ctes("pphone", "PHONE", phone_full, 5)
+        + ",\n"
+        + _deid_span_kind_ctes("page", "AGE", pat_age, 6, pat_age_prefix)
+        + ",\n"
+        + ",\n".join(keeps)
     )
 
 
+def _deid_spans_sql() -> str:
+    return (
+        f"WITH {_deid_spans_ctes()}\n"
+        "SELECT doc_id, start_char, end_char, kind FROM ku5\n"
+    )
+
+
+def _deid_mask_sql() -> str:
+    """Masked-text reconstruction from the kept spans: splice
+    ``[KIND]`` over each span in start order (Python kernel:
+    ``text[cursor:s] + '[KIND]'`` pieces + tail)."""
+    return f"""
+WITH {_deid_spans_ctes()},
+lagged AS (
+  SELECT doc_id, start_char, end_char, kind,
+         coalesce(lag(end_char) OVER (PARTITION BY doc_id ORDER BY start_char), 0)
+           AS prev_end
+  FROM ku5
+), pieces AS (
+  SELECT l.doc_id,
+         string_agg(substr(d.s, CAST(l.prev_end + 1 AS INTEGER),
+                           CAST(l.start_char - l.prev_end AS INTEGER))
+                    || '[' || l.kind || ']', '' ORDER BY l.start_char) AS head,
+         max(l.end_char) AS last_end
+  FROM lagged l JOIN dd d USING (doc_id)
+  GROUP BY l.doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN p.doc_id IS NULL THEN d.s
+            ELSE p.head || substr(d.s, CAST(p.last_end + 1 AS INTEGER)) END
+         AS masked_text
+FROM dd d LEFT JOIN pieces p USING (doc_id)
+"""
+
+
 SQL_DEID_SPANS = _deid_spans_sql()
+SQL_DEID_MASK = _deid_mask_sql()
+
+
+def q_deid_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED: the kernel's full multi-kind ``masked_text`` vs a
+    DuckDB reconstruction that splices ``[KIND]`` over the independently
+    recomputed kept spans — with `deid_spans`, the complete
+    de-identification output (spans AND masking) is oracle-verified."""
+    from .operators.extract import deid_udf
+
+    return _pii_docs(spark, sf_dir).select(
+        "doc_id",
+        deid_udf(F.col("ctext")).getField("masked_text").alias("masked_text"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1560,6 +1711,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "urgency": (q_urgency, SQL_URGENCY),
     "classify": (q_classify, SQL_CLASSIFY),
     "classify_segments": (q_classify_segments, SQL_CLASSIFY_SEGMENTS),
+    "conv_class_rollup": (q_conv_class_rollup, SQL_CONV_CLASS_ROLLUP),
     "dedup_keepers": (q_dedup_keepers, SQL_DEDUP_KEEPERS),
     "simhash": (_q_simhash, _sql_simhash()),
     "winnow_fingerprints": (_q_winnow, _sql_winnow()),
@@ -1583,6 +1735,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "sentences": (q_sentences, SQL_SENTENCES),
     "deid_dates": (q_deid_dates, SQL_DEID_DATES),
     "deid_spans": (q_deid_spans, SQL_DEID_SPANS),
+    "deid_mask": (q_deid_mask, SQL_DEID_MASK),
     "cer": (q_cer, SQL_CER),
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),

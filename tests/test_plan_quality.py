@@ -81,3 +81,36 @@ def test_aqe_handles_skewed_join(spark):
     # 99 of every 100 ids collapse to k=0 (matching dim k=0); the passthrough
     # ids (id%100==99) are all >63 and match nothing
     assert n == 198_000
+
+
+def test_ann_lsh_expr_plan_stays_jvm_side(spark):
+    """The expr signature backend must compile to pure column expressions:
+    no Python evaluation node anywhere in the LSH candidate/re-rank plan
+    (the numpy backend is the explicit opt-in that adds ArrowEvalPython)."""
+    from pyspark.sql import functions as F
+
+    from htep_spark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ann_lsh_topk(emb, queries, k=3)  # expr default
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, "Python eval node in expr-mode ANN plan"
+    numpy_out = ann_lsh_topk(emb, queries, k=3, signature_mode="numpy")
+    numpy_plan = numpy_out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in numpy_plan  # sanity: the opt-in really differs
+
+
+def test_conv_metrics_order_partial_aggregation(spark):
+    """Both stages of the salted ordering rollup must hash-aggregate with
+    map-side partial aggregation (partial_* before each exchange), and the
+    scan must prune to the two referenced columns."""
+    from htep_spark.driver_queries import _q_conv_metrics_order
+
+    df = _q_conv_metrics_order(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan and "partial_min" in plan, plan[:2000]
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema and "n_chars" not in read_schema
