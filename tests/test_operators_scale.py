@@ -475,6 +475,39 @@ def test_winnow_fingerprints(spark):
     assert rows[0]["f"] == rows[1]["f"]
 
 
+def test_winnow_non_ascii_parity(spark):
+    """The UDF hashes bytes, the oracle hashes codepoints — parity on
+    non-ASCII input is ENFORCED by stripping to ASCII on both sides
+    (ADVICE r02): accented text must produce identical fingerprints in
+    both engines, equal to the stripped-ASCII text's fingerprints."""
+    import duckdb
+    import pandas as pd
+
+    from htep_spark.operators.text_analysis import _winnow_ctes, winnow_udf
+
+    rows = [
+        (0, "le café du coin est très agréable en été vraiment superbe"),
+        (1, "le caf du coin est trs agrable en t vraiment superbe"),
+        (2, "plain ascii text with no accents at all in this sentence"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spark_fps = {
+        r["doc_id"]: list(r["f"])
+        for r in docs.select("doc_id", winnow_udf("text").alias("f")).collect()
+    }
+    # accented row 0 ≡ its ASCII-stripped twin row 1
+    assert spark_fps[0] == spark_fps[1] and spark_fps[0]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    duck = {
+        int(d): sorted(int(x) for x in f)
+        for d, f in con.execute(
+            f"WITH {_winnow_ctes()} SELECT doc_id, fps FROM fp"
+        ).fetchall()
+    }
+    assert duck == {k: sorted(v) for k, v in spark_fps.items()}
+
+
 def test_streaming_windowed_metrics(spark, tmp_path):
     from htep_spark.schema import TRANSCRIPT_SCHEMA
     from htep_spark.sources.io import synthesize_transcripts_pdf
