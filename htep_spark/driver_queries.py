@@ -1511,6 +1511,51 @@ GROUP BY 1, 2
 # Sort/limit: top-k docs by length (reading-order/top-k family, SURVEY §2.7)
 # --------------------------------------------------------------------------
 
+# --------------------------------------------------------------------------
+# Corpus vocabulary statistics: top-k most frequent word bigrams — the
+# vocab/frequency analysis a training-data pipeline runs before tokenizer
+# or dedup threshold decisions. Explode → hash-agg count (map-side
+# combined) → global top-k; ties broken lexically for determinism.
+# --------------------------------------------------------------------------
+
+TOP_NGRAMS_N = 2
+TOP_NGRAMS_K = 50
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    grams = F.when(
+        F.size(toks) >= TOP_NGRAMS_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - TOP_NGRAMS_N),
+            lambda i: F.array_join(F.slice(toks, i + 1, TOP_NGRAMS_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(TOP_NGRAMS_K)
+    )
+
+
+SQL_TOP_NGRAMS = f"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t FROM documents
+), grams AS (
+  SELECT unnest(list_transform(
+           range(1, greatest(len(t) - {TOP_NGRAMS_N} + 1, 0) + 1),
+           i -> array_to_string(t[i : i + {TOP_NGRAMS_N} - 1], ' '))) AS ngram
+  FROM toks
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS n
+FROM grams GROUP BY ngram
+ORDER BY n DESC, ngram ASC LIMIT {TOP_NGRAMS_K}
+"""
+
+
 def q_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
@@ -1741,4 +1786,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "top_docs": (q_top_docs, SQL_TOP_DOCS),
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
 }

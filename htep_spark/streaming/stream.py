@@ -20,6 +20,7 @@ __all__ = [
     "stream_extraction",
     "stream_windowed_metrics",
     "stream_conversation_state",
+    "stream_dedup_turns",
 ]
 
 
@@ -30,6 +31,24 @@ def stream_extraction(stream_df: DataFrame) -> DataFrame:
         "turn_idx",
         "ts",
         extract_turn_udf(F.col("text")).alias("result"),
+    )
+
+
+def stream_dedup_turns(
+    stream_df: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup on ``(conv_id, turn_idx)`` — the ingestion
+    guard for at-least-once transcript feeds (replayed turns must not
+    double-count downstream metrics or re-run extraction).
+
+    Uses ``dropDuplicatesWithinWatermark``: state is bounded by the
+    watermark horizon (keys older than the event-time watermark are
+    evicted), so state size is O(keys per watermark window), not O(stream)
+    — the only dedup state policy that survives a 10^12-turn stream.
+    Placed BEFORE the extraction UDF so duplicate payloads never reach the
+    expensive kernel."""
+    return stream_df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
     )
 
 

@@ -395,6 +395,37 @@ def test_streaming_extraction(spark, tmp_path):
     assert all(r["dt"] is not None for r in sample)
 
 
+def test_streaming_dedup_turns(spark, tmp_path):
+    """dropDuplicatesWithinWatermark ingestion guard: replayed
+    (conv_id, turn_idx) rows collapse to one, state bounded by watermark."""
+    import pandas as pd
+
+    from htep_spark.schema import TRANSCRIPT_SCHEMA
+    from htep_spark.sources.io import synthesize_transcripts_pdf
+    from htep_spark.streaming.stream import stream_dedup_turns
+
+    pdf = synthesize_transcripts_pdf(30, n_convs=3)
+    replayed = pd.concat([pdf, pdf.head(12)], ignore_index=True)  # duplicates
+    src = str(tmp_path / "dedup_src")
+    spark.createDataFrame(replayed, TRANSCRIPT_SCHEMA).write.parquet(src)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    out = stream_dedup_turns(stream)
+    assert out.isStreaming
+    query = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = spark.sql(
+        "select count(*) n, count(distinct conv_id || '#' || turn_idx) d"
+        " from dedup_stream"
+    ).collect()[0]
+    assert got["n"] == 30 and got["d"] == 30
+
+
 def test_stateful_conversation_stream(spark, tmp_path):
     from htep_spark.schema import TRANSCRIPT_SCHEMA
     from htep_spark.sources.io import synthesize_transcripts_pdf
