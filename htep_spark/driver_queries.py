@@ -1651,6 +1651,40 @@ def _q_conv_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_conversation_metrics(run_extraction(transcripts))
 
 
+def _q_extract_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED cross-implementation slice of the flagship extraction
+    chain: the PYTHON KERNEL's per-turn ``document_type``/``urgency``
+    (``reference.extract_turn`` via the Arrow UDF — the rows-only
+    ``extract_full`` path) checked against the independent *relational*
+    C1/C2 SQL forms. Dictionary corrections upstream of the kernel's
+    classifier provably do not flip any classification on the corpus — the
+    driver hash IS that proof, re-established every round."""
+    from .plans.pipeline import run_extraction
+
+    docs = _docs(spark, sf_dir)
+    transcripts = docs.select(
+        F.col("doc_id").cast("string").alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        _clinical_col().alias("text"),
+        F.lit("").alias("tool"),
+        F.lit(None).cast("timestamp").alias("ts"),
+    )
+    return run_extraction(transcripts).select(
+        F.col("conv_id").cast("bigint").alias("doc_id"),
+        F.col("result.document_type").alias("document_type"),
+        F.col("result.urgency").alias("urgency"),
+    )
+
+
+SQL_EXTRACT_CLASS = f"""
+WITH c AS ({SQL_CLASSIFY}),
+u AS ({SQL_URGENCY})
+SELECT c.doc_id, c.document_type, u.urgency
+FROM c JOIN u USING (doc_id)
+"""
+
+
 def _q_conv_metrics_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-CHECKED: the kernel-free ordering/contiguity slice of
     ``conv_metrics`` — the north_star stable-turn-ordering invariant
@@ -1767,6 +1801,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "ann_ivf": (_q_ann_ivf, _sql_ann_ivf()),
     "conv_metrics": (_q_conv_metrics, None),
     "conv_metrics_order": (_q_conv_metrics_order, SQL_CONV_METRICS_ORDER),
+    "extract_class": (_q_extract_class, SQL_EXTRACT_CLASS),
     "dict_match": (q_dict_match, SQL_DICT_MATCH),
     "multiword_disease": (q_multiword_disease, SQL_MULTIWORD_DISEASE),
     "vitals_fields": (q_vitals_fields, SQL_VITALS_FIELDS),

@@ -28,6 +28,43 @@ _COMPILED_PATTERNS = {
     doc_type: [re.compile(p, re.IGNORECASE) for p in data["patterns"]]
     for doc_type, data in DOCUMENT_PATTERNS.items()
 }
+
+# Cheap literal gates per pattern: every regex below can only match if at
+# least one of the listed lowercase literals occurs in the lowercased text
+# (each is a mandatory literal of the pattern / of every alternation
+# branch), so a failed `in` scan skips the ~10x-costlier findall with
+# provably identical results. Differentially tested against the ungated
+# form (`test_classify_pattern_gates_are_sound`); a startup assert keeps
+# the table in lockstep with DOCUMENT_PATTERNS.
+_PATTERN_GATES: Dict[str, List[Tuple[str, ...]]] = {
+    "discharge_summary": [
+        ("discharge",), ("admission",), ("hospital",), ("condition",),
+    ],
+    "lab_report": [
+        ("lab",), ("laboratory",), ("reference",),
+        ("mg/dl", "mmol/l", "g/dl"),
+    ],
+    "consultation_note": [
+        ("consultation",), ("referred",), ("consulting",), ("specialist",),
+    ],
+    "prescription": [
+        ("rx", "prescription"), ("mg",), ("take",), ("sig",),
+    ],
+    "radiology_report": [
+        ("scan", "report"), ("radiological",), ("contrast",), ("image",),
+    ],
+    "progress_note": [
+        ("progress",), ("soap",),
+        ("subjective", "objective", "assessment", "plan"), ("patient",),
+    ],
+    "operative_report": [
+        ("operative",), ("surgical",), ("operative",), ("anesthesia",),
+    ],
+}
+assert set(_PATTERN_GATES) == set(DOCUMENT_PATTERNS) and all(
+    len(_PATTERN_GATES[t]) == len(DOCUMENT_PATTERNS[t]["patterns"])
+    for t in DOCUMENT_PATTERNS
+), "pattern gate table out of sync with DOCUMENT_PATTERNS"
 _COMPILED_ENTITY = {
     key: [re.compile(p, re.IGNORECASE if key != "measurements" else 0) for p in pats]
     for key, pats in ENTITY_PATTERNS.items()
@@ -62,7 +99,9 @@ def classify_document(text: str) -> Dict:
             if keyword in text_lower:
                 score += 1
                 all_keywords.append(keyword)
-        for pattern in _COMPILED_PATTERNS[doc_type]:
+        for pattern, gates in zip(_COMPILED_PATTERNS[doc_type], _PATTERN_GATES[doc_type]):
+            if not any(g in text_lower for g in gates):
+                continue  # mandatory literal absent — findall cannot match
             matches = pattern.findall(text)
             score += len(matches) * 2
             all_keywords.extend(matches)

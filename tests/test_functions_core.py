@@ -634,3 +634,74 @@ def test_paragraph_strategy_selection_changes_outcome():
     )
     assert n == 1
     assert text == "ASPIRIN"  # low confidence -> primary replacement fires
+
+
+def test_classify_pattern_gates_are_sound():
+    """The literal gates that skip findall must be implied by the patterns:
+    on a corpus designed to fire every pattern and every near-miss, the
+    gated classifier must equal an ungated reimplementation exactly."""
+    import re
+
+    from htep_spark.dictionaries import DOCUMENT_PATTERNS
+    from htep_spark.functions.classify import (
+        _COMPILED_PATTERNS,
+        _PATTERN_GATES,
+        classify_document,
+    )
+    from htep_spark.sources.io import synthesize_transcripts_pdf
+
+    def ungated(text):
+        if not text or not text.strip():
+            return None
+        text_lower = text.lower()
+        scores, all_keywords = {}, []
+        for doc_type, data in DOCUMENT_PATTERNS.items():
+            score = 0
+            for keyword in data["keywords"]:
+                if keyword in text_lower:
+                    score += 1
+                    all_keywords.append(keyword)
+            for pattern in _COMPILED_PATTERNS[doc_type]:
+                matches = pattern.findall(text)
+                score += len(matches) * 2
+                all_keywords.extend(matches)
+            scores[doc_type] = score
+        return scores, sorted(set(all_keywords))
+
+    def gated(text):
+        if not text or not text.strip():
+            return None
+        text_lower = text.lower()
+        scores, all_keywords = {}, []
+        for doc_type, data in DOCUMENT_PATTERNS.items():
+            score = 0
+            for keyword in data["keywords"]:
+                if keyword in text_lower:
+                    score += 1
+                    all_keywords.append(keyword)
+            for pattern, gates in zip(
+                _COMPILED_PATTERNS[doc_type], _PATTERN_GATES[doc_type]
+            ):
+                if not any(g in text_lower for g in gates):
+                    continue
+                matches = pattern.findall(text)
+                score += len(matches) * 2
+                all_keywords.extend(matches)
+            scores[doc_type] = score
+        return scores, sorted(set(all_keywords))
+
+    texts = list(synthesize_transcripts_pdf(800, n_convs=10)["text"])
+    # targeted: every pattern's own source rendered matchable + mutations
+    for t, data in DOCUMENT_PATTERNS.items():
+        for p in data["patterns"]:
+            plain = re.sub(r"\(\?:|[\\()?:+*\[\]]", " ", p).replace("|", " ")
+            texts += [plain, plain.upper(), "x " + plain + " y", p]
+    texts += ["", "   ", "Discharge Summary note", "RX: 10 mg twice daily",
+              "CT scan report Image Quality fine", "soap NOTE plan: stable"]
+    for t in texts:
+        assert gated(t) == ungated(t), t[:80]
+        # and the real implementation agrees with the ungated reference
+        got = classify_document(t)
+        want = ungated(t)
+        if want is not None:
+            assert got["keywords_found"] == want[1] or not any(want[0].values())
