@@ -160,14 +160,45 @@ def document_urgency(text: str) -> Tuple[str, float]:
     return ("routine", 0.5)
 
 
+# Same literal-gate scheme as _PATTERN_GATES, for the C4 entity families:
+# every alternation branch of each pattern contains one of the listed
+# lowercase literals (a case-sensitive pattern's match still lowers into
+# the lowercased text, so the implication holds for `measurements` too).
+_ENTITY_GATES: Dict[str, List[Tuple[str, ...]]] = {
+    "medications": [
+        ("cillin", "mycin", "pril", "sartan", "olol", "pine", "zole", "mine"),
+        ("aspirin", "ibuprofen", "acetaminophen", "paracetamol", "insulin"),
+    ],
+    "conditions": [
+        ("diabetes", "hypertension", "pneumonia", "bronchitis", "asthma"),
+        ("fracture", "infection", "inflammation", "tumor", "cancer"),
+    ],
+    "procedures": [
+        ("surgery", "biopsy", "x-ray", "ct scan", "mri", "ultrasound"),
+        ("blood test", "urine test", "ecg", "ekg", "colonoscopy"),
+    ],
+    "measurements": [
+        ("mg/dl", "mmol/l", "g/dl", "kg", "lbs", "cm", "ft", "in"),
+        ("mmhg",),
+        ("°",),
+    ],
+}
+assert set(_ENTITY_GATES) == set(ENTITY_PATTERNS) and all(
+    len(_ENTITY_GATES[k]) == len(ENTITY_PATTERNS[k]) for k in ENTITY_PATTERNS
+), "entity gate table out of sync with ENTITY_PATTERNS"
+
+
 def extract_medical_entities(text: str) -> Dict[str, List[str]]:
     """C4 (``src/nlp/classifier.py:259-320``): four entity regex families,
     set-dedup (sorted here for determinism; measurement patterns are
     case-sensitive in the reference — ``re.findall`` without flags at :314)."""
+    low = text.lower()
     entities: Dict[str, List[str]] = {}
     for key, patterns in _COMPILED_ENTITY.items():
         found: List[str] = []
-        for pattern in patterns:
+        for pattern, gates in zip(patterns, _ENTITY_GATES[key]):
+            if not any(g in low for g in gates):
+                continue  # mandatory literal absent — findall cannot match
             found.extend(pattern.findall(text))
         entities[key] = sorted(set(found))
     return entities

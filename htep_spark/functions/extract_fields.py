@@ -97,6 +97,29 @@ def parse_medicine_line(line: str) -> Optional[Dict]:
     return None
 
 
+_FIELD_DIGIT_RE = re.compile(r"\d")
+
+# Cheap literal gates: each detector regex below can only match when at
+# least one listed lowercase literal occurs in the lowercased text (every
+# alternation branch of its mandatory prefix contains one). A failed `in`
+# scan skips the regex with provably identical results — differentially
+# tested (`test_field_gates_are_sound`) and byte-gated by the golden
+# corpus + the vitals_fields / extract_fields_scalar driver oracles.
+_FIELD_GATES = {
+    "name": ("patient", "name"),
+    "doctor": ("dr", "doctor", "physician"),  # 'doctor' !⊃ 'dr'
+    "hospital": ("hospital", "clinic", "medical center", "health center"),
+    "age": ("age",),
+    "gender": ("gender", "sex"),
+    "bp": ("bp", "blood pressure"),
+    "temp": ("temp",),
+    "pulse": ("pulse", "hr", "heart rate"),
+    "diag": ("diagnosis", "assessment", "impression"),
+    "rx": ("rx", "medication", "medicine", "prescription"),
+    "inst": ("instruction", "advice", "plan", "follow up"),
+}
+
+
 def extract_regex_fields(text: str) -> Dict:
     """E1 (``src/nlp/medical_extractor.py:62-147``)."""
     data: Dict = {
@@ -111,50 +134,56 @@ def extract_regex_fields(text: str) -> Dict:
         "vitals": {},
         "instructions": [],
     }
-    m = _DATE_RE.search(text)
+    low = text.lower()
+
+    def gated(key) -> bool:
+        return any(g in low for g in _FIELD_GATES[key])
+
+    has_digit = _FIELD_DIGIT_RE.search(text) is not None
+    m = _DATE_RE.search(text) if has_digit else None
     if m:
         data["date"] = m.group(1)
-    m = _NAME_RE.search(text)
+    m = _NAME_RE.search(text) if gated("name") else None
     if m:
         data["patient_name"] = m.group(1).strip()
-    m = _DOCTOR_RE.search(text)
+    m = _DOCTOR_RE.search(text) if gated("doctor") else None
     if m:
         head = "" if m.group(1).strip().lower().startswith("dr") else "Dr. "
         data["doctor_name"] = head + m.group(1).strip()
-    m = _HOSPITAL_RE.search(text)
+    m = _HOSPITAL_RE.search(text) if gated("hospital") else None
     if m:
         data["hospital"] = m.group(1).strip()
-    m = _AGE_RE.search(text)
+    m = _AGE_RE.search(text) if (has_digit and gated("age")) else None
     if m:
         data["age"] = m.group(1)
-    m = _GENDER_RE.search(text)
+    m = _GENDER_RE.search(text) if gated("gender") else None
     if m:
         val = m.group(1).upper()
         data["gender"] = (
             "Male" if val in ("MALE", "M") else ("Female" if val in ("FEMALE", "F") else val)
         )
-    m = _BP_RE.search(text)
+    m = _BP_RE.search(text) if (has_digit and gated("bp")) else None
     if m:
         data["vitals"]["bp"] = m.group(1).replace(" ", "")
-    m = _TEMP_RE.search(text)
+    m = _TEMP_RE.search(text) if (has_digit and gated("temp")) else None
     if m:
         data["vitals"]["temp"] = m.group(1).replace(" ", "")
-    m = _PULSE_RE.search(text)
+    m = _PULSE_RE.search(text) if (has_digit and gated("pulse")) else None
     if m:
         data["vitals"]["pulse"] = m.group(1)
-    m = _DIAG_RE.search(text)
+    m = _DIAG_RE.search(text) if gated("diag") else None
     if m:
         for item in re.split(r",| and |\n", m.group(1)):
             clean = _BULLET_RE.sub("", item).strip()
             if clean and clean.lower() not in ("diagnosis:", "assessment:", "impression:"):
                 data["diagnosis"].append(clean)
-    m = _RX_RE.search(text)
+    m = _RX_RE.search(text) if gated("rx") else None
     if m:
         for line in (l.strip() for l in m.group(1).split("\n") if l.strip()):
             med = parse_medicine_line(line)
             if med:
                 data["medicines"].append(med)
-    m = _INST_RE.search(text)
+    m = _INST_RE.search(text) if gated("inst") else None
     if m:
         data["instructions"].extend(
             l.strip() for l in m.group(1).split("\n") if l.strip()

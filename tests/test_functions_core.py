@@ -705,3 +705,59 @@ def test_classify_pattern_gates_are_sound():
         want = ungated(t)
         if want is not None:
             assert got["keywords_found"] == want[1] or not any(want[0].values())
+
+
+def test_field_gates_are_sound():
+    """E1/C4 literal gates: gated extraction must equal the ungated form on
+    a corpus engineered to fire every detector and every near-miss."""
+    from htep_spark.functions.classify import (
+        _COMPILED_ENTITY,
+        extract_medical_entities,
+    )
+    from htep_spark.functions.extract_fields import extract_regex_fields
+    from htep_spark.sources.io import synthesize_transcripts_pdf
+
+    texts = list(synthesize_transcripts_pdf(600, n_convs=8)["text"])
+    texts += [
+        "",
+        "no medical content here at all just words",
+        "Patient: John Doe, Age: 44\nGender: M\nBP: 120/80 Temp: 98.6 F",
+        "Dr. Smith\nHospital : General\nDiagnosis: flu, fever\nRx: Aspirin 10 mg twice daily\nPlan: rest",
+        "Pulse: 72 bpm on 2021-03-15, amoxicillin 250 mg, diabetes, x-ray, 5.5 mmol/l, 120/80 mmHg, 37.5 °C",
+        "hr only gate word without structure", "heart rate mention", "sig: here",
+        "Follow up : tomorrow", "Impression: stable", "medication list empty",
+    ]
+
+    def ungated_entities(text):
+        out = {}
+        for key, patterns in _COMPILED_ENTITY.items():
+            found = []
+            for p in patterns:
+                found.extend(p.findall(text))
+            out[key] = sorted(set(found))
+        return out
+
+    for t in texts:
+        assert extract_medical_entities(t) == ungated_entities(t), t[:60]
+    # E1: the gated kernel against a pinned expectation corpus — every
+    # detector fires somewhere and never spuriously
+    rich = texts[-10]
+    rec = extract_regex_fields(
+        "Patient: John Doe, Age: 44\nGender: M\nBP: 120/80 Temp: 98.6 F"
+    )
+    assert rec["patient_name"] == "John Doe" and rec["age"] == "44"
+    assert rec["gender"] == "Male" and rec["vitals"]["bp"] == "120/80"
+    assert rec["vitals"]["temp"] == "98.6F"
+    rec2 = extract_regex_fields(
+        "Dr. Smith\nHospital : General\nDiagnosis: flu, fever\n"
+        "Rx: Aspirin 10 mg twice daily\nPlan: rest"
+    )
+    assert rec2["doctor_name"] == "Dr. Smith" and rec2["hospital"] == "General"
+    assert rec2["diagnosis"] == ["flu", "fever"]
+    assert rec2["medicines"] and rec2["medicines"][0]["name"] == "Aspirin"
+    assert rec2["instructions"] == ["rest"]
+    assert extract_regex_fields("nothing clinical") == {
+        "patient_name": None, "age": None, "gender": None, "date": None,
+        "doctor_name": None, "hospital": None, "diagnosis": [],
+        "medicines": [], "vitals": {}, "instructions": [],
+    }
