@@ -846,6 +846,96 @@ FROM t
 
 
 # --------------------------------------------------------------------------
+# Gopher-style quality-filter verdict: hard rules over the same stats the
+# text_stats query computes → (keep, reject_reason). The canonical
+# training-data filtering step (Rae et al. 2021 "Gopher" §A.2 rule shapes:
+# doc length bounds, mean word length bounds, symbol ratio, stopword
+# presence) expressed as one relational projection — first failing rule
+# wins so the reason column is deterministic.
+# --------------------------------------------------------------------------
+
+QF_MIN_TOKENS = 8
+QF_MAX_TOKENS = 100_000
+QF_MIN_MEAN_WORD_LEN = 2.0
+QF_MAX_MEAN_WORD_LEN = 12.0
+QF_MAX_SYMBOL_RATIO = 0.4
+QF_MIN_STOPWORD_HITS = 1
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    n_tokens = F.size(toks)
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_wl = F.round(
+        tok_chars.cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    alnum = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    sym_ratio = F.round(
+        alnum.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6
+    )
+    stop_hits = F.size(
+        F.filter(
+            toks,
+            lambda x: F.array_contains(
+                F.array(*[F.lit(s) for s in STOPWORDS_EN]), x
+            ),
+        )
+    )
+    reason = (
+        F.when(n_tokens < QF_MIN_TOKENS, "too_short")
+        .when(n_tokens > QF_MAX_TOKENS, "too_long")
+        .when(mean_wl < QF_MIN_MEAN_WORD_LEN, "mean_word_len_low")
+        .when(mean_wl > QF_MAX_MEAN_WORD_LEN, "mean_word_len_high")
+        .when(sym_ratio > QF_MAX_SYMBOL_RATIO, "symbol_ratio_high")
+        .when(stop_hits < QF_MIN_STOPWORD_HITS, "no_stopwords")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        stop_hits.cast("long").alias("n_stopwords"),
+        reason.isNull().cast("long").alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
+SQL_QUALITY_FILTER = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+         round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / greatest(len(toks), 1), 6) AS mean_word_len,
+         round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1), 6) AS symbol_ratio,
+         len(list_filter(toks, x -> x IN ({_sql_str_list(STOPWORDS_EN)}))) AS n_stopwords
+  FROM t
+), r AS (
+  SELECT *,
+         CASE WHEN n_tokens < {QF_MIN_TOKENS} THEN 'too_short'
+              WHEN n_tokens > {QF_MAX_TOKENS} THEN 'too_long'
+              WHEN mean_word_len < {QF_MIN_MEAN_WORD_LEN} THEN 'mean_word_len_low'
+              WHEN mean_word_len > {QF_MAX_MEAN_WORD_LEN} THEN 'mean_word_len_high'
+              WHEN symbol_ratio > {QF_MAX_SYMBOL_RATIO} THEN 'symbol_ratio_high'
+              WHEN n_stopwords < {QF_MIN_STOPWORD_HITS} THEN 'no_stopwords'
+              ELSE NULL END AS reject_reason
+  FROM s
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, mean_word_len, symbol_ratio,
+       CAST(n_stopwords AS BIGINT) AS n_stopwords,
+       CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       reject_reason
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
 # Document fingerprint + exact dedup (training-data pipeline ops)
 # --------------------------------------------------------------------------
 
@@ -1808,6 +1898,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "extract_fields_scalar": (q_extract_fields_scalar, SQL_EXTRACT_FIELDS_SCALAR),
     "measurements": (q_measurements, SQL_MEASUREMENTS),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
