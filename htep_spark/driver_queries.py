@@ -1813,6 +1813,18 @@ FROM t GROUP BY conv_id
 """
 
 
+def _q_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decode import q_greedy_decode
+
+    return q_greedy_decode(spark, sf_dir)
+
+
+def _sql_greedy_decode() -> str:
+    from .operators.decode import SQL_GREEDY_DECODE
+
+    return SQL_GREEDY_DECODE
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import q_minhash_lsh
 
@@ -1892,6 +1904,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "conv_metrics": (_q_conv_metrics, None),
     "conv_metrics_order": (_q_conv_metrics_order, SQL_CONV_METRICS_ORDER),
     "extract_class": (_q_extract_class, SQL_EXTRACT_CLASS),
+    "greedy_decode": (_q_greedy_decode, _sql_greedy_decode()),
     "dict_match": (q_dict_match, SQL_DICT_MATCH),
     "multiword_disease": (q_multiword_disease, SQL_MULTIWORD_DISEASE),
     "vitals_fields": (q_vitals_fields, SQL_VITALS_FIELDS),

@@ -194,7 +194,12 @@ def make_paragraph_decode_udf(
 
 def _word_candidates_col(word_col):
     """word string → per-position top-1 candidate list with a deterministic
-    confidence in [0.35, 0.99] (shared by the beam and paragraph queries)."""
+    confidence in [0.35, 0.99] (shared by the beam and paragraph queries).
+
+    The confidence hash is the md5 60-bit prefix (same cross-engine trick
+    as the MinHash oracle mode) rather than xxhash64, so DuckDB can
+    regenerate the exact candidate matrices — which makes the greedy
+    decode slice of the beam kernel hash-checkable (`greedy_decode`)."""
     return F.transform(
         F.split(word_col, ""),
         lambda ch, i: F.array(
@@ -202,7 +207,22 @@ def _word_candidates_col(word_col):
                 ch.alias("character"),
                 (
                     0.35
-                    + F.pmod(F.xxhash64(ch, word_col, i), F.lit(64)).cast("double")
+                    + F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat_ws(
+                                        "|", ch, word_col, i.cast("string")
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.lit(64),
+                    ).cast("double")
                     / 100.0
                 ).alias("confidence"),
             )
@@ -272,3 +292,56 @@ def q_parse(spark, sf_dir: str):
         F.array_join("parsed.english_matches", "|").alias("english_matches"),
         F.col("parsed.backend").alias("backend"),
     )
+
+
+def q_greedy_decode(spark, sf_dir: str):
+    """HASH-CHECKED slice of the beam kernel: over top-1 candidate
+    matrices the R9 decode is greedy — decoded_word is the argmax path and
+    ``raw_confidence`` is exactly ``exp(mean(log(conf)))``. Those two
+    outputs of the REAL beam decoder are reproduced in DuckDB from the
+    shared md5 confidence hash (``SQL_GREEDY_DECODE``); the lexicon
+    replacement columns (R10/R11, banded-Levenshtein residue) stay
+    rows-only in `beam_decode`."""
+    from ..dictionaries import DISEASES_SINGLE, DRUGS_SINGLE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.slice(
+        F.regexp_extract_all(F.upper(F.col("text")), F.lit("[A-Z]+"), 0), 1, 5
+    )
+    words = docs.select("doc_id", F.posexplode(toks).alias("word_idx", "word"))
+    cands = _word_candidates_col(F.col("word"))
+    decode = make_beam_decode_udf(DRUGS_SINGLE + DISEASES_SINGLE, DRUGS_SINGLE)
+    return words.select(
+        "doc_id",
+        F.col("word_idx").cast("long").alias("word_idx"),
+        decode(cands).alias("d"),
+    ).select(
+        "doc_id",
+        "word_idx",
+        F.col("d.decoded_word").alias("decoded_word"),
+        F.round("d.raw_confidence", 6).alias("raw_confidence"),
+    )
+
+
+SQL_GREEDY_DECODE = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(upper(text), '[A-Z]+')[1:5] AS ws
+  FROM documents
+), words AS (
+  SELECT doc_id, i - 1 AS word_idx, ws[i] AS w
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM toks)
+), confs AS (
+  SELECT doc_id, word_idx, w,
+         list_transform(
+           range(1, length(w)+1),
+           i -> 0.35 + (CAST(concat('0x',
+                   substr(md5(substr(w, i, 1) || '|' || w || '|' ||
+                              CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+                 % 64) / 100.0) AS cs
+  FROM words
+)
+SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, w AS decoded_word,
+       round(exp(list_sum(list_transform(cs, c -> ln(c))) / len(cs)), 6)
+         AS raw_confidence
+FROM confs
+"""
