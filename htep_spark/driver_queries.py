@@ -1661,6 +1661,68 @@ SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id ASC LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# As-of join over the events stream: each purchase matched to the user's
+# most recent at-or-before non-purchase event (operators/joins.asof_join —
+# the union/sort/last-value composition); oracle uses DuckDB's NATIVE
+# ``ASOF LEFT JOIN`` so two independent as-of implementations must agree.
+# The right side is deduplicated to one row per (user_id, ts) — max
+# event_id, resolved identically in both engines — so the as-of pick is
+# well-defined even on timestamp ties.
+# --------------------------------------------------------------------------
+
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.round("value", 6).alias("value")
+    )
+    nonp = ev.filter(F.col("event_type") != "purchase")
+    picked = nonp.groupBy("user_id", "ts").agg(F.max("event_id").alias("m"))
+    right = picked.join(
+        nonp.select(
+            F.col("event_id").alias("m"),
+            F.col("event_type").alias("prior_type"),
+            F.round("value", 6).alias("prior_value"),
+        ),
+        "m",
+    ).select("user_id", "ts", F.col("m").alias("prior_event_id"), "prior_type", "prior_value")
+    out = asof_join(left, right, on="ts", by=("user_id",))
+    gap = F.expr(
+        "timestampdiff(SECOND, date_trunc('second', ts_r), date_trunc('second', ts))"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.col("prior_event_id_r").alias("prior_event_id"),
+        F.col("prior_type_r").alias("prior_type"),
+        F.col("prior_value_r").alias("prior_value"),
+        F.when(F.col("ts_r").isNotNull(), gap).cast("long").alias("gap_sec"),
+    )
+
+
+SQL_ASOF_EVENTS = """
+WITH l AS (
+  SELECT user_id, ts, event_id, round(value, 6) AS value
+  FROM events WHERE event_type = 'purchase'
+), g AS (
+  SELECT user_id, ts, max(event_id) AS m
+  FROM events WHERE event_type <> 'purchase' GROUP BY user_id, ts
+), r AS (
+  SELECT g.user_id, g.ts, g.m AS prior_event_id,
+         e.event_type AS prior_type, round(e.value, 6) AS prior_value
+  FROM g JOIN events e ON e.event_id = g.m
+)
+SELECT l.event_id, l.user_id, l.value,
+       r.prior_event_id, r.prior_type, r.prior_value,
+       CAST(date_diff('second', date_trunc('second', r.ts),
+                      date_trunc('second', l.ts)) AS BIGINT) AS gap_sec
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1923,6 +1985,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "cer": (q_cer, SQL_CER),
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "asof_events": (q_asof_events, SQL_ASOF_EVENTS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "top_docs": (q_top_docs, SQL_TOP_DOCS),
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),

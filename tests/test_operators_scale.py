@@ -678,3 +678,44 @@ def test_connected_components_long_chain(spark):
     }
     assert len(comps) == 60
     assert set(comps.values()) == {0}
+
+
+def test_asof_join_semantics(spark):
+    """asof_join: most recent right row with r.ts <= l.ts per key —
+    inclusive ties, null when no prior, tolerance nulls stale matches."""
+    from datetime import datetime
+
+    from htep_spark.operators.joins import asof_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0, 0), "L1"),
+            (1, T(2024, 1, 1, 12, 0, 0), "L2"),
+            (2, T(2024, 1, 1, 9, 0, 0), "L3"),   # before any right row
+            (3, T(2024, 1, 1, 10, 0, 0), "L4"),  # exact-tie with right
+        ],
+        ["user_id", "ts", "lbl"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 9, 30, 0), 100),
+            (1, T(2024, 1, 1, 11, 0, 0), 101),
+            (2, T(2024, 1, 1, 9, 30, 0), 102),
+            (3, T(2024, 1, 1, 10, 0, 0), 103),
+        ],
+        ["user_id", "ts", "rid"],
+    )
+    out = {r["lbl"]: r for r in asof_join(left, right).collect()}
+    assert out["L1"]["rid_r"] == 100
+    assert out["L2"]["rid_r"] == 101
+    assert out["L3"]["rid_r"] is None and out["L3"]["ts_r"] is None
+    assert out["L4"]["rid_r"] == 103  # inclusive tie
+    # tolerance: L2's match is 1h old -> kept at 3600s, nulled at 1800s
+    tight = {
+        r["lbl"]: r
+        for r in asof_join(left, right, tolerance_sec=1800).collect()
+    }
+    assert tight["L1"]["rid_r"] == 100  # 30 min old
+    assert tight["L2"]["rid_r"] is None
+    assert tight["L4"]["rid_r"] == 103  # 0 s old
