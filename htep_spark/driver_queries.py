@@ -1723,6 +1723,81 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 
 
 # --------------------------------------------------------------------------
+# Range join: every event matched into its containing session interval
+# (sessionize gap rule → [min,max] spans) via the bucket-expansion
+# range_join operator; oracle is DuckDB's plain inequality join over the
+# same session CTEs — independent implementations of interval containment.
+# --------------------------------------------------------------------------
+
+def q_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .operators.joins import range_join
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        _events(spark, sf_dir)
+        .withColumn("tsec", F.date_trunc("second", F.col("ts")))
+        .withColumn("prev", F.lag("tsec").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev").isNull()
+                | (F.expr("timestampdiff(SECOND, prev, tsec)") > SESSION_GAP_MIN * 60),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("new_session").over(w))
+    )
+    intervals = ev.groupBy("user_id", "session_no").agg(
+        F.min("tsec").alias("s_start"), F.max("tsec").alias("s_end")
+    )
+    points = ev.select("user_id", "event_id", "tsec")
+    joined = range_join(
+        points, intervals, point_col="tsec", start_col="s_start",
+        end_col="s_end", by=("user_id",),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        F.expr("timestampdiff(SECOND, s_start, tsec)").cast("long").alias("offset_sec"),
+    )
+
+
+def _range_join_sessions_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT user_id, event_id, ts, date_trunc('second', ts) AS tsec
+  FROM events
+), lagged AS (
+  SELECT *, lag(tsec) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM base
+), flagged AS (
+  SELECT *, CASE WHEN prev IS NULL
+                  OR date_diff('second', prev, tsec) > {SESSION_GAP_MIN} * 60
+                 THEN 1 ELSE 0 END AS new_session
+  FROM lagged
+), sess AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS session_no
+  FROM flagged
+), intervals AS (
+  SELECT user_id, session_no, min(tsec) AS s_start, max(tsec) AS s_end
+  FROM sess GROUP BY user_id, session_no
+)
+SELECT p.event_id, p.user_id,
+       CAST(i.session_no AS BIGINT) AS session_no,
+       CAST(date_diff('second', i.s_start, p.tsec) AS BIGINT) AS offset_sec
+FROM base p JOIN intervals i
+  ON p.user_id = i.user_id AND p.tsec >= i.s_start AND p.tsec <= i.s_end
+"""
+
+
+SQL_RANGE_JOIN_SESSIONS = _range_join_sessions_sql()
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1986,6 +2061,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "embed_near_dup": (q_embed_near_dup, SQL_EMBED_NEAR_DUP),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "asof_events": (q_asof_events, SQL_ASOF_EVENTS),
+    "range_join_sessions": (q_range_join_sessions, SQL_RANGE_JOIN_SESSIONS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "top_docs": (q_top_docs, SQL_TOP_DOCS),
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),

@@ -34,7 +34,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str] = (),
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Interval-containment join (``start <= point <= end`` per key) via
+    time-bucket expansion — the other temporal operator the task brief
+    names that Spark's equi-join machinery lacks.
+
+    Scale path: a naive inequality join is a per-key cross product. Here
+    each interval explodes into the ``bucket_sec``-wide epoch buckets it
+    covers and each point maps to its single bucket — the join becomes an
+    EQUI-join on ``(by…, bucket)`` with an exact containment post-filter.
+    Shuffle is O(points + Σ interval_spans/bucket) instead of O(points ×
+    intervals-per-key); pick ``bucket_sec`` near the median interval
+    length so expansion stays O(1) per interval. Timestamps are compared
+    at full precision; only the bucketing quantizes."""
+    by = list(by)
+    pb = points.withColumn(
+        "_bucket", F.floor(F.unix_timestamp(F.col(point_col)) / bucket_sec)
+    )
+    ib = (
+        intervals.withColumn(
+            "_bs", F.floor(F.unix_timestamp(F.col(start_col)) / bucket_sec)
+        )
+        .withColumn("_be", F.floor(F.unix_timestamp(F.col(end_col)) / bucket_sec))
+        .withColumn("_bucket", F.explode(F.sequence("_bs", "_be")))
+        .drop("_bs", "_be")
+    )
+    return (
+        pb.join(ib, [*by, "_bucket"])
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bucket")
+    )
 
 
 def asof_join(

@@ -719,3 +719,40 @@ def test_asof_join_semantics(spark):
     assert tight["L1"]["rid_r"] == 100  # 30 min old
     assert tight["L2"]["rid_r"] is None
     assert tight["L4"]["rid_r"] == 103  # 0 s old
+
+
+def test_range_join_semantics(spark):
+    """range_join: containment (closed interval) per key via bucket
+    expansion — including intervals spanning many buckets and points
+    outside any interval."""
+    from datetime import datetime
+
+    from htep_spark.operators.joins import range_join
+
+    T = datetime
+    points = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 30), "P1"),   # inside I1
+            (1, T(2024, 1, 1, 13, 0), "P2"),    # inside multi-bucket I2
+            (1, T(2024, 1, 1, 23, 0), "P3"),    # in no interval
+            (2, T(2024, 1, 1, 10, 30), "P4"),   # other key, no interval
+            (1, T(2024, 1, 1, 10, 0), "P5"),    # exactly at I1 start
+            (1, T(2024, 1, 1, 11, 0), "P6"),    # exactly at I1 end
+        ],
+        ["user_id", "ts", "lbl"],
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 0), T(2024, 1, 1, 11, 0), "I1"),
+            (1, T(2024, 1, 1, 12, 0), T(2024, 1, 1, 18, 0), "I2"),  # 6h span
+        ],
+        ["user_id", "s", "e", "iv"],
+    )
+    out = {
+        (r["lbl"], r["iv"])
+        for r in range_join(
+            points, intervals, point_col="ts", start_col="s", end_col="e",
+            by=("user_id",), bucket_sec=3600,
+        ).collect()
+    }
+    assert out == {("P1", "I1"), ("P2", "I2"), ("P5", "I1"), ("P6", "I1")}
