@@ -247,3 +247,59 @@ def test_rawv_roundtrip_and_seek(frames):
     picks = list(range(0, len(frames), 2))
     seek = codecs.decode_rawv(payload, frame_indices=picks)
     assert all(np.array_equal(seek[j], frames[i]) for j, i in enumerate(picks))
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Differential: asof_join == pandas.merge_asof (backward, exact
+    matches allowed) on a seeded random workload, with and without
+    tolerance — the canonical reference implementation as oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from htep_spark.operators.joins import asof_join
+
+    rng = np.random.default_rng(20260816)
+    base = pd.Timestamp("2024-01-01")
+    left_pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 6, 300),
+            "ts": base + pd.to_timedelta(rng.integers(0, 500_000, 300), unit="s"),
+            "lid": np.arange(300),
+        }
+    )
+    right_pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 6, 200),
+            "ts": base + pd.to_timedelta(rng.integers(0, 500_000, 200), unit="s"),
+            "rid": np.arange(200),
+        }
+    )
+    # merge_asof requires unique right keys per (by, ts) for a well-defined
+    # pick — dedupe to max rid like the driver query does
+    right_pdf = (
+        right_pdf.groupby(["user_id", "ts"], as_index=False)["rid"].max()
+    )
+    left = spark.createDataFrame(left_pdf)
+    right = spark.createDataFrame(right_pdf)
+    for tol in (None, 3600):
+        got = (
+            asof_join(left, right, tolerance_sec=tol)
+            .select("lid", "rid_r")
+            .toPandas()
+            .sort_values("lid")
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left_pdf.sort_values("ts"),
+            right_pdf.sort_values("ts").rename(columns={"rid": "rid_r"}),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        ).sort_values("lid").reset_index(drop=True)
+        lhs = got["rid_r"].astype("float64")
+        rhs = want["rid_r"].astype("float64")
+        assert lhs.equals(rhs), f"tol={tol}: first diff at\n" + str(
+            pd.concat([got, want["rid_r"].rename("want")], axis=1)[lhs != rhs].head()
+        )
