@@ -27,6 +27,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dictionaries import (
     DISEASES_MULTI,
@@ -932,6 +933,104 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, mean_word_len, symbol_ratio
        CAST(CASE WHEN reject_reason IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep,
        reject_reason
 FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus-trained bigram LM scoring (CCNet-style quality signal): train
+# add-k-smoothed bigram probabilities on the corpus itself (two hash
+# aggregations), then score every document by its mean token-bigram log
+# probability. All relational — the expensive part is one shuffle join of
+# doc-bigrams against the corpus bigram counts. Determinism: the per-doc
+# mean folds the bigram log-probs in POSITION order (sorted list
+# aggregation on both engines), never in shuffle arrival order.
+# --------------------------------------------------------------------------
+
+LM_SMOOTH_K = 0.5
+
+
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("w").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "pos", F.col("w").alias("w1"), "w2")
+    )
+    uni = toks.groupBy("w").agg(F.count("*").alias("cu"))
+    vocab = uni.count()  # small driver-side scalar (|V|), not row data
+    big = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scored = (
+        bigrams.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .withColumn(
+            "logp",
+            F.log(
+                (F.col("cb") + F.lit(LM_SMOOTH_K))
+                / (F.col("cu") + F.lit(LM_SMOOTH_K) * vocab)
+            ),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "logp"))).alias("ps"))
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    F.col("ps"), F.lit(0.0), lambda acc, x: acc + x["logp"]
+                )
+                / F.size("ps"),
+                6,
+            ).alias("mean_logp"),
+            F.size("ps").cast("long").alias("n_bigrams"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id", "mean_logp", F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams")
+    )
+
+
+SQL_LM_SCORE = f"""
+WITH toks AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS w
+  FROM (
+    SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
+          FROM documents)
+  )
+), bigrams AS (
+  SELECT doc_id, pos, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+  QUALIFY w2 IS NOT NULL
+), uni AS (
+  SELECT w, count(*) AS cu FROM toks GROUP BY w
+), v AS (
+  SELECT count(*) AS vocab FROM uni
+), big AS (
+  SELECT w1, w2, count(*) AS cb FROM bigrams GROUP BY w1, w2
+), scored AS (
+  SELECT b.doc_id, b.pos,
+         ln((g.cb + {LM_SMOOTH_K}) / (u.cu + {LM_SMOOTH_K} * v.vocab)) AS logp
+  FROM bigrams b
+  JOIN big g ON g.w1 = b.w1 AND g.w2 = b.w2
+  JOIN uni u ON u.w = b.w1
+  CROSS JOIN v
+), per_doc AS (
+  SELECT doc_id,
+         round(list_sum(list(logp ORDER BY pos)) / count(*), 6) AS mean_logp,
+         CAST(count(*) AS BIGINT) AS n_bigrams
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, p.mean_logp, coalesce(p.n_bigrams, 0) AS n_bigrams
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
@@ -2049,6 +2148,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "measurements": (q_measurements, SQL_MEASUREMENTS),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "lm_score": (q_lm_score, SQL_LM_SCORE),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
