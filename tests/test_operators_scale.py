@@ -756,3 +756,41 @@ def test_range_join_semantics(spark):
         ).collect()
     }
     assert out == {("P1", "I1"), ("P2", "I2"), ("P5", "I1"), ("P6", "I1")}
+
+
+def test_jpeg_decoder_rejects_corrupt_input():
+    """Decoder robustness: corrupt/truncated payloads raise clean Python
+    exceptions (never hang, never return garbage silently); the multimodal
+    operator surfaces them in the error column."""
+    import numpy as np
+    import pytest
+
+    from htep_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from htep_spark.operators.multimodal import _synth_image
+
+    good = encode_jpeg(_synth_image(1), quant=1)
+    rng = np.random.default_rng(7)
+    # not a JPEG at all
+    with pytest.raises(Exception):
+        decode_jpeg(b"definitely not a jpeg payload")
+    # truncations at varied points
+    for cut in (2, 20, len(good) // 2, len(good) - 3):
+        with pytest.raises(Exception):
+            decode_jpeg(good[:cut])
+    # random byte corruption in the entropy segment (post-headers): must
+    # either decode to a same-shape image or raise — never hang/crash hard
+    for _ in range(20):
+        b = bytearray(good)
+        idx = int(rng.integers(len(good) // 2, len(good) - 4))
+        b[idx] = int(rng.integers(0, 256))
+        try:
+            out = decode_jpeg(bytes(b))
+            assert out.shape == (32, 48, 3)
+        except Exception:
+            pass  # clean rejection is acceptable
+    # progressive marker raises NotImplementedError specifically
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(prog))
