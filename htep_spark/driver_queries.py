@@ -1035,6 +1035,112 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# BM25 ranking (Robertson/Sparck Jones): the standard retrieval scorer a
+# data-pipeline engine needs for corpus search / contamination lookups.
+# Self-contained: the query is the corpus's own top-`BM25_N_TERMS` terms
+# by document frequency (df desc, term asc — deterministic), so the
+# operator always fires regardless of corpus vocabulary. Determinism:
+# avg doc length is an exact integer sum / N; per-doc scores fold term
+# contributions in TERM order (sorted list aggregation), never shuffle
+# order.
+# --------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_TERMS = 5
+BM25_TOP_DOCS = 20
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("w"),
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.sum("dl").alias("total_len"), F.count("*").alias("n_docs")
+    ).collect()[0]
+    n_docs, avglen = stats["n_docs"], stats["total_len"] / stats["n_docs"]
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    top_terms = df.orderBy(F.desc("df"), F.asc("w")).limit(BM25_N_TERMS)
+    contrib = (
+        tf.join(F.broadcast(top_terms), "w")
+        .join(doclen, "doc_id")
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "c",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.lit(avglen))
+            ),
+        )
+    )
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("w", "c"))).alias("cs"))
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(F.col("cs"), F.lit(0.0), lambda a, x: a + x["c"]), 6
+            ).alias("bm25"),
+            F.size("cs").cast("long").alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_DOCS)
+        .select("doc_id", "bm25", "n_terms_hit", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+SQL_BM25 = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS w
+  FROM documents
+), doclen AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT sum(dl) AS total_len, count(*) AS n_docs FROM doclen
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), top_terms AS (
+  SELECT w, df FROM df ORDER BY df DESC, w ASC LIMIT {BM25_N_TERMS}
+), contrib AS (
+  SELECT t.doc_id, t.w,
+         ln(1.0 + (s.n_docs - q.df + 0.5) / (q.df + 0.5))
+         * (t.tf * ({BM25_K1} + 1))
+         / (t.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * d.dl
+                                / (CAST(s.total_len AS DOUBLE) / s.n_docs))) AS c
+  FROM tf t
+  JOIN top_terms q ON q.w = t.w
+  JOIN doclen d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id,
+         round(list_sum(list(c ORDER BY w)), 6) AS bm25,
+         CAST(count(*) AS BIGINT) AS n_terms_hit
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, bm25, n_terms_hit,
+       row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {BM25_TOP_DOCS}
+"""
+
+
+# --------------------------------------------------------------------------
 # Document fingerprint + exact dedup (training-data pipeline ops)
 # --------------------------------------------------------------------------
 
@@ -2149,6 +2255,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "lm_score": (q_lm_score, SQL_LM_SCORE),
+    "bm25": (q_bm25, SQL_BM25),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
