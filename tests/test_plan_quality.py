@@ -114,3 +114,37 @@ def test_conv_metrics_order_partial_aggregation(spark):
     assert "partial_count" in plan and "partial_min" in plan, plan[:2000]
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "text" not in read_schema and "n_chars" not in read_schema
+
+
+def test_temporal_join_plans_avoid_cross_products(spark):
+    """asof_join must be window-over-union (single keyed exchange, no join
+    operator at all); range_join must be an equi-join on (key, bucket) —
+    neither may plan a cartesian/nested-loop product."""
+    from datetime import datetime
+
+    from htep_spark.operators.joins import asof_join, range_join
+
+    T = datetime
+    left = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 10, 0), 10)], ["user_id", "ts", "v"]
+    )
+    right = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 9, 0), 77)], ["user_id", "ts", "rid"]
+    )
+    aplan = asof_join(left, right)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in aplan and "NestedLoop" not in aplan
+    assert "Window" in aplan and "Union" in aplan
+    # no join node: the as-of is pure union + window
+    assert "SortMergeJoin" not in aplan and "BroadcastHashJoin" not in aplan
+
+    intervals = spark.createDataFrame(
+        [(1, T(2024, 1, 1, 9, 0), T(2024, 1, 1, 11, 0), "I")],
+        ["user_id", "s", "e", "iv"],
+    )
+    rplan = (
+        range_join(left, intervals, point_col="ts", start_col="s", end_col="e",
+                   by=("user_id",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in rplan and "NestedLoop" not in rplan
+    assert "Join" in rplan  # a real equi-join on (user_id, bucket)
