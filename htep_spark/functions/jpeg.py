@@ -5,11 +5,15 @@ corpus is mostly made of (VERDICT r02 missing #3) — so this implements the
 interchange format from the spec with stdlib + numpy only:
 
 - **Decoder** (``decode_jpeg``): general baseline JFIF/EXIF — marker parse,
-  8-bit DQT, SOF0, arbitrary DHT code tables, interleaved scan with any
-  sampling factors ≤ 4 (covers 4:4:4, 4:2:2, 4:2:0), DC prediction,
+  8/16-bit DQT, SOF0/1, arbitrary DHT code tables, interleaved scan with
+  any sampling factors ≤ 4 (covers 4:4:4, 4:2:2, 4:2:0), DC prediction,
   byte-unstuffing, DRI/RSTn restart intervals, dequant → inverse zigzag →
   orthonormal IDCT → chroma upsample → YCbCr→RGB. Grayscale (1-component)
-  and 3-component color supported; progressive (SOF2) raises.
+  and 3-component color supported. PROGRESSIVE (SOF2) streams decode too:
+  multi-scan coefficient accumulation, DC first + DC refinement scans,
+  AC first scans with EOB-run coding, any spectral bands; only AC
+  successive-approximation refinement raises (see the progressive
+  section).
 - **Encoder** (``encode_jpeg``): valid baseline writer used for round-trip
   tests and synthetic corpora — flat quantization tables (``quant``
   parameter; 1 = near-lossless) and *fixed-length canonical Huffman tables*
@@ -439,7 +443,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tab = _decode_table(bits, vals)
                 (dc_tabs if tc == 0 else ac_tabs)[th] = tab
                 p += 17 + cnt
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, fh, fw, nf = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -447,9 +451,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for ci in range(nf):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": fh, "w": fw, "comps": comps}
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+            frame = {"h": fh, "w": fw, "comps": comps, "progressive": marker == 0xC2}
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -462,6 +464,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 0xF))
             pos += seglen
+            if frame.get("progressive"):
+                frame["_scan_params"] = (
+                    seg[1 + 2 * ns], seg[2 + 2 * ns],
+                    seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF,
+                )
+                return _decode_progressive(
+                    payload, pos, frame, qtables, dc_tabs, ac_tabs,
+                    restart_interval, scan,
+                )
             return _decode_scan(
                 payload, pos, frame, scan, qtables, dc_tabs, ac_tabs, restart_interval
             )
@@ -520,3 +531,383 @@ def _decode_scan(
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[..., None]
     return _ycbcr_to_rgb(np.stack(full, axis=2))
+
+
+# ----------------------------------------------------------- progressive --
+#
+# Spectral-selection progressive (T.81 Annex G): the encoder emits a DC
+# scan (interleaved) followed by one full-band AC scan per component, with
+# EOB-run coding across blocks; the decoder handles general progressive
+# scan scripts — DC first + DC refinement bits, AC first scans with EOBRUN,
+# any spectral bands, restart intervals — accumulating coefficients across
+# scans and reconstructing at EOI. AC successive-approximation refinement
+# (Ah > 0 on an AC band) raises NotImplementedError: our encoder never
+# produces it and there is no in-container reference stream to validate
+# the correction-bit algorithm against.
+
+_ENC_AC_PROG_SYMBOLS = _AC_SYMBOLS + [(r << 4) for r in range(1, 15)]  # + EOBn
+_ENC_AC_PROG_BITS = [0] * 8 + [len(_ENC_AC_PROG_SYMBOLS)] + [0] * 7
+_ENC_AC_PROG_VALS = list(_ENC_AC_PROG_SYMBOLS)
+_ENC_AC_PROG_CODES = _canonical_codes(_ENC_AC_PROG_BITS, _ENC_AC_PROG_VALS)
+
+
+def _quantize_block(block: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    coef = _C @ (block - 128.0) @ _C.T
+    return np.round(coef / qtable).astype(np.int64).flatten()[_ZZ_FLAT]
+
+
+def _comp_true_blocks(w: int, h: int, hs: int, vs: int, hmax: int, vmax: int):
+    xs = -(-(w * hs) // hmax)
+    ys = -(-(h * vs) // vmax)
+    return -(-xs // 8), -(-ys // 8)  # (bw, bh)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quant: int = 2, subsampling: str = "444"
+) -> bytes:
+    """Spectral-selection progressive JFIF writer: one interleaved DC scan,
+    then a full-band (Ss=1..63) AC scan per component with EOB-run coding.
+    Same coefficient pipeline as ``encode_jpeg`` — decoding either stream
+    yields identical pixels (pytest-asserted)."""
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w = img.shape[:2]
+    gray = img.shape[2] == 1
+    if gray:
+        comps = [np.asarray(img[..., 0], dtype=np.float64)]
+        samp = [(1, 1)]
+        qids = [0]
+    else:
+        ycc = _rgb_to_ycbcr(img)
+        if subsampling == "420":
+            samp = [(2, 2), (1, 1), (1, 1)]
+        elif subsampling == "444":
+            samp = [(1, 1), (1, 1), (1, 1)]
+        else:  # pragma: no cover - guarded API misuse
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        qids = [0, 1, 1]
+        comps = []
+        for ci in range(3):
+            plane = ycc[..., ci]
+            hs, vs = samp[ci]
+            if (hs, vs) != samp[0]:
+                fh = samp[0][1] // vs
+                fw = samp[0][0] // hs
+                ph = -plane.shape[0] % fh
+                pw = -plane.shape[1] % fw
+                pp = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+                plane = pp.reshape(
+                    pp.shape[0] // fh, fh, pp.shape[1] // fw, fw
+                ).mean(axis=(1, 3))
+            comps.append(plane)
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    qtables = [np.full((8, 8), float(quant))] * 2
+    nf = len(comps)
+
+    # quantized zigzag coefficients over the padded MCU grid per component
+    zz_store = []
+    for ci in range(nf):
+        hs, vs = samp[ci]
+        grid_h, grid_w = mcus_y * vs, mcus_x * hs
+        padded = _pad_to(comps[ci], grid_h * 8, grid_w * 8)
+        store = np.zeros((grid_h, grid_w, 64), dtype=np.int64)
+        qt = qtables[qids[ci]]
+        for by in range(grid_h):
+            for bx in range(grid_w):
+                store[by, bx] = _quantize_block(
+                    padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], qt
+                )
+        zz_store.append(store)
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq in range(1 if gray else 2):
+        zzq = qtables[tq].flatten()[_ZZ_FLAT].astype(np.uint8)
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(zzq)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nf, 8, h, w, nf)  # SOF2
+    for ci in range(nf):
+        out += bytes([ci + 1, (samp[ci][0] << 4) | samp[ci][1], qids[ci]])
+    out += _dht_segment(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
+    out += _dht_segment(1, 0, _ENC_AC_PROG_BITS, _ENC_AC_PROG_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, _ENC_DC_BITS, _ENC_DC_VALS)
+        out += _dht_segment(1, 1, _ENC_AC_PROG_BITS, _ENC_AC_PROG_VALS)
+
+    # ---- scan 1: DC, interleaved, Ss=0 Se=0 Ah=0 Al=0
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
+    for ci in range(nf):
+        tid = 0 if ci == 0 else 1
+        out += bytes([ci + 1, tid << 4])
+    out += b"\x00\x00\x00"  # Ss=0 Se=0 AhAl=0
+    writer = _BitWriter()
+    preds = [0] * nf
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nf):
+                hs, vs = samp[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = int(zz_store[ci][my * vs + by, mx * hs + bx, 0])
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        size = _category(diff)
+                        code, length = _ENC_DC_CODES[size]
+                        writer.write(code, length)
+                        if size:
+                            writer.write(
+                                diff if diff >= 0 else diff + (1 << size) - 1, size
+                            )
+    writer.flush()
+    out += writer.out
+
+    # ---- per-component AC scans: Ss=1 Se=63 Ah=0 Al=0, non-interleaved
+    for ci in range(nf):
+        tid = 0 if ci == 0 else 1
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes([ci + 1, tid])
+        out += b"\x01\x3f\x00"  # Ss=1 Se=63 AhAl=0
+        writer = _BitWriter()
+        hs, vs = samp[ci]
+        bw, bh = _comp_true_blocks(w, h, hs, vs, hmax, vmax)
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            while eobrun > 0:
+                r = eobrun.bit_length() - 1
+                if r > 14:
+                    r = 14
+                take = min(eobrun, (1 << (r + 1)) - 1)
+                # encode EOBn for `take` blocks: category r, extra = take-2^r
+                code, length = _ENC_AC_PROG_CODES[r << 4]
+                writer.write(code, length)
+                if r:
+                    writer.write(take - (1 << r), r)
+                eobrun -= take
+
+        for by in range(bh):
+            for bx in range(bw):
+                zz = zz_store[ci][by, bx]
+                nz = np.nonzero(zz[1:])[0]
+                if len(nz) == 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eobrun()
+                    continue
+                flush_eobrun()
+                last = int(nz[-1]) + 1
+                run = 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = _ENC_AC_PROG_CODES[0xF0]
+                        writer.write(code, length)
+                        run -= 16
+                    size = _category(v)
+                    code, length = _ENC_AC_PROG_CODES[(run << 4) | size]
+                    writer.write(code, length)
+                    writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+                    run = 0
+                if last < 63:
+                    eobrun += 1
+        flush_eobrun()
+        writer.flush()
+        out += writer.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance to the next real marker (0xFF followed by non-0x00)."""
+    n = len(data)
+    while pos < n - 1:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00:
+            return pos
+        pos += 1
+    raise ValueError("no marker found after scan data")
+
+
+def _decode_progressive(
+    data: bytes, pos: int, frame, qtables, dc_tabs, ac_tabs, restart_interval, scan
+):
+    """Progressive scan loop: accumulate coefficients across scans until
+    EOI, then dequantize + IDCT + upsample. ``scan`` is the already-parsed
+    first SOS (list of (comp, td, ta)) with ``pos`` at its entropy data;
+    subsequent markers (DHT/DQT/DRI/SOS/EOI) are handled here."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coef = {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64)) for c in comps
+    }
+    dri = restart_interval
+
+    def process_scan(scan, ss, se, ah, al, pos):
+        reader = _BitReader(data, pos)
+        eobrun = 0
+        if ss == 0:  # DC scan (interleaved over all scan comps, or single)
+            if se != 0:
+                raise ValueError("invalid progressive DC scan (Se != 0)")
+            preds = [0] * len(scan)
+            unit = 0
+
+            def dc_block(ci, comp, td, by, bx):
+                nonlocal preds
+                blk = coef[comp["id"]][by, bx]
+                if ah == 0:
+                    size = _decode_huffman(reader, dc_tabs[td])
+                    diff = _extend(reader.receive(size), size)
+                    preds[ci] += diff
+                    blk[0] = preds[ci] << al
+                else:  # DC refinement: one bit per block
+                    blk[0] = int(blk[0]) | (reader.read_bit() << al)
+
+            if len(scan) > 1:
+                for my in range(mcus_y):
+                    for mx in range(mcus_x):
+                        if dri and unit and unit % dri == 0:
+                            reader.sync_restart()
+                            preds = [0] * len(scan)
+                        for ci, (comp, td, _ta) in enumerate(scan):
+                            for by in range(comp["v"]):
+                                for bx in range(comp["h"]):
+                                    dc_block(
+                                        ci, comp, td,
+                                        my * comp["v"] + by, mx * comp["h"] + bx,
+                                    )
+                        unit += 1
+            else:
+                comp, td, _ta = scan[0]
+                bw, bh = _comp_true_blocks(
+                    w, h, comp["h"], comp["v"], hmax, vmax
+                )
+                for by in range(bh):
+                    for bx in range(bw):
+                        if dri and unit and unit % dri == 0:
+                            reader.sync_restart()
+                            preds = [0] * len(scan)
+                        dc_block(0, comp, td, by, bx)
+                        unit += 1
+        else:  # AC scan — always single component
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            if ah != 0:
+                raise NotImplementedError(
+                    "progressive AC successive-approximation refinement"
+                )
+            comp, _td, ta = scan[0]
+            bw, bh = _comp_true_blocks(w, h, comp["h"], comp["v"], hmax, vmax)
+            unit = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if dri and unit and unit % dri == 0:
+                        reader.sync_restart()
+                        eobrun = 0
+                    unit += 1
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    blk = coef[comp["id"]][by, bx]
+                    k = ss
+                    while k <= se:
+                        rs = _decode_huffman(reader, ac_tabs[ta])
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r < 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += reader.receive(r)
+                                eobrun -= 1  # current block ends now
+                                break
+                            k += 16  # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            blk[k] = _extend(reader.receive(s), s) << al
+                            k += 1
+        return _skip_to_marker(data, reader.pos)
+
+    # first scan header was parsed by the caller; its Ss/Se/Ah/Al live in
+    # frame["_scan_params"]
+    ss, se, ah, al = frame["_scan_params"]
+    pos = process_scan(scan, ss, se, ah, al, pos)
+    while True:
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + cnt])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
+                p += 17 + cnt
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.float64)
+                    p += 64
+                else:
+                    vals = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.float64)
+                    p += 128
+                t = np.zeros(64)
+                t[_ZZ_FLAT] = vals
+                qtables[tq] = t.reshape(8, 8)
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = process_scan(scan, ss, se, ahal >> 4, ahal & 0xF, pos + seglen)
+            continue
+        pos += seglen
+
+    # reconstruct
+    planes = []
+    for c in comps:
+        qt = qtables[c["tq"]]
+        grid = coef[c["id"]]
+        plane = np.zeros((grid.shape[0] * 8, grid.shape[1] * 8))
+        nat = np.zeros(64)
+        for by in range(grid.shape[0]):
+            for bx in range(grid.shape[1]):
+                nat[:] = 0.0
+                nat[_ZZ_FLAT] = grid[by, bx]
+                block = _C.T @ (nat.reshape(8, 8) * qt) @ _C + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[..., None]
+    return _ycbcr_to_rgb(np.stack(planes, axis=2))

@@ -788,9 +788,44 @@ def test_jpeg_decoder_rejects_corrupt_input():
             assert out.shape == (32, 48, 3)
         except Exception:
             pass  # clean rejection is acceptable
-    # progressive marker raises NotImplementedError specifically
+    # flipping a baseline stream's marker to SOF2 yields an invalid
+    # progressive scan script — rejected cleanly
     prog = bytearray(good)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
+
+
+def test_jpeg_progressive_matches_baseline():
+    """Spectral-selection progressive streams decode to EXACTLY the pixels
+    of the baseline encoding of the same image at the same quant (identical
+    coefficient pipeline) — across subsampling modes, grayscale, odd
+    dimensions, and an all-flat image that exercises EOB-run coding."""
+    import numpy as np
+
+    from htep_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from htep_spark.operators.multimodal import _synth_image
+
+    src = _synth_image(4)
+    for sub in ("444", "420"):
+        for q in (1, 4):
+            prog = decode_jpeg(encode_jpeg_progressive(src, quant=q, subsampling=sub))
+            base = decode_jpeg(encode_jpeg(src, quant=q, subsampling=sub))
+            assert np.array_equal(prog, base), (sub, q)
+    flat = np.full((40, 56, 3), 130, np.uint8)  # all-zero AC bands -> EOBRUN
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, quant=2)),
+        decode_jpeg(encode_jpeg(flat, quant=2)),
+    )
+    gray = src[:29, :45, 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(gray, quant=1)),
+        decode_jpeg(encode_jpeg(gray, quant=1)),
+    )
+    # determinism
+    assert encode_jpeg_progressive(src) == encode_jpeg_progressive(src)
