@@ -8,6 +8,21 @@ Timing: one warm-up action first (JVM/codegen warm), then each query runs
 to a ``noop`` sink (forces full computation — a bare ``count()`` would let
 Catalyst prune the extraction UDF away).
 
+Contention defenses (VERDICT r03 #1 — the r3 record regressed on
+byte-identical code because a single contended sample is the round
+record):
+
+- per-query **best-of-3** for the operator queries (the minimum is the
+  least-contended sample on this shared VM),
+- a **fixed-work sentinel** (JVM sum over 100M ids + a fixed numpy kernel
+  in the driver process) timed at start and end and emitted in the JSON —
+  if the sentinel reads far above its quiet-host band (see
+  BENCH/BASELINE.md), the whole sample is contended and self-evidently so.
+
+The headline set (``value`` = sum) is FROZEN at the round-2/3 18 queries
+for round-over-round comparability; operators added later are timed the
+same way but reported under ``extra_queries`` (not in ``value``).
+
 The authoritative throughput number (BASELINE.md) is ``turns_per_sec``:
 the full per-turn extraction chain over a deterministic synthetic
 transcript corpus sized by sf. Scaling evidence across two parallelism
@@ -36,6 +51,23 @@ def _run(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _sentinel(spark) -> float:
+    """Fixed-work contention probe: a JVM-side 100M-id sum plus a fixed
+    numpy kernel in the driver process. Work is constant across rounds, so
+    its wall time tracks host contention only (quiet-host band in
+    BENCH/BASELINE.md); best-of-3 like the queries."""
+    import numpy as np
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(100_000_000).selectExpr("sum(id)").collect()
+        a = np.arange(4_000_000, dtype=np.float64)
+        float((np.sqrt(a) * 1.0000001).sum())
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     from htep_spark.driver_queries import QUERIES
     from htep_spark.plans.pipeline import per_conversation_metrics, run_extraction
@@ -46,6 +78,7 @@ def main() -> None:
 
     # warm-up: JVM, codegen, Python workers
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    sentinel_start = _sentinel(spark)
 
     timings: dict[str, float] = {}
 
@@ -57,16 +90,21 @@ def main() -> None:
     # one untimed pass: JVM/codegen/Python-worker/memo warm-up → the timed
     # pass measures steady state (the regime of a long-running 10^12 job)
     _run(run_extraction(transcripts))
-    t0 = time.time()
-    _run(run_extraction(transcripts))
-    extract_sec = time.time() - t0
+    extract_sec = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _run(run_extraction(transcripts))
+        extract_sec = min(extract_sec, time.time() - t0)
     timings["extract_transcripts"] = round(extract_sec, 3)
 
     # note: conv_metrics re-runs the extraction UDF upstream of the rollup —
     # this timing is the full grouped-pipeline cost, not the rollup alone
-    t0 = time.time()
-    _run(per_conversation_metrics(run_extraction(transcripts)))
-    timings["conv_metrics"] = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        _run(per_conversation_metrics(run_extraction(transcripts)))
+        best = min(best, time.time() - t0)
+    timings["conv_metrics"] = round(best, 3)
     transcripts.unpersist()
 
     # headline 2: operator queries over the driver testdata tables
@@ -103,14 +141,37 @@ def main() -> None:
         "events_hourly",
     ):
         fn = extra.get(name) or QUERIES[name][0]
-        # best of 2: this shared VM shows up to 4x noisy-neighbor variance
+        # best of 3: this shared VM shows up to 4x noisy-neighbor variance
         # on one-shot timings; the minimum is the least-contended sample
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             _run(fn(spark, SF_DIR))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+
+    # round-3+ operators: same protocol, reported outside the frozen
+    # headline sum so `value` stays comparable with BENCH_r02/r03
+    extra_timings: dict[str, float] = {}
+    for name in (
+        "asof_events",
+        "range_join_sessions",
+        "bm25",
+        "lm_score",
+        "quality_filter",
+        "top_ngrams",
+        "beam_replace",
+    ):
+        if name not in QUERIES:
+            continue
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _run(QUERIES[name][0](spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        extra_timings[name] = round(best, 3)
+
+    sentinel_end = _sentinel(spark)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -120,6 +181,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra_timings,
+                "sentinel_sec": [sentinel_start, sentinel_end],
                 "sf": SF,
                 "turns": n,
                 "turns_per_sec": round(n / extract_sec, 1),

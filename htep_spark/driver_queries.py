@@ -803,14 +803,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
     n_tokens = F.size(toks)
     n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
-    stop_hits = F.size(
-        F.filter(
-            toks,
-            lambda x: F.array_contains(
-                F.array(*[F.lit(s) for s in STOPWORDS_EN]), x
-            ),
-        )
-    )
+    # inline-set membership (In/InSet — Catalyst-optimizable) instead of a
+    # per-token array_contains over a constructed literal array
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
     alnum = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z0-9]", ""))
     quality = F.round(
         0.5 * F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
@@ -876,14 +871,7 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym_ratio = F.round(
         alnum.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6
     )
-    stop_hits = F.size(
-        F.filter(
-            toks,
-            lambda x: F.array_contains(
-                F.array(*[F.lit(s) for s in STOPWORDS_EN]), x
-            ),
-        )
-    )
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS_EN)))
     reason = (
         F.when(n_tokens < QF_MIN_TOKENS, "too_short")
         .when(n_tokens > QF_MAX_TOKENS, "too_long")
