@@ -2155,6 +2155,18 @@ def _sql_greedy_decode() -> str:
     return SQL_GREEDY_DECODE
 
 
+def _q_beam_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decode import q_beam_replace
+
+    return q_beam_replace(spark, sf_dir)
+
+
+def _sql_beam_replace_str() -> str:
+    from .operators.decode import _sql_beam_replace
+
+    return _sql_beam_replace()
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import q_minhash_lsh
 
@@ -2235,6 +2247,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "conv_metrics_order": (_q_conv_metrics_order, SQL_CONV_METRICS_ORDER),
     "extract_class": (_q_extract_class, SQL_EXTRACT_CLASS),
     "greedy_decode": (_q_greedy_decode, _sql_greedy_decode()),
+    "beam_replace": (_q_beam_replace, _sql_beam_replace_str()),
     "dict_match": (q_dict_match, SQL_DICT_MATCH),
     "multiword_disease": (q_multiword_disease, SQL_MULTIWORD_DISEASE),
     "vitals_fields": (q_vitals_fields, SQL_VITALS_FIELDS),

@@ -66,11 +66,20 @@ class LexiconBeamDecoder:
                 self.primary_lexicon.add(normalized)
         self.lexicon |= self.primary_lexicon
 
+        # Buckets are filled in SORTED order. The reference iterates a
+        # Python set here (src/nlp/lexicon_beam_decoder.py:54-58), leaving
+        # equal-distance tie-breaks at the mercy of set iteration order —
+        # which varies with PYTHONHASHSEED across worker processes. A
+        # distributed engine needs one deterministic answer per input, so
+        # we pin the pool order to (length asc via the ±1 loop, then
+        # alphabetical): the `_nearest` winner becomes
+        # argmin(distance, len(candidate), candidate). This is also what
+        # makes R10/R11 reproducible in SQL (`beam_replace` oracle).
         self.by_signature: Dict[Tuple[int, str], List[str]] = defaultdict(list)
         self.primary_by_signature: Dict[Tuple[int, str], List[str]] = defaultdict(list)
-        for word in self.lexicon:
+        for word in sorted(self.lexicon):
             self.by_signature[(len(word), word[0])].append(word)
-        for word in self.primary_lexicon:
+        for word in sorted(self.primary_lexicon):
             self.primary_by_signature[(len(word), word[0])].append(word)
 
     def _nearest_from_pool(

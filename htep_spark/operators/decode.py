@@ -296,12 +296,14 @@ def q_parse(spark, sf_dir: str):
 
 def q_greedy_decode(spark, sf_dir: str):
     """HASH-CHECKED slice of the beam kernel: over top-1 candidate
-    matrices the R9 decode is greedy — decoded_word is the argmax path and
-    ``raw_confidence`` is exactly ``exp(mean(log(conf)))``. Those two
-    outputs of the REAL beam decoder are reproduced in DuckDB from the
-    shared md5 confidence hash (``SQL_GREEDY_DECODE``); the lexicon
-    replacement columns (R10/R11, banded-Levenshtein residue) stay
-    rows-only in `beam_decode`."""
+    matrices the R9 decode is greedy — ``raw_word`` is the argmax path
+    BEFORE any R10/R11 lexicon replacement and ``raw_confidence`` is
+    exactly ``exp(mean(log(conf)))``. Those two outputs of the REAL beam
+    decoder are reproduced in DuckDB from the shared md5 confidence hash
+    (``SQL_GREEDY_DECODE``). Emitting the pre-replacement ``raw_word``
+    (not ``decoded_word``) keeps this oracle sound even when replacement
+    fires (ADVICE r03 medium); the replacement surface itself is
+    hash-checked by `beam_replace`."""
     from ..dictionaries import DISEASES_SINGLE, DRUGS_SINGLE
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -318,14 +320,18 @@ def q_greedy_decode(spark, sf_dir: str):
     ).select(
         "doc_id",
         "word_idx",
-        F.col("d.decoded_word").alias("decoded_word"),
+        F.col("d.raw_word").alias("raw_word"),
         F.round("d.raw_confidence", 6).alias("raw_confidence"),
     )
 
 
-SQL_GREEDY_DECODE = """
+# shared CTE prefix: a per-doc word list + the md5-derived top-1
+# confidence list (same constants as `_word_candidates_col`); the word
+# source expression is pluggable so `beam_replace` can inject its
+# corrupted-term prelude
+_SQL_WORDS_CONFS_TMPL = """
 WITH toks AS (
-  SELECT doc_id, regexp_extract_all(upper(text), '[A-Z]+')[1:5] AS ws
+  SELECT doc_id, {ws_expr} AS ws
   FROM documents
 ), words AS (
   SELECT doc_id, i - 1 AS word_idx, ws[i] AS w
@@ -339,9 +345,215 @@ WITH toks AS (
                               CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
                  % 64) / 100.0) AS cs
   FROM words
-)
-SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, w AS decoded_word,
+)"""
+
+
+def _sql_words_confs(
+    ws_expr: str = "regexp_extract_all(upper(text), '[A-Z]+')[1:5]",
+) -> str:
+    return _SQL_WORDS_CONFS_TMPL.format(ws_expr=ws_expr)
+
+
+SQL_GREEDY_DECODE = (
+    _sql_words_confs()
+    + """
+SELECT doc_id, CAST(word_idx AS BIGINT) AS word_idx, w AS raw_word,
        round(exp(list_sum(list_transform(cs, c -> ln(c))) / len(cs)), 6)
          AS raw_confidence
 FROM confs
 """
+)
+
+
+def _beam_lexicons():
+    """The exact (normalized, len>=2, deduped) term sets the decoder
+    builds in its constructor — single source for the Spark UDF's closure
+    AND the DuckDB VALUES list."""
+    from ..dictionaries import DISEASES_SINGLE, DRUGS_SINGLE
+    from ..functions.beam import _normalize_word
+
+    prim = {
+        n for n in (_normalize_word(t) for t in DRUGS_SINGLE) if len(n) >= 2
+    }
+    lex = {
+        n
+        for n in (
+            _normalize_word(t) for t in DRUGS_SINGLE + DISEASES_SINGLE
+        )
+        if len(n) >= 2
+    } | prim
+    return sorted(lex), prim
+
+
+def _corrupt_prelude_terms():
+    """Deterministic corrupted/exact lexicon terms keyed by ``doc_id % 16``
+    — the word-soup corpus alone never satisfies the replacement gates
+    (every nearest-match ends 'high-confidence-kept-raw'), so like the
+    clinical/PII preludes these make the APPLIED branches non-vacuous:
+    a drug with one substituted char (distance 1 → primary gate), a
+    disease with one substituted char (distance 1 → non-primary gate),
+    and an unmutated disease (exact non-primary hit). Single source for
+    the Spark literal arrays and the DuckDB list literals. (The
+    'low-confidence-primary-fallback' branch is corpus-unreachable — no
+    disease term has a drug within distance 1 — and stays pytest-gated:
+    ``test_beam_primary_fallback``.)"""
+    lex, prim = _beam_lexicons()
+    drugs = sorted(prim)
+    diseases = [t for t in lex if t not in prim]
+    corrupt_drugs, corrupt_dis, exact_dis = [], [], []
+    for i in range(16):
+        for src, stride, out in (
+            (drugs, 7, corrupt_drugs),
+            (diseases, 5, corrupt_dis),
+        ):
+            t = src[(i * stride) % len(src)]
+            pos = i % len(t)
+            repl = chr(ord("A") + (ord(t[pos]) - ord("A") + 1 + i) % 26)
+            out.append(t[:pos] + repl + t[pos + 1 :])
+        exact_dis.append(diseases[(i * 3) % len(diseases)])
+    return corrupt_drugs, corrupt_dis, exact_dis
+
+
+def q_beam_replace(spark, sf_dir: str):
+    """HASH-CHECKED: the FULL R10/R11 lexicon-replacement surface of the
+    beam kernel (ref ``src/nlp/lexicon_beam_decoder.py:117-147,203-260``)
+    — nearest-lexicon lookup over the (length±1, first-char) signature
+    buckets with banded edit distance <= 2, plus every confidence gate
+    (primary: mean<=0.80 or min<=0.60; non-primary: dist<=1 and
+    min<=0.45; exact-non-primary yielding to a distance<=1 primary under
+    low confidence). The REAL decoder runs in the UDF; DuckDB reproduces
+    the decision with native ``levenshtein()`` over the same md5-derived
+    candidate matrices (``banded_edit_distance(a,b,2)`` equals the full
+    distance whenever it is <= 2 — pytest-gated in test_functions_core).
+    Tie-breaks are deterministic both sides: argmin by (distance,
+    candidate length, candidate) — see the constructor note in beam.py.
+    Word source = corrupted-term prelude (3 words) + 2 corpus tokens, so
+    every reachable replacement branch fires (vacuity-proofed)."""
+    from ..dictionaries import DISEASES_SINGLE, DRUGS_SINGLE
+
+    cd, cdis, ed = _corrupt_prelude_terms()
+    idx = (F.col("doc_id") % 16 + 1).cast("int")
+    lit_at = lambda terms: F.element_at(F.array(*[F.lit(t) for t in terms]), idx)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.concat(
+        F.array(lit_at(cd), lit_at(cdis), lit_at(ed)),
+        F.slice(
+            F.regexp_extract_all(F.upper(F.col("text")), F.lit("[A-Z]+"), 0), 1, 2
+        ),
+    )
+    words = docs.select("doc_id", F.posexplode(toks).alias("word_idx", "word"))
+    cands = _word_candidates_col(F.col("word"))
+    decode = make_beam_decode_udf(DRUGS_SINGLE + DISEASES_SINGLE, DRUGS_SINGLE)
+    return words.select(
+        "doc_id",
+        F.col("word_idx").cast("long").alias("word_idx"),
+        decode(cands).alias("d"),
+    ).select(
+        "doc_id",
+        "word_idx",
+        F.col("d.raw_word").alias("raw_word"),
+        F.col("d.decoded_word").alias("decoded_word"),
+        F.col("d.lexicon_word").alias("lexicon_word"),
+        F.col("d.distance").cast("long").alias("distance"),
+        F.col("d.replacement_applied").cast("long").alias("replacement_applied"),
+        F.col("d.replacement_reason").alias("replacement_reason"),
+    )
+
+
+def _sql_beam_replace() -> str:
+    from ..functions.beam import LexiconBeamDecoder
+
+    lex, prim = _beam_lexicons()
+    d = LexiconBeamDecoder([])  # constructor defaults = the gate thresholds
+    t_mean = repr(d.replacement_confidence_threshold)
+    t_min = repr(d.replacement_min_char_confidence_threshold)
+    t_np_min = repr(d.non_primary_replacement_min_char_confidence)
+    values = ", ".join(
+        f"('{term}', {'TRUE' if term in prim else 'FALSE'})" for term in lex
+    )
+    cd, cdis, ed = _corrupt_prelude_terms()
+    sql_list = lambda terms: (
+        "list_value(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    )
+    ws_expr = (
+        f"list_concat(list_value({sql_list(cd)}[(doc_id % 16) + 1], "
+        f"{sql_list(cdis)}[(doc_id % 16) + 1], "
+        f"{sql_list(ed)}[(doc_id % 16) + 1]), "
+        "regexp_extract_all(upper(text), '[A-Z]+')[1:2])"
+    )
+    # gates quantized identically on both sides is unnecessary: the output
+    # carries no floats — only the DECISIONS, whose inputs (md5-derived
+    # doubles, identical bit patterns both engines) sit away from the
+    # thresholds by a pytest-asserted margin (test_beam_replace_gate_margin)
+    gates = f"""
+  (NOT in_lex) AND n.term IS NOT NULL AND (
+      (n.is_primary AND (mean_conf <= CAST({t_mean} AS DOUBLE)
+                         OR min_conf <= CAST({t_min} AS DOUBLE)))
+   OR ((NOT n.is_primary) AND n.dist <= 1
+       AND min_conf <= CAST({t_np_min} AS DOUBLE)))"""
+    pfall = f"""
+  in_lex AND (NOT in_prim) AND p.pterm IS NOT NULL AND p.pdist <= 1
+  AND (mean_conf <= CAST({t_mean} AS DOUBLE)
+       OR min_conf <= CAST({t_min} AS DOUBLE))"""
+    return (
+        _sql_words_confs(ws_expr)
+        + f""", stats AS (
+  SELECT doc_id, word_idx, w,
+         list_sum(cs) / len(cs) AS mean_conf,
+         list_min(cs) AS min_conf
+  FROM confs
+), lex(term, is_primary) AS (VALUES {values}),
+hit AS (
+  SELECT s.*, l.term IS NOT NULL AS in_lex,
+         coalesce(l.is_primary, FALSE) AS in_prim
+  FROM stats s LEFT JOIN lex l ON s.w = l.term
+), near AS (
+  SELECT s.doc_id, s.word_idx, l.term, l.is_primary,
+         levenshtein(s.w, l.term) AS dist,
+         row_number() OVER (
+           PARTITION BY s.doc_id, s.word_idx
+           ORDER BY levenshtein(s.w, l.term), length(l.term), l.term
+         ) AS rn
+  FROM stats s JOIN lex l
+    ON substr(s.w, 1, 1) = substr(l.term, 1, 1)
+   AND abs(length(s.w) - length(l.term)) <= 1
+  WHERE length(s.w) >= 2 AND levenshtein(s.w, l.term) <= 2
+), pnear AS (
+  SELECT s.doc_id, s.word_idx, l.term AS pterm,
+         levenshtein(s.w, l.term) AS pdist,
+         row_number() OVER (
+           PARTITION BY s.doc_id, s.word_idx
+           ORDER BY levenshtein(s.w, l.term), length(l.term), l.term
+         ) AS rn
+  FROM stats s JOIN lex l
+    ON l.is_primary
+   AND substr(s.w, 1, 1) = substr(l.term, 1, 1)
+   AND abs(length(s.w) - length(l.term)) <= 1
+  WHERE length(s.w) >= 2 AND levenshtein(s.w, l.term) <= 2
+)
+SELECT h.doc_id, CAST(h.word_idx AS BIGINT) AS word_idx, h.w AS raw_word,
+       CASE WHEN {pfall} THEN p.pterm
+            WHEN {gates} THEN n.term
+            ELSE h.w END AS decoded_word,
+       CASE WHEN {pfall} THEN p.pterm
+            WHEN in_lex THEN h.w
+            WHEN n.term IS NOT NULL THEN n.term
+            ELSE NULL END AS lexicon_word,
+       CAST(CASE WHEN {pfall} THEN p.pdist
+            WHEN in_lex THEN 0
+            WHEN n.term IS NOT NULL THEN n.dist
+            ELSE NULL END AS BIGINT) AS distance,
+       CAST(CASE WHEN ({pfall}) OR ({gates}) THEN 1 ELSE 0 END AS BIGINT)
+         AS replacement_applied,
+       CASE WHEN {pfall} THEN 'low-confidence-primary-fallback'
+            WHEN {gates} THEN 'low-confidence-lexicon-fallback'
+            WHEN (NOT in_lex) AND n.term IS NOT NULL
+              THEN 'high-confidence-kept-raw'
+            ELSE NULL END AS replacement_reason
+FROM hit h
+LEFT JOIN (SELECT * FROM near WHERE rn = 1) n
+  ON h.doc_id = n.doc_id AND h.word_idx = n.word_idx
+LEFT JOIN (SELECT * FROM pnear WHERE rn = 1) p
+  ON h.doc_id = p.doc_id AND h.word_idx = p.word_idx
+"""
+    )

@@ -93,6 +93,16 @@ def asof_join(
     ``suffix``; unmatched (or out-of-tolerance) rows carry nulls."""
     by = list(by)
     payload = [c for c in right.columns if c not in by and c != on]
+    # suffixed right-payload names must not collide with left columns —
+    # a duplicate name would make downstream resolution ambiguous
+    clash = sorted(
+        {f"{c}{suffix}" for c in [on, *payload]} & {*left.columns, "_tag"}
+    )
+    if clash or "_tag" in left.columns:
+        raise ValueError(
+            f"asof_join: suffixed right column(s) {clash} collide with left "
+            f"columns (or the internal '_tag'); pass a different suffix="
+        )
     r = right.select(
         *by,
         F.col(on).alias(on),

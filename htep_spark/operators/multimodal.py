@@ -303,8 +303,9 @@ def resize_media(
 FRAME_SCHEMA = StructType(
     [
         StructField("media_id", StringType(), False),
-        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_idx", IntegerType(), True),
         StructField("frame_payload", BinaryType(), True),
+        StructField("error", StringType(), True),
     ]
 )
 
@@ -315,9 +316,12 @@ def sample_frames(
     """Frame sampling for video payloads: RAWV containers are really
     demuxed — only the strided frame indices are decoded (length-prefix
     seeking) and each sampled frame is emitted as a standalone PPM payload.
-    A flatMap-shaped ``mapInPandas`` (1 → N rows). Non-RAWV videos emit no
-    frames by default (``strict=True``) — ``strict=False`` opts into
-    deterministic fake frames derived from the payload hash (STUB)."""
+    A flatMap-shaped ``mapInPandas`` (1 → N rows). Non-RAWV videos emit ONE
+    row with null ``frame_idx``/``frame_payload`` and the ``error`` set by
+    default (``strict=True``) — like ``decode_media``/``resize_media``, an
+    undecodable payload is visible, never silently dropped. ``strict=False``
+    opts into deterministic fake frames derived from the payload hash
+    (STUB)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -338,9 +342,23 @@ def sample_frames(
                                 "media_id": media_id,
                                 "frame_idx": idx,
                                 "frame_payload": bytearray(codecs.encode_ppm(frame)),
+                                "error": None,
                             }
                         )
-                elif not strict:  # opt-in STUB fallback: hash-derived frames
+                elif strict:  # visible per-item failure, never a silent drop
+                    fmt = codecs.sniff_format(payload)
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": None,
+                            "frame_payload": None,
+                            "error": (
+                                "NotImplementedError: no video demuxer for "
+                                f"payload format '{fmt}' in this environment"
+                            ),
+                        }
+                    )
+                else:  # opt-in STUB fallback: hash-derived frames
                     meta = _fake_decode(raw, kind)
                     for j, idx in enumerate(range(0, meta["n_frames"], every_n)):
                         if j >= max_frames:
@@ -353,6 +371,7 @@ def sample_frames(
                                 "media_id": media_id,
                                 "frame_idx": idx,
                                 "frame_payload": bytearray(frame),
+                                "error": None,
                             }
                         )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])

@@ -23,14 +23,19 @@ def test_queries_and_oracles_consistent():
         "events_hourly", "lang_id", "cer", "sentences", "deid_dates",
         "simhash", "winnow_fingerprints", "dedup_keepers", "classify_segments",
         "minhash_lsh", "dedup_keepers_minhash", "winnow_overlap",
+        "greedy_decode", "beam_replace", "deid_spans", "deid_mask",
     ):
         assert name in oracles, name
-    # rows-only operators present
+    # rows-only operators present (beam_decode/deid folded into the
+    # beam_replace / deid_spans+deid_mask oracles in round 4)
     for name in (
-        "extract_full", "beam_decode", "block_parse", "conv_rollup", "deid",
+        "extract_full", "block_parse", "conv_rollup",
         "ann_lsh", "ann_ivf", "conv_metrics", "paragraph_decode",
     ):
         assert name in qs
+    # the driver records at most 50 query rows (CORRECTNESS_r03 recorded 50
+    # of 51) — keep the inventory within that so every entry gets a row
+    assert len(qs) <= 50, f"{len(qs)} queries() keys; driver caps at 50"
 
 
 def test_entry_smoke(spark):
@@ -92,3 +97,96 @@ def test_scalar_field_query_matches_kernel(spark):
                 fired.add(k)
     # the PII prelude must make every field non-vacuous somewhere
     assert fired == {"date", "patient_name", "doctor_name", "hospital", "gender"}
+
+
+def test_deid_surface_still_works(spark):
+    """`deid` was folded out of queries() in round 4 (its detectors are
+    hash-checked by deid_spans/deid_mask) — the combined Spark surface
+    itself must keep working: spans of several kinds plus masked text."""
+    df = entrymod._deid(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) > 0
+    kinds = {r["kind"] for r in rows if r["kind"] is not None}
+    assert {"DATE", "ID", "PHONE"} <= kinds
+    assert any(r["masked_text"] and "[" in r["masked_text"] for r in rows)
+
+
+def test_beam_replace_gate_margin():
+    """Cross-engine safety of the beam_replace confidence gates: per-char
+    confidences are bitwise-identical in both engines (same integer k →
+    `0.35 + k/100.0`), so min-gates can never disagree; the only
+    order-sensitive quantity is mean_conf (list_sum vs Python sum, error
+    ~1e-13 for <=40 doubles). Assert every word's mean clears the 0.80
+    threshold by far more than that on all three corpora."""
+    import hashlib
+    import re
+
+    import pyarrow.parquet as pq
+
+    from htep_spark.operators.decode import _corrupt_prelude_terms
+
+    cd, cdis, ed = _corrupt_prelude_terms()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        tbl = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["doc_id", "text"]
+        )
+        seen: set[str] = set()
+        worst = 1.0
+        for doc_id, text in zip(
+            tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+        ):
+            words = [cd[doc_id % 16], cdis[doc_id % 16], ed[doc_id % 16]]
+            words += re.findall("[A-Z]+", text.upper())[:2]
+            for w in words:
+                if w in seen:
+                    continue
+                seen.add(w)
+                cs = [
+                    0.35
+                    + (
+                        int(
+                            hashlib.md5(
+                                f"{ch}|{w}|{i}".encode()
+                            ).hexdigest()[:15],
+                            16,
+                        )
+                        % 64
+                    )
+                    / 100.0
+                    for i, ch in enumerate(w)
+                ]
+                worst = min(worst, abs(sum(cs) / len(cs) - 0.80))
+        assert worst > 1e-9, f"{sf}: mean-gate margin {worst} too small"
+
+
+def test_beam_replace_branches_nonvacuous():
+    """A green oracle proves nothing for branches that never fire: the
+    corrupted-term prelude must make lexicon replacement actually happen
+    (both applied and kept-raw outcomes, plus exact hits) in the DuckDB
+    side of the oracle at driver scale."""
+    import duckdb
+
+    from htep_spark.operators.decode import _sql_beam_replace
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    q = _sql_beam_replace()
+    reasons = dict(
+        con.execute(
+            f"SELECT coalesce(replacement_reason, '<none>'), count(*) "
+            f"FROM ({q}) GROUP BY 1"
+        ).fetchall()
+    )
+    assert reasons.get("low-confidence-lexicon-fallback", 0) > 0
+    assert reasons.get("high-confidence-kept-raw", 0) > 0
+    exact = con.execute(
+        f"SELECT count(*) FROM ({q}) WHERE distance = 0"
+    ).fetchone()[0]
+    assert exact > 0
+    applied = con.execute(
+        f"SELECT count(*) FROM ({q}) WHERE replacement_applied = 1"
+    ).fetchone()[0]
+    assert applied > 0

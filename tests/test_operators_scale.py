@@ -663,6 +663,21 @@ def test_multimodal_resize_and_frame_sample(spark):
         codecs.decode_ppm(bytes(f24["frame_payload"])),
         _synth_image(2 * 100 + 24, w=32, h=24),
     )
+    # strict mode: an undecodable video yields ONE visible error row (null
+    # frame_idx/payload), not a silent drop (ADVICE r03)
+    from htep_spark.operators.multimodal import MEDIA_SCHEMA
+
+    bad = spark.createDataFrame(
+        [("m-bad", "video", bytearray(b"not-a-rawv-container"), "video/mp4")],
+        MEDIA_SCHEMA,
+    )
+    bad_rows = sample_frames(bad, every_n=24, max_frames=3).collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["frame_idx"] is None
+    assert bad_rows[0]["frame_payload"] is None
+    assert "NotImplementedError" in bad_rows[0]["error"]
+    # good frames carry a null error column
+    assert all(f["error"] is None for f in frames)
 
 
 def test_connected_components_long_chain(spark):
@@ -719,6 +734,11 @@ def test_asof_join_semantics(spark):
     assert tight["L1"]["rid_r"] == 100  # 30 min old
     assert tight["L2"]["rid_r"] is None
     assert tight["L4"]["rid_r"] == 103  # 0 s old
+    # suffixed-name collision must raise, not silently duplicate (ADVICE r03)
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left.withColumnRenamed("lbl", "rid_r"), right)
 
 
 def test_range_join_semantics(spark):
@@ -829,3 +849,82 @@ def test_jpeg_progressive_matches_baseline():
     )
     # determinism
     assert encode_jpeg_progressive(src) == encode_jpeg_progressive(src)
+
+
+def test_jpeg_successive_approximation_matches_baseline():
+    """Successive-approximation progressive streams (Ah>0 DC and AC
+    refinement scans with correction-bit coding, T.81 G.1.2.3 — the shape
+    libjpeg's default progressive scan scripts use) decode to EXACTLY the
+    baseline pixels, across refinement depths, subsampling, grayscale,
+    odd dimensions, and random content (VERDICT r03 #2)."""
+    import numpy as np
+
+    from htep_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from htep_spark.operators.multimodal import _synth_image
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (_synth_image(4), "444", 2),
+        (_synth_image(5), "420", 2),
+        (rng.integers(0, 256, (33, 47, 3), dtype=np.uint8), "420", 1),
+        (rng.integers(0, 256, (24, 40, 3), dtype=np.uint8), "444", 4),
+    ]
+    for img, sub, q in cases:
+        base = decode_jpeg(encode_jpeg(img, quant=q, subsampling=sub))
+        for levels in (1, 2, 3):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(
+                    img, quant=q, subsampling=sub, levels=levels
+                )
+            )
+            assert np.array_equal(prog, base), (sub, q, levels)
+    # grayscale + flat image (all-EOB refinement scans: correction bits only)
+    gray = _synth_image(6)[:29, :45, 0]
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(gray, quant=1, levels=2)),
+        decode_jpeg(encode_jpeg(gray, quant=1)),
+    )
+    flat = np.full((40, 56, 3), 130, np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat, quant=2, levels=2)),
+        decode_jpeg(encode_jpeg(flat, quant=2)),
+    )
+    # determinism of the SA stream
+    assert encode_jpeg_progressive(cases[0][0], levels=2) == (
+        encode_jpeg_progressive(cases[0][0], levels=2)
+    )
+
+
+def test_jpeg_advice_r03_edge_cases():
+    """ADVICE r03 lows: (a) quant=1 full-amplitude checkerboard produces
+    AC magnitude 1024 — must clamp to the T.81 +/-1023 range, not
+    KeyError; (b) a baseline stream whose first SOS covers fewer
+    components than the frame must raise, not silently return Y-only."""
+    import numpy as np
+    import pytest
+
+    from htep_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    # full-amplitude alternating pattern maximizes one AC coefficient
+    xs = np.indices((16, 16)).sum(axis=0) % 2
+    checker = (xs * 255).astype(np.uint8)
+    payload = encode_jpeg(checker, quant=1)  # used to KeyError (cat 11)
+    out = decode_jpeg(payload)
+    assert out.shape == (16, 16, 1)
+    # partial first scan: rewrite the SOS of a color baseline stream to
+    # cover only component 1
+    good = bytearray(encode_jpeg(np.zeros((16, 16, 3), np.uint8), quant=2))
+    sos = good.find(b"\xff\xda")
+    assert sos > 0
+    partial = (
+        bytes(good[:sos])
+        + b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0 << 4 | 0])
+        + b"\x00\x3f\x00"
+        + bytes(good[sos + 14 :])
+    )
+    with pytest.raises(NotImplementedError, match="partial first scan"):
+        decode_jpeg(partial)
