@@ -11,9 +11,10 @@ interchange format from the spec with stdlib + numpy only:
   orthonormal IDCT → chroma upsample → YCbCr→RGB. Grayscale (1-component)
   and 3-component color supported. PROGRESSIVE (SOF2) streams decode too:
   multi-scan coefficient accumulation, DC first + DC refinement scans,
-  AC first scans with EOB-run coding, any spectral bands; only AC
-  successive-approximation refinement raises (see the progressive
-  section).
+  AC first scans with EOB-run coding, any spectral bands, AND AC
+  successive-approximation refinement (correction-bit decoding, T.81
+  G.1.2.3) — the full scan-script space libjpeg's default progressive
+  scripts use.
 - **Encoder** (``encode_jpeg``): valid baseline writer used for round-trip
   tests and synthetic corpora — flat quantization tables (``quant``
   parameter; 1 = near-lossless) and *fixed-length canonical Huffman tables*
@@ -223,6 +224,9 @@ def _encode_block(
     coef = _C @ (block - 128.0) @ _C.T
     q = np.round(coef / qtable).astype(np.int64)
     zz = q.flatten()[_ZZ_FLAT]
+    # 8-bit baseline AC range is +/-1023 (T.81 F.1.2.2.1, categories 1-10);
+    # quant=1 on a full-amplitude pattern can hit 1024 → clamp, don't KeyError
+    np.clip(zz[1:], -1023, 1023, out=zz[1:])
     # DC
     diff = int(zz[0]) - pred
     size = _category(diff)
@@ -473,6 +477,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     payload, pos, frame, qtables, dc_tabs, ac_tabs,
                     restart_interval, scan,
                 )
+            if ns < len(frame["comps"]):
+                # sequential multi-scan (non-interleaved baseline): we only
+                # decode single-scan streams — erroring beats silently
+                # returning a Y-only image for a 3-component file (ADVICE r03)
+                raise NotImplementedError(
+                    f"baseline stream with partial first scan ({ns} of "
+                    f"{len(frame['comps'])} components) is not supported"
+                )
             return _decode_scan(
                 payload, pos, frame, scan, qtables, dc_tabs, ac_tabs, restart_interval
             )
@@ -539,11 +551,13 @@ def _decode_scan(
 # scan (interleaved) followed by one full-band AC scan per component, with
 # EOB-run coding across blocks; the decoder handles general progressive
 # scan scripts — DC first + DC refinement bits, AC first scans with EOBRUN,
-# any spectral bands, restart intervals — accumulating coefficients across
-# scans and reconstructing at EOI. AC successive-approximation refinement
-# (Ah > 0 on an AC band) raises NotImplementedError: our encoder never
-# produces it and there is no in-container reference stream to validate
-# the correction-bit algorithm against.
+# any spectral bands, restart intervals, and AC successive-approximation
+# refinement (correction-bit decoding, T.81 G.1.2.3) — accumulating
+# coefficients across scans and reconstructing at EOI. With no in-container
+# reference stream, the refinement path is validated against our own
+# encoder extended to Ah>0 scripts (``levels`` parameter below): streams
+# must decode pixel-identical to the baseline encoding (pytest-gated,
+# test_jpeg_successive_approximation_matches_baseline).
 
 _ENC_AC_PROG_SYMBOLS = _AC_SYMBOLS + [(r << 4) for r in range(1, 15)]  # + EOBn
 _ENC_AC_PROG_BITS = [0] * 8 + [len(_ENC_AC_PROG_SYMBOLS)] + [0] * 7
@@ -553,7 +567,9 @@ _ENC_AC_PROG_CODES = _canonical_codes(_ENC_AC_PROG_BITS, _ENC_AC_PROG_VALS)
 
 def _quantize_block(block: np.ndarray, qtable: np.ndarray) -> np.ndarray:
     coef = _C @ (block - 128.0) @ _C.T
-    return np.round(coef / qtable).astype(np.int64).flatten()[_ZZ_FLAT]
+    zz = np.round(coef / qtable).astype(np.int64).flatten()[_ZZ_FLAT]
+    np.clip(zz[1:], -1023, 1023, out=zz[1:])  # same T.81 AC range as baseline
+    return zz
 
 
 def _comp_true_blocks(w: int, h: int, hs: int, vs: int, hmax: int, vmax: int):
@@ -563,12 +579,17 @@ def _comp_true_blocks(w: int, h: int, hs: int, vs: int, hmax: int, vmax: int):
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quant: int = 2, subsampling: str = "444"
+    img: np.ndarray, quant: int = 2, subsampling: str = "444", levels: int = 0
 ) -> bytes:
-    """Spectral-selection progressive JFIF writer: one interleaved DC scan,
-    then a full-band (Ss=1..63) AC scan per component with EOB-run coding.
-    Same coefficient pipeline as ``encode_jpeg`` — decoding either stream
-    yields identical pixels (pytest-asserted)."""
+    """Progressive JFIF writer. ``levels=0`` (default): pure spectral
+    selection — one interleaved DC scan, then a full-band (Ss=1..63) AC
+    scan per component with EOB-run coding. ``levels>0`` adds SUCCESSIVE
+    APPROXIMATION (the default libjpeg-style script shape): DC first at
+    Al=levels + one DC-refinement scan per level, and per component an AC
+    first scan at Al=levels followed by Ah=a+1/Al=a refinement scans with
+    correction-bit coding (T.81 G.1.2.3) down to Al=0. Same coefficient
+    pipeline as ``encode_jpeg`` — decoding any of these streams yields
+    pixels identical to the baseline encoding (pytest-asserted)."""
     if img.ndim == 2:
         img = img[..., None]
     h, w = img.shape[:2]
@@ -638,12 +659,12 @@ def encode_jpeg_progressive(
         out += _dht_segment(0, 1, _ENC_DC_BITS, _ENC_DC_VALS)
         out += _dht_segment(1, 1, _ENC_AC_PROG_BITS, _ENC_AC_PROG_VALS)
 
-    # ---- scan 1: DC, interleaved, Ss=0 Se=0 Ah=0 Al=0
+    # ---- scan 1: DC first, interleaved, Ss=0 Se=0 Ah=0 Al=levels
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
     for ci in range(nf):
         tid = 0 if ci == 0 else 1
         out += bytes([ci + 1, tid << 4])
-    out += b"\x00\x00\x00"  # Ss=0 Se=0 AhAl=0
+    out += bytes([0, 0, levels])  # Ss=0 Se=0 Ah=0 Al=levels
     writer = _BitWriter()
     preds = [0] * nf
     for my in range(mcus_y):
@@ -652,7 +673,8 @@ def encode_jpeg_progressive(
                 hs, vs = samp[ci]
                 for by in range(vs):
                     for bx in range(hs):
-                        dc = int(zz_store[ci][my * vs + by, mx * hs + bx, 0])
+                        # DC point transform = arithmetic shift (T.81 A.4)
+                        dc = int(zz_store[ci][my * vs + by, mx * hs + bx, 0]) >> levels
                         diff = dc - preds[ci]
                         preds[ci] = dc
                         size = _category(diff)
@@ -665,64 +687,172 @@ def encode_jpeg_progressive(
     writer.flush()
     out += writer.out
 
-    # ---- per-component AC scans: Ss=1 Se=63 Ah=0 Al=0, non-interleaved
-    for ci in range(nf):
-        tid = 0 if ci == 0 else 1
-        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
-        out += bytes([ci + 1, tid])
-        out += b"\x01\x3f\x00"  # Ss=1 Se=63 AhAl=0
+    # ---- DC refinement scans: one raw bit per block, Ah=al+1 Al=al
+    for al in range(levels - 1, -1, -1):
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
+        for ci in range(nf):
+            out += bytes([ci + 1, 0])  # DC table unused in refinement
+        out += bytes([0, 0, ((al + 1) << 4) | al])
         writer = _BitWriter()
-        hs, vs = samp[ci]
-        bw, bh = _comp_true_blocks(w, h, hs, vs, hmax, vmax)
-        eobrun = 0
-
-        def flush_eobrun():
-            nonlocal eobrun
-            while eobrun > 0:
-                r = eobrun.bit_length() - 1
-                if r > 14:
-                    r = 14
-                take = min(eobrun, (1 << (r + 1)) - 1)
-                # encode EOBn for `take` blocks: category r, extra = take-2^r
-                code, length = _ENC_AC_PROG_CODES[r << 4]
-                writer.write(code, length)
-                if r:
-                    writer.write(take - (1 << r), r)
-                eobrun -= take
-
-        for by in range(bh):
-            for bx in range(bw):
-                zz = zz_store[ci][by, bx]
-                nz = np.nonzero(zz[1:])[0]
-                if len(nz) == 0:
-                    eobrun += 1
-                    if eobrun == 0x7FFF:
-                        flush_eobrun()
-                    continue
-                flush_eobrun()
-                last = int(nz[-1]) + 1
-                run = 0
-                for k in range(1, last + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = _ENC_AC_PROG_CODES[0xF0]
-                        writer.write(code, length)
-                        run -= 16
-                    size = _category(v)
-                    code, length = _ENC_AC_PROG_CODES[(run << 4) | size]
-                    writer.write(code, length)
-                    writer.write(v if v >= 0 else v + (1 << size) - 1, size)
-                    run = 0
-                if last < 63:
-                    eobrun += 1
-        flush_eobrun()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(nf):
+                    hs, vs = samp[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            dc = int(zz_store[ci][my * vs + by, mx * hs + bx, 0])
+                            writer.write((dc >> al) & 1, 1)
         writer.flush()
         out += writer.out
 
+    # ---- per-component AC scans, non-interleaved: a first scan at
+    # Al=levels, then refinement scans stepping Al down to 0
+    for ci in range(nf):
+        tid = 0 if ci == 0 else 1
+        hs, vs = samp[ci]
+        bw, bh = _comp_true_blocks(w, h, hs, vs, hmax, vmax)
+        out += _emit_ac_first_scan(
+            zz_store[ci], bw, bh, ci, tid, levels
+        )
+        for al in range(levels - 1, -1, -1):
+            out += _emit_ac_refine_scan(zz_store[ci], bw, bh, ci, tid, al)
+
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_ac_first_scan(
+    store: np.ndarray, bw: int, bh: int, ci: int, tid: int, al: int
+) -> bytes:
+    """One Ss=1 Se=63, Ah=0, Al=al AC scan for one component: values are
+    the point-transformed magnitudes ``sign(v) * (|v| >> al)`` with EOB-run
+    coding (T.81 G.1.2.2)."""
+    out = bytearray()
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([ci + 1, tid])
+    out += bytes([1, 63, al])  # Ss=1 Se=63 Ah=0 Al=al
+    writer = _BitWriter()
+    eobrun = 0
+
+    def flush_eobrun():
+        nonlocal eobrun
+        while eobrun > 0:
+            r = min(eobrun.bit_length() - 1, 14)
+            take = min(eobrun, (1 << (r + 1)) - 1)
+            # encode EOBn for `take` blocks: category r, extra = take-2^r
+            code, length = _ENC_AC_PROG_CODES[r << 4]
+            writer.write(code, length)
+            if r:
+                writer.write(take - (1 << r), r)
+            eobrun -= take
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = store[by, bx]
+            vals = np.sign(zz) * (np.abs(zz) >> al) if al else zz
+            nz = np.nonzero(vals[1:])[0]
+            if len(nz) == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            last = int(nz[-1]) + 1
+            run = 0
+            for k in range(1, last + 1):
+                v = int(vals[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = _ENC_AC_PROG_CODES[0xF0]
+                    writer.write(code, length)
+                    run -= 16
+                size = _category(v)
+                code, length = _ENC_AC_PROG_CODES[(run << 4) | size]
+                writer.write(code, length)
+                writer.write(v if v >= 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last < 63:
+                eobrun += 1
+    flush_eobrun()
+    writer.flush()
+    out += writer.out
+    return bytes(out)
+
+
+def _emit_ac_refine_scan(
+    store: np.ndarray, bw: int, bh: int, ci: int, tid: int, al: int
+) -> bytes:
+    """One Ss=1 Se=63, Ah=al+1, Al=al AC refinement scan (T.81 G.1.2.3,
+    the jcphuff-style shape): coefficients newly visible at this level
+    (``|v| >> al == 1``) are Huffman-coded with size 1 + a sign bit;
+    coefficients already nonzero at the previous level carry one buffered
+    correction bit (``(|v| >> al) & 1``) emitted after the next coded
+    symbol (or after the EOBn that closes their run)."""
+    out = bytearray()
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([ci + 1, tid])
+    out += bytes([1, 63, ((al + 1) << 4) | al])
+    writer = _BitWriter()
+    eobrun = 0
+    eob_bits: List[int] = []  # correction bits owned by the pending EOB run
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            r = eobrun.bit_length() - 1
+            code, length = _ENC_AC_PROG_CODES[r << 4]
+            writer.write(code, length)
+            if r:
+                writer.write(eobrun - (1 << r), r)
+            eobrun = 0
+        for b in eob_bits:
+            writer.write(b, 1)
+        eob_bits.clear()
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = store[by, bx]
+            absv = np.abs(zz) >> al
+            # EOB position: past the LAST newly-nonzero coefficient
+            newly = np.nonzero(absv[1:] == 1)[0]
+            eob = int(newly[-1]) + 1 if len(newly) else 0
+            run = 0
+            br_bits: List[int] = []  # bits pending since last coded coeff
+            for k in range(1, 64):
+                a = int(absv[k])
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob:
+                    flush_eob()
+                    code, length = _ENC_AC_PROG_CODES[0xF0]
+                    writer.write(code, length)
+                    run -= 16
+                    for b in br_bits:
+                        writer.write(b, 1)
+                    br_bits = []
+                if a > 1:  # nonzero history: one correction bit, no run
+                    br_bits.append(a & 1)
+                    continue
+                # newly nonzero at this level
+                flush_eob()
+                code, length = _ENC_AC_PROG_CODES[(run << 4) | 1]
+                writer.write(code, length)
+                writer.write(1 if int(zz[k]) >= 0 else 0, 1)  # sign bit
+                for b in br_bits:
+                    writer.write(b, 1)
+                br_bits = []
+                run = 0
+            if run > 0 or br_bits:
+                eobrun += 1
+                eob_bits.extend(br_bits)
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+    writer.flush()
+    out += writer.out
     return bytes(out)
 
 
@@ -803,41 +933,98 @@ def _decode_progressive(
         else:  # AC scan — always single component
             if len(scan) != 1:
                 raise ValueError("progressive AC scan must be single-component")
-            if ah != 0:
-                raise NotImplementedError(
-                    "progressive AC successive-approximation refinement"
-                )
             comp, _td, ta = scan[0]
             bw, bh = _comp_true_blocks(w, h, comp["h"], comp["v"], hmax, vmax)
             unit = 0
-            for by in range(bh):
-                for bx in range(bw):
-                    if dri and unit and unit % dri == 0:
-                        reader.sync_restart()
-                        eobrun = 0
-                    unit += 1
-                    if eobrun > 0:
-                        eobrun -= 1
-                        continue
-                    blk = coef[comp["id"]][by, bx]
-                    k = ss
-                    while k <= se:
-                        rs = _decode_huffman(reader, ac_tabs[ta])
-                        r, s = rs >> 4, rs & 0xF
-                        if s == 0:
-                            if r < 15:
-                                eobrun = (1 << r)
-                                if r:
-                                    eobrun += reader.receive(r)
-                                eobrun -= 1  # current block ends now
-                                break
-                            k += 16  # ZRL
-                        else:
-                            k += r
-                            if k > se:
-                                raise ValueError("AC run past band end")
-                            blk[k] = _extend(reader.receive(s), s) << al
-                            k += 1
+            if ah == 0:  # AC first scan for this band
+                for by in range(bh):
+                    for bx in range(bw):
+                        if dri and unit and unit % dri == 0:
+                            reader.sync_restart()
+                            eobrun = 0
+                        unit += 1
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        blk = coef[comp["id"]][by, bx]
+                        k = ss
+                        while k <= se:
+                            rs = _decode_huffman(reader, ac_tabs[ta])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r < 15:
+                                    eobrun = (1 << r)
+                                    if r:
+                                        eobrun += reader.receive(r)
+                                    eobrun -= 1  # current block ends now
+                                    break
+                                k += 16  # ZRL
+                            else:
+                                k += r
+                                if k > se:
+                                    raise ValueError("AC run past band end")
+                                blk[k] = _extend(reader.receive(s), s) << al
+                                k += 1
+            else:
+                # AC successive-approximation refinement (T.81 G.1.2.3):
+                # each Huffman symbol either appends one newly-nonzero
+                # coefficient at magnitude 1<<Al or starts an EOB run;
+                # every nonzero-HISTORY coefficient passed along the way
+                # carries one correction bit that may set its Al bit.
+                p1 = 1 << al
+                m1 = -1 << al
+
+                def refine_nonzero(blk, k):
+                    c = int(blk[k])
+                    if reader.read_bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+
+                for by in range(bh):
+                    for bx in range(bw):
+                        if dri and unit and unit % dri == 0:
+                            reader.sync_restart()
+                            eobrun = 0
+                        unit += 1
+                        blk = coef[comp["id"]][by, bx]
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = _decode_huffman(reader, ac_tabs[ta])
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r < 15:  # EOBn — rest of block below
+                                        eobrun = (1 << r)
+                                        if r:
+                                            eobrun += reader.receive(r)
+                                        break
+                                    newval = 0  # ZRL: skip 16 zero-history
+                                else:
+                                    if s != 1:
+                                        raise ValueError(
+                                            "refinement scan coded size != 1"
+                                        )
+                                    newval = p1 if reader.read_bit() else m1
+                                # advance past r zero-history coefficients,
+                                # refining nonzero-history ones in passing
+                                while k <= se:
+                                    if int(blk[k]) != 0:
+                                        refine_nonzero(blk, k)
+                                    else:
+                                        if r == 0:
+                                            break
+                                        r -= 1
+                                    k += 1
+                                if newval and k <= se:
+                                    blk[k] = newval
+                                k += 1
+                        if eobrun > 0:
+                            # EOB state: correction bits only for the
+                            # remaining nonzero-history coefficients
+                            while k <= se:
+                                if int(blk[k]) != 0:
+                                    refine_nonzero(blk, k)
+                                k += 1
+                            eobrun -= 1
         return _skip_to_marker(data, reader.pos)
 
     # first scan header was parsed by the caller; its Ss/Se/Ah/Al live in
