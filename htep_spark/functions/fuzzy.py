@@ -28,6 +28,8 @@ __all__ = [
     "banded_edit_distance",
     "FuzzyMatcher",
     "get_matcher",
+    "CloseMatchIndex",
+    "close_matches",
 ]
 
 
@@ -149,18 +151,65 @@ def banded_edit_distance(a: str, b: str, max_distance: int) -> int:
     return prev[-1]
 
 
+class CloseMatchIndex:
+    """Length-bucketed candidate index that reproduces
+    ``difflib.get_close_matches(n=1)`` BYTE-IDENTICALLY while bounding the
+    per-lookup candidate set (the scorer of the block parser's fuzzy
+    layers, ``src/nlp/block_parser.py:300-315``).
+
+    Why this is exact, not approximate:
+
+    - difflib's ratio is ``2*M/(la+lb)`` with ``M <= min(la, lb)`` matched
+      chars, so any candidate with ``2*min(la,lb)/(la+lb) < cutoff`` can
+      NEVER pass — the length window is a provable filter, and the bound
+      is evaluated with the same float division as the true ratio (same
+      denominator, monotone in the numerator), so it can only over-include.
+    - ``get_close_matches`` picks via ``heapq.nlargest`` over
+      ``(ratio, word)`` tuples: equal ratios tie-break to the
+      lexicographically LARGEST word — an order-independent criterion we
+      replicate with a running ``max`` over ``(ratio, word)``.
+    - Per surviving candidate we run the identical difflib pipeline
+      (``set_seq2(word)`` / ``set_seq1(cand)`` roles preserved — ratio is
+      not symmetric — with the same real_quick/quick/full cascade).
+
+    Worst-case lookup cost is O(candidates within the length window)
+    instead of O(vocabulary) — the bound VERDICT r03 #9 asked for;
+    byte-equality is gated by the golden corpus and a differential pytest.
+    """
+
+    def __init__(self, possibilities: Iterable[str]):
+        self._by_len: dict = {}
+        for x in possibilities:
+            self._by_len.setdefault(len(x), []).append(x)
+
+    def lookup(self, word: str, cutoff: float) -> Optional[str]:
+        import difflib
+
+        la = len(word)
+        s = difflib.SequenceMatcher()
+        s.set_seq2(word)
+        best: Optional[Tuple[float, str]] = None
+        for lb, bucket in self._by_len.items():
+            if 2.0 * min(la, lb) / (la + lb) < cutoff:
+                continue
+            for x in bucket:
+                s.set_seq1(x)
+                if (
+                    s.real_quick_ratio() >= cutoff
+                    and s.quick_ratio() >= cutoff
+                ):
+                    r = s.ratio()
+                    if r >= cutoff and (best is None or (r, x) > best):
+                        best = (r, x)
+        return best[1] if best else None
+
+
 def close_matches(
     word: str,
     possibilities: Iterable[str],
     cutoff: float,
 ) -> Optional[str]:
-    """First best match with difflib ratio >= cutoff, else None.
-
-    Wraps stdlib ``difflib.get_close_matches(n=1)`` — the scorer of the
-    block parser's fuzzy layers (``src/nlp/block_parser.py:300-315``).
-    difflib is stdlib and deterministic, so it is used as-is.
-    """
-    import difflib
-
-    hits = difflib.get_close_matches(word, list(possibilities), n=1, cutoff=cutoff)
-    return hits[0] if hits else None
+    """Best match with difflib ratio >= cutoff, else None — one-shot
+    wrapper over :class:`CloseMatchIndex` (semantics of
+    ``difflib.get_close_matches(n=1)``; hot callers hold an index)."""
+    return CloseMatchIndex(possibilities).lookup(word, cutoff)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from .fuzzy import close_matches, extract_one, indel_ratio
+from .fuzzy import CloseMatchIndex, extract_one, indel_ratio
 
 __all__ = [
     "fusion_correct",
@@ -114,6 +114,10 @@ class TokenCorrector:
         self._medical_lower = sorted(self._medical_lookup)
         self._english_lookup = {t.lower(): t for t in sorted(set(english_terms))}
         self._english_lower = sorted(self._english_lookup)
+        # length-bucketed indexes: byte-identical to difflib
+        # get_close_matches but O(length-window) per uncached miss
+        self._medical_index = CloseMatchIndex(self._medical_lower)
+        self._english_index = CloseMatchIndex(self._english_lower)
         self._memo: Dict[str, Tuple[str, Optional[str]]] = {}
 
     def correct(self, token: str) -> Tuple[str, Optional[str]]:
@@ -140,10 +144,12 @@ class TokenCorrector:
         if exact_english:
             return apply_case(original, exact_english), "english"
 
-        close_medical = close_matches(cleaned, self._medical_lower, self.similarity_cutoff)
+        close_medical = self._medical_index.lookup(cleaned, self.similarity_cutoff)
         if close_medical:
             return apply_case(original, self._medical_lookup[close_medical]), "medical"
-        close_english = close_matches(cleaned, self._english_lower, self.english_similarity_cutoff)
+        close_english = self._english_index.lookup(
+            cleaned, self.english_similarity_cutoff
+        )
         if close_english:
             return apply_case(original, self._english_lookup[close_english]), "english"
         return original, None

@@ -108,6 +108,32 @@ def test_banded_edit_distance_vs_full(a, b, maxd):
         assert got > maxd
 
 
+@settings(max_examples=300, deadline=None)
+@given(
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=8),
+        min_size=0,
+        max_size=30,
+        unique=True,
+    ),
+    st.sampled_from([0.6, 0.84, 0.93]),
+)
+def test_close_match_index_is_byte_identical_to_difflib(word, vocab, cutoff):
+    """The length-bucketed fast path (VERDICT r03 #9) must return EXACTLY
+    what difflib.get_close_matches(n=1) returns — including equal-ratio
+    tie-breaks (nlargest over (ratio, word) → lexicographically largest)
+    — on a tiny alphabet chosen to force many ties and near-cutoff
+    ratios."""
+    import difflib
+
+    from htep_spark.functions.fuzzy import CloseMatchIndex
+
+    want = difflib.get_close_matches(word, vocab, n=1, cutoff=cutoff)
+    got = CloseMatchIndex(vocab).lookup(word, cutoff)
+    assert got == (want[0] if want else None)
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.text(alphabet="ab01l IO.\n\t-'", min_size=0, max_size=60))
 def test_fusion_token_count_invariant(text):
