@@ -161,6 +161,9 @@ def main() -> None:
         "quality_filter",
         "top_ngrams",
         "beam_replace",
+        "sample_hash",
+        "repetition_stats",
+        "bpe_train",
     ):
         if name not in QUERIES:
             continue

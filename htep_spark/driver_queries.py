@@ -925,6 +925,177 @@ FROM r
 
 
 # --------------------------------------------------------------------------
+# Deterministic hash-based stratified sampling: the training-data-pipeline
+# primitive every 100 TB job starts with. A document is kept iff its 60-bit
+# md5 bucket (the shared cross-engine hash) falls under its stratum's
+# per-myriad rate; the stratum rate itself derives from the source string,
+# so the same row always gets the same verdict on any engine, any cluster
+# size, any run — no RNG state, no sampling seed to ship. Narrow plan: one
+# projection + filter, fully pushdown-friendly.
+# --------------------------------------------------------------------------
+
+SAMPLE_BASE_PERMYRIAD = 500  # 5% floor
+SAMPLE_STEP_PERMYRIAD = 1500  # + 15% per stratum step (source-hash % 4)
+
+
+def _md5_bucket_spark(col, mod: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), F.lit(mod)
+    )
+
+
+def _md5_bucket_sql(expr: str, mod: int) -> str:
+    return (
+        f"(CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT) % {mod})"
+    )
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rate = (
+        F.lit(SAMPLE_BASE_PERMYRIAD)
+        + _md5_bucket_spark(F.col("source"), 4) * SAMPLE_STEP_PERMYRIAD
+    )
+    bucket = _md5_bucket_spark(F.concat_ws("|", F.lit("doc"), F.col("doc_id")), 10_000)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "source",
+            bucket.cast("long").alias("bucket"),
+            rate.cast("long").alias("rate_permyriad"),
+        )
+        .filter(F.col("bucket") < F.col("rate_permyriad"))
+    )
+
+
+SQL_SAMPLE_HASH = f"""
+SELECT * FROM (
+  SELECT doc_id, source,
+         {_md5_bucket_sql("'doc' || '|' || CAST(doc_id AS VARCHAR)", 10_000)} AS bucket,
+         ({SAMPLE_BASE_PERMYRIAD} + {_md5_bucket_sql("source", 4)} * {SAMPLE_STEP_PERMYRIAD})
+           AS rate_permyriad
+  FROM documents
+) WHERE bucket < rate_permyriad
+"""
+
+
+# --------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021 §A.2): the quality_filter above
+# covers the length/ratio rules; these are the REPETITION signals — the
+# fraction of duplicate lines, and the fraction of characters inside the
+# most frequent word bigram. The top-bigram is computed relationally
+# (explode → count → rank) so the plan is linear in tokens at any scale —
+# never a per-doc O(words²) higher-order-function scan. Ties break to the
+# lexicographically smallest bigram on both engines.
+# --------------------------------------------------------------------------
+
+REP_MAX_DUP_LINE_FRAC = 0.30
+REP_MAX_TOP_BIGRAM_FRAC = 0.20
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _clinical_col().alias("ctext")
+    )
+    lines = F.split(F.col("ctext"), "\n")
+    base = docs.select(
+        "doc_id",
+        F.col("ctext"),
+        F.size(lines).alias("n_lines"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct(lines)).cast("double")
+            / F.greatest(F.size(lines), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        F.length("ctext").alias("n_chars"),
+    )
+    toks = base.select(
+        "doc_id",
+        "n_lines",
+        "dup_line_frac",
+        "n_chars",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            "n_chars",
+            F.concat_ws(" ", "w", "w2").alias("bigram"),
+        )
+    )
+    counts = bg.groupBy(
+        "doc_id", "n_lines", "dup_line_frac", "n_chars", "bigram"
+    ).agg(F.count("*").alias("cnt"))
+    rw = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("bigram").asc()
+    )
+    top = counts.withColumn("rn", F.row_number().over(rw)).filter(
+        F.col("rn") == 1
+    )
+    frac = F.round(
+        (F.col("cnt") * (F.length("bigram") - 1)).cast("double")
+        / F.greatest(F.col("n_chars"), F.lit(1)),
+        6,
+    )
+    keep = (F.col("dup_line_frac") <= REP_MAX_DUP_LINE_FRAC) & (
+        frac <= REP_MAX_TOP_BIGRAM_FRAC
+    )
+    return top.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        "dup_line_frac",
+        F.col("bigram").alias("top_bigram"),
+        F.col("cnt").cast("long").alias("top_bigram_count"),
+        frac.alias("top_bigram_frac"),
+        keep.cast("long").alias("keep"),
+    )
+
+
+SQL_REPETITION_STATS = f"""
+WITH d AS (
+  SELECT doc_id, {_clinical_sql()} AS ctext FROM documents
+), base AS (
+  SELECT doc_id, ctext,
+         len(str_split(ctext, chr(10))) AS n_lines,
+         round(1.0 - CAST(len(list_distinct(str_split(ctext, chr(10)))) AS DOUBLE)
+               / greatest(len(str_split(ctext, chr(10))), 1), 6) AS dup_line_frac,
+         length(ctext) AS n_chars,
+         regexp_extract_all(lower(ctext), '{_TOKEN_PATTERN}') AS toks
+  FROM d
+), bg AS (
+  SELECT doc_id, n_lines, dup_line_frac, n_chars,
+         toks[i] || ' ' || toks[i + 1] AS bigram
+  FROM (SELECT *, unnest(range(1, len(toks))) AS i FROM base)
+), counts AS (
+  SELECT doc_id, n_lines, dup_line_frac, n_chars, bigram, count(*) AS cnt
+  FROM bg GROUP BY ALL
+), top AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY doc_id ORDER BY cnt DESC, bigram ASC) AS rn
+  FROM counts
+)
+SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines, dup_line_frac,
+       bigram AS top_bigram, CAST(cnt AS BIGINT) AS top_bigram_count,
+       round(CAST(cnt * (length(bigram) - 1) AS DOUBLE)
+             / greatest(n_chars, 1), 6) AS top_bigram_frac,
+       CAST(CASE WHEN dup_line_frac <= CAST({REP_MAX_DUP_LINE_FRAC} AS DOUBLE)
+                  AND round(CAST(cnt * (length(bigram) - 1) AS DOUBLE)
+                            / greatest(n_chars, 1), 6)
+                      <= CAST({REP_MAX_TOP_BIGRAM_FRAC} AS DOUBLE)
+             THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM top WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Corpus-trained bigram LM scoring (CCNet-style quality signal): train
 # add-k-smoothed bigram probabilities on the corpus itself (two hash
 # aggregations), then score every document by its mean token-bigram log
@@ -2161,6 +2332,18 @@ def _q_beam_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_beam_replace(spark, sf_dir)
 
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import q_bpe_train
+
+    return q_bpe_train(spark, sf_dir)
+
+
+def _sql_bpe_train_str() -> str:
+    from .operators.bpe import sql_bpe_train
+
+    return sql_bpe_train()
+
+
 def _sql_beam_replace_str() -> str:
     from .operators.decode import _sql_beam_replace
 
@@ -2273,4 +2456,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "top_docs": (q_top_docs, SQL_TOP_DOCS),
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
+    "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "bpe_train": (_q_bpe_train, _sql_bpe_train_str()),
 }

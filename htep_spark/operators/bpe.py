@@ -1,0 +1,169 @@
+"""Distributed BPE merge training (Sennrich et al. 2016) — the tokenizer-
+training step of an LLM data pipeline, run on-cluster over the corpus the
+tokenizer will serve.
+
+This is a Spark-native EXTENSION beyond the reference inventory (like the
+temporal joins and the dedup family): the reference has no tokenizer
+training; the operator exists because a 100 TB training-data engine needs
+it (task brief: training-data pipeline ops are first-class).
+
+Algorithm = the textbook iterative superstep loop, expressed so each step
+is ONE distributed hash aggregation:
+
+1. every word is a list of symbols (initially characters);
+2. count adjacent symbol pairs corpus-wide (explode + groupBy — map-side
+   partial aggregation applies);
+3. the arg-max pair (ties: count desc, then (a, b) lexicographic — fully
+   deterministic) becomes the next merge rule. This is the ONE legitimate
+   driver action per step: a 1-row ``limit(1).collect()`` of an aggregate,
+   the same shape as k-means centroid updates or the BM25 corpus-stats
+   scalar;
+4. the merge is applied to every word with a left-fold over the symbol
+   list (``F.aggregate`` — JVM-side, no Python). Leftmost non-overlapping
+   application falls out naturally: the merged symbol ``a+b`` is a new
+   string, so it never re-matches ``a`` within the same pass.
+
+Scale design (10^12 tokens): per step = one shuffle (pair count) + one
+narrow map (fold). ``k`` supersteps chain lineage linearly; callers at
+real scale should ``localCheckpoint`` the symbol frame every few steps
+(same pattern as ``connected_components``, operators/dedup.py:338). The
+driver never holds row data — only the k winning pairs.
+
+The DuckDB oracle reproduces the whole loop as a generated k-step CTE
+chain; the merge fold uses a unit-separator string accumulator with
+``list_reduce`` (symbols are ``[a-z0-9]+`` so the separator can never
+collide).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+__all__ = ["bpe_train", "q_bpe_train", "sql_bpe_train", "BPE_MERGES"]
+
+BPE_MERGES = 6  # driver-query depth (the oracle CTE chain is generated to match)
+BPE_MAX_TOKENS_PER_DOC = 20  # corpus cap for the driver query
+
+
+def _merge_fold(symbols, a: str, b: str):
+    """Left fold replacing adjacent (a, b) with a+b — leftmost,
+    non-overlapping, JVM-side."""
+    merged = a + b
+    empty = F.array().cast(ArrayType(StringType()))
+    return F.aggregate(
+        symbols,
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    words: DataFrame, col: str = "word", k: int = BPE_MERGES
+) -> List[Tuple[str, str, int]]:
+    """Learn ``k`` BPE merges from a DataFrame of words (one word per
+    row, duplicates = corpus frequency). Returns the ordered merge table
+    ``[(a, b, pair_count), ...]``."""
+    syms = words.select(F.split(F.col(col), "").alias("s")).filter(
+        F.size("s") > 0
+    )
+    merges: List[Tuple[str, str, int]] = []
+    for _ in range(k):
+        pairs = syms.select(
+            F.posexplode(F.slice("s", 1, F.size("s") - 1)).alias("i", "a"),
+            F.col("s"),
+        ).select("a", F.element_at("s", F.col("i") + 2).alias("b"))
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        syms = syms.select(_merge_fold(F.col("s"), a, b).alias("s"))
+    return merges
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED driver query: the learned merge table over the first
+    ``BPE_MAX_TOKENS_PER_DOC`` lowercase tokens of every document —
+    merge_rank, pair, merged symbol, and the corpus pair count that won
+    the step. The Spark side runs the real distributed loop; the oracle
+    replays it as a generated k-step CTE chain."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        F.explode(
+            F.slice(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0
+                ),
+                1,
+                BPE_MAX_TOKENS_PER_DOC,
+            )
+        ).alias("word")
+    )
+    merges = bpe_train(words, "word", BPE_MERGES)
+    rows = [
+        (i + 1, a, b, a + b, cnt) for i, (a, b, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank long, pair_a string, pair_b string, merged string, pair_count long"
+    )
+
+
+def sql_bpe_train(k: int = BPE_MERGES) -> str:
+    """Generated DuckDB replay of the k-step loop. Symbol lists travel as
+    chr(31)-joined strings between steps; the merge is a ``list_reduce``
+    left fold with the same leftmost non-overlapping semantics as the
+    Spark ``F.aggregate`` fold."""
+    us = "chr(31)"
+    parts = [
+        f"""
+WITH w0 AS (
+  SELECT array_to_string(str_split(word, ''), {us}) AS s
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')[1:{BPE_MAX_TOKENS_PER_DOC}]) AS word
+    FROM documents
+  ) WHERE length(word) > 0
+)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f""", p{i} AS (
+  SELECT l[i] AS a, l[i + 1] AS b
+  FROM (SELECT str_split(s, {us}) AS l, unnest(range(1, len(str_split(s, {us})))) AS i FROM w{i})
+), c{i} AS (
+  SELECT a, b, count(*) AS cnt FROM p{i} GROUP BY a, b
+), best{i} AS (
+  SELECT a, b, cnt FROM c{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+), w{i + 1} AS (
+  SELECT list_reduce(
+           str_split(w.s, {us}),
+           (acc, x) -> CASE
+             WHEN (acc = bb.a OR ends_with(acc, {us} || bb.a)) AND x = bb.b
+               THEN substr(acc, 1, length(acc) - length(bb.a)) || bb.a || bb.b
+             ELSE acc || {us} || x END
+         ) AS s
+  FROM w{i} w CROSS JOIN best{i} bb
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, a AS pair_a, b AS pair_b, "
+        f"a || b AS merged, CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
+        for i in range(k)
+    )
+    return "".join(parts) + "\n" + union

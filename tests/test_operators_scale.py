@@ -680,6 +680,68 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert all(f["error"] is None for f in frames)
 
 
+def test_bpe_train_matches_pure_python(spark):
+    """The distributed BPE loop (superstep pair-count + JVM fold merge)
+    must learn exactly the merge table a straightforward pure-Python BPE
+    produces — same argmax, same (count desc, pair asc) tie-break, same
+    leftmost non-overlapping merge application."""
+    from htep_spark.operators.bpe import bpe_train
+
+    corpus = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaa"] * 4  # overlap case: (a,a) merges leftmost-first
+    )
+
+    def py_bpe(words, k):
+        seqs = [list(w) for w in words]
+        merges = []
+        for _ in range(k):
+            counts = {}
+            for s in seqs:
+                for x, y in zip(s, s[1:]):
+                    counts[(x, y)] = counts.get((x, y), 0) + 1
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), cnt = best
+            merges.append((a, b, cnt))
+            out = []
+            for s in seqs:
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                out.append(ns)
+            seqs = out
+        return merges
+
+    words = spark.createDataFrame([(w,) for w in corpus], ["word"])
+    got = bpe_train(words, "word", k=6)
+    want = py_bpe(corpus, 6)
+    assert got == want
+    # the overlap corpus must produce an (a,a)-style merge somewhere and
+    # the learned table must be deterministic across invocations
+    assert got == bpe_train(words, "word", k=6)
+    assert any(a == b for a, b, _ in got)
+
+
+def test_sample_hash_is_stratified_and_deterministic(spark):
+    from htep_spark.driver_queries import q_sample_hash
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_sample_hash(spark, sf).collect()
+    assert rows, "sampler kept nothing"
+    rates = {r["rate_permyriad"] for r in rows}
+    assert len(rates) >= 2, "only one stratum fired"
+    assert all(r["bucket"] < r["rate_permyriad"] for r in rows)
+    again = q_sample_hash(spark, sf).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
 def test_connected_components_long_chain(spark):
     """A 60-node chain must converge (pointer jumping: O(log n) rounds)."""
     from htep_spark.operators.dedup import connected_components

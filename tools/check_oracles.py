@@ -56,6 +56,15 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # driver-cap overflow: oracle-paired operators held out of the driver's
+    # 50-row window (__spark_entry__.DRIVER_CAP_OVERFLOW) still replay here
+    from htep_spark.driver_queries import QUERIES as _ALL_QUERIES
+
+    for name in getattr(entrymod, "DRIVER_CAP_OVERFLOW", ()):
+        fn, sql = _ALL_QUERIES[name]
+        qs[name] = fn
+        if sql is not None:
+            oracles[name] = sql
     failures = 0
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
