@@ -148,3 +148,24 @@ def test_temporal_join_plans_avoid_cross_products(spark):
     )
     assert "CartesianProduct" not in rplan and "NestedLoop" not in rplan
     assert "Join" in rplan  # a real equi-join on (user_id, bucket)
+
+
+def test_round4_operator_plan_shapes(spark):
+    """Round-4 operators keep their scale-sane plans: sample_hash is a
+    pure scan→filter→project (no exchange, pruned 2-column scan);
+    repetition_stats does ONE hash exchange on doc_id reused by the lead
+    window, the bigram count aggregate, and the rank-1 window (Spark plans
+    the row_number<=1 filter as WindowGroupLimit, no second exchange)."""
+    from htep_spark.driver_queries import q_repetition_stats, q_sample_hash
+
+    sf = "/root/testdata/sf0.001"
+    splan = q_sample_hash(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in splan, splan
+    read_schema = next(l for l in splan.splitlines() if "ReadSchema" in l)
+    assert "text" not in read_schema, read_schema
+
+    rdf = q_repetition_stats(spark, sf)
+    rplan = rdf._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = rplan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} exchanges\n{rplan}"
+    assert "WindowGroupLimit" in rplan, rplan
