@@ -78,7 +78,13 @@ def bpe_train(
         F.size("s") > 0
     )
     merges: List[Tuple[str, str, int]] = []
+    prev = None
     for _ in range(k):
+        # each superstep is consumed twice (pair argmax + next fold) and
+        # every later step builds on it — persist to keep the loop O(k)
+        # instead of re-deriving the whole fold chain per step; at real
+        # scale swap persist() for localCheckpoint() to also cut lineage
+        syms = syms.persist()
         pairs = syms.select(
             F.posexplode(F.slice("s", 1, F.size("s") - 1)).alias("i", "a"),
             F.col("s"),
@@ -90,11 +96,16 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+        prev = syms
         if not top:
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((a, b, cnt))
         syms = syms.select(_merge_fold(F.col("s"), a, b).alias("s"))
+    if prev is not None:
+        prev.unpersist()
     return merges
 
 
