@@ -9,6 +9,10 @@ built from the stdlib + numpy only:
 - **BMP**: 24-bit uncompressed BITMAPINFOHEADER, bottom-up rows with 4-byte
   padding.
 - **PPM (P6)**: maxval 255 binary, whitespace/comment-tolerant header.
+- **TIFF** (6.0 spec): both byte orders (II/MM), 8-bit gray/RGB, chunky
+  config, strip organization, Compression none/PackBits, Photometric
+  0/1/2; minimal spec-compliant writer (single- or multi-strip, either
+  endian, optional PackBits).
 - **JPEG** (``functions/jpeg.py``): baseline sequential DCT — general
   decoder (arbitrary DHT/DQT, 4:4:4/4:2:2/4:2:0, restart markers) and a
   spec-compliant flat-quant writer for round-trip tests.
@@ -47,6 +51,8 @@ __all__ = [
     "decode_bmp",
     "encode_ppm",
     "decode_ppm",
+    "encode_tiff",
+    "decode_tiff",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -54,7 +60,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def sniff_format(payload: bytes) -> str:
     """Magic-byte format sniff → 'png' | 'jpeg' | 'bmp' | 'ppm' | 'wav' |
-    'rawv' | 'unknown'."""
+    'rawv' | 'tiff' | 'unknown'."""
     if not payload:
         return "unknown"
     if payload[:8] == _PNG_SIG:
@@ -65,6 +71,8 @@ def sniff_format(payload: bytes) -> str:
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RAWV":
@@ -312,6 +320,226 @@ def rawv_frame_count(payload: bytes) -> int:
 
 # ---------------------------------------------------------------- common --
 
+# ------------------------------------------------------------------ TIFF --
+# TIFF 6.0 (public Adobe spec): both byte orders, first IFD, 8-bit
+# grayscale/RGB, chunky planar config, strip organization, Compression
+# none (1) or PackBits (32773), PhotometricInterpretation 0/1/2.
+
+
+def _packbits_encode_row(row: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # run of >=3 identical bytes → repeat packet
+        j = i
+        while j + 1 < n and row[j + 1] == row[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i = j + 1
+            continue
+        # literal packet: until the next >=3 run (or 128 bytes)
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            j = i
+            while j + 1 < n and row[j + 1] == row[i] and j - i < 127:
+                j += 1
+            if j - i + 1 >= 3:
+                break
+            i = j + 1
+        lit = row[lit_start:i]
+        out += bytes([len(lit) - 1]) + lit
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected and i < len(data):
+        c = data[i]
+        i += 1
+        if c < 128:  # literal c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: noop
+    if len(out) < expected:
+        raise ValueError("truncated PackBits strip")
+    return bytes(out[:expected])
+
+
+def encode_tiff(
+    img: np.ndarray,
+    compression: str = "none",
+    byteorder: str = "<",
+    rows_per_strip: int = 0,
+) -> bytes:
+    """(H, W, 1|3) or (H, W) uint8 → TIFF bytes. ``compression``:
+    ``"none"`` or ``"packbits"`` (rows compressed independently per the
+    spec's recommendation). ``byteorder`` ``"<"`` (II) or ``">"`` (MM).
+    ``rows_per_strip`` 0 = single strip."""
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, spp = img.shape
+    if spp not in (1, 3):
+        raise ValueError("TIFF writer supports 1 or 3 samples per pixel")
+    comp = {"none": 1, "packbits": 32773}[compression]
+    rps = rows_per_strip or h
+    n_strips = -(-h // rps)
+    strips = []
+    for s in range(n_strips):
+        rows = img[s * rps : (s + 1) * rps]
+        raw = rows.tobytes()
+        if comp == 1:
+            strips.append(raw)
+        else:
+            row_len = w * spp
+            strips.append(
+                b"".join(
+                    _packbits_encode_row(raw[r * row_len : (r + 1) * row_len])
+                    for r in range(rows.shape[0])
+                )
+            )
+
+    bo = byteorder
+    entries = []  # (tag, type, count, value_or_bytes)
+    SHORT, LONG = 3, 4
+
+    def entry(tag, typ, count, value):
+        entries.append((tag, typ, count, value))
+
+    entry(256, LONG, 1, w)
+    entry(257, LONG, 1, h)
+    # BitsPerSample: SHORT×spp — fits inline for spp<=2, external for 3
+    entry(258, SHORT, spp, [8] * spp)
+    entry(259, SHORT, 1, comp)
+    entry(262, SHORT, 1, 1 if spp == 1 else 2)
+    entry(273, LONG, n_strips, None)  # StripOffsets patched below
+    entry(277, SHORT, 1, spp)
+    entry(278, LONG, 1, rps)
+    entry(279, LONG, n_strips, [len(s) for s in strips])
+
+    # layout: header(8) | IFD | external arrays | strip data
+    ifd_off = 8
+    ifd_size = 2 + 12 * len(entries) + 4
+    ext_off = ifd_off + ifd_size
+    ext = bytearray()
+
+    def ext_put(fmt_char, values):
+        nonlocal ext
+        off = ext_off + len(ext)
+        ext += struct.pack(f"{bo}{len(values)}{fmt_char}", *values)
+        return off
+
+    # first pass: compute external offsets (strip offsets depend on ext size,
+    # which depends on which arrays spill — resolve by reserving space first)
+    spill = []
+    for tag, typ, count, value in entries:
+        size = count * (2 if typ == SHORT else 4)
+        if tag == 273:
+            size = 4 * n_strips
+        if size > 4:
+            spill.append((tag, size))
+    ext_total = sum(s for _, s in spill)
+    data_off = ext_off + ext_total
+    offsets = []
+    pos = data_off
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(f"{bo}H", 42)
+    out += struct.pack(f"{bo}I", ifd_off)
+    ifd = bytearray(struct.pack(f"{bo}H", len(entries)))
+    for tag, typ, count, value in entries:
+        if tag == 273:
+            value = offsets
+            typ, count = LONG, n_strips
+        vals = value if isinstance(value, list) else [value]
+        fmt_char = "H" if typ == SHORT else "I"
+        size = len(vals) * (2 if typ == SHORT else 4)
+        if size <= 4:
+            packed = struct.pack(f"{bo}{len(vals)}{fmt_char}", *vals)
+            packed += b"\x00" * (4 - len(packed))
+            ifd += struct.pack(f"{bo}HHI", tag, typ, count) + packed
+        else:
+            off = ext_put(fmt_char, vals)
+            ifd += struct.pack(f"{bo}HHII", tag, typ, count, off)
+    ifd += struct.pack(f"{bo}I", 0)  # next-IFD pointer: none
+    out += ifd + ext
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """TIFF bytes → (H, W, C) uint8. Supports II/MM, 8-bit gray/RGB,
+    chunky config, any strip layout, Compression 1 (none) or 32773
+    (PackBits), PhotometricInterpretation 0 (inverted gray)/1/2."""
+    if payload[:2] == b"II":
+        bo = "<"
+    elif payload[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (missing II/MM)")
+    if struct.unpack(f"{bo}H", payload[2:4])[0] != 42:
+        raise ValueError("bad TIFF magic")
+    ifd_off = struct.unpack(f"{bo}I", payload[4:8])[0]
+    n = struct.unpack(f"{bo}H", payload[ifd_off : ifd_off + 2])[0]
+    type_size = {1: 1, 3: 2, 4: 4}
+    type_fmt = {1: "B", 3: "H", 4: "I"}
+    tags = {}
+    for i in range(n):
+        e = payload[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        tag, typ, count = struct.unpack(f"{bo}HHI", e[:8])
+        if typ not in type_size:
+            continue  # RATIONAL etc. — not needed for the supported subset
+        size = type_size[typ] * count
+        raw = (
+            e[8 : 8 + size]
+            if size <= 4
+            else payload[
+                struct.unpack(f"{bo}I", e[8:12])[0] :
+                struct.unpack(f"{bo}I", e[8:12])[0] + size
+            ]
+        )
+        tags[tag] = list(struct.unpack(f"{bo}{count}{type_fmt[typ]}", raw))
+    w = tags[256][0]
+    h = tags[257][0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bps):
+        raise ValueError("only 8-bit TIFF supported")
+    comp = tags.get(259, [1])[0]
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    if tags.get(284, [1])[0] != 1:
+        raise ValueError("only chunky planar configuration supported")
+    photometric = tags.get(262, [1])[0]
+    rps = tags.get(278, [h])[0]
+    offsets = tags[273]
+    counts = tags.get(279, [len(payload) - offsets[0]])
+    row_len = w * spp
+    data = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip_rows = min(rps, h - si * rps)
+        raw = payload[off : off + cnt]
+        if comp == 1:
+            if len(raw) < strip_rows * row_len:
+                raise ValueError("truncated TIFF strip")
+            data += raw[: strip_rows * row_len]
+        else:
+            data += _packbits_decode(raw, strip_rows * row_len)
+    img = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, spp)
+    if photometric == 0:  # WhiteIsZero
+        img = 255 - img
+    return img.copy()
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     fmt = sniff_format(payload)
     if fmt == "png":
@@ -320,6 +548,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "tiff":
+        return decode_tiff(payload)
     if fmt == "jpeg":
         from .jpeg import decode_jpeg
 
@@ -334,6 +564,8 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return encode_bmp(img)
     if fmt == "ppm":
         return encode_ppm(img)
+    if fmt == "tiff":
+        return encode_tiff(img)
     if fmt == "jpeg":
         from .jpeg import encode_jpeg
 

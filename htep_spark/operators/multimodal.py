@@ -7,7 +7,8 @@ batched-inference pattern of ``src/recognition/icr_block_engine.py:162-195``;
 per-item failures land in an ``error`` column and never fail the job).
 
 Decode kernels are REAL pure-Python codecs (``functions/codecs.py``): PNG
-(stdlib zlib), baseline JPEG (``functions/jpeg.py``), BMP, PPM, PCM WAV
+(stdlib zlib), JPEG incl. progressive (``functions/jpeg.py``), BMP, PPM,
+TIFF (none/PackBits, II/MM), PCM WAV
 (stdlib wave), and the RAWV length-prefixed frame container for video.
 Formats that would need external demuxer libraries (MP4, …) are not
 decodable in this container: by default
@@ -94,7 +95,7 @@ def _audio_feature(samples: np.ndarray) -> list:
 def _real_decode(payload: bytes, kind: str) -> dict:
     """Format-sniffed real decode → metadata dict. Raises on undecodable."""
     fmt = codecs.sniff_format(payload)
-    if fmt in ("png", "jpeg", "bmp", "ppm"):
+    if fmt in ("png", "jpeg", "bmp", "ppm", "tiff"):
         img = codecs.decode_image(payload)
         return {
             "format": fmt,
@@ -152,7 +153,7 @@ def _fake_decode(payload: bytes, kind: str) -> dict:
 def decode_media(df: DataFrame, strict: bool = True) -> DataFrame:
     """media table → per-item decoded metadata + feature vector.
 
-    Real codecs for PNG/JPEG/BMP/PPM/WAV/RAWV payloads. Unknown formats raise
+    Real codecs for PNG/JPEG/BMP/PPM/TIFF/WAV/RAWV payloads. Unknown formats raise
     per-item by default (``strict=True``): the row carries the error string
     and all-null metadata — never fabricated values. ``strict=False`` is an
     explicit opt-in to the deterministic fake decoder (``format='fake'``)
@@ -209,11 +210,11 @@ def make_media_table(spark, n: int = 32) -> DataFrame:
     RAWV container of shifted gradient frames."""
     rows = []
     kinds = ["image", "audio", "video"]
-    img_fmts = ["png", "bmp", "ppm", "jpeg"]
+    img_fmts = ["png", "bmp", "ppm", "jpeg", "tiff"]
     for i in range(n):
         kind = kinds[i % 3]
         if kind == "image":
-            fmt = img_fmts[(i // 3) % 4]
+            fmt = img_fmts[(i // 3) % 5]
             payload = codecs.encode_image(_synth_image(i), fmt)
             mime = f"image/{fmt}"
         elif kind == "audio":
@@ -248,7 +249,8 @@ def resize_media(
     df: DataFrame, width: int, height: int, strict: bool = True
 ) -> DataFrame:
     """Image resize stage: real nearest-neighbor resample, re-encoded in the
-    source format (PNG/BMP/PPM). RAWV videos resize every frame. Non-image
+    source format (PNG/JPEG/BMP/PPM/TIFF). RAWV videos resize every frame.
+    Non-image
     payloads (WAV) and unknown formats error per-item by default
     (``strict=True``, null payload) — ``strict=False`` opts into a
     deterministic fake payload (STUB fallback for plumbing tests)."""
@@ -270,7 +272,7 @@ def resize_media(
                 payload = bytes(raw or b"")
                 fmt = codecs.sniff_format(payload)
                 try:
-                    if fmt in ("png", "jpeg", "bmp", "ppm"):
+                    if fmt in ("png", "jpeg", "bmp", "ppm", "tiff"):
                         img = codecs.decode_image(payload)
                         out = codecs.resize_nearest(img, width, height)
                         base["payload"] = bytearray(codecs.encode_image(out, fmt))

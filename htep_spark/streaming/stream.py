@@ -21,7 +21,54 @@ __all__ = [
     "stream_windowed_metrics",
     "stream_conversation_state",
     "stream_dedup_turns",
+    "stream_interval_join",
 ]
+
+
+def stream_interval_join(
+    turns: DataFrame,
+    events: DataFrame,
+    by: str = "conv_id",
+    turns_watermark: str = "10 minutes",
+    events_watermark: str = "10 minutes",
+    max_lag_sec: int = 300,
+) -> DataFrame:
+    """Stream-stream inner interval join: each streaming transcript turn
+    matched to the streaming tool events of the same conversation that
+    arrive within ``[turn.ts, turn.ts + max_lag_sec]`` — the
+    "which tool calls did this turn trigger" correlation, continuously.
+
+    Canonical Spark stream-stream join discipline (the batch analogue is
+    ``operators/joins.range_join``): BOTH sides carry an event-time
+    watermark AND the join condition carries an explicit time-range bound
+    — that pair is what lets the state store evict rows once they can no
+    longer match (left rows older than watermark+lag, right rows older
+    than the watermark). Without the range bound, join state grows
+    O(stream) and a 10^12-turn stream dies; with it, state is O(rows per
+    watermark window per side). Equality on ``by`` keeps the join
+    hash-partitioned — same shuffle shape as a batch equi-join."""
+    l = turns.select(
+        F.col(by),
+        F.col("turn_idx"),
+        F.col("ts").alias("turn_ts"),
+    ).withWatermark("turn_ts", turns_watermark)
+    r = events.select(
+        F.col(by).alias(f"_{by}_r"),
+        F.col("event_id"),
+        F.col("kind"),
+        F.col("ts").alias("event_ts"),
+    ).withWatermark("event_ts", events_watermark)
+    cond = (
+        (F.col(by) == F.col(f"_{by}_r"))
+        & (F.col("event_ts") >= F.col("turn_ts"))
+        & (
+            F.col("event_ts")
+            <= F.col("turn_ts") + F.expr(f"INTERVAL {max_lag_sec} SECONDS")
+        )
+    )
+    return l.join(r, cond, "inner").select(
+        by, "turn_idx", "turn_ts", "event_id", "kind", "event_ts"
+    )
 
 
 def stream_extraction(stream_df: DataFrame) -> DataFrame:

@@ -314,6 +314,86 @@ def test_multimodal_pixel_roundtrip(spark):
     assert codecs.decode_png(codecs.encode_png(gray)).shape == (32, 48, 1)
 
 
+def test_tiff_codec_roundtrip():
+    """TIFF 6.0 writer/reader: lossless round-trip across byte orders
+    (II/MM), compression (none/PackBits), strip layouts, gray/RGB; plus
+    WhiteIsZero inversion, decode_image dispatch, and the multimodal
+    decode path."""
+    import struct
+
+    import numpy as np
+
+    from htep_spark.functions import codecs as C
+
+    rng = np.random.default_rng(5)
+    imgs = [
+        rng.integers(0, 256, (17, 23, 3), dtype=np.uint8),
+        rng.integers(0, 256, (8, 5, 1), dtype=np.uint8),
+        np.tile(np.arange(16, dtype=np.uint8), (10, 4)).reshape(10, 64, 1),
+    ]
+    for img in imgs:
+        for comp in ("none", "packbits"):
+            for bo in ("<", ">"):
+                for rps in (0, 3):
+                    b = C.encode_tiff(
+                        img, compression=comp, byteorder=bo, rows_per_strip=rps
+                    )
+                    assert C.sniff_format(b) == "tiff"
+                    assert np.array_equal(C.decode_tiff(b), img), (
+                        img.shape, comp, bo, rps,
+                    )
+    b = C.encode_tiff(imgs[0])
+    assert np.array_equal(C.decode_image(b), imgs[0])
+    assert C.encode_tiff(imgs[0]) == b  # deterministic bytes
+    # PhotometricInterpretation 0 (WhiteIsZero) inverts on decode
+    b2 = bytearray(C.encode_tiff(imgs[1]))
+    n = struct.unpack("<H", b2[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack("<H", b2[off : off + 2])[0] == 262:
+            b2[off + 8] = 0
+    assert np.array_equal(C.decode_tiff(bytes(b2)), 255 - imgs[1])
+    # truncated strip rejects cleanly
+    import pytest
+
+    with pytest.raises(ValueError):
+        C.decode_tiff(C.encode_tiff(imgs[0])[:-20])
+    # multimodal metadata path sees tiff as a real image format
+    from htep_spark.operators.multimodal import _real_decode
+
+    meta = _real_decode(C.encode_tiff(imgs[0]), "image")
+    assert meta["format"] == "tiff" and meta["width"] == 23
+    assert meta["height"] == 17
+
+
+def test_tiff_through_spark_media_operators(spark):
+    """A TIFF payload flows through the real decode_media and resize_media
+    stages: correct metadata, resized payload re-encoded AS tiff and
+    pixel-exact vs the numpy resample."""
+    import numpy as np
+
+    from htep_spark.functions import codecs as C
+    from htep_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _synth_image,
+        decode_media,
+        resize_media,
+    )
+
+    img = _synth_image(3)
+    media = spark.createDataFrame(
+        [("m-tiff", "image", bytearray(C.encode_tiff(img)), "image/tiff")],
+        MEDIA_SCHEMA,
+    )
+    meta = decode_media(media).collect()[0]
+    assert meta["format"] == "tiff" and meta["error"] is None
+    assert (meta["width"], meta["height"]) == (48, 32)
+    resized = resize_media(media, 16, 12).collect()[0]
+    assert resized["error"] is None
+    out = C.decode_tiff(bytes(resized["payload"]))
+    assert np.array_equal(out, C.resize_nearest(img, 16, 12))
+
+
 def test_jpeg_codec_roundtrip():
     """Baseline JPEG codec: 4:4:4 and 4:2:0, grayscale, odd dimensions,
     restart markers — all decode within the lossy tolerance and
@@ -393,6 +473,69 @@ def test_streaming_extraction(spark, tmp_path):
         "select result.document_type dt from extraction_stream limit 5"
     ).collect()
     assert all(r["dt"] is not None for r in sample)
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join: each turn picks up exactly the
+    same-conversation events inside [turn_ts, turn_ts + lag]; state is
+    evictable because both sides are watermarked and the condition is
+    time-bounded. Expected pairs computed by a pandas replay."""
+    from datetime import datetime, timedelta
+
+    from htep_spark.streaming.stream import stream_interval_join
+
+    T0 = datetime(2024, 1, 1, 12, 0, 0)
+    turns = [
+        ("c1", 0, T0),
+        ("c1", 1, T0 + timedelta(minutes=10)),
+        ("c2", 0, T0),
+    ]
+    events = [
+        ("c1", 100, "search", T0 + timedelta(seconds=30)),   # -> c1/t0
+        ("c1", 101, "code", T0 + timedelta(seconds=400)),    # beyond 300s lag
+        ("c1", 102, "search", T0 + timedelta(minutes=10, seconds=5)),  # -> c1/t1
+        ("c2", 103, "fetch", T0 + timedelta(seconds=299)),   # -> c2/t0 (edge)
+        ("c3", 104, "fetch", T0),                            # no turn
+    ]
+    tsrc = str(tmp_path / "turns_src")
+    esrc = str(tmp_path / "events_src")
+    spark.createDataFrame(
+        turns, "conv_id string, turn_idx int, ts timestamp"
+    ).write.parquet(tsrc)
+    spark.createDataFrame(
+        events, "conv_id string, event_id long, kind string, ts timestamp"
+    ).write.parquet(esrc)
+
+    tstream = spark.readStream.schema(
+        "conv_id string, turn_idx int, ts timestamp"
+    ).parquet(tsrc)
+    estream = spark.readStream.schema(
+        "conv_id string, event_id long, kind string, ts timestamp"
+    ).parquet(esrc)
+    out = stream_interval_join(tstream, estream, max_lag_sec=300)
+    assert out.isStreaming
+    query = (
+        out.writeStream.format("memory")
+        .queryName("interval_join_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = {
+        (r["conv_id"], r["turn_idx"], r["event_id"])
+        for r in spark.sql("select * from interval_join_stream").collect()
+    }
+    # pandas replay of the interval rule
+    want = {
+        (tc, ti, eid)
+        for tc, ti, tts in turns
+        for ec, eid, _k, ets in events
+        if tc == ec and tts <= ets <= tts + timedelta(seconds=300)
+    }
+    assert got == want
+    assert ("c1", 0, 101) not in got  # lag bound respected
+    assert ("c2", 0, 103) in got  # inclusive edge
 
 
 def test_streaming_dedup_turns(spark, tmp_path):
