@@ -71,7 +71,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # `python tools/check_oracles.py`), but are held OUT of the driver dict so
 # every driver entry keeps getting a recorded row; rotate them in if the
 # cap turns out higher.
-DRIVER_CAP_OVERFLOW = ("sample_hash", "repetition_stats", "bpe_train")
+DRIVER_CAP_OVERFLOW = (
+    "sample_hash",
+    "repetition_stats",
+    "bpe_train",
+    "domain_mix",
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -164,6 +164,7 @@ def main() -> None:
         "sample_hash",
         "repetition_stats",
         "bpe_train",
+        "domain_mix",
     ):
         if name not in QUERIES:
             continue

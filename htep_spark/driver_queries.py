@@ -980,6 +980,51 @@ SELECT * FROM (
 
 
 # --------------------------------------------------------------------------
+# Domain-mix token accounting: per-source token totals → the sampling
+# weight that would equalize the mixture (weight = target_share /
+# observed_share, the standard LLM data-mixing correction). One hash
+# aggregation + a broadcast scalar join against the corpus total — the
+# whole thing is two map-side-combinable aggs at any scale.
+# --------------------------------------------------------------------------
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    )
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(toks).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    n_sources = F.count("*").over(w)
+    total = F.sum("n_tokens").over(w)
+    share = F.col("n_tokens").cast("double") / total
+    return per.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(share, 6).alias("token_share"),
+        F.round((1.0 / n_sources) / share, 6).alias("mix_weight"),
+    )
+
+
+SQL_DOMAIN_MIX = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))) AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS token_share,
+       round((1.0 / count(*) OVER ())
+             / (CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER ()), 6) AS mix_weight
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 # Gopher repetition rules (Rae et al. 2021 §A.2): the quality_filter above
 # covers the length/ratio rules; these are the REPETITION signals — the
 # fraction of duplicate lines, and the fraction of characters inside the
@@ -2458,5 +2503,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
+    "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "bpe_train": (_q_bpe_train, _sql_bpe_train_str()),
 }
