@@ -939,15 +939,15 @@ SAMPLE_STEP_PERMYRIAD = 1500  # + 15% per stratum step (source-hash % 4)
 
 
 def _md5_bucket_spark(col, mod: int):
-    return F.pmod(
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"), F.lit(mod)
-    )
+    from .functions.hashing import md5_prefix60_spark
+
+    return F.pmod(md5_prefix60_spark(col), F.lit(mod))
 
 
 def _md5_bucket_sql(expr: str, mod: int) -> str:
-    return (
-        f"(CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT) % {mod})"
-    )
+    from .functions.hashing import md5_prefix60_sql
+
+    return f"({md5_prefix60_sql(expr)} % {mod})"
 
 
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:

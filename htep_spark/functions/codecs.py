@@ -339,7 +339,9 @@ def _packbits_encode_row(row: bytes) -> bytes:
             out += bytes([257 - run, row[i]])
             i = j + 1
             continue
-        # literal packet: until the next >=3 run (or 128 bytes)
+        # literal packet: until the next >=3 run; emitted in <=128-byte
+        # chunks (the scan can overshoot 128 by a trailing 2-run, and a
+        # 129-byte "literal" would encode as control byte 128 — the noop)
         lit_start = i
         while i < n and i - lit_start < 128:
             j = i
@@ -349,7 +351,9 @@ def _packbits_encode_row(row: bytes) -> bytes:
                 break
             i = j + 1
         lit = row[lit_start:i]
-        out += bytes([len(lit) - 1]) + lit
+        while lit:
+            chunk, lit = lit[:128], lit[128:]
+            out += bytes([len(chunk) - 1]) + chunk
     return bytes(out)
 
 
@@ -508,6 +512,9 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             ]
         )
         tags[tag] = list(struct.unpack(f"{bo}{count}{type_fmt[typ]}", raw))
+    for req in (256, 257, 273):
+        if req not in tags:
+            raise ValueError(f"TIFF missing required tag {req}")
     w = tags[256][0]
     h = tags[257][0]
     spp = tags.get(277, [1])[0]
@@ -522,8 +529,15 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     photometric = tags.get(262, [1])[0]
     rps = tags.get(278, [h])[0]
     offsets = tags[273]
-    counts = tags.get(279, [len(payload) - offsets[0]])
     row_len = w * spp
+    if 279 in tags:
+        counts = tags[279]
+    elif comp == 1:  # uncompressed strip sizes are derivable
+        counts = [
+            min(rps, h - si * rps) * row_len for si in range(len(offsets))
+        ]
+    else:
+        raise ValueError("compressed TIFF missing StripByteCounts")
     data = bytearray()
     for si, (off, cnt) in enumerate(zip(offsets, counts)):
         strip_rows = min(rps, h - si * rps)

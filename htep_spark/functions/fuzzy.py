@@ -190,7 +190,9 @@ class CloseMatchIndex:
         s.set_seq2(word)
         best: Optional[Tuple[float, str]] = None
         for lb, bucket in self._by_len.items():
-            if 2.0 * min(la, lb) / (la + lb) < cutoff:
+            # la+lb == 0 ⇒ difflib defines the ratio as 1.0 (its
+            # _calculate_ratio zero-length case) — never filter that out
+            if la + lb > 0 and 2.0 * min(la, lb) / (la + lb) < cutoff:
                 continue
             for x in bucket:
                 s.set_seq1(x)

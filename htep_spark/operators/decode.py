@@ -22,6 +22,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions.beam import LexiconBeamDecoder
+from ..functions.hashing import md5_prefix60_spark, md5_prefix60_sql
 from ..functions.parser import BlockTextParser
 
 __all__ = [
@@ -208,19 +209,9 @@ def _word_candidates_col(word_col):
                 (
                     0.35
                     + F.pmod(
-                        F.conv(
-                            F.substring(
-                                F.md5(
-                                    F.concat_ws(
-                                        "|", ch, word_col, i.cast("string")
-                                    )
-                                ),
-                                1,
-                                15,
-                            ),
-                            16,
-                            10,
-                        ).cast("long"),
+                        md5_prefix60_spark(
+                            F.concat_ws("|", ch, word_col, i.cast("string"))
+                        ),
                         F.lit(64),
                     ).cast("double")
                     / 100.0
@@ -340,9 +331,7 @@ WITH toks AS (
   SELECT doc_id, word_idx, w,
          list_transform(
            range(1, length(w)+1),
-           i -> 0.35 + (CAST(concat('0x',
-                   substr(md5(substr(w, i, 1) || '|' || w || '|' ||
-                              CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT)
+           i -> 0.35 + ({md5_60}
                  % 64) / 100.0) AS cs
   FROM words
 )"""
@@ -351,7 +340,12 @@ WITH toks AS (
 def _sql_words_confs(
     ws_expr: str = "regexp_extract_all(upper(text), '[A-Z]+')[1:5]",
 ) -> str:
-    return _SQL_WORDS_CONFS_TMPL.format(ws_expr=ws_expr)
+    return _SQL_WORDS_CONFS_TMPL.format(
+        ws_expr=ws_expr,
+        md5_60=md5_prefix60_sql(
+            "substr(w, i, 1) || '|' || w || '|' || CAST(i - 1 AS VARCHAR)"
+        ),
+    )
 
 
 SQL_GREEDY_DECODE = (

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from ..functions.hashing import md5_prefix60_spark, md5_prefix60_sql
+
 __all__ = [
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -106,7 +108,7 @@ def minhash_signatures(
       fixture corpus).
     """
     if base_hash == "md5":
-        base = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+        base = md5_prefix60_spark("shingle")
     elif base_hash == "xxhash64":
         base = F.xxhash64("shingle")
     else:  # pragma: no cover - guarded API misuse
@@ -481,7 +483,7 @@ def _minhash_pairs_ctes(max_bucket_size: int = MAX_BUCKET_SIZE) -> str:
   FROM mtoks
 ), mx AS (
   SELECT doc_id,
-         CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT) % {_P} AS x
+         {md5_prefix60_sql('shingle')} % {_P} AS x
   FROM mshingles
 ), sig AS (
   SELECT doc_id,

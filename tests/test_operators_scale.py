@@ -358,6 +358,32 @@ def test_tiff_codec_roundtrip():
 
     with pytest.raises(ValueError):
         C.decode_tiff(C.encode_tiff(imgs[0])[:-20])
+    # PackBits literal-overshoot regression: 127 non-repeating bytes then a
+    # 2-run used to emit a 129-byte "literal" with control byte 128 (noop)
+    wide = np.zeros((3, 129, 1), dtype=np.uint8)
+    wide[:, :127, 0] = (np.arange(127) % 251).astype(np.uint8)
+    wide[:, 127:, 0] = 7
+    wide[:, 126, 0] = 9  # ensure ...x, 7, 7 tail (2-run after 127 literals)
+    pb = C.encode_tiff(wide, compression="packbits")
+    assert np.array_equal(C.decode_tiff(pb), wide)
+    # missing StripByteCounts: derivable for uncompressed (single- AND
+    # multi-strip), hard error for compressed
+    for rps in (0, 2):
+        raw = bytearray(C.encode_tiff(imgs[0], rows_per_strip=rps))
+        n = struct.unpack("<H", raw[8:10])[0]
+        for i in range(n):
+            off = 10 + 12 * i
+            if struct.unpack("<H", raw[off : off + 2])[0] == 279:
+                raw[off : off + 2] = struct.pack("<H", 32768)  # unknown tag
+        assert np.array_equal(C.decode_tiff(bytes(raw)), imgs[0]), rps
+    raw = bytearray(C.encode_tiff(imgs[0], compression="packbits"))
+    n = struct.unpack("<H", raw[8:10])[0]
+    for i in range(n):
+        off = 10 + 12 * i
+        if struct.unpack("<H", raw[off : off + 2])[0] == 279:
+            raw[off : off + 2] = struct.pack("<H", 32768)
+    with pytest.raises(ValueError, match="StripByteCounts"):
+        C.decode_tiff(bytes(raw))
     # multimodal metadata path sees tiff as a real image format
     from htep_spark.operators.multimodal import _real_decode
 

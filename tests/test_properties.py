@@ -110,9 +110,9 @@ def test_banded_edit_distance_vs_full(a, b, maxd):
 
 @settings(max_examples=300, deadline=None)
 @given(
-    st.text(alphabet="abcd", min_size=1, max_size=8),
+    st.text(alphabet="abcd", min_size=0, max_size=8),
     st.lists(
-        st.text(alphabet="abcd", min_size=1, max_size=8),
+        st.text(alphabet="abcd", min_size=0, max_size=8),
         min_size=0,
         max_size=30,
         unique=True,
