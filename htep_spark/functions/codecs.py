@@ -4,8 +4,10 @@ The container has no image/audio libraries, so the decode kernels here are
 built from the stdlib + numpy only:
 
 - **PNG** (via ``zlib``): 8-bit depth, color types 0 (gray), 2 (RGB) and
-  6 (RGBA), non-interlaced; all five scanline filters on decode, filter 0
-  on encode. Critical-chunk parsing with CRC verification.
+  6 (RGBA); all five scanline filters on decode, filter 0 on encode;
+  Adam7 interlace supported on BOTH sides (each pass an
+  independently-filtered sub-image, spec §8.2). Critical-chunk parsing
+  with CRC verification.
 - **BMP**: 24-bit uncompressed BITMAPINFOHEADER, bottom-up rows with 4-byte
   padding.
 - **PPM (P6)**: maxval 255 binary, whitespace/comment-tolerant header.
@@ -91,15 +93,38 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray) -> bytes:
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) — PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """8-bit PNG writer, filter 0 per scanline; ``interlace=True`` emits
+    the Adam7 pass sequence (each pass an independently-filtered
+    sub-image, empty passes omitted — PNG spec §8.2)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     color_type = {1: 0, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    # filter 0 per scanline
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts += [b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])]
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -137,17 +162,43 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
+    if depth != 8 or interlace not in (0, 1):
         raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
     channels = {0: 1, 2: 3, 6: 4}.get(color_type)
     if channels is None:
         raise ValueError(f"unsupported PNG color type {color_type}")
     raw = zlib.decompress(idat)
-    stride = w * channels
+    if interlace == 0:
+        out = _png_unfilter(raw, h, w * channels, channels)
+        if out is None:
+            raise ValueError("PNG data length mismatch")
+        return out.reshape(h, w, channels)
+    # Adam7: seven independently-filtered sub-images, scattered back
+    img = np.zeros((h, w, channels), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        sh = len(range(y0, h, dy))
+        sw = len(range(x0, w, dx))
+        if sh == 0 or sw == 0:
+            continue
+        stride = sw * channels
+        sub = _png_unfilter(raw[pos : pos + sh * (stride + 1)], sh, stride, channels)
+        if sub is None:
+            raise ValueError("PNG interlaced data length mismatch")
+        pos += sh * (stride + 1)
+        img[y0::dy, x0::dx] = sub.reshape(sh, sw, channels)
+    if pos != len(raw):
+        raise ValueError("PNG interlaced data length mismatch")
+    return img
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse the five PNG scanline filters over ``h`` rows of ``stride``
+    bytes (each prefixed by its filter byte). Returns None on length
+    mismatch."""
     if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
+        return None
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels
     for y in range(h):
         f = raw[y * (stride + 1)]
         line = np.frombuffer(
@@ -176,7 +227,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = rec.astype(np.uint8)
-    return out.reshape(h, w, channels)
+    return out
 
 
 # ------------------------------------------------------------------- BMP --

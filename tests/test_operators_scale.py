@@ -314,6 +314,59 @@ def test_multimodal_pixel_roundtrip(spark):
     assert codecs.decode_png(codecs.encode_png(gray)).shape == (32, 48, 1)
 
 
+def test_png_adam7_interlace():
+    """Adam7 interlaced PNGs decode pixel-identically to the source:
+    encoder round-trip across shapes (incl. degenerate passes), a
+    hand-built stream using non-zero filters INSIDE passes (each pass
+    unfilters as an independent image, per spec §8.2), and clean
+    rejection of truncated pass data."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from htep_spark.functions import codecs as C
+
+    rng = np.random.default_rng(9)
+    for shape in [(17, 23, 3), (8, 5, 1), (1, 1, 1), (7, 1, 3), (1, 9, 3), (9, 9, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(C.decode_png(C.encode_png(img, interlace=True)), img)
+    # hand-built interlaced stream with Sub(1) and Up(2) filters per pass
+    img = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    parts = []
+    for x0, y0, dx, dy in C._ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        flat = sub.reshape(sub.shape[0], -1).astype(np.int32)
+        for y in range(flat.shape[0]):
+            if y == 0:  # Sub filter
+                line = flat[y].copy()
+                line[3:] = (line[3:] - flat[y][:-3]) % 256
+                parts.append(b"\x01" + line.astype(np.uint8).tobytes())
+            else:  # Up filter
+                line = (flat[y] - flat[y - 1]) % 256
+                parts.append(b"\x02" + line.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", 12, 10, 8, 2, 0, 0, 1)
+    payload = (
+        C._PNG_SIG
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + C._png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(C.decode_png(payload), img)
+    # truncated interlaced data rejects with a clear error
+    short = (
+        C._PNG_SIG
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"IDAT", zlib.compress(b"".join(parts)[:-40]))
+        + C._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlaced"):
+        C.decode_png(short)
+
+
 def test_tiff_codec_roundtrip():
     """TIFF 6.0 writer/reader: lossless round-trip across byte orders
     (II/MM), compression (none/PackBits), strip layouts, gray/RGB; plus
