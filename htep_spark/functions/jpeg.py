@@ -9,7 +9,10 @@ interchange format from the spec with stdlib + numpy only:
   any sampling factors ≤ 4 (covers 4:4:4, 4:2:2, 4:2:0), DC prediction,
   byte-unstuffing, DRI/RSTn restart intervals, dequant → inverse zigzag →
   orthonormal IDCT → chroma upsample → YCbCr→RGB. Grayscale (1-component)
-  and 3-component color supported. PROGRESSIVE (SOF2) streams decode too:
+  and 3-component color supported; sequential NON-interleaved streams
+  (one full scan per component, T.81 A.2.2) decode via coefficient
+  accumulation — only the exotic strict-subset multi-component scan
+  raises. PROGRESSIVE (SOF2) streams decode too:
   multi-scan coefficient accumulation, DC first + DC refinement scans,
   AC first scans with EOB-run coding, any spectral bands, AND AC
   successive-approximation refinement (correction-bit decoding, T.81
@@ -266,12 +269,16 @@ def encode_jpeg(
     quant: int = 2,
     subsampling: str = "444",
     restart_interval: int = 0,
+    interleaved: bool = True,
 ) -> bytes:
     """(H, W, 3) or (H, W, 1)/(H, W) uint8 → baseline JFIF bytes.
 
     ``quant`` fills the flat quantization tables (1 = near-lossless);
     ``subsampling`` is ``"444"`` or ``"420"`` (3-channel input only);
-    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs."""
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs
+    (interleaved mode only). ``interleaved=False`` writes the sequential
+    NON-interleaved layout (one full DC+AC scan per component, T.81
+    A.2.2) — used to validate the multiscan decode path round-trip."""
     if img.ndim == 2:
         img = img[..., None]
     h, w = img.shape[:2]
@@ -326,7 +333,42 @@ def encode_jpeg(
         out += _dht_segment(0, 1, _ENC_DC_BITS, _ENC_DC_VALS)
         out += _dht_segment(1, 1, _ENC_AC_BITS, _ENC_AC_VALS)
     if restart_interval:
+        if not interleaved:
+            raise ValueError(
+                "restart_interval is only supported in interleaved mode"
+            )
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    padded = []
+    for ci in range(nf):
+        hs, vs = samp[ci]
+        ph = mcus_y * vs * 8
+        pw = mcus_x * hs * 8
+        padded.append(_pad_to(comps[ci], ph, pw))
+
+    if not interleaved and nf > 1:
+        # one full-band DC+AC scan per component (T.81 A.2.2)
+        for ci in range(nf):
+            tid = 0 if ci == 0 else 1
+            out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+            out += bytes([ci + 1, (tid << 4) | tid])
+            out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+            writer = _BitWriter()
+            pred = 0
+            hs, vs = samp[ci]
+            bw, bh = _comp_true_blocks(w, h, hs, vs, hmax, vmax)
+            qt = qtables[qids[ci]]
+            for by in range(bh):
+                for bx in range(bw):
+                    block = padded[ci][
+                        by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                    ]
+                    pred = _encode_block(writer, block, qt, pred)
+            writer.flush()
+            out += writer.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nf, nf)
     for ci in range(nf):
         tid = 0 if ci == 0 else 1
@@ -335,12 +377,6 @@ def encode_jpeg(
 
     writer = _BitWriter()
     preds = [0] * nf
-    padded = []
-    for ci in range(nf):
-        hs, vs = samp[ci]
-        ph = mcus_y * vs * 8
-        pw = mcus_x * hs * 8
-        padded.append(_pad_to(comps[ci], ph, pw))
     mcu_count = 0
     rst = 0
     for my in range(mcus_y):
@@ -478,12 +514,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     restart_interval, scan,
                 )
             if ns < len(frame["comps"]):
-                # sequential multi-scan (non-interleaved baseline): we only
-                # decode single-scan streams — erroring beats silently
-                # returning a Y-only image for a 3-component file (ADVICE r03)
-                raise NotImplementedError(
-                    f"baseline stream with partial first scan ({ns} of "
-                    f"{len(frame['comps'])} components) is not supported"
+                # sequential non-interleaved baseline (ADVICE r03 flagged
+                # the old silent Y-only return; now decoded for real)
+                return _decode_baseline_multiscan(
+                    payload, pos, frame, qtables, dc_tabs, ac_tabs,
+                    restart_interval, scan,
                 )
             return _decode_scan(
                 payload, pos, frame, scan, qtables, dc_tabs, ac_tabs, restart_interval
@@ -543,6 +578,88 @@ def _decode_scan(
     if len(full) == 1:
         return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[..., None]
     return _ycbcr_to_rgb(np.stack(full, axis=2))
+
+
+def _decode_baseline_multiscan(
+    data, pos, frame, qtables, dc_tabs, ac_tabs, restart_interval, scan
+):
+    """Sequential baseline stream whose scans each cover a SUBSET of the
+    frame components (non-interleaved baseline, T.81 A.2.2): decode each
+    scan's full DC+AC blocks into a per-component coefficient store (the
+    progressive accumulation pattern), reconstruct at EOI. Single-component
+    scans only — the common non-interleaved layout; partial multi-component
+    scans (2 of 3) raise."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    coef = {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64)) for c in comps
+    }
+    dri = restart_interval
+
+    def process_scan(scan, pos):
+        if len(scan) != 1:
+            raise NotImplementedError(
+                "baseline scan covering a strict multi-component subset"
+            )
+        comp, td, ta = scan[0]
+        bw, bh = _comp_true_blocks(w, h, comp["h"], comp["v"], hmax, vmax)
+        reader = _BitReader(data, pos)
+        pred = 0
+        unit = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if dri and unit and unit % dri == 0:
+                    reader.sync_restart()
+                    pred = 0
+                unit += 1
+                try:
+                    zz, pred = _decode_block(
+                        reader, dc_tabs[td], ac_tabs[ta], pred
+                    )
+                except _RestartMarker:
+                    reader.sync_restart()
+                    pred = 0
+                    zz, pred = _decode_block(
+                        reader, dc_tabs[td], ac_tabs[ta], pred
+                    )
+                coef[comp["id"]][by, bx] = zz
+        return _skip_to_marker(data, reader.pos)
+
+    pos = process_scan(scan, pos)
+    while True:
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                cnt = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + cnt])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
+                p += 17 + cnt
+        elif marker == 0xDD:  # DRI
+            dri = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            nxt = []
+            for si in range(ns):
+                cs, tt = seg[1 + 2 * si], seg[2 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                nxt.append((comp, tt >> 4, tt & 0xF))
+            pos = process_scan(nxt, pos + seglen)
+            continue
+        pos += seglen
+
+    return _reconstruct_from_coef(coef, comps, qtables, hmax, vmax, h, w)
 
 
 # ----------------------------------------------------------- progressive --
@@ -1077,7 +1194,12 @@ def _decode_progressive(
             continue
         pos += seglen
 
-    # reconstruct
+    return _reconstruct_from_coef(coef, comps, qtables, hmax, vmax, h, w)
+
+
+def _reconstruct_from_coef(coef, comps, qtables, hmax, vmax, h, w):
+    """Accumulated zigzag coefficient grids → dequant + IDCT + upsample →
+    image (shared by the progressive and sequential-multiscan paths)."""
     planes = []
     for c in comps:
         qt = qtables[c["tq"]]

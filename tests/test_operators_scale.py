@@ -1186,8 +1186,10 @@ def test_jpeg_successive_approximation_matches_baseline():
 def test_jpeg_advice_r03_edge_cases():
     """ADVICE r03 lows: (a) quant=1 full-amplitude checkerboard produces
     AC magnitude 1024 — must clamp to the T.81 +/-1023 range, not
-    KeyError; (b) a baseline stream whose first SOS covers fewer
-    components than the frame must raise, not silently return Y-only."""
+    KeyError; (b) a baseline stream whose scans cover component subsets
+    must never silently return a Y-only image — single-component
+    sequential scans now DECODE (multiscan accumulation), and the exotic
+    strict-subset multi-component scan raises."""
     import numpy as np
     import pytest
 
@@ -1199,16 +1201,34 @@ def test_jpeg_advice_r03_edge_cases():
     payload = encode_jpeg(checker, quant=1)  # used to KeyError (cat 11)
     out = decode_jpeg(payload)
     assert out.shape == (16, 16, 1)
-    # partial first scan: rewrite the SOS of a color baseline stream to
-    # cover only component 1
-    good = bytearray(encode_jpeg(np.zeros((16, 16, 3), np.uint8), quant=2))
+    # non-interleaved baseline (one full scan per component) decodes
+    # pixel-identically to the interleaved encoding of the same image
+    rng = np.random.default_rng(13)
+    for shape, sub in [((32, 48, 3), "444"), ((33, 47, 3), "420")]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        inter = decode_jpeg(encode_jpeg(img, quant=2, subsampling=sub))
+        multi = decode_jpeg(
+            encode_jpeg(img, quant=2, subsampling=sub, interleaved=False)
+        )
+        assert np.array_equal(inter, multi), (shape, sub)
+    # a strict-subset MULTI-component scan (2 of 3) is the one remaining
+    # unsupported layout — hand-craft its SOS header and expect a raise
+    good = bytearray(
+        encode_jpeg(np.zeros((16, 16, 3), np.uint8), quant=2, interleaved=False)
+    )
     sos = good.find(b"\xff\xda")
     assert sos > 0
     partial = (
         bytes(good[:sos])
-        + b"\xff\xda" + (8).to_bytes(2, "big") + bytes([1, 1, 0 << 4 | 0])
+        + b"\xff\xda" + (10).to_bytes(2, "big")
+        + bytes([2, 1, 0, 2, 0x11])
         + b"\x00\x3f\x00"
-        + bytes(good[sos + 14 :])
+        + bytes(good[sos + 10 :])
     )
-    with pytest.raises(NotImplementedError, match="partial first scan"):
+    with pytest.raises(NotImplementedError, match="subset"):
         decode_jpeg(partial)
+    # restart markers are an interleaved-only writer feature
+    with pytest.raises(ValueError, match="interleaved"):
+        encode_jpeg(
+            np.zeros((16, 16, 3), np.uint8), restart_interval=2, interleaved=False
+        )
