@@ -43,10 +43,12 @@ from ..functions import codecs
 __all__ = [
     "MEDIA_SCHEMA",
     "MEDIA_FEATURES_SCHEMA",
+    "AUDIO_FEATURES_SCHEMA",
     "decode_media",
     "make_media_table",
     "resize_media",
     "sample_frames",
+    "audio_features",
 ]
 
 MEDIA_SCHEMA = StructType(
@@ -310,6 +312,109 @@ FRAME_SCHEMA = StructType(
         StructField("error", StringType(), True),
     ]
 )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", IntegerType(), True),
+        StructField("duration_sec", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("zero_crossing_rate", DoubleType(), True),
+        StructField("spectral_centroid_hz", DoubleType(), True),
+        StructField("spectral_bandwidth_hz", DoubleType(), True),
+        StructField("spectral_rolloff_hz", DoubleType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def _audio_spectral(samples: np.ndarray, rate: int) -> dict:
+    """Deterministic global spectral features from the rFFT magnitude
+    spectrum of the mono signal (numpy only — the real DSP math, not a
+    stub): RMS (int16 full-scale), zero-crossing rate, magnitude-weighted
+    spectral centroid/bandwidth, and the 85% energy rolloff frequency."""
+    mono = samples.astype(np.float64).mean(axis=1) if samples.ndim == 2 else (
+        samples.astype(np.float64)
+    )
+    n = mono.shape[0]
+    rms = float(np.sqrt(np.mean(mono * mono)) / 32768.0) if n else 0.0
+    zcr = (
+        float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        if n > 1
+        else 0.0
+    )
+    mag = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    total = float(mag.sum())
+    if total > 0.0:
+        centroid = float((freqs * mag).sum() / total)
+        bandwidth = float(
+            np.sqrt(((freqs - centroid) ** 2 * mag).sum() / total)
+        )
+        cum = np.cumsum(mag)
+        rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+    else:
+        centroid = bandwidth = rolloff = 0.0
+    return {
+        "rms": round(rms, 6),
+        "zero_crossing_rate": round(zcr, 6),
+        "spectral_centroid_hz": round(centroid, 3),
+        "spectral_bandwidth_hz": round(bandwidth, 3),
+        "spectral_rolloff_hz": round(rolloff, 3),
+    }
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature extraction stage: PCM WAV payloads → global spectral
+    features (``_audio_spectral``). Arrow-batched ``mapInPandas`` like the
+    other media stages; non-WAV audio rows carry the error column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, kind, raw in zip(
+                batch["media_id"].values,
+                batch["kind"].values,
+                batch["payload"].values,
+            ):
+                if kind != "audio":
+                    continue
+                base = {
+                    "media_id": media_id,
+                    "sample_rate": None,
+                    "n_samples": None,
+                    "duration_sec": None,
+                    "rms": None,
+                    "zero_crossing_rate": None,
+                    "spectral_centroid_hz": None,
+                    "spectral_bandwidth_hz": None,
+                    "spectral_rolloff_hz": None,
+                    "error": None,
+                }
+                payload = bytes(raw or b"")
+                try:
+                    if codecs.sniff_format(payload) != "wav":
+                        raise NotImplementedError(
+                            "no audio codec for payload format "
+                            f"'{codecs.sniff_format(payload)}'"
+                        )
+                    samples, rate = codecs.decode_wav(payload)
+                    base.update(_audio_spectral(samples, rate))
+                    base["sample_rate"] = int(rate)
+                    base["n_samples"] = int(samples.shape[0])
+                    base["duration_sec"] = round(samples.shape[0] / rate, 6)
+                except Exception as exc:
+                    base["error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(base)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA]
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
 
 
 def sample_frames(

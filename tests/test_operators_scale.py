@@ -964,6 +964,53 @@ def test_sample_hash_is_stratified_and_deterministic(spark):
     assert sorted(map(str, rows)) == sorted(map(str, again))
 
 
+def test_audio_features_spectral(spark):
+    """Real DSP check: a pure sine's spectral centroid lands on its
+    frequency; features match a direct numpy computation on the known
+    synthetic samples; non-WAV audio rows carry the error column."""
+    import numpy as np
+
+    from htep_spark.functions import codecs
+    from htep_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _audio_spectral,
+        audio_features,
+        make_media_table,
+    )
+
+    # audio sits at i % 3 == 1 → every synthetic tone is 440·(1+1) = 880 Hz
+    media = make_media_table(spark, n=9)
+    rows = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert set(rows) == {"m-0001", "m-0004", "m-0007"}
+    for mid, r in rows.items():
+        assert r["error"] is None and r["sample_rate"] == 16000
+        # pure tone → centroid within a few Hz of the fundamental
+        assert abs(r["spectral_centroid_hz"] - 880.0) < 20.0, (
+            mid, r["spectral_centroid_hz"],
+        )
+        assert abs(r["spectral_rolloff_hz"] - 880.0) < 20.0
+        assert 0.4 < r["rms"] * np.sqrt(2) * 32768.0 / 12000.0 < 1.1
+    # differential vs direct computation on the exact synthetic signal
+    t = np.arange(8000 + (7 % 3) * 4000)
+    samples = (np.sin(2 * np.pi * 880.0 * t / 16000.0) * 12000).astype(np.int16)
+    want = _audio_spectral(samples, 16000)
+    got = rows["m-0007"]
+    for k, v in want.items():
+        assert got[k] == v, (k, got[k], v)
+    # non-WAV audio payload errors per item
+    bad = spark.createDataFrame(
+        [("m-bad", "audio", bytearray(b"mp3-ish-bytes"), "audio/mpeg")],
+        MEDIA_SCHEMA,
+    )
+    brow = audio_features(bad).collect()[0]
+    assert brow["rms"] is None and "NotImplementedError" in brow["error"]
+    # decode_wav sanity: codec round-trips the samples the test recomputes
+    assert np.array_equal(
+        codecs.decode_wav(codecs.encode_wav(samples, rate=16000))[0][:, 0],
+        samples,
+    )
+
+
 def test_connected_components_long_chain(spark):
     """A 60-node chain must converge (pointer jumping: O(log n) rounds)."""
     from htep_spark.operators.dedup import connected_components
