@@ -14,7 +14,9 @@ built from the stdlib + numpy only:
 - **TIFF** (6.0 spec): both byte orders (II/MM), 8-bit gray/RGB, chunky
   config, strip organization, Compression none/PackBits, Photometric
   0/1/2; minimal spec-compliant writer (single- or multi-strip, either
-  endian, optional PackBits).
+  endian, optional PackBits). Parity note: the reference's scan-source
+  tests exercise TIFF/BMP inputs (``tests/test_scanned_icr.py:190``,
+  SURVEY §2.7 scans row), so the S1 payload router needs both formats.
 - **JPEG** (``functions/jpeg.py``): baseline sequential DCT — general
   decoder (arbitrary DHT/DQT, 4:4:4/4:2:2/4:2:0, restart markers) and a
   spec-compliant flat-quant writer for round-trip tests.
