@@ -1,0 +1,98 @@
+"""Deterministic output compaction — the small-files stage of a long-running
+checkpointed pipeline.
+
+``run_with_checkpoint`` (checkpoint.py) writes one output subdir per input
+unit, so a 10^12-turn job accumulated over many incremental runs ends up
+with thousands of small parquet parts — the classic small-files problem
+(every downstream scan pays per-file open/footer costs, and object-store
+listings dominate planning). Iceberg solves this with ``rewrite_data_files``;
+without a catalog jar in this container, this is the same operation over
+plain parquet directories:
+
+- the driver lists FILE METADATA only (names + sizes — never row data),
+- parts are greedy-bin-packed in sorted-name order into groups of
+  ``target_bytes`` (a group always takes at least one file, so oversized
+  parts pass through unsplit),
+- each group is rewritten by one ``spark.read.parquet(files...).coalesce(1)``
+  job into its own ``group=NNNNN`` subdir — a 1-task read+write, no shuffle
+  (coalesce over a file-list scan just concatenates partitions),
+- a compaction manifest row per group records the inputs (lineage), so the
+  rewrite is auditable and idempotent (re-running a group overwrites its
+  subdir).
+
+Determinism: same input listing → same groups → same row sets per group
+(file order inside a group is the sorted name order the scan uses).
+Scale shape: driver work is O(#files) metadata; rewrite cost is one pass
+over the data; groups are independent jobs (parallelize with a thread pool
+over ``compact_group`` calls when the cluster is large — kept sequential
+here for deterministic progress reporting).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+from pyspark.sql import SparkSession
+
+__all__ = ["plan_groups", "compact_output"]
+
+
+def plan_groups(input_dir: str, target_bytes: int) -> List[List[str]]:
+    """Greedy bin-pack of the directory's parquet parts (recursive, sorted
+    by relative path) into groups whose total size stays <= target_bytes
+    (single oversized files pass through as their own group)."""
+    files: List[tuple] = []
+    for root, _dirs, names in os.walk(input_dir):
+        for name in sorted(names):
+            if name.endswith(".parquet") and not name.startswith("."):
+                path = os.path.join(root, name)
+                files.append((os.path.relpath(path, input_dir), path))
+    files.sort()
+    groups: List[List[str]] = []
+    cur: List[str] = []
+    cur_bytes = 0
+    for _rel, path in files:
+        size = os.path.getsize(path)
+        if cur and cur_bytes + size > target_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(path)
+        cur_bytes += size
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def compact_output(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> Dict:
+    """Rewrite ``input_dir``'s parquet parts into ~``target_bytes`` files
+    under ``output_dir/group=NNNNN/``. Returns the compaction manifest:
+    per-group input files + row counts, plus totals."""
+    groups = plan_groups(input_dir, target_bytes)
+    manifest = []
+    total_rows = 0
+    for gi, paths in enumerate(groups):
+        df = spark.read.parquet(*paths)
+        dest = os.path.join(output_dir, f"group={gi:05d}")
+        df.coalesce(1).write.mode("overwrite").parquet(dest)
+        n = spark.read.parquet(dest).count()
+        total_rows += n
+        manifest.append(
+            {
+                "group": gi,
+                "inputs": [os.path.relpath(p, input_dir) for p in paths],
+                "n_files_in": len(paths),
+                "n_rows": n,
+            }
+        )
+    return {
+        "n_groups": len(groups),
+        "n_files_in": sum(len(g) for g in groups),
+        "n_rows": total_rows,
+        "groups": manifest,
+    }
