@@ -437,6 +437,48 @@ def _decode_block(reader: _BitReader, dc_tab, ac_tab, pred: int):
     return zz, dc
 
 
+def _parse_dqt(seg: bytes, qtables) -> None:
+    """DQT segment body → quantization tables (8/16-bit precisions)."""
+    p = 0
+    while p < len(seg):
+        pq, tq = seg[p] >> 4, seg[p] & 0xF
+        p += 1
+        if pq == 0:
+            vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                np.float64
+            )
+            p += 64
+        else:
+            vals = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(
+                np.float64
+            )
+            p += 128
+        t = np.zeros(64)
+        t[_ZZ_FLAT] = vals
+        qtables[tq] = t.reshape(8, 8)
+
+
+def _parse_dht(seg: bytes, dc_tabs, ac_tabs) -> None:
+    """DHT segment body → decode tables (possibly several per segment)."""
+    p = 0
+    while p < len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0xF
+        bits = list(seg[p + 1 : p + 17])
+        cnt = sum(bits)
+        vals = list(seg[p + 17 : p + 17 + cnt])
+        (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
+        p += 17 + cnt
+
+
+def _read_marker(data: bytes, pos: int) -> Tuple[int, int]:
+    """``pos`` at a 0xFF → (marker code, position after the marker),
+    skipping any legal 0xFF fill bytes before the code (T.81 B.1.1.2)."""
+    n = len(data)
+    while pos + 1 < n and data[pos + 1] == 0xFF:
+        pos += 1
+    return data[pos + 1], pos + 2
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes → (H, W, 3) uint8 (or (H, W, 1) for grayscale)."""
     if payload[:2] != b"\xff\xd8":
@@ -451,8 +493,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < n:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
-        marker = payload[pos + 1]
-        pos += 2
+        marker, pos = _read_marker(payload, pos)
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
@@ -460,29 +501,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                p += 1
-                if pq == 0:
-                    vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.float64)
-                    p += 64
-                else:
-                    vals = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.float64)
-                    p += 128
-                t = np.zeros(64)
-                t[_ZZ_FLAT] = vals
-                qtables[tq] = t.reshape(8, 8)
+            _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1 : p + 17])
-                cnt = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + cnt])
-                tab = _decode_table(bits, vals)
-                (dc_tabs if tc == 0 else ac_tabs)[th] = tab
-                p += 17 + cnt
+            _parse_dht(seg, dc_tabs, ac_tabs)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, fh, fw, nf = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if precision != 8:
@@ -631,21 +652,15 @@ def _decode_baseline_multiscan(
 
     pos = process_scan(scan, pos)
     while True:
-        marker = data[pos + 1]
-        pos += 2
+        marker, pos = _read_marker(data, pos)
         if marker == 0xD9:  # EOI
             break
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1 : p + 17])
-                cnt = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + cnt])
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
-                p += 17 + cnt
+            _parse_dht(seg, dc_tabs, ac_tabs)
+        elif marker == 0xDB:  # DQT — tables may arrive between scans
+            _parse_dqt(seg, qtables)
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -1149,35 +1164,15 @@ def _decode_progressive(
     ss, se, ah, al = frame["_scan_params"]
     pos = process_scan(scan, ss, se, ah, al, pos)
     while True:
-        marker = data[pos + 1]
-        pos += 2
+        marker, pos = _read_marker(data, pos)
         if marker == 0xD9:  # EOI
             break
         seglen = struct.unpack(">H", data[pos : pos + 2])[0]
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0xF
-                bits = list(seg[p + 1 : p + 17])
-                cnt = sum(bits)
-                vals = list(seg[p + 17 : p + 17 + cnt])
-                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
-                p += 17 + cnt
+            _parse_dht(seg, dc_tabs, ac_tabs)
         elif marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                pq, tq = seg[p] >> 4, seg[p] & 0xF
-                p += 1
-                if pq == 0:
-                    vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.float64)
-                    p += 64
-                else:
-                    vals = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.float64)
-                    p += 128
-                t = np.zeros(64)
-                t[_ZZ_FLAT] = vals
-                qtables[tq] = t.reshape(8, 8)
+            _parse_dqt(seg, qtables)
         elif marker == 0xDD:  # DRI
             dri = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS

@@ -369,7 +369,12 @@ def _audio_spectral(samples: np.ndarray, rate: int) -> dict:
 def audio_features(df: DataFrame) -> DataFrame:
     """Audio feature extraction stage: PCM WAV payloads → global spectral
     features (``_audio_spectral``). Arrow-batched ``mapInPandas`` like the
-    other media stages; non-WAV audio rows carry the error column."""
+    other media stages; non-WAV audio rows carry the error column.
+
+    Non-audio rows are filtered SPARK-SIDE before the Arrow transfer —
+    this stage provably never uses them, so image/video payloads (the
+    largest in a media table) must not ride through Python batches just
+    to be dropped. The in-Python kind guard stays as a cheap invariant."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -412,8 +417,12 @@ def audio_features(df: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA]
             )
 
-    return df.select("media_id", "kind", "payload").mapInPandas(
-        run, schema=AUDIO_FEATURES_SCHEMA
+    import pyspark.sql.functions as SF
+
+    return (
+        df.filter(SF.col("kind") == "audio")
+        .select("media_id", "kind", "payload")
+        .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
     )
 
 

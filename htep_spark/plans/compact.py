@@ -14,11 +14,18 @@ plain parquet directories:
   ``target_bytes`` (a group always takes at least one file, so oversized
   parts pass through unsplit),
 - each group is rewritten by one ``spark.read.parquet(files...).coalesce(1)``
-  job into its own ``group=NNNNN`` subdir — a 1-task read+write, no shuffle
-  (coalesce over a file-list scan just concatenates partitions),
+  job — a 1-task read+write, no shuffle (coalesce over a file-list scan
+  just concatenates partitions) — and the single part file is promoted to
+  a FLAT ``output_dir/group-NNNNN.parquet``. Flat files (not subdirs) keep
+  ``spark.read.parquet(output_dir)`` working unchanged with the input's
+  exact schema: ``group=`` subdirs would smuggle in an inferred partition
+  column, and non-partition subdirs aren't visited by a root read at all,
 - a compaction manifest row per group records the inputs (lineage), so the
-  rewrite is auditable and idempotent (re-running a group overwrites its
-  subdir).
+  rewrite is auditable and idempotent: re-running replaces each group
+  file, and stale ``group-*`` files beyond the new plan are removed
+  (a smaller re-plan must not leave duplicate rows behind),
+- row counts come from ``observe()`` on the write pass — no second read
+  of the just-written output (same discipline as ``checkpoint.py``).
 
 Determinism: same input listing → same groups → same row sets per group
 (file order inside a group is the sorted name order the scan uses).
@@ -70,17 +77,33 @@ def compact_output(
     output_dir: str,
     target_bytes: int = 128 * 1024 * 1024,
 ) -> Dict:
-    """Rewrite ``input_dir``'s parquet parts into ~``target_bytes`` files
-    under ``output_dir/group=NNNNN/``. Returns the compaction manifest:
-    per-group input files + row counts, plus totals."""
+    """Rewrite ``input_dir``'s parquet parts into ~``target_bytes`` flat
+    files ``output_dir/group-NNNNN.parquet``. Returns the compaction
+    manifest: per-group input files + row counts, plus totals."""
+    import shutil
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     groups = plan_groups(input_dir, target_bytes)
+    os.makedirs(output_dir, exist_ok=True)
     manifest = []
     total_rows = 0
     for gi, paths in enumerate(groups):
         df = spark.read.parquet(*paths)
-        dest = os.path.join(output_dir, f"group={gi:05d}")
-        df.coalesce(1).write.mode("overwrite").parquet(dest)
-        n = spark.read.parquet(dest).count()
+        tmp = os.path.join(output_dir, f"_tmp-group-{gi:05d}")
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        n = int(obs.get["n"])
+        part = next(
+            os.path.join(tmp, f)
+            for f in sorted(os.listdir(tmp))
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        os.replace(part, os.path.join(output_dir, f"group-{gi:05d}.parquet"))
+        shutil.rmtree(tmp)
         total_rows += n
         manifest.append(
             {
@@ -90,6 +113,15 @@ def compact_output(
                 "n_rows": n,
             }
         )
+    # a re-plan with fewer groups must not leave prior groups behind —
+    # stale files would silently duplicate rows in the compacted dataset
+    wanted = {f"group-{gi:05d}.parquet" for gi in range(len(groups))}
+    for name in sorted(os.listdir(output_dir)):
+        path = os.path.join(output_dir, name)
+        if name.startswith("group-") and name not in wanted:
+            os.remove(path)
+        elif name.startswith("_tmp-group-"):
+            shutil.rmtree(path, ignore_errors=True)
     return {
         "n_groups": len(groups),
         "n_files_in": sum(len(g) for g in groups),

@@ -1279,3 +1279,17 @@ def test_jpeg_advice_r03_edge_cases():
         encode_jpeg(
             np.zeros((16, 16, 3), np.uint8), restart_interval=2, interleaved=False
         )
+    # T.81 B.1.1.2 fill bytes before a between-scan marker, and a DQT
+    # segment arriving between scans, must both decode (review r04 finds)
+    import struct
+
+    b = encode_jpeg(
+        rng.integers(0, 256, (16, 24, 3), np.uint8), quant=2, interleaved=False
+    )
+    pos = b.find(b"\xff\xda", b.find(b"\xff\xda") + 2)
+    assert pos > 0
+    with_fill = b[:pos] + b"\xff" + b[pos:]
+    assert np.array_equal(decode_jpeg(with_fill), decode_jpeg(b))
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes([1]) + bytes([2] * 64)
+    with_dqt = b[:pos] + dqt + b[pos:]
+    assert np.array_equal(decode_jpeg(with_dqt), decode_jpeg(b))

@@ -171,6 +171,14 @@ def test_compact_output(spark, transcripts_pdf, tmp_path):
     again = compact_output(spark, src, dst, target_bytes=target)
     assert again["n_rows"] == result["n_rows"]
     assert spark.read.parquet(dst).count() == len(transcripts_pdf)
+    # no Hive partition-column inference: compacted schema == the input's
+    # on-disk schema (parquet drops nullable=False on both sides equally)
+    assert spark.read.parquet(dst).schema == spark.read.parquet(src).schema
+    # re-plan with fewer groups must remove stale group dirs, not
+    # duplicate rows (review r04 finding)
+    big = compact_output(spark, src, dst, target_bytes=sum(part_sizes) * 2)
+    assert big["n_groups"] == 1
+    assert spark.read.parquet(dst).count() == len(transcripts_pdf)
 
 
 def test_extraction_plan_is_narrow(spark, transcripts):
