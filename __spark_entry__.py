@@ -76,6 +76,7 @@ DRIVER_CAP_OVERFLOW = (
     "repetition_stats",
     "bpe_train",
     "domain_mix",
+    "embed_keepers",
 )
 
 

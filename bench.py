@@ -165,6 +165,7 @@ def main() -> None:
         "repetition_stats",
         "bpe_train",
         "domain_mix",
+        "embed_keepers",
     ):
         if name not in QUERIES:
             continue

@@ -1928,6 +1928,72 @@ WHERE list_dot_product(a.v, b.v) /
 
 
 # --------------------------------------------------------------------------
+# Embedding-dedup canonicalization: the third pair source through the SAME
+# distributed connected-components operator (exact-jaccard and MinHash-LSH
+# pairs are already oracled via dedup_keepers / dedup_keepers_minhash) —
+# completes the dedup family: every candidate generator's keeper verdict is
+# hash-verified against a DuckDB recursive-CTE transitive closure.
+# --------------------------------------------------------------------------
+
+
+EMBED_KEEPER_THRESHOLD = 0.3  # 0.2 merges everything into one component
+
+
+def q_embed_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    pairs = (
+        q_embed_near_dup(spark, sf_dir)
+        .filter(F.col("cosine") >= EMBED_KEEPER_THRESHOLD)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    comps = connected_components(pairs)
+    vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < EMBED_DUP_N)
+        .select("vec_id")
+    )
+    cluster = F.coalesce("cluster_id", F.col("vec_id"))
+    return vecs.join(
+        comps, vecs["vec_id"] == comps["doc_id"], "left"
+    ).select(
+        "vec_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("vec_id")).cast("long").alias("keep"),
+    )
+
+
+SQL_EMBED_KEEPERS = f"""
+WITH RECURSIVE emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {EMBED_DUP_N}
+), epairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+        >= {EMBED_KEEPER_THRESHOLD}
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM epairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM epairs
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT src AS vec_id, least(min(dst), src) AS cluster_id
+  FROM reach GROUP BY src
+)
+SELECT e.vec_id,
+       coalesce(l.cluster_id, e.vec_id) AS cluster_id,
+       CAST(CASE WHEN coalesce(l.cluster_id, e.vec_id) = e.vec_id
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM emb e LEFT JOIN labels l ON e.vec_id = l.vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Event sessionization: lag-gap rule (window functions, SURVEY §2.7)
 # --------------------------------------------------------------------------
 
@@ -2504,5 +2570,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "sample_hash": (q_sample_hash, SQL_SAMPLE_HASH),
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
+    "embed_keepers": (q_embed_keepers, SQL_EMBED_KEEPERS),
     "bpe_train": (_q_bpe_train, _sql_bpe_train_str()),
 }
