@@ -85,6 +85,11 @@ def compact_output(
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
+    if os.path.abspath(input_dir) == os.path.abspath(output_dir):
+        raise ValueError(
+            "in-place compaction is not supported: the input listing would "
+            "race the rewrite — compact into a fresh directory and swap"
+        )
     groups = plan_groups(input_dir, target_bytes)
     os.makedirs(output_dir, exist_ok=True)
     manifest = []

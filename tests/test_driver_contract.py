@@ -57,10 +57,17 @@ def test_all_driver_queries_canonicalizer_safe(spark):
     """The driver sorts+hashes results with pandas, which cannot hash list
     cells — every driver-facing query must emit only atomic column types.
 
-    Schema-only (lazy plan build), so this covers all queries cheaply."""
+    Schema-only (lazy plan build), so this covers all queries cheaply.
+    Overflow oracles (DRIVER_CAP_OVERFLOW) are included: they may rotate
+    into the driver dict in a future round and must already be safe."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    for name, fn in entrymod.queries().items():
+    from htep_spark.driver_queries import QUERIES
+
+    surface = dict(entrymod.queries())
+    for name in entrymod.DRIVER_CAP_OVERFLOW:
+        surface[name] = QUERIES[name][0]
+    for name, fn in surface.items():
         df = fn(spark, "/root/testdata/sf0.001")
         for f in df.schema.fields:
             assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
