@@ -11,6 +11,11 @@ built from the stdlib + numpy only:
 - **BMP**: 24-bit uncompressed BITMAPINFOHEADER, bottom-up rows with 4-byte
   padding.
 - **PPM (P6)**: maxval 255 binary, whitespace/comment-tolerant header.
+- **GIF** (87a/89a spec + Welch 1984): full variable-width LZW decode
+  (clear/EOI, KwKwK case, 12-bit cap) and a dictionary-building encoder
+  with 4096-entry reset; global/local color tables, 4-pass interlace,
+  GCE transparency, multi-frame compositing ('do not dispose'). Writer =
+  exact-palette single frame (<=256 unique colors — that IS the format).
 - **TIFF** (6.0 spec): both byte orders (II/MM), 8-bit gray/RGB, chunky
   config, strip organization, Compression none/PackBits, Photometric
   0/1/2; minimal spec-compliant writer (single- or multi-strip, either
@@ -57,6 +62,8 @@ __all__ = [
     "decode_ppm",
     "encode_tiff",
     "decode_tiff",
+    "encode_gif",
+    "decode_gif",
 ]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -64,7 +71,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 def sniff_format(payload: bytes) -> str:
     """Magic-byte format sniff → 'png' | 'jpeg' | 'bmp' | 'ppm' | 'wav' |
-    'rawv' | 'tiff' | 'unknown'."""
+    'rawv' | 'tiff' | 'gif' | 'unknown'."""
     if not payload:
         return "unknown"
     if payload[:8] == _PNG_SIG:
@@ -77,6 +84,8 @@ def sniff_format(payload: bytes) -> str:
         return "ppm"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:4] == b"RAWV":
@@ -373,6 +382,246 @@ def rawv_frame_count(payload: bytes) -> int:
 
 # ---------------------------------------------------------------- common --
 
+# ------------------------------------------------------------------- GIF --
+# GIF87a/89a (public GIF spec + Welch 1984 LZW): variable-width LZW with
+# clear/EOI codes and LSB-first bit packing, global/local color tables,
+# Adam-style 4-pass interlace, GCE transparency; multi-frame streams
+# composite onto the running canvas ("do not dispose" semantics). The
+# writer builds an exact palette (<=256 unique colors) and a real
+# dictionary-building LZW encoder with table reset at 4096.
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: List[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    prev: bytes = b""
+    pos = 0
+    n = len(data)
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = b""
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out += entry
+        if prev:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return bytes(out[:n_pixels])
+
+
+def _gif_lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh_table():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code == 4096:
+            emit(clear, width)
+            table = fresh_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """(H, W, 3) or (H, W, 1)/(H, W) uint8 with <=256 unique colors →
+    single-frame GIF89a (exact palette, real LZW)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if palette.shape[0] > 256:
+        raise ValueError(
+            f"GIF writer needs <=256 unique colors, got {palette.shape[0]}"
+        )
+    gct_bits = max(1, int(palette.shape[0] - 1).bit_length())
+    gct_size = 1 << gct_bits
+    pal = np.zeros((gct_size, 3), dtype=np.uint8)
+    pal[: palette.shape[0]] = palette
+    indices = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        rows = [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)]
+        indices = indices[rows]
+    min_code_size = max(2, gct_bits)
+    lzw = _gif_lzw_encode(min_code_size, indices.tobytes())
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (gct_bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += bytes([0x2C]) + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out += bytes([min_code_size])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> List[np.ndarray]:
+    """GIF bytes → list of (H, W, 3) uint8 canvas states (one per frame;
+    frames composite onto the previous canvas, transparent pixels keep
+    the underlying value — 'do not dispose' semantics)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        return _decode_gif_inner(payload)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated GIF stream: {exc}") from exc
+
+
+def _decode_gif_inner(payload: bytes) -> List[np.ndarray]:
+    w, h, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 1 << ((flags & 0x07) + 1)
+        gct = np.frombuffer(payload[pos : pos + 3 * size], np.uint8).reshape(
+            size, 3
+        )
+        pos += 3 * size
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None:
+        canvas[:] = gct[bg % len(gct)]
+    frames: List[np.ndarray] = []
+    transparent = None
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9:  # graphic control
+                blk_len = payload[pos]
+                gce = payload[pos + 1 : pos + 1 + blk_len]
+                transparent = gce[3] if (gce[0] & 0x01) else None
+            while True:  # skip sub-blocks
+                blk = payload[pos]
+                pos += 1 + blk
+                if blk == 0:
+                    break
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        x0, y0, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        table = gct
+        if iflags & 0x80:  # local color table
+            size = 1 << ((iflags & 0x07) + 1)
+            table = np.frombuffer(
+                payload[pos : pos + 3 * size], np.uint8
+            ).reshape(size, 3)
+            pos += 3 * size
+        if table is None:
+            raise ValueError("GIF frame without a color table")
+        min_code_size = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while True:
+            blk = payload[pos]
+            pos += 1
+            if blk == 0:
+                break
+            lzw += payload[pos : pos + blk]
+            pos += blk
+        idx = np.frombuffer(
+            _gif_lzw_decode(min_code_size, bytes(lzw), fw * fh), np.uint8
+        ).reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: un-permute rows
+            order = [
+                r
+                for start, step in _GIF_INTERLACE_PASSES
+                for r in range(start, fh, step)
+            ]
+            un = np.empty_like(idx)
+            un[order] = idx
+            idx = un
+        region = canvas[y0 : y0 + fh, x0 : x0 + fw]
+        painted = table[idx % len(table)]
+        if transparent is not None:
+            mask = idx != transparent
+            region[mask] = painted[mask]
+        else:
+            region[:] = painted
+        frames.append(canvas.copy())
+        transparent = None
+    if not frames:
+        raise ValueError("GIF with no image frames")
+    return frames
+
+
 # ------------------------------------------------------------------ TIFF --
 # TIFF 6.0 (public Adobe spec): both byte orders, first IFD, 8-bit
 # grayscale/RGB, chunky planar config, strip organization, Compression
@@ -617,6 +866,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_ppm(payload)
     if fmt == "tiff":
         return decode_tiff(payload)
+    if fmt == "gif":
+        return decode_gif(payload)[0]  # first frame as the still image
     if fmt == "jpeg":
         from .jpeg import decode_jpeg
 
@@ -633,6 +884,8 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return encode_ppm(img)
     if fmt == "tiff":
         return encode_tiff(img)
+    if fmt == "gif":
+        return encode_gif(img)
     if fmt == "jpeg":
         from .jpeg import encode_jpeg
 

@@ -97,13 +97,16 @@ def _audio_feature(samples: np.ndarray) -> list:
 def _real_decode(payload: bytes, kind: str) -> dict:
     """Format-sniffed real decode → metadata dict. Raises on undecodable."""
     fmt = codecs.sniff_format(payload)
-    if fmt in ("png", "jpeg", "bmp", "ppm", "tiff"):
+    if fmt in ("png", "jpeg", "bmp", "ppm", "tiff", "gif"):
         img = codecs.decode_image(payload)
+        n_frames = (
+            len(codecs.decode_gif(payload)) if fmt == "gif" else 1
+        )
         return {
             "format": fmt,
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
-            "n_frames": 1,
+            "n_frames": n_frames,
             "duration_sec": 0.0,
             "feature": _image_feature(img),
         }
@@ -274,7 +277,9 @@ def resize_media(
                 payload = bytes(raw or b"")
                 fmt = codecs.sniff_format(payload)
                 try:
-                    if fmt in ("png", "jpeg", "bmp", "ppm", "tiff"):
+                    if fmt in ("png", "jpeg", "bmp", "ppm", "tiff", "gif"):
+                        # gif is safe to re-encode: nearest-neighbor keeps
+                        # the (<=256-color) palette intact
                         img = codecs.decode_image(payload)
                         out = codecs.resize_nearest(img, width, height)
                         base["payload"] = bytearray(codecs.encode_image(out, fmt))

@@ -314,6 +314,75 @@ def test_multimodal_pixel_roundtrip(spark):
     assert codecs.decode_png(codecs.encode_png(gray)).shape == (32, 48, 1)
 
 
+def test_gif_codec_roundtrip():
+    """GIF87a/89a: exact-palette round-trip across shapes/palette sizes/
+    interlace, dictionary growth past the 12-bit reset, multi-frame
+    compositing with GCE transparency, and clean truncation errors."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from htep_spark.functions import codecs as C
+
+    def palimg(h, w, ncol, seed):
+        r = np.random.default_rng(seed)
+        pal = r.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        return pal[r.integers(0, ncol, (h, w))]
+
+    for (h, w, ncol) in [(17, 23, 5), (8, 5, 2), (1, 1, 1), (40, 60, 256)]:
+        img = palimg(h, w, ncol, h * 100 + w)
+        for il in (False, True):
+            b = C.encode_gif(img, interlace=il)
+            assert C.sniff_format(b) == "gif"
+            frames = C.decode_gif(b)
+            assert len(frames) == 1 and np.array_equal(frames[0], img)
+    # dictionary reset at 4096 entries exercised by a large repetitive image
+    big = palimg(200, 300, 17, 5)
+    assert np.array_equal(C.decode_gif(C.encode_gif(big))[0], big)
+    assert C.encode_gif(big) == C.encode_gif(big)  # deterministic
+    with pytest.raises(ValueError, match="256"):
+        C.encode_gif(
+            np.random.default_rng(0).integers(0, 256, (64, 64, 3), np.uint8)
+        )
+    # decode_image dispatch returns the first frame
+    img = palimg(6, 9, 4, 3)
+    assert np.array_equal(C.decode_image(C.encode_gif(img)), img)
+    # multi-frame with transparency: splice a second 2x2 frame at (1,1)
+    # whose index 0 is transparent — composite keeps underlying pixels
+    base = np.zeros((4, 4, 3), dtype=np.uint8)
+    base[:] = [10, 20, 30]
+    b = bytearray(C.encode_gif(base))
+    assert b[-1] == 0x3B
+    # second frame: local color table of 2 colors, indices [[0,1],[1,0]]
+    lct = bytes([0, 0, 0, 200, 100, 50])
+    lzw = C._gif_lzw_encode(2, bytes([0, 1, 1, 0]))
+    gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])  # transparent idx 0
+    frame2 = (
+        gce
+        + bytes([0x2C])
+        + struct.pack("<HHHHB", 1, 1, 2, 2, 0x80)  # LCT flag, size bits 0
+        + lct
+        + bytes([2])
+        + bytes([len(lzw)])
+        + lzw
+        + b"\x00"
+    )
+    multi = bytes(b[:-1]) + frame2 + b"\x3b"
+    frames = C.decode_gif(multi)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0], base)
+    want = base.copy()
+    want[1, 2] = [200, 100, 50]  # idx 1 painted
+    want[2, 1] = [200, 100, 50]
+    # idx 0 positions (1,1) and (2,2) stay the underlying color
+    assert np.array_equal(frames[1], want)
+    # truncated LZW data errors cleanly
+    good = C.encode_gif(palimg(12, 12, 6, 9))
+    with pytest.raises(ValueError):
+        C.decode_gif(good[: len(good) // 2])
+
+
 def test_png_adam7_interlace():
     """Adam7 interlaced PNGs decode pixel-identically to the source:
     encoder round-trip across shapes (incl. degenerate passes), a
