@@ -17,9 +17,10 @@ built from the stdlib + numpy only:
   GCE transparency, multi-frame compositing ('do not dispose'). Writer =
   exact-palette single frame (<=256 unique colors — that IS the format).
 - **TIFF** (6.0 spec): both byte orders (II/MM), 8-bit gray/RGB, chunky
-  config, strip organization, Compression none/PackBits, Photometric
-  0/1/2; minimal spec-compliant writer (single- or multi-strip, either
-  endian, optional PackBits). Parity note: the reference's scan-source
+  config, strip organization, Compression none/PackBits/LZW (§13:
+  MSB-first, EarlyChange, 4094 reset), Photometric 0/1/2; minimal
+  spec-compliant writer (single- or multi-strip, either endian,
+  optional PackBits or LZW). Parity note: the reference's scan-source
   tests exercise TIFF/BMP inputs (``tests/test_scanned_icr.py:190``,
   SURVEY §2.7 scans row), so the S1 payload router needs both formats.
 - **JPEG** (``functions/jpeg.py``): baseline sequential DCT — general
@@ -622,6 +623,102 @@ def _decode_gif_inner(payload: bytes) -> List[np.ndarray]:
     return frames
 
 
+# TIFF-flavor LZW (TIFF 6.0 §13): 8-bit roots with CLEAR=256/EOI=257,
+# MSB-first bit packing, EarlyChange code-width bumps at 511/1023/2047,
+# encoder table reset at 4094. Same dictionary algorithm as the GIF pair
+# above, different framing. No reference stream exists in this container,
+# so like the progressive-JPEG work the pair is validated by round-trip
+# (encoder and decoder written independently against the same spec text).
+
+_TIFF_CLEAR, _TIFF_EOI = 256, 257
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_TIFF_CLEAR, width)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        if next_code == (1 << width) - 1 and width < 12:  # EarlyChange
+            width += 1
+        next_code += 1
+        if next_code == 4094:
+            emit(_TIFF_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(_TIFF_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = 0
+    nbits = 0
+    prev = b""
+    pos = 0
+    n = len(data)
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("truncated TIFF LZW strip")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        if code == _TIFF_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = b""
+            continue
+        if code == _TIFF_EOI:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("invalid TIFF LZW code")
+        out += entry
+        if prev:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:  # EarlyChange
+                width += 1
+        prev = entry
+    if len(out) < expected:
+        raise ValueError("TIFF LZW strip ended early")
+    return bytes(out[:expected])
+
+
 # ------------------------------------------------------------------ TIFF --
 # TIFF 6.0 (public Adobe spec): both byte orders, first IFD, 8-bit
 # grayscale/RGB, chunky planar config, strip organization, Compression
@@ -692,7 +789,7 @@ def encode_tiff(
     h, w, spp = img.shape
     if spp not in (1, 3):
         raise ValueError("TIFF writer supports 1 or 3 samples per pixel")
-    comp = {"none": 1, "packbits": 32773}[compression]
+    comp = {"none": 1, "packbits": 32773, "lzw": 5}[compression]
     rps = rows_per_strip or h
     n_strips = -(-h // rps)
     strips = []
@@ -701,6 +798,8 @@ def encode_tiff(
         raw = rows.tobytes()
         if comp == 1:
             strips.append(raw)
+        elif comp == 5:
+            strips.append(_tiff_lzw_encode(raw))  # LZW spans the strip
         else:
             row_len = w * spp
             strips.append(
@@ -824,7 +923,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if any(b != 8 for b in bps):
         raise ValueError("only 8-bit TIFF supported")
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if tags.get(284, [1])[0] != 1:
         raise ValueError("only chunky planar configuration supported")
@@ -848,6 +947,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             if len(raw) < strip_rows * row_len:
                 raise ValueError("truncated TIFF strip")
             data += raw[: strip_rows * row_len]
+        elif comp == 5:
+            data += _tiff_lzw_decode(raw, strip_rows * row_len)
         else:
             data += _packbits_decode(raw, strip_rows * row_len)
     img = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, spp)

@@ -454,7 +454,7 @@ def test_tiff_codec_roundtrip():
         np.tile(np.arange(16, dtype=np.uint8), (10, 4)).reshape(10, 64, 1),
     ]
     for img in imgs:
-        for comp in ("none", "packbits"):
+        for comp in ("none", "packbits", "lzw"):
             for bo in ("<", ">"):
                 for rps in (0, 3):
                     b = C.encode_tiff(
@@ -464,6 +464,12 @@ def test_tiff_codec_roundtrip():
                     assert np.array_equal(C.decode_tiff(b), img), (
                         img.shape, comp, bo, rps,
                     )
+    # LZW width transitions + 4094 dictionary resets (TIFF §13 EarlyChange)
+    big = np.random.default_rng(4).integers(0, 256, (120, 300, 3), np.uint8)
+    assert np.array_equal(
+        C.decode_tiff(C.encode_tiff(big, compression="lzw")), big
+    )
+    assert C._tiff_lzw_decode(C._tiff_lzw_encode(b""), 0) == b""
     b = C.encode_tiff(imgs[0])
     assert np.array_equal(C.decode_image(b), imgs[0])
     assert C.encode_tiff(imgs[0]) == b  # deterministic bytes
