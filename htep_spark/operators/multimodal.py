@@ -436,13 +436,14 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling for video payloads: RAWV containers are really
     demuxed — only the strided frame indices are decoded (length-prefix
-    seeking) and each sampled frame is emitted as a standalone PPM payload.
-    A flatMap-shaped ``mapInPandas`` (1 → N rows). Non-RAWV videos emit ONE
-    row with null ``frame_idx``/``frame_payload`` and the ``error`` set by
-    default (``strict=True``) — like ``decode_media``/``resize_media``, an
-    undecodable payload is visible, never silently dropped. ``strict=False``
-    opts into deterministic fake frames derived from the payload hash
-    (STUB)."""
+    seeking); animated GIFs decode their composited frame sequence and the
+    strided indices are emitted. Each sampled frame becomes a standalone
+    PPM payload. A flatMap-shaped ``mapInPandas`` (1 → N rows).
+    Undemuxable videos emit ONE row with null ``frame_idx``/
+    ``frame_payload`` and the ``error`` set by default (``strict=True``)
+    — like ``decode_media``/``resize_media``, an undecodable payload is
+    visible, never silently dropped. ``strict=False`` opts into
+    deterministic fake frames derived from the payload hash (STUB)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -453,7 +454,8 @@ def sample_frames(
                 if kind != "video":
                     continue
                 payload = bytes(raw or b"")
-                if codecs.sniff_format(payload) == "rawv":
+                fmt = codecs.sniff_format(payload)
+                if fmt == "rawv":
                     n = codecs.rawv_frame_count(payload)
                     idxs = list(range(0, n, every_n))[:max_frames]
                     frames = codecs.decode_rawv(payload, frame_indices=idxs)
@@ -466,8 +468,31 @@ def sample_frames(
                                 "error": None,
                             }
                         )
+                elif fmt == "gif":
+                    try:
+                        frames = codecs.decode_gif(payload)
+                        idxs = list(range(0, len(frames), every_n))[:max_frames]
+                        for idx in idxs:
+                            rows.append(
+                                {
+                                    "media_id": media_id,
+                                    "frame_idx": idx,
+                                    "frame_payload": bytearray(
+                                        codecs.encode_ppm(frames[idx])
+                                    ),
+                                    "error": None,
+                                }
+                            )
+                    except ValueError as exc:
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_idx": None,
+                                "frame_payload": None,
+                                "error": f"ValueError: {exc}",
+                            }
+                        )
                 elif strict:  # visible per-item failure, never a silent drop
-                    fmt = codecs.sniff_format(payload)
                     rows.append(
                         {
                             "media_id": media_id,

@@ -960,6 +960,39 @@ def test_multimodal_resize_and_frame_sample(spark):
         codecs.decode_ppm(bytes(f24["frame_payload"])),
         _synth_image(2 * 100 + 24, w=32, h=24),
     )
+    # animated GIF videos demux for real: strided composited frames out
+    from htep_spark.functions import codecs as C2
+    from htep_spark.operators.multimodal import MEDIA_SCHEMA
+
+    pal = np.array([[0, 0, 0], [200, 40, 10], [5, 250, 90]], dtype=np.uint8)
+    base_img = pal[np.zeros((6, 8), dtype=np.int64)]
+    gif = bytearray(C2.encode_gif(base_img))
+    # append 5 more full-canvas frames cycling colors → 6 frames total
+    import struct as _struct
+
+    tail = b""
+    for fi in range(1, 6):
+        idx = np.full((6, 8), fi % 3, dtype=np.uint8)
+        lct = pal.tobytes() + b"\x00" * 3  # 4-entry table (size bits 1)
+        lzw = C2._gif_lzw_encode(2, idx.tobytes())
+        tail += (
+            bytes([0x2C])
+            + _struct.pack("<HHHHB", 0, 0, 8, 6, 0x81)
+            + lct
+            + bytes([2, len(lzw)])
+            + lzw
+            + b"\x00"
+        )
+    gif = bytes(gif[:-1]) + tail + b"\x3b"
+    assert len(C2.decode_gif(gif)) == 6
+    gmedia = spark.createDataFrame(
+        [("m-gif", "video", bytearray(gif), "image/gif")], MEDIA_SCHEMA
+    )
+    gframes = sample_frames(gmedia, every_n=2, max_frames=3).collect()
+    assert sorted(f["frame_idx"] for f in gframes) == [0, 2, 4]
+    for f in gframes:
+        decoded = C2.decode_ppm(bytes(f["frame_payload"]))
+        assert np.array_equal(decoded, pal[np.full((6, 8), f["frame_idx"] % 3)])
     # strict mode: an undecodable video yields ONE visible error row (null
     # frame_idx/payload), not a silent drop (ADVICE r03)
     from htep_spark.operators.multimodal import MEDIA_SCHEMA
