@@ -77,6 +77,7 @@ DRIVER_CAP_OVERFLOW = (
     "bpe_train",
     "domain_mix",
     "embed_keepers",
+    "lm_tercile",
 )
 
 

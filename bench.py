@@ -166,6 +166,7 @@ def main() -> None:
         "bpe_train",
         "domain_mix",
         "embed_keepers",
+        "lm_tercile",
     ):
         if name not in QUERIES:
             continue

@@ -2443,6 +2443,18 @@ def _q_beam_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_beam_replace(spark, sf_dir)
 
 
+def _q_lm_tercile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import q_lm_tercile
+
+    return q_lm_tercile(spark, sf_dir)
+
+
+def _sql_lm_tercile_str() -> str:
+    from .operators.ranking import _sql_lm_tercile
+
+    return _sql_lm_tercile()
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import q_bpe_train
 
@@ -2571,5 +2583,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "repetition_stats": (q_repetition_stats, SQL_REPETITION_STATS),
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "embed_keepers": (q_embed_keepers, SQL_EMBED_KEEPERS),
+    "lm_tercile": (_q_lm_tercile, _sql_lm_tercile_str()),
     "bpe_train": (_q_bpe_train, _sql_bpe_train_str()),
 }

@@ -1401,3 +1401,29 @@ def test_jpeg_advice_r03_edge_cases():
     dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes([1]) + bytes([2] * 64)
     with_dqt = b[:pos] + dqt + b[pos:]
     assert np.array_equal(decode_jpeg(with_dqt), decode_jpeg(b))
+
+
+def test_exact_global_rank_semantics(spark):
+    """exact_global_rank equals a driver-side sorted enumeration — exact,
+    deterministic, 1-based, with explicit tie-breaks — at any partition
+    count, including n_partitions larger than the row count."""
+    from htep_spark.operators.ranking import exact_global_rank
+
+    rows = [(i, float((i * 37) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, score double")
+    want = {
+        rid: rank + 1
+        for rank, (rid, _s) in enumerate(
+            sorted(rows, key=lambda r: (r[1], r[0]))
+        )
+    }
+    for n_parts in (1, 4, 64, 300):
+        got = {
+            r["id"]: r["global_rank"]
+            for r in exact_global_rank(
+                df, "score", tie_cols=("id",), n_partitions=n_parts
+            ).collect()
+        }
+        assert got == want, n_parts
+    out = exact_global_rank(df, "score", tie_cols=("id",)).collect()
+    assert all(r["global_count"] == 200 for r in out)

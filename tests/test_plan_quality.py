@@ -169,3 +169,20 @@ def test_round4_operator_plan_shapes(spark):
     n_exchanges = rplan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"{n_exchanges} exchanges\n{rplan}"
     assert "WindowGroupLimit" in rplan, rplan
+
+
+def test_exact_global_rank_has_no_single_partition_window(spark):
+    """The whole point of exact_global_rank: a globally-ordered rank with
+    NO Exchange SinglePartition anywhere in the plan (the naive
+    row_number-over-unpartitioned-window collapses the dataset into one
+    task)."""
+    from htep_spark.operators.ranking import q_lm_tercile
+
+    plan = (
+        q_lm_tercile(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan  # the scale-honest sort
