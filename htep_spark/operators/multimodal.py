@@ -456,16 +456,30 @@ def sample_frames(
                 payload = bytes(raw or b"")
                 fmt = codecs.sniff_format(payload)
                 if fmt == "rawv":
-                    n = codecs.rawv_frame_count(payload)
-                    idxs = list(range(0, n, every_n))[:max_frames]
-                    frames = codecs.decode_rawv(payload, frame_indices=idxs)
-                    for idx, frame in zip(idxs, frames):
+                    try:  # corrupt containers → per-item error row, never
+                        # a whole-task crash (same contract as the GIF
+                        # branch / decode_media)
+                        n = codecs.rawv_frame_count(payload)
+                        idxs = list(range(0, n, every_n))[:max_frames]
+                        frames = codecs.decode_rawv(payload, frame_indices=idxs)
+                        for idx, frame in zip(idxs, frames):
+                            rows.append(
+                                {
+                                    "media_id": media_id,
+                                    "frame_idx": idx,
+                                    "frame_payload": bytearray(
+                                        codecs.encode_ppm(frame)
+                                    ),
+                                    "error": None,
+                                }
+                            )
+                    except Exception as exc:
                         rows.append(
                             {
                                 "media_id": media_id,
-                                "frame_idx": idx,
-                                "frame_payload": bytearray(codecs.encode_ppm(frame)),
-                                "error": None,
+                                "frame_idx": None,
+                                "frame_payload": None,
+                                "error": f"{type(exc).__name__}: {exc}",
                             }
                         )
                 elif fmt == "gif":

@@ -7,17 +7,25 @@ partition key — collapses the whole dataset into ONE task and dies at
 scale. The scale-honest exact construction used here:
 
 1. ``repartitionByRange`` on the full sort key (score + deterministic
-   tie-breakers) — Spark's range partitioner guarantees every row in
-   partition *i* sorts before every row in partition *i+1*;
-2. one tiny aggregation counts rows per partition (``spark_partition_id``)
-   — #partitions scalars to the driver, the same 1-small-action class as
-   k-means/BM25 corpus stats;
-3. the per-partition prefix offsets broadcast-join back, and a window
-   ``row_number`` PARTITIONED BY partition id (bounded state per task)
-   yields ``global_rank = offset + local_rank``.
+   tie-breakers) + ``sortWithinPartitions`` — Spark's range partitioner
+   guarantees every row in partition *i* sorts before every row in
+   partition *i+1*. The frame is then ``localCheckpoint``-ed (eager):
+   range boundaries come from SAMPLING, so the two downstream jobs must
+   read ONE materialization — re-executing the exchange per job could
+   re-sample different boundaries and mis-rank boundary rows (review-r04
+   finding; same lineage-pinning pattern as ``connected_components``);
+2. ``monotonically_increasing_id`` over the materialized sorted
+   partitions encodes (partition, local position); one tiny aggregation
+   collects per-partition ``(count, min_id)`` — #partitions scalars to
+   the driver, the same 1-small-action class as k-means/BM25 stats;
+3. the per-partition prefix offsets broadcast-join back:
+   ``global_rank = offset + (_mid - min_id) + 1``. No window function —
+   a window partitioned by partition id would plan a SECOND full-data
+   hash exchange.
 
-Cost: one range exchange + one in-partition sort + a scalar agg — the
-same class as any distributed sort, with no single-task bottleneck.
+Cost: one range exchange + one in-partition sort, materialized once and
+read by both jobs, plus a scalar agg and a broadcast join — the same
+class as any distributed sort, with no single-task bottleneck.
 Determinism: ties are broken by explicit columns, so the rank is a pure
 function of the data on any cluster size (the driver oracle reproduces it
 with a plain ``row_number()`` — small data has no scale constraint).
@@ -29,9 +37,8 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
-__all__ = ["exact_global_rank", "q_lm_tercile", "SQL_LM_TERCILE"]
+__all__ = ["exact_global_rank", "q_lm_tercile", "sql_lm_tercile"]
 
 
 def exact_global_rank(
@@ -44,33 +51,41 @@ def exact_global_rank(
     ``tie_cols``) without a single-partition window."""
     keys = [F.col(order_col)] + [F.col(t) for t in tie_cols]
     n_parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n_parts, *keys).withColumn(
-        "_pid", F.spark_partition_id()
+    parted = (
+        df.repartitionByRange(n_parts, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        # ONE materialization: both downstream jobs read these exact
+        # partitions — never a re-sampled range exchange (module doc #1)
+        .localCheckpoint(eager=True)
     )
-    counts = sorted(
-        (r["_pid"], r["cnt"])
-        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    stats = sorted(
+        (r["_pid"], r["cnt"], r["mn"])
+        for r in parted.groupBy("_pid")
+        .agg(F.count("*").alias("cnt"), F.min("_mid").alias("mn"))
+        .collect()
     )  # #partitions scalars — the one driver action
     offsets, acc = [], 0
-    for pid, cnt in counts:
-        offsets.append((pid, acc))
+    for pid, cnt, mn in stats:
+        offsets.append((pid, acc, mn))
         acc += cnt
     spark = df.sparkSession
     off_df = F.broadcast(
-        spark.createDataFrame(offsets, "_pid int, _offset long")
+        spark.createDataFrame(offsets, "_pid int, _offset long, _mn long")
     )
-    w = Window.partitionBy("_pid").orderBy(*keys)
     return (
         parted.join(off_df, "_pid")
         .withColumn(
-            "global_rank", F.col("_offset") + F.row_number().over(w)
+            "global_rank",
+            F.col("_offset") + (F.col("_mid") - F.col("_mn")) + 1,
         )
         # the total is already known from the offsets action — expose it as
         # a literal so callers never reach for a count() OVER () window
         # (which plans an Exchange SinglePartition, the exact bottleneck
         # this operator exists to avoid)
         .withColumn("global_count", F.lit(acc).cast("long"))
-        .drop("_pid", "_offset")
+        .drop("_pid", "_offset", "_mn", "_mid")
     )
 
 
@@ -129,4 +144,8 @@ FROM ranked
 """
 
 
-SQL_LM_TERCILE = None  # resolved lazily via _sql_lm_tercile (import cycle)
+def sql_lm_tercile() -> str:
+    """Public oracle-SQL builder (function, not constant — SQL_LM_SCORE
+    lives in driver_queries, which imports this module's query: the same
+    lazy pattern as ``bpe.sql_bpe_train``)."""
+    return _sql_lm_tercile()

@@ -961,9 +961,9 @@ def test_multimodal_resize_and_frame_sample(spark):
         _synth_image(2 * 100 + 24, w=32, h=24),
     )
     # animated GIF videos demux for real: strided composited frames out
-    from htep_spark.functions import codecs as C2
     from htep_spark.operators.multimodal import MEDIA_SCHEMA
 
+    C2 = codecs
     pal = np.array([[0, 0, 0], [200, 40, 10], [5, 250, 90]], dtype=np.uint8)
     base_img = pal[np.zeros((6, 8), dtype=np.int64)]
     gif = bytearray(C2.encode_gif(base_img))
@@ -995,8 +995,6 @@ def test_multimodal_resize_and_frame_sample(spark):
         assert np.array_equal(decoded, pal[np.full((6, 8), f["frame_idx"] % 3)])
     # strict mode: an undecodable video yields ONE visible error row (null
     # frame_idx/payload), not a silent drop (ADVICE r03)
-    from htep_spark.operators.multimodal import MEDIA_SCHEMA
-
     bad = spark.createDataFrame(
         [("m-bad", "video", bytearray(b"not-a-rawv-container"), "video/mp4")],
         MEDIA_SCHEMA,
@@ -1006,6 +1004,15 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert bad_rows[0]["frame_idx"] is None
     assert bad_rows[0]["frame_payload"] is None
     assert "NotImplementedError" in bad_rows[0]["error"]
+    # a corrupt RAWV container (magic ok, body truncated) also errors
+    # per-item instead of killing the task (review r04)
+    crawv = spark.createDataFrame(
+        [("m-crawv", "video", bytearray(b"RAWV\x00\x00"), "video/x-rawv")],
+        MEDIA_SCHEMA,
+    )
+    crow = sample_frames(crawv).collect()
+    assert len(crow) == 1 and crow[0]["frame_payload"] is None
+    assert crow[0]["error"] is not None
     # good frames carry a null error column
     assert all(f["error"] is None for f in frames)
 

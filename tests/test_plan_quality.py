@@ -185,4 +185,9 @@ def test_exact_global_rank_has_no_single_partition_window(spark):
         .toString()
     )
     assert "Exchange SinglePartition" not in plan, plan
-    assert "rangepartitioning" in plan, plan  # the scale-honest sort
+    # the range sort ran ONCE inside the localCheckpoint materialization
+    # job; the final plan reads the checkpointed partitions and adds only
+    # a broadcast exchange — no second full-data shuffle of any kind
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
