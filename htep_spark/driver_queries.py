@@ -1922,8 +1922,11 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_dot_product(a.v, b.v) /
              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) /
-      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {EMBED_DUP_THRESHOLD}
+-- gate on the 6dp-ROUNDED cosine, matching the Spark side exactly (a raw
+-- cosine in [threshold-5e-7, threshold) must flip identically in both engines)
+WHERE round(list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      >= {EMBED_DUP_THRESHOLD}
 """
 
 
@@ -1970,8 +1973,11 @@ WITH RECURSIVE emb AS (
 ), epairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-  WHERE list_dot_product(a.v, b.v) /
-        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+  -- 6dp-rounded gate = Spark side (q_embed_keepers filters the rounded
+  -- cosine); a boundary pair must flip identically or a whole component's
+  -- cluster_id/keep diverges (ADVICE r04)
+  WHERE round(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
         >= {EMBED_KEEPER_THRESHOLD}
 ), edges AS (
   SELECT vec_a AS src, vec_b AS dst FROM epairs

@@ -497,17 +497,7 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
     if img.shape[2] == 1:
         img = np.repeat(img, 3, axis=2)
     h, w = img.shape[:2]
-    flat = img.reshape(-1, 3)
-    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
-    if palette.shape[0] > 256:
-        raise ValueError(
-            f"GIF writer needs <=256 unique colors, got {palette.shape[0]}"
-        )
-    gct_bits = max(1, int(palette.shape[0] - 1).bit_length())
-    gct_size = 1 << gct_bits
-    pal = np.zeros((gct_size, 3), dtype=np.uint8)
-    pal[: palette.shape[0]] = palette
-    indices = inverse.astype(np.uint8).reshape(h, w)
+    pal, gct_bits, indices = _gif_palette_indices(img)
     if interlace:
         rows = [r for start, step in _GIF_INTERLACE_PASSES for r in range(start, h, step)]
         indices = indices[rows]
@@ -529,10 +519,74 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
     return bytes(out)
 
 
+def _gif_palette_indices(img: np.ndarray):
+    """(H, W, 3) uint8 → (padded palette, bit depth, (H, W) uint8 indices).
+    Shared by the single- and multi-frame GIF writers."""
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if palette.shape[0] > 256:
+        raise ValueError(
+            f"GIF writer needs <=256 unique colors, got {palette.shape[0]}"
+        )
+    bits = max(1, int(palette.shape[0] - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: palette.shape[0]] = palette
+    return pal, bits, inverse.astype(np.uint8).reshape(h, w)
+
+
+def encode_gif_frames(frames: List[np.ndarray]) -> bytes:
+    """List of (H, W, 3)/(H, W) uint8 full-canvas frames → animated GIF89a.
+
+    Each frame carries its own LOCAL color table (so the whole animation is
+    not limited to 256 colors total) and a GCE with disposal method 1
+    ('do not dispose'); since every frame paints the full canvas, the
+    decoded canvas states round-trip exactly (decode_gif(encode_gif_frames(
+    fs)) == fs). Added for resize_media multi-frame parity (ADVICE r04:
+    animated GIFs must not silently collapse to one frame on resize)."""
+    if not frames:
+        raise ValueError("encode_gif_frames needs at least one frame")
+    norm = []
+    for img in frames:
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if img.shape[2] == 1:
+            img = np.repeat(img, 3, axis=2)
+        norm.append(img)
+    h, w = norm[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in norm):
+        raise ValueError("all GIF frames must share one canvas size")
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0, 0, 0)  # no global color table
+    for img in norm:
+        pal, bits, indices = _gif_palette_indices(img)
+        # GCE: disposal 1, no transparency, zero delay
+        out += bytes([0x21, 0xF9, 0x04, 0x04, 0x00, 0x00, 0x00, 0x00])
+        out += bytes([0x2C]) + struct.pack(
+            "<HHHHB", 0, 0, w, h, 0x80 | (bits - 1)
+        )
+        out += pal.tobytes()
+        min_code_size = max(2, bits)
+        lzw = _gif_lzw_encode(min_code_size, indices.tobytes())
+        out += bytes([min_code_size])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_gif(payload: bytes) -> List[np.ndarray]:
     """GIF bytes → list of (H, W, 3) uint8 canvas states (one per frame;
     frames composite onto the previous canvas, transparent pixels keep
-    the underlying value — 'do not dispose' semantics)."""
+    the underlying value). GCE disposal methods are honored per GIF89a:
+    0/1 leave the canvas, 2 restores the frame region to the background
+    color, 3 restores the pre-frame canvas; the undefined codes 4-7 raise
+    ValueError so unsupported streams surface as per-item errors instead
+    of silently wrong pixels (ADVICE r04)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     try:
@@ -556,6 +610,7 @@ def _decode_gif_inner(payload: bytes) -> List[np.ndarray]:
         canvas[:] = gct[bg % len(gct)]
     frames: List[np.ndarray] = []
     transparent = None
+    disposal = 0
     while pos < len(payload):
         b = payload[pos]
         pos += 1
@@ -568,6 +623,12 @@ def _decode_gif_inner(payload: bytes) -> List[np.ndarray]:
                 blk_len = payload[pos]
                 gce = payload[pos + 1 : pos + 1 + blk_len]
                 transparent = gce[3] if (gce[0] & 0x01) else None
+                disposal = (gce[0] >> 2) & 0x07
+                if disposal > 3:
+                    raise ValueError(
+                        f"GIF disposal method {disposal} is undefined (GIF89a "
+                        "defines 0-3)"
+                    )
             while True:  # skip sub-blocks
                 blk = payload[pos]
                 pos += 1 + blk
@@ -609,6 +670,7 @@ def _decode_gif_inner(payload: bytes) -> List[np.ndarray]:
             un = np.empty_like(idx)
             un[order] = idx
             idx = un
+        prev_canvas = canvas.copy() if disposal == 3 else None
         region = canvas[y0 : y0 + fh, x0 : x0 + fw]
         painted = table[idx % len(table)]
         if transparent is not None:
@@ -617,7 +679,15 @@ def _decode_gif_inner(payload: bytes) -> List[np.ndarray]:
         else:
             region[:] = painted
         frames.append(canvas.copy())
+        # disposal applies AFTER the frame is shown, before the next one
+        if disposal == 2:  # restore region to background color
+            canvas[y0 : y0 + fh, x0 : x0 + fw] = (
+                gct[bg % len(gct)] if gct is not None else 0
+            )
+        elif disposal == 3:  # restore pre-frame canvas
+            canvas = prev_canvas
         transparent = None
+        disposal = 0
     if not frames:
         raise ValueError("GIF with no image frames")
     return frames

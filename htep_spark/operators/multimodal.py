@@ -98,10 +98,14 @@ def _real_decode(payload: bytes, kind: str) -> dict:
     """Format-sniffed real decode → metadata dict. Raises on undecodable."""
     fmt = codecs.sniff_format(payload)
     if fmt in ("png", "jpeg", "bmp", "ppm", "tiff", "gif"):
-        img = codecs.decode_image(payload)
-        n_frames = (
-            len(codecs.decode_gif(payload)) if fmt == "gif" else 1
-        )
+        if fmt == "gif":
+            # single decode_gif pass: frame 0 feeds the feature/dims and
+            # len() is the frame count (decode_image would LZW-decode the
+            # whole animation a second time just to return frame 0)
+            frames = codecs.decode_gif(payload)
+            img, n_frames = frames[0], len(frames)
+        else:
+            img, n_frames = codecs.decode_image(payload), 1
         return {
             "format": fmt,
             "width": int(img.shape[1]),
@@ -254,7 +258,9 @@ def resize_media(
     df: DataFrame, width: int, height: int, strict: bool = True
 ) -> DataFrame:
     """Image resize stage: real nearest-neighbor resample, re-encoded in the
-    source format (PNG/JPEG/BMP/PPM/TIFF). RAWV videos resize every frame.
+    source format (PNG/JPEG/BMP/PPM/TIFF). RAWV videos and animated GIFs
+    resize every frame (GIF re-encodes via encode_gif_frames, so n_frames
+    survives the round trip).
     Non-image
     payloads (WAV) and unknown formats error per-item by default
     (``strict=True``, null payload) — ``strict=False`` opts into a
@@ -277,9 +283,19 @@ def resize_media(
                 payload = bytes(raw or b"")
                 fmt = codecs.sniff_format(payload)
                 try:
-                    if fmt in ("png", "jpeg", "bmp", "ppm", "tiff", "gif"):
-                        # gif is safe to re-encode: nearest-neighbor keeps
-                        # the (<=256-color) palette intact
+                    if fmt == "gif":
+                        # resize EVERY frame and re-encode the animation —
+                        # a multi-frame payload must not silently come back
+                        # single-frame (ADVICE r04); nearest-neighbor keeps
+                        # each (<=256-color) palette intact
+                        frames = [
+                            codecs.resize_nearest(f, width, height)
+                            for f in codecs.decode_gif(payload)
+                        ]
+                        base["payload"] = bytearray(
+                            codecs.encode_gif_frames(frames)
+                        )
+                    elif fmt in ("png", "jpeg", "bmp", "ppm", "tiff"):
                         img = codecs.decode_image(payload)
                         out = codecs.resize_nearest(img, width, height)
                         base["payload"] = bytearray(codecs.encode_image(out, fmt))

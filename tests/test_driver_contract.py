@@ -20,10 +20,13 @@ def test_queries_and_oracles_consistent():
         "fusion", "sections", "urgency", "classify", "dict_match",
         "vitals_fields", "text_stats", "fingerprint", "dedup_exact",
         "ngram_jaccard", "ann_cosine", "embed_near_dup", "sessionize",
-        "events_hourly", "lang_id", "cer", "sentences", "deid_dates",
-        "simhash", "winnow_fingerprints", "dedup_keepers", "classify_segments",
+        "events_hourly", "lang_id", "cer", "sentences",
+        "simhash", "dedup_keepers", "classify_segments",
         "minhash_lsh", "dedup_keepers_minhash", "winnow_overlap",
         "greedy_decode", "beam_replace", "deid_spans", "deid_mask",
+        # round-5 rotation: the six round-4 operators now IN the dict
+        "sample_hash", "repetition_stats", "bpe_train", "domain_mix",
+        "embed_keepers", "lm_tercile",
     ):
         assert name in oracles, name
     # rows-only operators present (beam_decode/deid folded into the

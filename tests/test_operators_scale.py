@@ -383,6 +383,82 @@ def test_gif_codec_roundtrip():
         C.decode_gif(good[: len(good) // 2])
 
 
+def test_gif_disposal_methods():
+    """GIF89a GCE disposal semantics (ADVICE r04): 2 restores the frame
+    region to the background color before the next frame, 3 restores the
+    pre-frame canvas, undefined codes 4-7 raise; plus encode_gif_frames
+    (animated writer, per-frame local tables) round-trips canvas states
+    exactly through decode_gif."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from htep_spark.functions import codecs as C
+
+    def frame_block(x0, y0, fw, fh, colors, indices, disposal, transparent=None):
+        packed = (disposal & 0x07) << 2
+        tidx = 0
+        if transparent is not None:
+            packed |= 0x01
+            tidx = transparent
+        gce = bytes([0x21, 0xF9, 4, packed, 0, 0, tidx, 0])
+        bits = max(1, (len(colors) - 1).bit_length())
+        lct = bytearray()
+        for c in colors:
+            lct += bytes(c)
+        lct += b"\x00" * (3 * ((1 << bits) - len(colors)))
+        mcs = max(2, bits)
+        lzw = C._gif_lzw_encode(mcs, bytes(indices))
+        return (
+            gce
+            + bytes([0x2C])
+            + struct.pack("<HHHHB", x0, y0, fw, fh, 0x80 | (bits - 1))
+            + bytes(lct)
+            + bytes([mcs])
+            + bytes([len(lzw)])
+            + lzw
+            + b"\x00"
+        )
+
+    # canvas 4x4, GCT = [background red, blue]; frame 1 paints a 2x2 blue
+    # square at (1,1) with disposal 2 → frame 2 (full-canvas, transparent)
+    # must see the region RESTORED TO RED, not blue
+    header = b"GIF89a" + struct.pack("<HHBBB", 4, 4, 0x80, 0, 0)
+    gct = bytes([200, 0, 0, 0, 0, 200])  # red bg (idx 0), blue (idx 1)
+    f1 = frame_block(1, 1, 2, 2, [(0, 0, 200)], [0, 0, 0, 0], disposal=2)
+    # frame 2: full canvas, single transparent color → pure canvas probe
+    f2 = frame_block(0, 0, 4, 4, [(9, 9, 9)], [0] * 16, disposal=0, transparent=0)
+    gif = header + gct + f1 + f2 + b"\x3b"
+    frames = C.decode_gif(gif)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0][1, 1], [0, 0, 200])  # painted blue
+    assert np.array_equal(frames[1][1, 1], [200, 0, 0])  # restored to bg
+    assert np.array_equal(frames[1][0, 0], [200, 0, 0])
+    # disposal 3: same shape but region must restore the PRE-frame canvas
+    # (green base painted by an initial full-canvas frame, not background)
+    f0 = frame_block(0, 0, 4, 4, [(0, 150, 0)], [0] * 16, disposal=1)
+    f1b = frame_block(1, 1, 2, 2, [(0, 0, 200)], [0, 0, 0, 0], disposal=3)
+    gif3 = header + gct + f0 + f1b + f2 + b"\x3b"
+    frames3 = C.decode_gif(gif3)
+    assert np.array_equal(frames3[1][1, 1], [0, 0, 200])  # shown blue
+    assert np.array_equal(frames3[2][1, 1], [0, 150, 0])  # restored green
+    # undefined disposal codes error instead of silently compositing
+    bad = frame_block(0, 0, 4, 4, [(1, 2, 3)], [0] * 16, disposal=5)
+    with pytest.raises(ValueError, match="disposal"):
+        C.decode_gif(header + gct + bad + b"\x3b")
+    # animated writer round-trip: canvas states come back exactly
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+    fs = [pal[rng.integers(0, 6, (5, 7))] for _ in range(3)]
+    out = C.decode_gif(C.encode_gif_frames(fs))
+    assert len(out) == 3
+    for got, want in zip(out, fs):
+        assert np.array_equal(got, want)
+    with pytest.raises(ValueError, match="canvas size"):
+        C.encode_gif_frames([fs[0], fs[0][:3]])
+
+
 def test_png_adam7_interlace():
     """Adam7 interlaced PNGs decode pixel-identically to the source:
     encoder round-trip across shapes (incl. degenerate passes), a
@@ -1015,6 +1091,42 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert crow[0]["error"] is not None
     # good frames carry a null error column
     assert all(f["error"] is None for f in frames)
+
+
+def test_resize_media_animated_gif(spark):
+    """Animated GIFs resize EVERY frame (ADVICE r04): n_frames survives
+    the resize round trip (decode_media parity before vs after) and each
+    resized frame equals the nearest-neighbor resample of the source
+    canvas state."""
+    import numpy as np
+
+    from htep_spark.functions import codecs
+    from htep_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        resize_media,
+    )
+
+    pal = np.array([[0, 0, 0], [200, 40, 10], [5, 250, 90]], dtype=np.uint8)
+    src_frames = [pal[np.full((6, 8), i % 3)] for i in range(4)]
+    payload = codecs.encode_gif_frames(src_frames)
+    media = spark.createDataFrame(
+        [("m-agif", "image", bytearray(payload), "image/gif")], MEDIA_SCHEMA
+    )
+    before = decode_media(media).collect()[0]
+    assert before["n_frames"] == 4
+    out = resize_media(media, 16, 12).collect()[0]
+    assert out["error"] is None
+    resized_frames = codecs.decode_gif(bytes(out["payload"]))
+    assert len(resized_frames) == 4  # no silent single-frame collapse
+    for got, src in zip(resized_frames, src_frames):
+        assert np.array_equal(got, codecs.resize_nearest(src, 16, 12))
+    media_resized = spark.createDataFrame(
+        [("m-agif", "image", bytearray(bytes(out["payload"])), "image/gif")],
+        MEDIA_SCHEMA,
+    )
+    after = decode_media(media_resized).collect()[0]
+    assert after["n_frames"] == 4 and after["width"] == 16
 
 
 def test_bpe_train_matches_pure_python(spark):
