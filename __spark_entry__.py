@@ -82,6 +82,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #   conv_class_rollup ⊂ classify + urgency + extract_class + conv_metrics_order
 #   top_docs          (plain top-k ordering; ordering surface kept by
 #                      conv_metrics_order + bm25 + top_ngrams)
+#   lm_score          ⊂ lm_tercile (its oracle SQL is the tercile oracle's
+#                      `scored` CTE verbatim; mean_logp hash-checked there,
+#                      n_bigrams carried by the new lm_heldout) — displaced
+#                      for `lm_heldout` (CCNet-proper held-out scoring,
+#                      VERDICT r04 next-round #2)
 DRIVER_CAP_OVERFLOW = (
     "fusion_events",
     "deid_dates",
@@ -89,6 +94,7 @@ DRIVER_CAP_OVERFLOW = (
     "winnow_fingerprints",
     "conv_class_rollup",
     "top_docs",
+    "lm_score",
 )
 
 

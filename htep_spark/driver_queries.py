@@ -2461,6 +2461,18 @@ def _sql_lm_tercile_str() -> str:
     return _sql_lm_tercile()
 
 
+def _q_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import q_lm_heldout
+
+    return q_lm_heldout(spark, sf_dir)
+
+
+def _sql_lm_heldout_str() -> str:
+    from .operators.ranking import sql_lm_heldout
+
+    return sql_lm_heldout()
+
+
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.bpe import q_bpe_train
 
@@ -2590,5 +2602,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "domain_mix": (q_domain_mix, SQL_DOMAIN_MIX),
     "embed_keepers": (q_embed_keepers, SQL_EMBED_KEEPERS),
     "lm_tercile": (_q_lm_tercile, _sql_lm_tercile_str()),
+    "lm_heldout": (_q_lm_heldout, _sql_lm_heldout_str()),
     "bpe_train": (_q_bpe_train, _sql_bpe_train_str()),
 }

@@ -27,6 +27,8 @@ def test_queries_and_oracles_consistent():
         # round-5 rotation: the six round-4 operators now IN the dict
         "sample_hash", "repetition_stats", "bpe_train", "domain_mix",
         "embed_keepers", "lm_tercile",
+        # round-5 new: CCNet-proper held-out perplexity terciles
+        "lm_heldout",
     ):
         assert name in oracles, name
     # rows-only operators present (beam_decode/deid folded into the

@@ -1129,6 +1129,89 @@ def test_resize_media_animated_gif(spark):
     assert after["n_frames"] == 4 and after["width"] == 16
 
 
+def test_lm_heldout_matches_pure_python(spark):
+    """CCNet-proper held-out perplexity (Wenzek et al. 2020): the md5
+    train/score split, add-k bigram LM trained ONLY on the train half,
+    held-out mean log-prob, exact global rank and tercile must all match a
+    straightforward pure-Python reimplementation — and the held-out
+    smoothing branch (bigram unseen in training) must actually fire, since
+    that fallback is exactly what distinguishes this from in-corpus
+    lm_score."""
+    import hashlib
+    import math
+    import re
+
+    import pandas as pd
+
+    from htep_spark.driver_queries import LM_SMOOTH_K
+    from htep_spark.operators.ranking import (
+        LM_HELDOUT_MOD,
+        LM_HELDOUT_SALT,
+        q_lm_heldout,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    tok = re.compile("[a-z0-9]+")
+
+    def bucket(doc_id):
+        h = hashlib.md5(f"{LM_HELDOUT_SALT}|{doc_id}".encode()).hexdigest()
+        return int(h[:15], 16) % LM_HELDOUT_MOD
+
+    uni, big, held = {}, {}, {}
+    for r in docs.itertuples():
+        ws = tok.findall(r.text.lower())
+        if bucket(r.doc_id) == 0:
+            for w in ws:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(ws, ws[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        else:
+            held[r.doc_id] = ws
+    vocab = len(uni)
+    assert held and uni, "split must produce both halves"
+    unseen = 0
+    expect = {}
+    for d, ws in held.items():
+        pairs = list(zip(ws, ws[1:]))
+        unseen += sum(1 for p in pairs if p not in big)
+        lps = [
+            math.log(
+                (big.get(p, 0) + LM_SMOOTH_K)
+                / (uni.get(p[0], 0) + LM_SMOOTH_K * vocab)
+            )
+            for p in pairs
+        ]
+        expect[d] = (
+            round(sum(lps) / len(lps), 6) if lps else None,
+            len(lps),
+        )
+    assert unseen > 0, "held-out smoothing branch never fired (vacuous test)"
+
+    got = {r["doc_id"]: r for r in q_lm_heldout(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for d, (mlp, nb) in expect.items():
+        assert got[d]["n_bigrams"] == nb, d
+        if mlp is None:
+            assert got[d]["mean_logp"] is None, d
+        else:  # fold order matches; allow 1-ulp ln() divergence across VMs
+            assert abs(got[d]["mean_logp"] - mlp) < 2e-6, (d, got[d], mlp)
+    # exact global rank: ascending (mean_logp NULLS FIRST, doc_id)
+    order = sorted(
+        expect,
+        key=lambda d: (
+            expect[d][0] is not None,
+            expect[d][0] if expect[d][0] is not None else 0.0,
+            d,
+        ),
+    )
+    n = len(order)
+    for rank, d in enumerate(order, 1):
+        assert got[d]["global_rank"] == rank, d
+        terc = ("tail", "middle", "head")[math.floor(3 * (rank - 1) / n)]
+        assert got[d]["tercile"] == terc, d
+
+
 def test_bpe_train_matches_pure_python(spark):
     """The distributed BPE loop (superstep pair-count + JVM fold merge)
     must learn exactly the merge table a straightforward pure-Python BPE

@@ -191,3 +191,14 @@ def test_exact_global_rank_has_no_single_partition_window(spark):
     assert "Scan ExistingRDD" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+    # the held-out variant rides the same construction — same gate
+    from htep_spark.operators.ranking import q_lm_heldout
+
+    hplan = (
+        q_lm_heldout(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in hplan, hplan
+    assert "Scan ExistingRDD" in hplan, hplan
