@@ -287,7 +287,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 def encode_ppm(img: np.ndarray) -> bytes:
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
-        img = np.repeat(img[:, :, None], 3, axis=2)
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
     if img.shape[2] == 4:
         img = img[:, :, :3]
     h, w, _ = img.shape
@@ -844,16 +846,19 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out[:expected])
 
 
-def encode_tiff(
+def _tiff_page_block(
     img: np.ndarray,
-    compression: str = "none",
-    byteorder: str = "<",
-    rows_per_strip: int = 0,
+    compression: str,
+    bo: str,
+    rows_per_strip: int,
+    base: int,
+    next_ifd: int,
 ) -> bytes:
-    """(H, W, 1|3) or (H, W) uint8 → TIFF bytes. ``compression``:
-    ``"none"`` or ``"packbits"`` (rows compressed independently per the
-    spec's recommendation). ``byteorder`` ``"<"`` (II) or ``">"`` (MM).
-    ``rows_per_strip`` 0 = single strip."""
+    """One page's ``IFD | external arrays | strip data`` block, with all
+    internal offsets absolute assuming the block starts at file offset
+    ``base`` and the IFD's next-IFD pointer set to ``next_ifd``. The block
+    size is independent of ``base``/``next_ifd``, which is what lets the
+    multi-page writer chain pages in two passes (dry sizing, then render)."""
     if img.ndim == 2:
         img = img[..., None]
     h, w, spp = img.shape
@@ -879,7 +884,6 @@ def encode_tiff(
                 )
             )
 
-    bo = byteorder
     entries = []  # (tag, type, count, value_or_bytes)
     SHORT, LONG = 3, 4
 
@@ -897,8 +901,8 @@ def encode_tiff(
     entry(278, LONG, 1, rps)
     entry(279, LONG, n_strips, [len(s) for s in strips])
 
-    # layout: header(8) | IFD | external arrays | strip data
-    ifd_off = 8
+    # layout within the block: IFD | external arrays | strip data
+    ifd_off = base
     ifd_size = 2 + 12 * len(entries) + 4
     ext_off = ifd_off + ifd_size
     ext = bytearray()
@@ -926,9 +930,6 @@ def encode_tiff(
         offsets.append(pos)
         pos += len(s)
 
-    out = bytearray()
-    out += (b"II" if bo == "<" else b"MM") + struct.pack(f"{bo}H", 42)
-    out += struct.pack(f"{bo}I", ifd_off)
     ifd = bytearray(struct.pack(f"{bo}H", len(entries)))
     for tag, typ, count, value in entries:
         if tag == 273:
@@ -944,17 +945,87 @@ def encode_tiff(
         else:
             off = ext_put(fmt_char, vals)
             ifd += struct.pack(f"{bo}HHII", tag, typ, count, off)
-    ifd += struct.pack(f"{bo}I", 0)  # next-IFD pointer: none
-    out += ifd + ext
+    ifd += struct.pack(f"{bo}I", next_ifd)
+    out = bytearray(ifd) + ext
     for s in strips:
         out += s
     return bytes(out)
 
 
+def encode_tiff(
+    img: np.ndarray,
+    compression: str = "none",
+    byteorder: str = "<",
+    rows_per_strip: int = 0,
+) -> bytes:
+    """(H, W, 1|3) or (H, W) uint8 → TIFF bytes. ``compression``:
+    ``"none"``, ``"packbits"`` (rows compressed independently per the
+    spec's recommendation) or ``"lzw"``. ``byteorder`` ``"<"`` (II) or
+    ``">"`` (MM). ``rows_per_strip`` 0 = single strip."""
+    return encode_tiff_pages([img], compression, byteorder, rows_per_strip)
+
+
+def encode_tiff_pages(
+    imgs: List[np.ndarray],
+    compression: str = "none",
+    byteorder: str = "<",
+    rows_per_strip: int = 0,
+) -> bytes:
+    """Multi-page TIFF: each (H, W, 1|3)/(H, W) uint8 image becomes one IFD
+    in the standard next-IFD chain (TIFF 6.0 'multiple images per file').
+    Pages may differ in size/channels. Round-trips via decode_tiff_pages."""
+    if not imgs:
+        raise ValueError("encode_tiff_pages needs at least one page")
+    bo = byteorder
+    # dry pass: block sizes are independent of base/next offsets
+    sizes = [
+        len(_tiff_page_block(img, compression, bo, rows_per_strip, 0, 0))
+        for img in imgs
+    ]
+    bases = []
+    pos = 8
+    for s in sizes:
+        bases.append(pos)
+        pos += s
+    out = bytearray()
+    out += (b"II" if bo == "<" else b"MM") + struct.pack(f"{bo}H", 42)
+    out += struct.pack(f"{bo}I", bases[0])
+    for i, img in enumerate(imgs):
+        nxt = bases[i + 1] if i + 1 < len(imgs) else 0
+        out += _tiff_page_block(img, compression, bo, rows_per_strip, bases[i], nxt)
+    return bytes(out)
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """TIFF bytes → (H, W, C) uint8. Supports II/MM, 8-bit gray/RGB,
-    chunky config, any strip layout, Compression 1 (none) or 32773
-    (PackBits), PhotometricInterpretation 0 (inverted gray)/1/2."""
+    """TIFF bytes → (H, W, C) uint8 of the FIRST page. Supports II/MM,
+    8-bit gray/RGB, chunky config, any strip layout, Compression 1 (none),
+    5 (LZW) or 32773 (PackBits), PhotometricInterpretation 0 (inverted
+    gray)/1/2."""
+    bo, ifd_off = _tiff_header(payload)
+    img, _next = _decode_tiff_ifd(payload, bo, ifd_off)
+    return img
+
+
+def decode_tiff_pages(payload: bytes) -> List[np.ndarray]:
+    """Multi-page TIFF → list of (H, W, C) uint8 pages, walking the
+    standard next-IFD chain (TIFF 6.0 'multiple images per file'). Raises
+    ValueError on corrupt chains (out-of-range or cyclic IFD offsets) so
+    per-item error handling upstream stays clean."""
+    bo, ifd_off = _tiff_header(payload)
+    pages: List[np.ndarray] = []
+    seen = set()
+    while ifd_off != 0:
+        if ifd_off in seen:
+            raise ValueError("cyclic TIFF IFD chain")
+        if not 8 <= ifd_off <= len(payload) - 2:
+            raise ValueError(f"TIFF IFD offset {ifd_off} out of range")
+        seen.add(ifd_off)
+        img, ifd_off = _decode_tiff_ifd(payload, bo, ifd_off)
+        pages.append(img)
+    return pages
+
+
+def _tiff_header(payload: bytes) -> tuple:
     if payload[:2] == b"II":
         bo = "<"
     elif payload[:2] == b"MM":
@@ -963,7 +1034,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError("not a TIFF (missing II/MM)")
     if struct.unpack(f"{bo}H", payload[2:4])[0] != 42:
         raise ValueError("bad TIFF magic")
-    ifd_off = struct.unpack(f"{bo}I", payload[4:8])[0]
+    return bo, struct.unpack(f"{bo}I", payload[4:8])[0]
+
+
+def _decode_tiff_ifd(payload: bytes, bo: str, ifd_off: int) -> tuple:
+    """Decode ONE IFD's image; returns (img, next_ifd_offset)."""
     n = struct.unpack(f"{bo}H", payload[ifd_off : ifd_off + 2])[0]
     type_size = {1: 1, 3: 2, 4: 4}
     type_fmt = {1: "B", 3: "H", 4: "I"}
@@ -1024,7 +1099,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     img = np.frombuffer(bytes(data), dtype=np.uint8).reshape(h, w, spp)
     if photometric == 0:  # WhiteIsZero
         img = 255 - img
-    return img.copy()
+    next_off = struct.unpack(
+        f"{bo}I", payload[ifd_off + 2 + 12 * n : ifd_off + 6 + 12 * n]
+    )[0]
+    return img.copy(), next_off
 
 
 def decode_image(payload: bytes) -> np.ndarray:

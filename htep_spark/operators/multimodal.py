@@ -104,6 +104,10 @@ def _real_decode(payload: bytes, kind: str) -> dict:
             # whole animation a second time just to return frame 0)
             frames = codecs.decode_gif(payload)
             img, n_frames = frames[0], len(frames)
+        elif fmt == "tiff":
+            # multi-page TIFF: n_frames = pages of the next-IFD chain
+            pages = codecs.decode_tiff_pages(payload)
+            img, n_frames = pages[0], len(pages)
         else:
             img, n_frames = codecs.decode_image(payload), 1
         return {
@@ -295,7 +299,17 @@ def resize_media(
                         base["payload"] = bytearray(
                             codecs.encode_gif_frames(frames)
                         )
-                    elif fmt in ("png", "jpeg", "bmp", "ppm", "tiff"):
+                    elif fmt == "tiff":
+                        # every page of the next-IFD chain resizes (same
+                        # no-silent-collapse contract as animated GIF)
+                        pages = [
+                            codecs.resize_nearest(p, width, height)
+                            for p in codecs.decode_tiff_pages(payload)
+                        ]
+                        base["payload"] = bytearray(
+                            codecs.encode_tiff_pages(pages)
+                        )
+                    elif fmt in ("png", "jpeg", "bmp", "ppm"):
                         img = codecs.decode_image(payload)
                         out = codecs.resize_nearest(img, width, height)
                         base["payload"] = bytearray(codecs.encode_image(out, fmt))
@@ -452,9 +466,9 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling for video payloads: RAWV containers are really
     demuxed — only the strided frame indices are decoded (length-prefix
-    seeking); animated GIFs decode their composited frame sequence and the
-    strided indices are emitted. Each sampled frame becomes a standalone
-    PPM payload. A flatMap-shaped ``mapInPandas`` (1 → N rows).
+    seeking); animated GIFs decode their composited frame sequence and
+    multi-page TIFFs their next-IFD page chain, with the strided indices
+    emitted. Each sampled frame becomes a standalone PPM payload. A flatMap-shaped ``mapInPandas`` (1 → N rows).
     Undemuxable videos emit ONE row with null ``frame_idx``/
     ``frame_payload`` and the ``error`` set by default (``strict=True``)
     — like ``decode_media``/``resize_media``, an undecodable payload is
@@ -498,9 +512,16 @@ def sample_frames(
                                 "error": f"{type(exc).__name__}: {exc}",
                             }
                         )
-                elif fmt == "gif":
+                elif fmt in ("gif", "tiff"):
+                    # GIF: composited animation frames; TIFF: the pages of
+                    # the next-IFD chain (TIFF 6.0 multi-image files) —
+                    # same strided sampling over the decoded sequence
                     try:
-                        frames = codecs.decode_gif(payload)
+                        frames = (
+                            codecs.decode_gif(payload)
+                            if fmt == "gif"
+                            else codecs.decode_tiff_pages(payload)
+                        )
                         idxs = list(range(0, len(frames), every_n))[:max_frames]
                         for idx in idxs:
                             rows.append(
@@ -513,13 +534,13 @@ def sample_frames(
                                     "error": None,
                                 }
                             )
-                    except ValueError as exc:
+                    except Exception as exc:  # corrupt stream / IFD chain
                         rows.append(
                             {
                                 "media_id": media_id,
                                 "frame_idx": None,
                                 "frame_payload": None,
-                                "error": f"ValueError: {exc}",
+                                "error": f"{type(exc).__name__}: {exc}",
                             }
                         )
                 elif strict:  # visible per-item failure, never a silent drop

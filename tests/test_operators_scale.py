@@ -1093,6 +1093,109 @@ def test_multimodal_resize_and_frame_sample(spark):
     assert all(f["error"] is None for f in frames)
 
 
+def test_tiff_multipage_roundtrip():
+    """TIFF 6.0 multi-image files: encode_tiff_pages chains one IFD per
+    page (pages may differ in size/channels/compression round-trips) and
+    decode_tiff_pages walks the chain exactly; decode_tiff keeps returning
+    the first page; corrupt chains (out-of-range / cyclic next-IFD offsets)
+    raise ValueError instead of looping or crashing."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from htep_spark.functions import codecs as C
+
+    rng = np.random.default_rng(11)
+    pages = [
+        rng.integers(0, 256, (9, 13, 3), np.uint8),
+        rng.integers(0, 256, (5, 7), np.uint8),  # grayscale page
+        rng.integers(0, 256, (20, 4, 3), np.uint8),
+    ]
+    for comp in ("none", "packbits", "lzw"):
+        for bo in ("<", ">"):
+            b = C.encode_tiff_pages(
+                pages, compression=comp, byteorder=bo, rows_per_strip=4
+            )
+            assert C.sniff_format(b) == "tiff"
+            out = C.decode_tiff_pages(b)
+            assert len(out) == 3, (comp, bo)
+            for got, src in zip(out, pages):
+                src3 = src[..., None] if src.ndim == 2 else src
+                assert np.array_equal(got, src3), (comp, bo)
+            assert np.array_equal(C.decode_tiff(b), pages[0])
+    # single-page writer is the 1-page chain
+    img = pages[0]
+    assert C.encode_tiff(img) == C.encode_tiff_pages([img])
+    assert len(C.decode_tiff_pages(C.encode_tiff(img))) == 1
+    # corrupt chain: next-IFD pointer past EOF → ValueError (the pointer of
+    # page 0 sits at the end of its IFD: header(8) + 2 + 12*n_entries)
+    b = bytearray(C.encode_tiff_pages(pages[:2]))
+    n_entries = struct.unpack("<H", b[8:10])[0]
+    ptr_pos = 10 + 12 * n_entries
+    b[ptr_pos : ptr_pos + 4] = struct.pack("<I", len(b) + 100)
+    with pytest.raises(ValueError, match="out of range"):
+        C.decode_tiff_pages(bytes(b))
+    # cyclic chain: pointer back to the first IFD → ValueError, no hang
+    b[ptr_pos : ptr_pos + 4] = struct.pack("<I", 8)
+    with pytest.raises(ValueError, match="cyclic"):
+        C.decode_tiff_pages(bytes(b))
+
+
+def test_sample_frames_multipage_tiff(spark):
+    """Multi-page TIFFs demux through sample_frames like animated GIFs:
+    strided page indices come out as PPM frames pixel-identical to the
+    source pages; decode_media reports n_frames = page count; resize_media
+    resizes every page; a corrupt IFD chain yields ONE visible error row."""
+    import struct
+
+    import numpy as np
+
+    from htep_spark.functions import codecs
+    from htep_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        resize_media,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(21)
+    pages = [rng.integers(0, 256, (6, 8, 3), np.uint8) for _ in range(5)]
+    payload = codecs.encode_tiff_pages(pages)
+    media = spark.createDataFrame(
+        [("m-tif", "video", bytearray(payload), "image/tiff")], MEDIA_SCHEMA
+    )
+    frames = sample_frames(media, every_n=2, max_frames=3).collect()
+    assert sorted(f["frame_idx"] for f in frames) == [0, 2, 4]
+    for f in frames:
+        got = codecs.decode_ppm(bytes(f["frame_payload"]))
+        assert np.array_equal(got, pages[f["frame_idx"]])
+    # decode_media: n_frames = page count (kind-agnostic payload sniffing)
+    imedia = spark.createDataFrame(
+        [("m-tif", "image", bytearray(payload), "image/tiff")], MEDIA_SCHEMA
+    )
+    meta = decode_media(imedia).collect()[0]
+    assert meta["n_frames"] == 5 and meta["error"] is None
+    # resize keeps all pages
+    rz = resize_media(imedia, 16, 12).collect()[0]
+    assert rz["error"] is None
+    rpages = codecs.decode_tiff_pages(bytes(rz["payload"]))
+    assert len(rpages) == 5
+    for got, src in zip(rpages, pages):
+        assert np.array_equal(got, codecs.resize_nearest(src, 16, 12))
+    # corrupt chain → one error row, not a task crash
+    bad = bytearray(payload)
+    n_entries = struct.unpack("<H", bad[8:10])[0]
+    ptr_pos = 10 + 12 * n_entries
+    bad[ptr_pos : ptr_pos + 4] = struct.pack("<I", len(bad) + 9)
+    bmedia = spark.createDataFrame(
+        [("m-bad", "video", bad, "image/tiff")], MEDIA_SCHEMA
+    )
+    rows = sample_frames(bmedia).collect()
+    assert len(rows) == 1 and rows[0]["frame_payload"] is None
+    assert "out of range" in rows[0]["error"]
+
+
 def test_resize_media_animated_gif(spark):
     """Animated GIFs resize EVERY frame (ADVICE r04): n_frames survives
     the resize round trip (decode_media parity before vs after) and each
