@@ -150,8 +150,12 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    # round-3+ operators: same protocol, reported outside the frozen
-    # headline sum so `value` stays comparable with BENCH_r02/r03
+    # round-3+ operators: same protocol plus ONE UNTIMED WARM PASS per
+    # query (VERDICT r04 #4 — plan-compile/codegen state from neighboring
+    # queries inflated one-shot extras up to 6x vs isolated best-of-3;
+    # the warm pass makes extras trustworthy round-over-round), reported
+    # outside the frozen headline sum so `value` stays comparable with
+    # BENCH_r02/r03
     extra_timings: dict[str, float] = {}
     for name in (
         "asof_events",
@@ -167,9 +171,11 @@ def main() -> None:
         "domain_mix",
         "embed_keepers",
         "lm_tercile",
+        "lm_heldout",
     ):
         if name not in QUERIES:
             continue
+        _run(QUERIES[name][0](spark, SF_DIR))  # untimed warm pass
         best = float("inf")
         for _ in range(3):
             t0 = time.time()

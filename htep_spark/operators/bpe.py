@@ -73,8 +73,17 @@ def bpe_train(
 ) -> List[Tuple[str, str, int]]:
     """Learn ``k`` BPE merges from a DataFrame of words (one word per
     row, duplicates = corpus frequency). Returns the ordered merge table
-    ``[(a, b, pair_count), ...]``."""
-    syms = words.select(F.split(F.col(col), "").alias("s")).filter(
+    ``[(a, b, pair_count), ...]``.
+
+    The loop runs over the DISTINCT-WORD frequency table (the standard
+    BPE formulation): one up-front ``groupBy word`` collapses corpus
+    duplicates, pair counts become ``sum(freq)``, and every superstep's
+    explode/fold touches only unique words — identical counts, identical
+    merge table, but per-step work scales with |vocab| instead of corpus
+    token count (the dominant term: natural corpora repeat words heavily).
+    """
+    wf = words.groupBy(F.col(col).alias("w")).agg(F.count("*").alias("freq"))
+    syms = wf.select(F.split(F.col("w"), "").alias("s"), "freq").filter(
         F.size("s") > 0
     )
     merges: List[Tuple[str, str, int]] = []
@@ -88,10 +97,11 @@ def bpe_train(
         pairs = syms.select(
             F.posexplode(F.slice("s", 1, F.size("s") - 1)).alias("i", "a"),
             F.col("s"),
-        ).select("a", F.element_at("s", F.col("i") + 2).alias("b"))
+            F.col("freq"),
+        ).select("a", F.element_at("s", F.col("i") + 2).alias("b"), "freq")
         top = (
             pairs.groupBy("a", "b")
-            .agg(F.count("*").alias("cnt"))
+            .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
             .limit(1)
             .collect()
@@ -103,7 +113,7 @@ def bpe_train(
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((a, b, cnt))
-        syms = syms.select(_merge_fold(F.col("s"), a, b).alias("s"))
+        syms = syms.select(_merge_fold(F.col("s"), a, b).alias("s"), "freq")
     if prev is not None:
         prev.unpersist()
     return merges
