@@ -95,6 +95,9 @@ DRIVER_CAP_OVERFLOW = (
     "conv_class_rollup",
     "top_docs",
     "lm_score",
+    # round-5 new, born-overflow: the T7 indel-ratio scorer hash-checked
+    # vs a DuckDB recursive-CTE LCS (VERDICT r04 #7 stretch)
+    "fuzzy_ratio",
 )
 
 

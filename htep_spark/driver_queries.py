@@ -23,8 +23,9 @@ vacuously empty results.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Iterator, Optional, Tuple
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2485,6 +2486,184 @@ def _sql_bpe_train_str() -> str:
     return sql_bpe_train()
 
 
+# --------------------------------------------------------------------------
+# T7 fuzzy-scorer oracle (`fuzzy_ratio`, VERDICT r04 #7 stretch): hash-checks
+# the REAL indel-ratio kernel (functions/fuzzy.py::indel_ratio/extract_one —
+# the scorer of the drug/disease fuzzy correction, ref
+# src/nlp/ocr_postprocessor.py:188-283) against a DuckDB LCS computed as a
+# recursive-CTE row DP. Indel similarity = 200*LCS/(la+lb) — exact integer
+# arithmetic divided once, so the doubles are bitwise identical cross-engine.
+# The DP's sequential curr[j-1] dependency is eliminated with the prefix-max
+# identity (LCS DP rows are monotone non-decreasing):
+#     curr[j] = max(prev[j], max_{k<=j}(prev[k-1] + eq(a_i, b_k)))
+# so each recursion step is one list_transform + running list_max — no
+# per-cell recursion. Candidates are pruned by the provable length bound
+# 200*min(la,lb)/(la+lb) >= cutoff (over-include-only — the same bound
+# FuzzyMatcher uses), and extract_one's tie-break (first-seen dictionary
+# order on equal scores, cutoff inclusive) is row_number() ORDER BY ratio
+# DESC, dict_idx ASC. A corrupted-term prelude (1-char substitution /
+# deletion of len>=7 drugs → ratio >= 100*6/7 = 85.71 / 200*6/13 = 92.3,
+# both above the production cutoff 85) makes the match branches
+# non-vacuous; one corpus token per doc covers the below-cutoff None
+# branch. Held as DRIVER_CAP_OVERFLOW (dict at 50) — replayed by
+# tools/check_oracles.py.
+# --------------------------------------------------------------------------
+
+FUZZY_RATIO_CUTOFF = 85.0  # dictionary_correct's production threshold
+
+
+def _fuzzy_prelude_terms():
+    """16 substitution-corrupted + 16 deletion-corrupted len>=7 drug terms
+    keyed by ``doc_id % 16`` — single source for the Spark literal arrays
+    and the DuckDB list literals. The +1 in the substitution shift keeps
+    the replacement char != the original for every i in 0..15."""
+    from .dictionaries import DRUGS_SINGLE
+
+    longs = [t for t in DRUGS_SINGLE if len(t) >= 7]
+    subs, dels = [], []
+    for i in range(16):
+        t = longs[(i * 7) % len(longs)]
+        pos = i % len(t)
+        repl = chr(ord("a") + (ord(t[pos]) - ord("a") + 1 + i) % 26)
+        subs.append(t[:pos] + repl + t[pos + 1 :])
+        t2 = longs[(i * 5 + 3) % len(longs)]
+        p2 = i % len(t2)
+        dels.append(t2[:p2] + t2[p2 + 1 :])
+    return subs, dels
+
+
+def q_fuzzy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dictionaries import DRUGS_SINGLE
+
+    subs, dels = _fuzzy_prelude_terms()
+    idx = (F.col("doc_id") % 16 + 1).cast("int")
+
+    def lit_at(terms):
+        return F.element_at(F.array(*[F.lit(t) for t in terms]), idx)
+
+    toks = F.concat(
+        F.array(lit_at(subs), lit_at(dels)),
+        F.slice(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]{3,}"), 0),
+            1,
+            1,
+        ),
+    )
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(toks).alias("word_idx", "token")
+    )
+    drugs = list(DRUGS_SINGLE)
+    cutoff = FUZZY_RATIO_CUTOFF
+
+    @F.pandas_udf("match_term string, ratio double")
+    def score(tokens: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from htep_spark.functions.fuzzy import get_matcher
+
+        matcher = get_matcher(drugs)
+        memo: dict = {}
+        for series in tokens:
+            rows = []
+            for tok in series:
+                if tok not in memo:
+                    memo[tok] = matcher.extract_one(tok, cutoff)
+                hit = memo[tok]
+                rows.append(
+                    {"match_term": None, "ratio": None}
+                    if hit is None
+                    else {"match_term": hit[0], "ratio": hit[1]}
+                )
+            yield pd.DataFrame(rows, columns=["match_term", "ratio"])
+
+    return words.select(
+        "doc_id",
+        F.col("word_idx").cast("long").alias("word_idx"),
+        "token",
+        score(F.col("token")).alias("r"),
+    ).select(
+        "doc_id",
+        "word_idx",
+        "token",
+        F.col("r.match_term").alias("match_term"),
+        F.round("r.ratio", 6).alias("ratio"),
+    )
+
+
+def _sql_fuzzy_ratio() -> str:
+    from .dictionaries import DRUGS_SINGLE
+
+    subs, dels = _fuzzy_prelude_terms()
+
+    def sql_list(terms):
+        return "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+
+    dict_rows = ",\n    ".join(
+        f"('{t}', {i + 1})" for i, t in enumerate(DRUGS_SINGLE)
+    )
+    cutoff = FUZZY_RATIO_CUTOFF
+    return f"""
+WITH RECURSIVE dict(term, didx) AS (
+  VALUES {dict_rows}
+), toks AS (
+  SELECT doc_id,
+         list_concat(
+           [{sql_list(subs)}[(doc_id % 16) + 1],
+            {sql_list(dels)}[(doc_id % 16) + 1]],
+           regexp_extract_all(lower(text), '[a-z]{{3,}}')[1:1]
+         ) AS ws
+  FROM documents
+), words AS (
+  SELECT doc_id, i - 1 AS word_idx, ws[i] AS token
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM toks)
+), utoks AS (
+  SELECT DISTINCT token FROM words
+), cand AS (
+  -- provable length bound: true ratio <= 200*min(la,lb)/(la+lb), so any
+  -- pair failing it can never reach the cutoff (over-include-only prune)
+  SELECT u.token, d.term, d.didx
+  FROM utoks u JOIN dict d
+    ON 200.0 * least(length(u.token), length(d.term))
+       / (length(u.token) + length(d.term)) >= {cutoff}
+), dp AS (
+  -- LCS row DP; row[k] (1-indexed) = prev DP row's column k-1.
+  -- curr[j] = max(prev[j], max_{{k<=j}}(prev[k-1] + eq(a_i, b_k)))
+  -- (prefix-max form — valid because LCS DP rows are non-decreasing)
+  SELECT token, term, didx, 0 AS i,
+         list_transform(range(0, length(term) + 1), x -> 0) AS row
+  FROM cand
+  UNION ALL
+  SELECT token, term, didx, i + 1,
+         list_transform(
+           range(1, length(term) + 2),
+           j -> CASE WHEN j = 1 THEN 0 ELSE
+             greatest(
+               row[j],
+               list_max(list_transform(
+                 range(1, j),
+                 k -> row[k] + CASE WHEN substr(token, i + 1, 1)
+                                         = substr(term, k, 1)
+                               THEN 1 ELSE 0 END))
+             ) END
+         ) AS row
+  FROM dp WHERE i < length(token)
+), scores AS (
+  SELECT token, term, didx,
+         200.0 * row[length(term) + 1] / (length(token) + length(term))
+           AS ratio
+  FROM dp WHERE i = length(token)
+), best AS (
+  SELECT token, term, ratio FROM (
+    SELECT token, term, ratio,
+           row_number() OVER (
+             PARTITION BY token ORDER BY ratio DESC, didx ASC) AS rn
+    FROM scores WHERE ratio >= {cutoff}
+  ) WHERE rn = 1
+)
+SELECT w.doc_id, CAST(w.word_idx AS BIGINT) AS word_idx, w.token,
+       b.term AS match_term, round(b.ratio, 6) AS ratio
+FROM words w LEFT JOIN best b ON b.token = w.token
+"""
+
+
 def _sql_beam_replace_str() -> str:
     from .operators.decode import _sql_beam_replace
 
@@ -2604,4 +2783,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "lm_tercile": (_q_lm_tercile, _sql_lm_tercile_str()),
     "lm_heldout": (_q_lm_heldout, _sql_lm_heldout_str()),
     "bpe_train": (_q_bpe_train, _sql_bpe_train_str()),
+    "fuzzy_ratio": (q_fuzzy_ratio, _sql_fuzzy_ratio()),
 }

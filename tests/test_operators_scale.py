@@ -1232,6 +1232,27 @@ def test_resize_media_animated_gif(spark):
     assert after["n_frames"] == 4 and after["width"] == 16
 
 
+def test_fuzzy_ratio_query_nonvacuous(spark):
+    """The fuzzy_ratio oracle query must actually exercise every branch of
+    extract_one on the fixed corpus: the corrupted-term prelude rows
+    (word_idx 0/1) are GUARANTEED matches by construction (1-char
+    substitution of len>=7 → ratio >= 85.71; 1-char deletion → >= 92.3,
+    both above the 85 cutoff), genuinely fuzzy scores (<100) must appear,
+    and corpus tokens must also hit the below-cutoff None branch — a green
+    hash over all-null matches would prove nothing."""
+    from htep_spark.driver_queries import q_fuzzy_ratio
+
+    rows = q_fuzzy_ratio(spark, "/root/testdata/sf0.001").collect()
+    matched = [r for r in rows if r["match_term"] is not None]
+    assert matched, "no fuzzy matches at all"
+    assert any(r["ratio"] < 100 for r in matched), "no fuzzy (<100) scores"
+    assert any(r["match_term"] is None for r in rows), "None branch never hit"
+    prelude_missed = [
+        r for r in rows if r["word_idx"] in (0, 1) and r["match_term"] is None
+    ]
+    assert not prelude_missed, prelude_missed[:3]
+
+
 def test_lm_heldout_matches_pure_python(spark):
     """CCNet-proper held-out perplexity (Wenzek et al. 2020): the md5
     train/score split, add-k bigram LM trained ONLY on the train half,
