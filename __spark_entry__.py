@@ -98,6 +98,9 @@ DRIVER_CAP_OVERFLOW = (
     # round-5 new, born-overflow: the T7 indel-ratio scorer hash-checked
     # vs a DuckDB recursive-CTE LCS (VERDICT r04 #7 stretch)
     "fuzzy_ratio",
+    # round-5 new, born-overflow: tokenizer application (train-then-encode,
+    # doc-aware k-step CTE-chain oracle)
+    "bpe_encode",
 )
 
 

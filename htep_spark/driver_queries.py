@@ -2486,6 +2486,18 @@ def _sql_bpe_train_str() -> str:
     return sql_bpe_train()
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.bpe import q_bpe_encode
+
+    return q_bpe_encode(spark, sf_dir)
+
+
+def _sql_bpe_encode_str() -> str:
+    from .operators.bpe import sql_bpe_encode
+
+    return sql_bpe_encode()
+
+
 # --------------------------------------------------------------------------
 # T7 fuzzy-scorer oracle (`fuzzy_ratio`, VERDICT r04 #7 stretch): hash-checks
 # the REAL indel-ratio kernel (functions/fuzzy.py::indel_ratio/extract_one —
@@ -2783,5 +2795,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "lm_tercile": (_q_lm_tercile, _sql_lm_tercile_str()),
     "lm_heldout": (_q_lm_heldout, _sql_lm_heldout_str()),
     "bpe_train": (_q_bpe_train, _sql_bpe_train_str()),
+    "bpe_encode": (_q_bpe_encode, _sql_bpe_encode_str()),
     "fuzzy_ratio": (q_fuzzy_ratio, _sql_fuzzy_ratio()),
 }

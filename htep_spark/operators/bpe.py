@@ -43,7 +43,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-__all__ = ["bpe_train", "q_bpe_train", "sql_bpe_train", "BPE_MERGES"]
+__all__ = [
+    "bpe_train",
+    "bpe_encode_col",
+    "q_bpe_train",
+    "q_bpe_encode",
+    "sql_bpe_train",
+    "sql_bpe_encode",
+    "BPE_MERGES",
+]
 
 BPE_MERGES = 6  # driver-query depth (the oracle CTE chain is generated to match)
 BPE_MAX_TOKENS_PER_DOC = 20  # corpus cap for the driver query
@@ -146,6 +154,56 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_encode_col(word_col, merges) -> "F.Column":
+    """Column expression applying the learned merge table in rank order to
+    one word: char split, then k chained ``_merge_fold``s — pure JVM
+    expressions, no Python in the hot path. ``merges`` is the
+    ``bpe_train`` output (``(a, b, cnt)`` or ``(a, b)`` tuples)."""
+    syms = F.split(word_col, "")
+    for m in merges:
+        syms = _merge_fold(syms, m[0], m[1])
+    return syms
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED driver query: tokenizer APPLICATION — train the
+    ``BPE_MERGES``-step merge table on the capped corpus (the same corpus
+    construction as ``q_bpe_train``), then encode every word with it.
+    Per doc: word count, total BPE token count after merging, and the
+    space-joined encoding of the doc's first word (a concrete spot-check
+    surface). Completes the tokenizer family: ``bpe_train`` proves the
+    learned table, this proves the corpus-wide application fold."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.slice(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0),
+        1,
+        BPE_MAX_TOKENS_PER_DOC,
+    )
+    words = docs.select(
+        "doc_id", F.posexplode(toks).alias("word_idx", "word")
+    ).filter(F.length("word") > 0)
+    merges = bpe_train(words.select("word"), "word", BPE_MERGES)
+    encoded = words.select(
+        "doc_id", "word_idx", bpe_encode_col(F.col("word"), merges).alias("s")
+    )
+    return encoded.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum(F.size("s")).cast("long").alias("n_bpe_tokens"),
+        F.array_join(F.min_by("s", "word_idx"), " ").alias("first_word_bpe"),
+    )
+
+
+# the list_reduce left fold shared by the train and encode oracles: same
+# leftmost non-overlapping merge semantics as the Spark ``_merge_fold``
+_SQL_FOLD = """list_reduce(
+           str_split(w.s, {us}),
+           (acc, x) -> CASE
+             WHEN (acc = bb.a OR ends_with(acc, {us} || bb.a)) AND x = bb.b
+               THEN substr(acc, 1, length(acc) - length(bb.a)) || bb.a || bb.b
+             ELSE acc || {us} || x END
+         )"""
+
+
 def sql_bpe_train(k: int = BPE_MERGES) -> str:
     """Generated DuckDB replay of the k-step loop. Symbol lists travel as
     chr(31)-joined strings between steps; the merge is a ``list_reduce``
@@ -172,13 +230,7 @@ WITH w0 AS (
 ), best{i} AS (
   SELECT a, b, cnt FROM c{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
 ), w{i + 1} AS (
-  SELECT list_reduce(
-           str_split(w.s, {us}),
-           (acc, x) -> CASE
-             WHEN (acc = bb.a OR ends_with(acc, {us} || bb.a)) AND x = bb.b
-               THEN substr(acc, 1, length(acc) - length(bb.a)) || bb.a || bb.b
-             ELSE acc || {us} || x END
-         ) AS s
+  SELECT {_SQL_FOLD.format(us=us)} AS s
   FROM w{i} w CROSS JOIN best{i} bb
 )"""
         )
@@ -188,3 +240,49 @@ WITH w0 AS (
         for i in range(k)
     )
     return "".join(parts) + "\n" + union
+
+
+def sql_bpe_encode(k: int = BPE_MERGES) -> str:
+    """Generated DuckDB replay of train-then-encode: the same k-step chain
+    as ``sql_bpe_train`` but with (doc_id, widx) carried through every
+    fold (the per-step ``best{i}`` argmax is computed over the identical
+    corpus — id columns don't enter the pair counts), finished by the
+    per-doc encoding aggregate."""
+    us = "chr(31)"
+    cap = BPE_MAX_TOKENS_PER_DOC
+    parts = [
+        f"""
+WITH w0 AS (
+  SELECT doc_id, widx, array_to_string(str_split(word, ''), {us}) AS s
+  FROM (
+    SELECT doc_id, i - 1 AS widx, t[i] AS word
+    FROM (
+      SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z0-9]+')[1:{cap}] AS t
+            FROM documents)
+    )
+  ) WHERE length(word) > 0
+)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f""", p{i} AS (
+  SELECT l[i] AS a, l[i + 1] AS b
+  FROM (SELECT str_split(s, {us}) AS l, unnest(range(1, len(str_split(s, {us})))) AS i FROM w{i})
+), c{i} AS (
+  SELECT a, b, count(*) AS cnt FROM p{i} GROUP BY a, b
+), best{i} AS (
+  SELECT a, b, cnt FROM c{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+), w{i + 1} AS (
+  SELECT w.doc_id, w.widx, {_SQL_FOLD.format(us=us)} AS s
+  FROM w{i} w CROSS JOIN best{i} bb
+)"""
+        )
+    final = f"""
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(str_split(s, {us}))) AS BIGINT) AS n_bpe_tokens,
+       array_to_string(str_split(arg_min(s, widx), {us}), ' ') AS first_word_bpe
+FROM w{k} GROUP BY doc_id"""
+    return "".join(parts) + final

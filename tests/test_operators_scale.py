@@ -1385,6 +1385,50 @@ def test_bpe_train_matches_pure_python(spark):
     assert any(a == b for a, b, _ in got)
 
 
+def test_bpe_encode_matches_pure_python(spark):
+    """Tokenizer application: bpe_encode_col must apply a learned merge
+    table with exactly the pure-Python leftmost non-overlapping semantics
+    (the same apply loop as the trainer differential), including chained
+    merges where a later rule consumes an earlier rule's output symbol."""
+    from pyspark.sql import functions as F
+
+    from htep_spark.operators.bpe import bpe_encode_col, bpe_train
+
+    corpus = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaa"] * 4
+    )
+    words = spark.createDataFrame([(w,) for w in corpus], ["word"])
+    merges = bpe_train(words, "word", k=6)
+
+    def py_apply(w):
+        s = list(w)
+        for a, b, _ in merges:
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return s
+
+    uniq = sorted(set(corpus))
+    uw = spark.createDataFrame([(w,) for w in uniq], ["word"])
+    got = {
+        r["word"]: list(r["s"])
+        for r in uw.select(
+            "word", bpe_encode_col(F.col("word"), merges).alias("s")
+        ).collect()
+    }
+    for w in uniq:
+        assert got[w] == py_apply(w), (w, got[w], py_apply(w))
+    # merges actually compress: at least one word shrinks below char count
+    assert any(len(got[w]) < len(w) for w in uniq)
+
+
 def test_sample_hash_is_stratified_and_deterministic(spark):
     from htep_spark.driver_queries import q_sample_hash
 
