@@ -101,6 +101,9 @@ DRIVER_CAP_OVERFLOW = (
     # round-5 new, born-overflow: tokenizer application (train-then-encode,
     # doc-aware k-step CTE-chain oracle)
     "bpe_encode",
+    # round-5 new, born-overflow: Lee-et-al-2022 cross-doc exact-substring
+    # duplication fraction (k-token window hashes)
+    "dup_spans",
 )
 
 

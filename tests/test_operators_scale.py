@@ -1385,6 +1385,26 @@ def test_bpe_train_matches_pure_python(spark):
     assert any(a == b for a, b, _ in got)
 
 
+def test_dup_spans_nonvacuous_and_sane(spark):
+    """The exact-substring duplication signal (Lee et al. 2022 measure)
+    must actually discriminate on the fixed corpus: shared clinical
+    preludes guarantee cross-doc duplicate windows, word-soup bodies
+    guarantee unique ones — so dup_frac must span both regimes and BOTH
+    keep verdicts must occur (a one-sided gate would be green-but-vacuous).
+    Also pins the bounds invariants n_dup <= n_windows, frac in [0, 1]."""
+    from htep_spark.driver_queries import q_dup_spans
+
+    rows = q_dup_spans(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    assert any(r["n_dup_windows"] > 0 for r in rows), "no duplicate windows"
+    assert any(r["dup_frac"] < 0.2 for r in rows), "no mostly-unique docs"
+    keeps = {r["keep"] for r in rows}
+    assert keeps == {0, 1}, f"keep gate one-sided: {keeps}"
+    for r in rows:
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+
+
 def test_bpe_encode_matches_pure_python(spark):
     """Tokenizer application: bpe_encode_col must apply a learned merge
     table with exactly the pure-Python leftmost non-overlapping semantics
