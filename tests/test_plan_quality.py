@@ -202,3 +202,21 @@ def test_exact_global_rank_has_no_single_partition_window(spark):
     )
     assert "Exchange SinglePartition" not in hplan, hplan
     assert "Scan ExistingRDD" in hplan, hplan
+
+
+def test_dup_spans_plan_shape(spark):
+    """dup_spans' scale claim: token-linear explode + two hash aggregations
+    + equi-joins — NO cartesian product, NO single-partition exchange, and
+    the window-hash computation stays JVM-side (no Python UDF in the
+    plan)."""
+    from htep_spark.driver_queries import q_dup_spans
+
+    plan = (
+        q_dup_spans(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
