@@ -104,6 +104,9 @@ DRIVER_CAP_OVERFLOW = (
     # round-5 new, born-overflow: Lee-et-al-2022 cross-doc exact-substring
     # duplication fraction (k-token window hashes)
     "dup_spans",
+    # round-5 new, born-overflow: GPT-3-style benchmark n-gram
+    # contamination check (broadcast bench grams vs corpus windows)
+    "contamination",
 )
 
 

@@ -2604,6 +2604,137 @@ FROM d LEFT JOIN per p USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# Benchmark contamination check (`contamination`): the GPT-3/PaLM
+# eval-leakage methodology — does any k-token n-gram of a benchmark item
+# occur verbatim in the training corpus? Benchmark grams are tiny and
+# BROADCAST against the corpus window hashes (the same k-token md5 windows
+# as `dup_spans`), so the plan at 100 TB is one token-linear corpus pass +
+# a broadcast semi-join — never a corpus shuffle keyed by benchmark. The
+# benchmark set = the clinical prelude snippets (present in every doc's
+# ctext by construction → contaminated verdicts provably fire) + clean
+# sentences that appear nowhere (→ clean verdicts provably fire).
+# --------------------------------------------------------------------------
+
+CONTAM_K = DUP_SPAN_K  # same window size as the duplication signal
+
+# benchmark items that must NOT appear in the corpus (the clean branch)
+CONTAM_CLEAN_ITEMS = [
+    "the quick zebra vaulted over seventeen purple xylophones yesterday",
+    "quantum marmalade oscillates beneath the ninth crimson lighthouse",
+    "seven untranslatable verbs orbit a forgotten basalt observatory",
+    "my gondola of paperclips dissolved into triangular moonlight",
+]
+
+
+def _contam_items():
+    """(bench_id, text) benchmark list — clinical snippets first, then the
+    clean items; single source for both engines."""
+    items = list(CLINICAL_SNIPPETS) + CONTAM_CLEAN_ITEMS
+    return [(i, t) for i, t in enumerate(items)]
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_prefix60_spark
+
+    k = CONTAM_K
+
+    def win_hashes(text_col):
+        toks = F.regexp_extract_all(
+            F.lower(text_col), F.lit(_TOKEN_PATTERN), 0
+        )
+        starts = F.when(
+            F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda i: md5_prefix60_spark(
+                F.concat_ws(" ", F.slice(toks, i + 1, k))
+            ),
+        )
+
+    bench = spark.createDataFrame(
+        _contam_items(), "bench_id long, btext string"
+    )
+    bgrams = bench.select(
+        "bench_id", F.explode(win_hashes(F.col("btext"))).alias("whash")
+    ).distinct()
+    corpus = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _clinical_col().alias("ctext"))
+        .select("doc_id", F.explode(win_hashes(F.col("ctext"))).alias("whash"))
+        .distinct()
+    )
+    # broadcast the benchmark side: it is tiny by definition
+    hits = corpus.join(F.broadcast(bgrams), "whash").groupBy("bench_id").agg(
+        F.count_distinct("whash").alias("n_grams_hit"),
+        F.count_distinct("doc_id").alias("n_docs_hit"),
+    )
+    totals = bgrams.groupBy("bench_id").agg(
+        F.count("*").alias("n_grams")
+    )
+    return (
+        bench.select("bench_id")
+        .join(totals, "bench_id", "left")
+        .join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_grams_hit", F.lit(0)).cast("long").alias("n_grams_hit"),
+            F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+            (F.coalesce("n_grams_hit", F.lit(0)) > 0)
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
+def _sql_contamination() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    k = CONTAM_K
+    whash = md5_prefix60_sql(f"array_to_string(t[i + 1 : i + {k}], ' ')")
+    bench_rows = ",\n    ".join(
+        f"({i}, {_sql_quote(t)})" for i, t in _contam_items()
+    )
+    return f"""
+WITH bench(bench_id, btext) AS (
+  VALUES {bench_rows}
+), bgrams AS (
+  SELECT DISTINCT bench_id, {whash} AS whash
+  FROM (
+    SELECT bench_id, t, unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS i
+    FROM (SELECT bench_id,
+                 regexp_extract_all(lower(btext), '{_TOKEN_PATTERN}') AS t
+          FROM bench)
+  )
+), corpus AS (
+  SELECT DISTINCT doc_id, {whash} AS whash
+  FROM (
+    SELECT doc_id, t, unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS i
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower({_clinical_sql()}), '{_TOKEN_PATTERN}') AS t
+          FROM documents)
+  )
+), hits AS (
+  SELECT b.bench_id, count(DISTINCT b.whash) AS n_grams_hit,
+         count(DISTINCT c.doc_id) AS n_docs_hit
+  FROM corpus c JOIN bgrams b USING (whash) GROUP BY b.bench_id
+), totals AS (
+  SELECT bench_id, count(*) AS n_grams FROM bgrams GROUP BY bench_id
+)
+SELECT be.bench_id,
+       CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_grams_hit, 0) AS BIGINT) AS n_grams_hit,
+       CAST(coalesce(h.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+       CAST(CASE WHEN coalesce(h.n_grams_hit, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM bench be
+LEFT JOIN totals t USING (bench_id)
+LEFT JOIN hits h USING (bench_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # T7 fuzzy-scorer oracle (`fuzzy_ratio`, VERDICT r04 #7 stretch): hash-checks
 # the REAL indel-ratio kernel (functions/fuzzy.py::indel_ratio/extract_one —
 # the scorer of the drug/disease fuzzy correction, ref
@@ -2903,4 +3034,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "bpe_encode": (_q_bpe_encode, _sql_bpe_encode_str()),
     "fuzzy_ratio": (q_fuzzy_ratio, _sql_fuzzy_ratio()),
     "dup_spans": (q_dup_spans, _sql_dup_spans()),
+    "contamination": (q_contamination, _sql_contamination()),
 }

@@ -1385,6 +1385,37 @@ def test_bpe_train_matches_pure_python(spark):
     assert any(a == b for a, b, _ in got)
 
 
+def test_contamination_both_verdicts(spark):
+    """Benchmark contamination: every clinical snippet with >= k tokens
+    MUST be flagged (the prelude embeds it verbatim in every ctext), every
+    clean item MUST NOT be (they appear nowhere), and the <k-token snippet
+    exercises the zero-gram path — so a green hash cannot be one-sided."""
+    from htep_spark.driver_queries import (
+        CONTAM_CLEAN_ITEMS,
+        _contam_items,
+        q_contamination,
+    )
+
+    rows = {
+        r["bench_id"]: r
+        for r in q_contamination(spark, "/root/testdata/sf0.001").collect()
+    }
+    items = dict(_contam_items())
+    n_clean = len(CONTAM_CLEAN_ITEMS)
+    n_bench = len(items)
+    assert set(rows) == set(range(n_bench))
+    for bid, r in rows.items():
+        clinical = bid < n_bench - n_clean
+        if clinical and r["n_grams"] > 0:
+            assert r["contaminated"] == 1 and r["n_docs_hit"] > 0, (bid, r)
+            assert r["n_grams_hit"] == r["n_grams"], (bid, r)  # verbatim
+        if not clinical:
+            assert r["contaminated"] == 0 and r["n_grams"] > 0, (bid, r)
+    assert any(
+        r["contaminated"] == 1 for r in rows.values()
+    ) and any(r["contaminated"] == 0 for r in rows.values())
+
+
 def test_dup_spans_nonvacuous_and_sane(spark):
     """The exact-substring duplication signal (Lee et al. 2022 measure)
     must actually discriminate on the fixed corpus: shared clinical
