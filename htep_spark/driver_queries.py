@@ -1402,7 +1402,14 @@ SHINGLE_DOC_FREQ_CAP = 100
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
-    docs = _docs(spark, sf_dir).select("doc_id", toks.alias("toks"))
+    # barrier: materialize the token arrays so the shingle lambda reads a
+    # column, not the regexp (no loop-invariant hoisting in HOF lambdas —
+    # CollapseProject would re-tokenize per window; round-5 profiling)
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     shingle_arr = F.when(
         F.size("toks") >= _SHINGLE_N,
         F.array_distinct(
@@ -2518,25 +2525,36 @@ DUP_SPAN_K = 5  # tokens per window
 DUP_SPAN_MAX_FRAC = 0.5  # keep gate: at most half the windows duplicated
 
 
-def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _window_hashes(toks_col, k: int):
+    """k-token window md5-prefix60 hashes from a MATERIALIZED token-array
+    column (must sit behind an exchange — HOF lambdas re-evaluate a regexp
+    argument per window; see operators/dedup._shingle_col)."""
     from .functions.hashing import md5_prefix60_spark
 
-    docs = _docs(spark, sf_dir).select("doc_id", _clinical_col().alias("ctext"))
-    toks = F.regexp_extract_all(
-        F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0
-    )
-    k = DUP_SPAN_K
     # sequence(0, n) DESCENDS for n < 0 — guard short docs to an empty list
     starts = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+        F.size(toks_col) >= k, F.sequence(F.lit(0), F.size(toks_col) - k)
     ).otherwise(F.array().cast("array<int>"))
-    wins = F.transform(
+    return F.transform(
         starts,
         lambda i: md5_prefix60_spark(
-            F.concat_ws(" ", F.slice(toks, i + 1, k))
+            F.concat_ws(" ", F.slice(toks_col, i + 1, k))
         ),
     )
-    windows = docs.select("doc_id", F.explode(wins).alias("whash"))
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", _clinical_col().alias("ctext"))
+    k = DUP_SPAN_K
+    toked = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0
+        ).alias("t"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    windows = toked.select(
+        "doc_id", F.explode(_window_hashes(F.col("t"), k)).alias("whash")
+    )
     wc = windows.groupBy("whash").agg(
         F.count_distinct("doc_id").alias("ndocs")
     )
@@ -2634,34 +2652,25 @@ def _contam_items():
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .functions.hashing import md5_prefix60_spark
-
     k = CONTAM_K
 
-    def win_hashes(text_col):
-        toks = F.regexp_extract_all(
-            F.lower(text_col), F.lit(_TOKEN_PATTERN), 0
-        )
-        starts = F.when(
-            F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            starts,
-            lambda i: md5_prefix60_spark(
-                F.concat_ws(" ", F.slice(toks, i + 1, k))
-            ),
-        )
+    def tok(text_col):
+        return F.regexp_extract_all(F.lower(text_col), F.lit(_TOKEN_PATTERN), 0)
 
     bench = spark.createDataFrame(
         _contam_items(), "bench_id long, btext string"
     )
-    bgrams = bench.select(
-        "bench_id", F.explode(win_hashes(F.col("btext"))).alias("whash")
+    bgrams = bench.select("bench_id", tok(F.col("btext")).alias("t")).select(
+        "bench_id", F.explode(_window_hashes(F.col("t"), k)).alias("whash")
     ).distinct()
     corpus = (
         _docs(spark, sf_dir)
         .select("doc_id", _clinical_col().alias("ctext"))
-        .select("doc_id", F.explode(win_hashes(F.col("ctext"))).alias("whash"))
+        .select("doc_id", tok(F.col("ctext")).alias("t"))
+        # barrier: the window lambda must read a materialized token array
+        # (see _window_hashes) — without it the regexp re-runs per window
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.explode(_window_hashes(F.col("t"), k)).alias("whash"))
         .distinct()
     )
     # broadcast the benchmark side: it is tiny by definition

@@ -78,14 +78,21 @@ def _hash_params(k: int) -> List[Tuple[int, int]]:
 _PARAMS = _hash_params(NUM_HASHES)
 
 
-def _shingle_col(text_col, n: int = SHINGLE_N):
-    toks = F.regexp_extract_all(F.lower(text_col), F.lit(_TOKEN_PATTERN), 0)
+def _shingle_col(toks_col, n: int = SHINGLE_N):
+    """Distinct n-token shingles from a MATERIALIZED token-array column.
+
+    The column must be a real attribute (tokenized behind an exchange), not
+    the regexp expression itself: Spark does no loop-invariant hoisting
+    inside higher-order-function lambdas, so a lambda referencing the
+    regexp would re-tokenize the document once PER WINDOW — measured 6x
+    the entire signature cost at sf0.1 (round-5 profiling; same
+    CollapseProject trap as the memory notes' classify case)."""
     return F.when(
-        F.size(toks) >= n,
+        F.size(toks_col) >= n,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+                F.sequence(F.lit(0), F.size(toks_col) - n),
+                lambda i: F.array_join(F.slice(toks_col, i + 1, n), " "),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -113,9 +120,18 @@ def minhash_signatures(
         base = F.xxhash64("shingle")
     else:  # pragma: no cover - guarded API misuse
         raise ValueError(f"unknown base_hash {base_hash!r}")
-    shingled = df.select(
+    # tokenize ONCE per doc and pin it behind a cheap round-robin exchange
+    # (CollapseProject would otherwise inline the regexp into the shingle
+    # lambda → re-tokenize per window; see _shingle_col docstring)
+    toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(_shingle_col(F.col(text_col))).alias("shingle"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(_TOKEN_PATTERN), 0
+        ).alias("_toks"),
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+    shingled = toked.select(
+        "doc_id",
+        F.explode(_shingle_col(F.col("_toks"))).alias("shingle"),
     ).withColumn("x", F.pmod(base, F.lit(_P)))
     aggs = [
         F.min(F.pmod(F.col("x") * a + b, F.lit(_P))).alias(f"h{j}")
