@@ -2102,16 +2102,24 @@ TOP_NGRAMS_K = 50
 
 
 def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    tcol = F.col("t")
     grams = F.when(
-        F.size(toks) >= TOP_NGRAMS_N,
+        F.size(tcol) >= TOP_NGRAMS_N,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - TOP_NGRAMS_N),
-            lambda i: F.array_join(F.slice(toks, i + 1, TOP_NGRAMS_N), " "),
+            F.sequence(F.lit(0), F.size(tcol) - TOP_NGRAMS_N),
+            lambda i: F.array_join(F.slice(tcol, i + 1, TOP_NGRAMS_N), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
         _docs(spark, sf_dir)
+        .select(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0
+            ).alias("t")
+        )
+        # barrier: the n-gram lambda must read a materialized token array
+        # (HOF lambdas re-evaluate a referenced regexp per window)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").cast("long").alias("n"))
