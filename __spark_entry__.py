@@ -107,6 +107,9 @@ DRIVER_CAP_OVERFLOW = (
     # round-5 new, born-overflow: GPT-3-style benchmark n-gram
     # contamination check (broadcast bench grams vs corpus windows)
     "contamination",
+    # round-5 new, born-overflow: domain-mix weights → executable md5
+    # sampling plan, applied and verified in the same query
+    "mixture_plan",
 )
 
 

@@ -2630,6 +2630,108 @@ FROM d LEFT JOIN per p USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# Mixture sampling plan (`mixture_plan`): the bridge from domain-mix
+# ACCOUNTING (q_domain_mix's equalizing weights) to an EXECUTABLE sampling
+# plan — per source, the md5-bucket permyriad rate that hits a uniform
+# target mixture under a global token budget, the expected token yield,
+# and (in the same query) the plan APPLIED: documents are filtered by the
+# same seed-free md5 bucketing as q_sample_hash and the achieved doc/token
+# counts reported next to the expectation. Plan derivation is a tiny
+# post-aggregation window (20 source rows); plan application is a
+# broadcast join of the rates against the corpus — cluster-size invariant
+# end to end, the multi-epoch mixture recipe of the LLM data literature
+# (e.g. the Pile / Gopher sampling tables).
+# --------------------------------------------------------------------------
+
+MIXTURE_BUDGET_FRAC = 0.5  # keep half the corpus tokens overall
+
+
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    )
+    bucket = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("doc"), F.col("doc_id")), 10_000
+    )
+    base = docs.select("doc_id", "source", toks.alias("ntok"), bucket.alias("bucket"))
+    per = base.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("ntok").alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    desired = (
+        F.sum("n_tokens").over(w) * MIXTURE_BUDGET_FRAC / F.count("*").over(w)
+    )
+    rates = per.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(
+            10_000
+            * F.least(F.lit(1.0), desired / F.col("n_tokens").cast("double"))
+        )
+        .cast("long")
+        .alias("rate_permyriad"),
+    ).withColumn(
+        "expected_tokens",
+        F.floor(F.col("n_tokens") * F.col("rate_permyriad") / 10_000).cast(
+            "long"
+        ),
+    )
+    kept = (
+        base.join(F.broadcast(rates.select("source", "rate_permyriad")), "source")
+        .filter(F.col("bucket") < F.col("rate_permyriad"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("kept_docs"),
+            F.sum("ntok").cast("long").alias("kept_tokens"),
+        )
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_tokens",
+        "rate_permyriad",
+        "expected_tokens",
+        F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+    )
+
+
+def _sql_mixture_plan() -> str:
+    bucket = _md5_bucket_sql("'doc' || '|' || CAST(doc_id AS VARCHAR)", 10_000)
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS ntok,
+         {bucket} AS bucket
+  FROM documents
+), per AS (
+  SELECT source, count(*) AS n_docs, sum(ntok) AS n_tokens FROM base
+  GROUP BY source
+), rates AS (
+  SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(floor(10000 * least(1.0,
+              (sum(n_tokens) OVER () * {MIXTURE_BUDGET_FRAC} / count(*) OVER ())
+              / CAST(n_tokens AS DOUBLE))) AS BIGINT) AS rate_permyriad
+  FROM per
+), rates2 AS (
+  SELECT *, CAST(floor(n_tokens * rate_permyriad / 10000) AS BIGINT)
+           AS expected_tokens
+  FROM rates
+), kept AS (
+  SELECT b.source, CAST(count(*) AS BIGINT) AS kept_docs,
+         CAST(sum(b.ntok) AS BIGINT) AS kept_tokens
+  FROM base b JOIN rates2 r USING (source)
+  WHERE b.bucket < r.rate_permyriad
+  GROUP BY b.source
+)
+SELECT r.source, r.n_tokens, r.rate_permyriad, r.expected_tokens,
+       coalesce(k.kept_docs, 0) AS kept_docs,
+       coalesce(k.kept_tokens, 0) AS kept_tokens
+FROM rates2 r LEFT JOIN kept k USING (source)
+"""
+
+
+# --------------------------------------------------------------------------
 # Benchmark contamination check (`contamination`): the GPT-3/PaLM
 # eval-leakage methodology — does any k-token n-gram of a benchmark item
 # occur verbatim in the training corpus? Benchmark grams are tiny and
@@ -3052,4 +3154,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "fuzzy_ratio": (q_fuzzy_ratio, _sql_fuzzy_ratio()),
     "dup_spans": (q_dup_spans, _sql_dup_spans()),
     "contamination": (q_contamination, _sql_contamination()),
+    "mixture_plan": (q_mixture_plan, _sql_mixture_plan()),
 }

@@ -1385,6 +1385,30 @@ def test_bpe_train_matches_pure_python(spark):
     assert any(a == b for a, b, _ in got)
 
 
+def test_mixture_plan_sane(spark):
+    """The executable sampling plan must be a valid plan: rates within
+    [0, 10000] permyriad, expected_tokens = floor(n_tokens*rate/10000)
+    exactly, and the APPLIED plan's aggregate token yield within 10% of
+    the budget target (per-source deviation is legitimately high at 25
+    docs/source — doc-level Bernoulli noise — so the gate is corpus-level,
+    where the binomial SE is ~4.5%)."""
+    import math
+
+    from htep_spark.driver_queries import MIXTURE_BUDGET_FRAC, q_mixture_plan
+
+    rows = q_mixture_plan(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    kept = sum(r["kept_tokens"] for r in rows)
+    for r in rows:
+        assert 0 <= r["rate_permyriad"] <= 10_000, r
+        assert r["expected_tokens"] == math.floor(
+            r["n_tokens"] * r["rate_permyriad"] / 10_000
+        ), r
+        assert 0 <= r["kept_tokens"] <= r["n_tokens"], r
+    assert abs(kept - MIXTURE_BUDGET_FRAC * total) / total < 0.10, (kept, total)
+
+
 def test_contamination_both_verdicts(spark):
     """Benchmark contamination: every clinical snippet with >= k tokens
     MUST be flagged (the prelude embeds it verbatim in every ctext), every
