@@ -22,6 +22,7 @@ __all__ = [
     "stream_conversation_state",
     "stream_dedup_turns",
     "stream_interval_join",
+    "stream_heavy_hitters",
 ]
 
 
@@ -188,6 +189,92 @@ def stream_conversation_state(
                 if idle_timeout_ms > 0
                 else GroupStateTimeout.NoTimeout
             ),
+        )
+    )
+
+
+def stream_heavy_hitters(
+    tokens: DataFrame,
+    watermark: str = "10 minutes",
+    capacity: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters: distributed SpaceSaving (Metwally et al.
+    2005) over a ``(token, ts)`` stream via ``applyInPandasWithState``.
+
+    Scale design: tokens are SHARDED BY TOKEN HASH, so every occurrence of
+    a given token lands in exactly one shard's summary — per-shard
+    SpaceSaving bounds therefore hold for the global stream restricted to
+    that shard, and the global top-k is a plain merge of the per-shard
+    emissions (a token's count never splits across shards). State is
+    O(n_shards × capacity) REGARDLESS of stream length or vocabulary —
+    the property that lets this survive a 10^12-token stream where an
+    exact groupBy-count's state is O(vocabulary).
+
+    Guarantees (standard SpaceSaving, any processing order): every token
+    with true shard count > shard_stream_len / capacity is present in the
+    summary; for every summarized token,
+    ``true <= est_count <= true + max_err``. Batch folding uses the
+    weighted-update variant (whole per-batch counts folded at once;
+    eviction inherits the evicted minimum as the error bound).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    output_schema = "shard long, token string, est_count long, max_err long"
+    state_schema = "tokens array<string>, counts array<long>, errs array<long>"
+    cap = capacity
+
+    def update(key, pdfs, state):
+        (shard,) = key
+        if state.exists:
+            toks, counts, errs = state.get
+            summary = {t: [int(c), int(e)] for t, c, e in zip(toks, counts, errs)}
+        else:
+            summary = {}
+        for pdf in pdfs:
+            vc = pdf["token"].value_counts()
+            # deterministic fold order: (count desc, token asc) — the
+            # bounds hold for any order; pinning one makes replays and
+            # the exact-capacity regime byte-stable
+            for tok in sorted(vc.index, key=lambda t: (-int(vc[t]), t)):
+                cnt = int(vc[tok])
+                if tok in summary:
+                    summary[tok][0] += cnt
+                elif len(summary) < cap:
+                    summary[tok] = [cnt, 0]
+                else:  # evict the minimum-count item (ties: smallest token)
+                    mtok = min(summary, key=lambda t: (summary[t][0], t))
+                    mcnt = summary[mtok][0]
+                    del summary[mtok]
+                    summary[tok] = [mcnt + cnt, mcnt]
+        items = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [t for t, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+            )
+        )
+        yield pd.DataFrame(
+            [[shard, t, v[0], v[1]] for t, v in items],
+            columns=["shard", "token", "est_count", "max_err"],
+        )
+
+    sharded = tokens.select(
+        F.pmod(F.xxhash64("token"), F.lit(n_shards)).alias("shard"),
+        "token",
+        "ts",
+    )
+    return (
+        sharded.withWatermark("ts", watermark)
+        .groupBy("shard")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
 

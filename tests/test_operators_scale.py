@@ -834,6 +834,75 @@ def test_stateful_conversation_stream(spark, tmp_path):
         assert rows[conv_id]["contiguous"] is True
 
 
+def test_stream_heavy_hitters(spark, tmp_path):
+    """Distributed SpaceSaving over a skewed token stream: in the
+    exact regime (capacity >= per-shard vocabulary) the summaries equal
+    the batch counts exactly; in the tight regime the standard guarantees
+    hold — true <= est <= true + err for every summarized token, and every
+    token with true count > shard_len/capacity is present. State is
+    per-token-shard, so a token's count never splits across shards."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from htep_spark.streaming.stream import stream_heavy_hitters
+
+    # deterministic Zipf-ish corpus: token_i appears ~N/(i+1) times
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(40):
+        for j in range(200 // (i + 1)):
+            rows.append((f"tok{i:02d}", base + dt.timedelta(seconds=len(rows))))
+    pdf = pd.DataFrame(rows, columns=["token", "ts"])
+    truth = pdf["token"].value_counts().to_dict()
+    src = str(tmp_path / "hh_src")
+    spark.createDataFrame(pdf, "token string, ts timestamp").write.parquet(src)
+
+    def run(capacity, name):
+        stream = spark.readStream.schema("token string, ts timestamp").parquet(src)
+        out = stream_heavy_hitters(stream, capacity=capacity, n_shards=4)
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # latest emission per (shard, token)
+        return spark.sql(
+            f"select * from (select *, row_number() over (partition by shard, token "
+            f"order by est_count desc) rn from {name}) where rn = 1"
+        ).collect()
+
+    exact = run(capacity=64, name="hh_exact")
+    got = {r["token"]: r for r in exact}
+    assert {t: r["est_count"] for t, r in got.items()} == truth
+    assert all(r["max_err"] == 0 for r in exact)
+
+    tight = run(capacity=6, name="hh_tight")
+    by_shard: dict = {}
+    for r in tight:
+        by_shard.setdefault(r["shard"], []).append(r)
+    shard_of = {r["token"]: r["shard"] for r in exact}
+    for shard, rs in by_shard.items():
+        assert len(rs) <= 6
+        shard_len = sum(c for t, c in truth.items() if shard_of[t] == shard)
+        for r in rs:
+            true = truth.get(r["token"], 0)
+            assert true <= r["est_count"] <= true + r["max_err"], r
+        # guarantee: frequent-in-shard tokens must be present
+        present = {r["token"] for r in rs}
+        for t, c in truth.items():
+            if shard_of[t] == shard and c > shard_len / 6:
+                assert t in present, (t, c, shard_len)
+    # the global top-3 by true count survive the tight summaries
+    top_true = sorted(truth, key=lambda t: -truth[t])[:3]
+    merged = {r["token"] for r in tight}
+    assert set(top_true) <= merged
+
+
 def test_dedup_keepers_connected_components(spark):
     from htep_spark.operators.dedup import connected_components, dedup_keepers
 
