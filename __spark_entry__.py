@@ -110,6 +110,9 @@ DRIVER_CAP_OVERFLOW = (
     # round-5 new, born-overflow: domain-mix weights → executable md5
     # sampling plan, applied and verified in the same query
     "mixture_plan",
+    # round-5 new, born-overflow: from-scratch HyperLogLog on the shared
+    # md5 hash (cross-engine-checkable distinct sketch)
+    "approx_distinct",
 )
 
 

@@ -2630,6 +2630,118 @@ FROM d LEFT JOIN per p USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# From-scratch HyperLogLog distinct-count sketch (`approx_distinct`):
+# neither engine's built-in approx_count_distinct can cross-check the
+# other (different hash families), so the sketch is built from first
+# principles on the SHARED md5-prefix60 hash — bucket = h % m, rho =
+# leading-zero rank of the remaining 54 bits computed EXACTLY via integer
+# base-2 string length (no float log2, whose power-of-two boundaries could
+# disagree cross-engine) — making the whole estimator hash-checkable.
+# Flajolet et al. 2007 estimator with the small-range linear-counting
+# correction; the register fold runs in pinned bucket order (sorted list
+# aggregation) so the double sum is bitwise identical in both engines.
+# Scale shape: one hash agg to m=64 registers (map-side combinable), then
+# a 64-row fold — the sketch every 100 TB cardinality dashboard needs,
+# with the exact count alongside for the (small-SF) honesty check.
+# --------------------------------------------------------------------------
+
+HLL_M = 64  # registers
+_HLL_ALPHA = 0.709  # alpha_64 (Flajolet et al. 2007, m >= 64)
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_prefix60_spark
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("token")
+    )
+    h = md5_prefix60_spark(F.col("token"))
+    bucket = F.pmod(h, F.lit(HLL_M))
+    # integer shift, NOT h/64.0: a 60-bit value exceeds double precision
+    # (2^53) and float division would corrupt the low bits cross-engine
+    rest = F.shiftrightunsigned(h, 6)  # 54 remaining bits
+    # exact bit length via base-2 string: bit_length(0) handled by the
+    # rho cap (rest = 0 → rho = 55, the all-zeros rank)
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rho = F.when(rest == 0, F.lit(55)).otherwise(55 - bitlen)
+    regs = (
+        toks.select(bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    # fold registers in bucket order; absent buckets count as register 0
+    folded = regs.agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "reg"))).alias("rs")
+    ).select(
+        F.aggregate(
+            F.col("rs"), F.lit(0.0), lambda acc, x: acc + F.pow(2.0, -x["reg"])
+        ).alias("present_sum"),
+        F.size("rs").alias("n_present"),
+    )
+    m = float(HLL_M)
+    raw_est = F.lit(_HLL_ALPHA * m * m) / (
+        F.col("present_sum") + (F.lit(HLL_M) - F.col("n_present"))
+    )
+    zeros = (F.lit(HLL_M) - F.col("n_present")).cast("double")
+    est = F.when(
+        (raw_est <= 2.5 * m) & (zeros > 0),
+        F.lit(m) * F.log(F.lit(m) / zeros),
+    ).otherwise(raw_est)
+    exact = toks.agg(F.count_distinct("token").alias("n_exact"))
+    return folded.crossJoin(exact).select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(est, 6).alias("hll_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias(
+            "rel_error"
+        ),
+    )
+
+
+def _sql_approx_distinct() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    h = md5_prefix60_sql("token")
+    m = HLL_M
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS token
+  FROM documents
+), hashed AS (
+  -- integer shift, not /64.0: 60-bit values exceed double precision
+  SELECT ({h}) % {m} AS bucket,
+         ({h}) >> 6 AS rest
+  FROM toks
+), regs AS (
+  SELECT bucket,
+         max(CASE WHEN rest = 0 THEN 55
+                  ELSE 55 - length(bin(rest)) END) AS reg
+  FROM hashed GROUP BY bucket
+), folded AS (
+  SELECT list_sum(list(pow(2.0, -reg) ORDER BY bucket)) AS present_sum,
+         count(*) AS n_present
+  FROM regs
+), est AS (
+  SELECT CASE
+           WHEN ({_HLL_ALPHA} * {m} * {m})
+                / (present_sum + ({m} - n_present)) <= 2.5 * {m}
+                AND ({m} - n_present) > 0
+           THEN {m} * ln({m} / CAST({m} - n_present AS DOUBLE))
+           ELSE ({_HLL_ALPHA} * {m} * {m})
+                / (present_sum + ({m} - n_present))
+         END AS e
+  FROM folded
+)
+SELECT CAST((SELECT count(DISTINCT token) FROM toks) AS BIGINT) AS n_exact,
+       round(e, 6) AS hll_estimate,
+       round(abs(e - (SELECT count(DISTINCT token) FROM toks))
+             / (SELECT count(DISTINCT token) FROM toks), 6) AS rel_error
+FROM est
+"""
+
+
+# --------------------------------------------------------------------------
 # Mixture sampling plan (`mixture_plan`): the bridge from domain-mix
 # ACCOUNTING (q_domain_mix's equalizing weights) to an EXECUTABLE sampling
 # plan — per source, the md5-bucket permyriad rate that hits a uniform
@@ -3155,4 +3267,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "dup_spans": (q_dup_spans, _sql_dup_spans()),
     "contamination": (q_contamination, _sql_contamination()),
     "mixture_plan": (q_mixture_plan, _sql_mixture_plan()),
+    "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
 }

@@ -1454,6 +1454,44 @@ def test_bpe_train_matches_pure_python(spark):
     assert any(a == b for a, b, _ in got)
 
 
+def test_approx_distinct_hll_accuracy(spark):
+    """The from-scratch HLL must actually estimate: on the corpus (31
+    distinct tokens — the linear-counting branch) AND on a synthetic
+    50k-cardinality set (the raw-estimator branch, where m=64 gives
+    ~1.04/sqrt(64) = 13% standard error). Checks both branches fire and
+    the estimate lands within 3 standard errors."""
+    from pyspark.sql import functions as F
+
+    from htep_spark.driver_queries import q_approx_distinct
+    from htep_spark.functions.hashing import md5_prefix60_spark
+
+    row = q_approx_distinct(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_exact"] > 0
+    assert row["rel_error"] < 0.2  # linear-counting regime is tight
+
+    # raw-estimator regime: 50k distinct synthetic tokens through the
+    # same register construction (inline, no parquet needed)
+    n = 50_000
+    toks = spark.range(n).select(
+        F.concat(F.lit("syn-"), F.col("id")).alias("token")
+    )
+    h = md5_prefix60_spark(F.col("token"))
+    rest = F.shiftrightunsigned(h, 6)
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rho = F.when(rest == 0, F.lit(55)).otherwise(55 - bitlen)
+    regs = (
+        toks.select(F.pmod(h, F.lit(64)).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    rows = regs.collect()
+    present = {r["bucket"]: r["reg"] for r in rows}
+    s = sum(2.0 ** -present.get(b, 0) for b in range(64))
+    est = 0.709 * 64 * 64 / s
+    assert est > 2.5 * 64  # raw branch (no small-range correction)
+    assert abs(est - n) / n < 3 * 1.04 / (64 ** 0.5), est
+
+
 def test_mixture_plan_sane(spark):
     """The executable sampling plan must be a valid plan: rates within
     [0, 10000] permyriad, expected_tokens = floor(n_tokens*rate/10000)
