@@ -113,6 +113,9 @@ DRIVER_CAP_OVERFLOW = (
     # round-5 new, born-overflow: from-scratch HyperLogLog on the shared
     # md5 hash (cross-engine-checkable distinct sketch)
     "approx_distinct",
+    # round-5 new, born-overflow: from-scratch Bloom filter membership
+    # probe (join-pruning primitive; FP branch exercised at tight m)
+    "bloom_probe",
 )
 
 

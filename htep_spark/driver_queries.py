@@ -2742,6 +2742,125 @@ FROM est
 
 
 # --------------------------------------------------------------------------
+# From-scratch Bloom filter (`bloom_probe`): the membership/join-pruning
+# primitive (semi-join filters, dynamic partition pruning) built on the
+# shared md5 hash so both engines construct the IDENTICAL filter: k
+# positions per element = md5(token|j) % m, the filter is just the
+# DISTINCT set of positions (relational — no bitmap type needed), and a
+# probe claims presence iff all k of its positions exist. m is sized
+# SMALL (256) against the corpus vocabulary so false positives actually
+# occur on the fixed probe list — the probe surface hash-checks both the
+# no-false-negative guarantee and the concrete FP behavior, not just the
+# happy path. Scale shape: build = one distinct-agg over positions (the
+# real thing would OR a bitmap per partition — same shuffle volume);
+# probe = k-position explode + broadcast semi-join + all-k count.
+# --------------------------------------------------------------------------
+
+BLOOM_M = 128  # bits — deliberately tight: 9 of the 48 absent probes
+# false-positive at this size on the fixed corpus vocabulary (verified at
+# all three SFs), so the FP branch is provably exercised, not just possible
+BLOOM_K = 3  # hash functions
+
+# probes that are NOT corpus tokens (some will false-positive at this m/k)
+BLOOM_ABSENT_PROBES = [f"absent{i:02d}" for i in range(48)]
+
+
+def _bloom_pos_spark(token_col, j: int):
+    from .functions.hashing import md5_prefix60_spark
+
+    return F.pmod(
+        md5_prefix60_spark(F.concat_ws("|", token_col, F.lit(str(j)))),
+        F.lit(BLOOM_M),
+    )
+
+
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("token")
+    )
+    vocab = toks.distinct()
+    bits = (
+        vocab.select(
+            F.explode(
+                F.array(*[_bloom_pos_spark(F.col("token"), j) for j in range(BLOOM_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    # probe list: every corpus token (must all claim present — the
+    # no-false-negative guarantee) + the fixed absent probes
+    probes = vocab.select("token", F.lit(1).alias("in_corpus")).unionByName(
+        spark.createDataFrame(
+            [(t, 0) for t in BLOOM_ABSENT_PROBES], "token string, in_corpus int"
+        )
+    )
+    ppos = probes.select(
+        "token",
+        "in_corpus",
+        F.explode(
+            F.array(*[_bloom_pos_spark(F.col("token"), j) for j in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    hit = (
+        ppos.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("k_hits"))
+    )
+    return (
+        probes.join(hit, "token", "left")
+        .select(
+            "token",
+            F.col("in_corpus").cast("long").alias("in_corpus"),
+            (F.coalesce("k_hits", F.lit(0)) == BLOOM_K)
+            .cast("long")
+            .alias("claimed_present"),
+        )
+        .withColumn(
+            "false_positive",
+            ((F.col("claimed_present") == 1) & (F.col("in_corpus") == 0))
+            .cast("long"),
+        )
+    )
+
+
+def _sql_bloom_probe() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    def pos(expr, j):
+        return f"({md5_prefix60_sql(f'{expr} || {chr(39)}|{chr(39)} || {chr(39)}{j}{chr(39)}')}) % {BLOOM_M}"
+
+    probe_rows = ",\n    ".join(f"('{t}', 0)" for t in BLOOM_ABSENT_PROBES)
+    pos_list = ", ".join(pos("token", j) for j in range(BLOOM_K))
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+    AS token
+  FROM documents
+), bits AS (
+  SELECT DISTINCT unnest([{pos_list}]) AS pos FROM vocab
+), probes AS (
+  SELECT token, 1 AS in_corpus FROM vocab
+  UNION ALL
+  SELECT * FROM (VALUES {probe_rows}) AS a(token, in_corpus)
+), ppos AS (
+  SELECT token, in_corpus, unnest([{pos_list}]) AS pos FROM probes
+), hit AS (
+  SELECT p.token, count(*) AS k_hits
+  FROM ppos p WHERE p.pos IN (SELECT pos FROM bits)
+  GROUP BY p.token
+)
+SELECT pr.token, CAST(pr.in_corpus AS BIGINT) AS in_corpus,
+       CAST(CASE WHEN coalesce(h.k_hits, 0) = {BLOOM_K} THEN 1 ELSE 0 END
+            AS BIGINT) AS claimed_present,
+       CAST(CASE WHEN coalesce(h.k_hits, 0) = {BLOOM_K} AND pr.in_corpus = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS false_positive
+FROM probes pr LEFT JOIN hit h USING (token)
+"""
+
+
+# --------------------------------------------------------------------------
 # Mixture sampling plan (`mixture_plan`): the bridge from domain-mix
 # ACCOUNTING (q_domain_mix's equalizing weights) to an EXECUTABLE sampling
 # plan — per source, the md5-bucket permyriad rate that hits a uniform
@@ -3268,4 +3387,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "contamination": (q_contamination, _sql_contamination()),
     "mixture_plan": (q_mixture_plan, _sql_mixture_plan()),
     "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
+    "bloom_probe": (q_bloom_probe, _sql_bloom_probe()),
 }

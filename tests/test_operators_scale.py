@@ -1454,6 +1454,25 @@ def test_bpe_train_matches_pure_python(spark):
     assert any(a == b for a, b, _ in got)
 
 
+def test_bloom_probe_branches(spark):
+    """Bloom membership: zero false negatives (every corpus token claims
+    present — the structural guarantee), and at the deliberately tight
+    m=128 BOTH absent-probe branches fire on the fixed corpus: some
+    correct rejections AND some false positives (9/48, pre-verified at
+    all three SFs) — a green hash covers the interesting behavior."""
+    from htep_spark.driver_queries import q_bloom_probe
+
+    rows = q_bloom_probe(spark, "/root/testdata/sf0.001").collect()
+    present = [r for r in rows if r["in_corpus"] == 1]
+    absent = [r for r in rows if r["in_corpus"] == 0]
+    assert present and absent
+    assert all(r["claimed_present"] == 1 for r in present)  # no false negs
+    fps = sum(r["false_positive"] for r in absent)
+    rejects = sum(1 for r in absent if r["claimed_present"] == 0)
+    assert fps > 0 and rejects > 0, (fps, rejects)
+    assert fps == 9  # deterministic at m=128 on the fixed corpus
+
+
 def test_approx_distinct_hll_accuracy(spark):
     """The from-scratch HLL must actually estimate: on the corpus (31
     distinct tokens — the linear-counting branch) AND on a synthetic
