@@ -116,6 +116,9 @@ DRIVER_CAP_OVERFLOW = (
     # round-5 new, born-overflow: from-scratch Bloom filter membership
     # probe (join-pruning primitive; FP branch exercised at tight m)
     "bloom_probe",
+    # round-5 new, born-overflow: from-scratch Count-Min point-frequency
+    # sketch (overcount branch exercised at tight width)
+    "count_min",
 )
 
 

@@ -2742,6 +2742,102 @@ FROM est
 
 
 # --------------------------------------------------------------------------
+# From-scratch Count-Min sketch (`count_min`): point-frequency estimation
+# under sublinear memory (Cormode & Muthukrishnan 2005) — the counter
+# sketch behind streaming frequency caps and join-skew detection. Built on
+# the shared md5 hash (row j's counter for a token = md5(token|cmj) % w)
+# so both engines materialize the IDENTICAL d×w counter table via one
+# hash aggregation; the estimate for a probe token is the MIN over its d
+# counters. w is sized tight against the corpus token stream so real
+# over-counting occurs: the probe surface reports est vs true count per
+# corpus token, hash-checking the guarantee true <= est everywhere AND the
+# concrete collision behavior. Scale: counters are a (row, col) groupBy —
+# map-side combinable, state d×w regardless of stream length.
+# --------------------------------------------------------------------------
+
+CM_D = 3  # depth (hash rows)
+CM_W = 32  # width — tight: collisions guaranteed on the 31-token vocab
+
+
+def _cm_pos_sql(expr: str, j: int) -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    salted = expr + " || '|cm" + str(j) + "'"
+    return f"({md5_prefix60_sql(salted)}) % {CM_W}"
+
+
+def q_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_prefix60_spark
+
+    def pos(token_col, j):
+        return F.pmod(
+            md5_prefix60_spark(F.concat(token_col, F.lit(f"|cm{j}"))),
+            F.lit(CM_W),
+        )
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("token")
+    )
+    cells = toks.select(
+        F.posexplode(
+            F.array(*[pos(F.col("token"), j) for j in range(CM_D)])
+        ).alias("row", "col")
+    )
+    counters = cells.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+    truth = toks.groupBy("token").agg(F.count("*").alias("true_count"))
+    probe_cells = truth.select(
+        "token",
+        "true_count",
+        F.posexplode(
+            F.array(*[pos(F.col("token"), j) for j in range(CM_D)])
+        ).alias("row", "col"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    return est.select(
+        "token",
+        F.col("true_count").cast("long").alias("true_count"),
+        F.col("est_count").cast("long").alias("est_count"),
+        (F.col("est_count") - F.col("true_count")).cast("long").alias("overcount"),
+    )
+
+
+def _sql_count_min() -> str:
+    pos_list = ", ".join(_cm_pos_sql("token", j) for j in range(CM_D))
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS token
+  FROM documents
+), cells AS (
+  SELECT i - 1 AS row, p[i] AS col
+  FROM (SELECT [{pos_list}] AS p, unnest(range(1, {CM_D} + 1)) AS i FROM toks)
+), counters AS (
+  SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col
+), truth AS (
+  SELECT token, count(*) AS true_count FROM toks GROUP BY token
+), probe_cells AS (
+  SELECT token, true_count, i - 1 AS row, p[i] AS col
+  FROM (SELECT token, true_count, [{pos_list}] AS p,
+               unnest(range(1, {CM_D} + 1)) AS i
+        FROM truth)
+), est AS (
+  SELECT p.token, p.true_count, min(c.cnt) AS est_count
+  FROM probe_cells p JOIN counters c USING (row, col)
+  GROUP BY p.token, p.true_count
+)
+SELECT token, CAST(true_count AS BIGINT) AS true_count,
+       CAST(est_count AS BIGINT) AS est_count,
+       CAST(est_count - true_count AS BIGINT) AS overcount
+FROM est
+"""
+
+
+# --------------------------------------------------------------------------
 # From-scratch Bloom filter (`bloom_probe`): the membership/join-pruning
 # primitive (semi-join filters, dynamic partition pruning) built on the
 # shared md5 hash so both engines construct the IDENTICAL filter: k
@@ -3388,4 +3484,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "mixture_plan": (q_mixture_plan, _sql_mixture_plan()),
     "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
     "bloom_probe": (q_bloom_probe, _sql_bloom_probe()),
+    "count_min": (q_count_min, _sql_count_min()),
 }

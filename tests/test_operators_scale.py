@@ -1473,6 +1473,22 @@ def test_bloom_probe_branches(spark):
     assert fps == 9  # deterministic at m=128 on the fixed corpus
 
 
+def test_count_min_bounds(spark):
+    """Count-Min guarantee on the fixed corpus: est >= true for EVERY
+    token (min over d counters can never undercount), and at the
+    deliberately tight width both branches fire — some tokens exact, some
+    overcounted by collisions — so the hash covers the sketch's actual
+    error behavior."""
+    from htep_spark.driver_queries import q_count_min
+
+    rows = q_count_min(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r["est_count"] >= r["true_count"] for r in rows)
+    assert all(r["overcount"] == r["est_count"] - r["true_count"] for r in rows)
+    assert any(r["overcount"] > 0 for r in rows), "no collisions — vacuous"
+    assert any(r["overcount"] == 0 for r in rows), "no exact cells"
+
+
 def test_approx_distinct_hll_accuracy(spark):
     """The from-scratch HLL must actually estimate: on the corpus (31
     distinct tokens — the linear-counting branch) AND on a synthetic
