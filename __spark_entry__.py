@@ -119,6 +119,9 @@ DRIVER_CAP_OVERFLOW = (
     # round-5 new, born-overflow: from-scratch Count-Min point-frequency
     # sketch (overcount branch exercised at tight width)
     "count_min",
+    # round-5 new, born-overflow: composed quality→repetition→dedup→sample
+    # keep-gate cascade (per-source survivor funnel + token yield)
+    "curation_funnel",
 )
 
 

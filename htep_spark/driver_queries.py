@@ -2742,6 +2742,94 @@ FROM est
 
 
 # --------------------------------------------------------------------------
+# Curation funnel (`curation_funnel`): the composed end-to-end keep-gate
+# cascade a real training-data run executes (the Dolma / RefinedWeb /
+# FineWeb recipe shape) — Gopher length/ratio rules → Gopher repetition
+# rules → cross-doc exact-substring dedup gate → deterministic md5
+# sampling — reported as per-source survivor counts at every stage plus
+# the final token yield. Both engines COMPOSE the already-hash-checked
+# building blocks (quality_filter, repetition_stats, dup_spans,
+# sample_hash) rather than restating them, so the funnel hash also proves
+# the gates agree doc-by-doc when chained, and the query doubles as the
+# "switch your pipeline to this engine" integration demo. Sequential
+# semantics: a doc must survive every earlier gate to count at a later
+# stage.
+# --------------------------------------------------------------------------
+
+
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ntok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "source", ntok.alias("ntok"))
+    kq = q_quality_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("kq"))
+    kr = q_repetition_stats(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kr")
+    )
+    kd = q_dup_spans(spark, sf_dir).select("doc_id", F.col("keep").alias("kd"))
+    ks = q_sample_hash(spark, sf_dir).select("doc_id", F.lit(1).alias("ks"))
+    j = (
+        docs.join(kq, "doc_id")
+        .join(kr, "doc_id")
+        .join(kd, "doc_id")
+        .join(ks, "doc_id", "left")
+        .select(
+            "source",
+            "ntok",
+            "kq",
+            (F.col("kq") * F.col("kr")).alias("s2"),
+            (F.col("kq") * F.col("kr") * F.col("kd")).alias("s3"),
+            (
+                F.col("kq")
+                * F.col("kr")
+                * F.col("kd")
+                * F.coalesce("ks", F.lit(0))
+            ).alias("s4"),
+        )
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("kq").cast("long").alias("pass_quality"),
+        F.sum("s2").cast("long").alias("pass_repetition"),
+        F.sum("s3").cast("long").alias("pass_dedup"),
+        F.sum("s4").cast("long").alias("sampled"),
+        F.sum(F.col("ntok") * F.col("s4")).cast("long").alias("kept_tokens"),
+    )
+
+
+def _sql_curation_funnel() -> str:
+    return f"""
+WITH qf AS ({SQL_QUALITY_FILTER}),
+rep AS ({SQL_REPETITION_STATS}),
+ds AS ({_sql_dup_spans()}),
+sh AS ({SQL_SAMPLE_HASH}),
+base AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS ntok
+  FROM documents
+), j AS (
+  SELECT b.source, b.ntok, qf.keep AS kq,
+         qf.keep * rep.keep AS s2,
+         qf.keep * rep.keep * ds.keep AS s3,
+         qf.keep * rep.keep * ds.keep *
+           (CASE WHEN sh.doc_id IS NULL THEN 0 ELSE 1 END) AS s4
+  FROM base b
+  JOIN qf USING (doc_id)
+  JOIN rep USING (doc_id)
+  JOIN ds USING (doc_id)
+  LEFT JOIN sh USING (doc_id)
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kq) AS BIGINT) AS pass_quality,
+       CAST(sum(s2) AS BIGINT) AS pass_repetition,
+       CAST(sum(s3) AS BIGINT) AS pass_dedup,
+       CAST(sum(s4) AS BIGINT) AS sampled,
+       CAST(sum(ntok * s4) AS BIGINT) AS kept_tokens
+FROM j GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
 # From-scratch Count-Min sketch (`count_min`): point-frequency estimation
 # under sublinear memory (Cormode & Muthukrishnan 2005) — the counter
 # sketch behind streaming frequency caps and join-skew detection. Built on
@@ -3485,4 +3573,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "approx_distinct": (q_approx_distinct, _sql_approx_distinct()),
     "bloom_probe": (q_bloom_probe, _sql_bloom_probe()),
     "count_min": (q_count_min, _sql_count_min()),
+    "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
 }

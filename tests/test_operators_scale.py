@@ -1473,6 +1473,35 @@ def test_bloom_probe_branches(spark):
     assert fps == 9  # deterministic at m=128 on the fixed corpus
 
 
+def test_curation_funnel_monotone(spark):
+    """The composed keep-gate cascade must be a real funnel on the fixed
+    corpus: stage counts monotonically non-increasing per source, at least
+    two stages strictly discriminate globally, and kept_tokens only counts
+    full survivors (0 whenever sampled is 0)."""
+    from htep_spark.driver_queries import q_curation_funnel
+
+    rows = q_curation_funnel(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_docs"]
+            >= r["pass_quality"]
+            >= r["pass_repetition"]
+            >= r["pass_dedup"]
+            >= r["sampled"]
+            >= 0
+        ), r
+        if r["sampled"] == 0:
+            assert r["kept_tokens"] == 0, r
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in ("n_docs", "pass_quality", "pass_dedup", "sampled")
+    }
+    assert tot["pass_quality"] < tot["n_docs"]
+    assert tot["pass_dedup"] < tot["pass_quality"]
+    assert tot["sampled"] < tot["pass_dedup"]
+
+
 def test_count_min_bounds(spark):
     """Count-Min guarantee on the fixed corpus: est >= true for EVERY
     token (min over d counters can never undercount), and at the
