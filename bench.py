@@ -172,6 +172,15 @@ def main() -> None:
         "embed_keepers",
         "lm_tercile",
         "lm_heldout",
+        "bpe_encode",
+        "fuzzy_ratio",
+        "dup_spans",
+        "contamination",
+        "mixture_plan",
+        "approx_distinct",
+        "bloom_probe",
+        "count_min",
+        "curation_funnel",
     ):
         if name not in QUERIES:
             continue
