@@ -136,6 +136,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def token_barrier(df: DataFrame, toks_expr, keep_cols=(), alias: str = "t"):
+    """Materialize a token-array expression behind a cheap round-robin
+    exchange and return the projected frame — THE load-bearing idiom for
+    every windowed/shingled construction in this module.
+
+    Why it exists (single source for the trap, review r05): Spark performs
+    no loop-invariant hoisting inside higher-order-function lambdas, and
+    CollapseProject inlines a tokenizing regexp projection into any lambda
+    that references it — so a shingle/window lambda over the raw
+    expression re-tokenizes the document once PER WINDOW (measured 6x the
+    whole operator cost at sf0.1, round-5 profiling). After the exchange
+    the lambda reads a plain attribute. If a Spark upgrade ever hoists
+    lambda-invariant subexpressions, delete THIS helper and every call
+    site reverts together."""
+    spark = df.sparkSession
+    return df.select(*keep_cols, toks_expr.alias(alias)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _pii_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents + materialized PII-prelude text (``ctext``) for the de-id
     queries; same exchange-as-projection-barrier rationale as
@@ -1402,13 +1422,8 @@ SHINGLE_DOC_FREQ_CAP = 100
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
-    # barrier: materialize the token arrays so the shingle lambda reads a
-    # column, not the regexp (no loop-invariant hoisting in HOF lambdas —
-    # CollapseProject would re-tokenize per window; round-5 profiling)
-    docs = (
-        _docs(spark, sf_dir)
-        .select("doc_id", toks.alias("toks"))
-        .repartition(spark.sparkContext.defaultParallelism)
+    docs = token_barrier(
+        _docs(spark, sf_dir), toks, keep_cols=("doc_id",), alias="toks"
     )
     shingle_arr = F.when(
         F.size("toks") >= _SHINGLE_N,
@@ -2111,15 +2126,12 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        _docs(spark, sf_dir)
-        .select(
+        token_barrier(
+            _docs(spark, sf_dir),
             F.regexp_extract_all(
                 F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0
-            ).alias("t")
+            ),
         )
-        # barrier: the n-gram lambda must read a materialized token array
-        # (HOF lambdas re-evaluate a referenced regexp per window)
-        .repartition(spark.sparkContext.defaultParallelism)
         .select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count("*").cast("long").alias("n"))
@@ -2554,12 +2566,11 @@ def _window_hashes(toks_col, k: int):
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", _clinical_col().alias("ctext"))
     k = DUP_SPAN_K
-    toked = docs.select(
-        "doc_id",
-        F.regexp_extract_all(
-            F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0
-        ).alias("t"),
-    ).repartition(spark.sparkContext.defaultParallelism)
+    toked = token_barrier(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0),
+        keep_cols=("doc_id",),
+    )
     windows = toked.select(
         "doc_id", F.explode(_window_hashes(F.col("t"), k)).alias("whash")
     )
@@ -2932,7 +2943,7 @@ FROM est
 # positions per element = md5(token|j) % m, the filter is just the
 # DISTINCT set of positions (relational — no bitmap type needed), and a
 # probe claims presence iff all k of its positions exist. m is sized
-# SMALL (256) against the corpus vocabulary so false positives actually
+# SMALL (BLOOM_M = 128) against the corpus vocabulary so false positives actually
 # occur on the fixed probe list — the probe surface hash-checks both the
 # no-false-negative guarantee and the concrete FP behavior, not just the
 # happy path. Scale shape: build = one distinct-agg over positions (the
@@ -3189,14 +3200,17 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bench_id", F.explode(_window_hashes(F.col("t"), k)).alias("whash")
     ).distinct()
     corpus = (
-        _docs(spark, sf_dir)
-        .select("doc_id", _clinical_col().alias("ctext"))
-        .select("doc_id", tok(F.col("ctext")).alias("t"))
-        # barrier: the window lambda must read a materialized token array
-        # (see _window_hashes) — without it the regexp re-runs per window
-        .repartition(spark.sparkContext.defaultParallelism)
+        token_barrier(
+            _docs(spark, sf_dir).select(
+                "doc_id", _clinical_col().alias("ctext")
+            ),
+            tok(F.col("ctext")),
+            keep_cols=("doc_id",),
+        )
         .select("doc_id", F.explode(_window_hashes(F.col("t"), k)).alias("whash"))
-        .distinct()
+        # NO .distinct() here: the downstream count_distinct aggregations
+        # dedupe already, and a distinct would be exactly the full-corpus
+        # shuffle this operator's design avoids (review r05)
     )
     # broadcast the benchmark side: it is tiny by definition
     hits = corpus.join(F.broadcast(bgrams), "whash").groupBy("bench_id").agg(
@@ -3242,7 +3256,8 @@ WITH bench(bench_id, btext) AS (
           FROM bench)
   )
 ), corpus AS (
-  SELECT DISTINCT doc_id, {whash} AS whash
+  -- no DISTINCT: the count(DISTINCT ...) aggregations below dedupe
+  SELECT doc_id, {whash} AS whash
   FROM (
     SELECT doc_id, t, unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS i
     FROM (SELECT doc_id,

@@ -1002,7 +1002,10 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     5 (LZW) or 32773 (PackBits), PhotometricInterpretation 0 (inverted
     gray)/1/2."""
     bo, ifd_off = _tiff_header(payload)
-    img, _next = _decode_tiff_ifd(payload, bo, ifd_off)
+    try:
+        img, _next = _decode_tiff_ifd(payload, bo, ifd_off)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"truncated TIFF stream: {exc}") from exc
     return img
 
 
@@ -1020,7 +1023,12 @@ def decode_tiff_pages(payload: bytes) -> List[np.ndarray]:
         if not 8 <= ifd_off <= len(payload) - 2:
             raise ValueError(f"TIFF IFD offset {ifd_off} out of range")
         seen.add(ifd_off)
-        img, ifd_off = _decode_tiff_ifd(payload, bo, ifd_off)
+        try:
+            img, ifd_off = _decode_tiff_ifd(payload, bo, ifd_off)
+        except (struct.error, IndexError) as exc:
+            # truncated entries / next-pointer past EOF must surface as the
+            # documented ValueError contract, not a raw struct.error
+            raise ValueError(f"truncated TIFF IFD: {exc}") from exc
         pages.append(img)
     return pages
 

@@ -122,13 +122,18 @@ def minhash_signatures(
         raise ValueError(f"unknown base_hash {base_hash!r}")
     # tokenize ONCE per doc and pin it behind a cheap round-robin exchange
     # (CollapseProject would otherwise inline the regexp into the shingle
-    # lambda → re-tokenize per window; see _shingle_col docstring)
-    toked = df.select(
-        F.col(id_col).alias("doc_id"),
+    # lambda → re-tokenize per window; single source for the trap:
+    # driver_queries.token_barrier)
+    from ..driver_queries import token_barrier
+
+    toked = token_barrier(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col)),
         F.regexp_extract_all(
             F.lower(F.col(text_col)), F.lit(_TOKEN_PATTERN), 0
-        ).alias("_toks"),
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism)
+        ),
+        keep_cols=("doc_id",),
+        alias="_toks",
+    )
     shingled = toked.select(
         "doc_id",
         F.explode(_shingle_col(F.col("_toks"))).alias("shingle"),

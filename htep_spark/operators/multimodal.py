@@ -291,7 +291,13 @@ def resize_media(
                         # resize EVERY frame and re-encode the animation —
                         # a multi-frame payload must not silently come back
                         # single-frame (ADVICE r04); nearest-neighbor keeps
-                        # each (<=256-color) palette intact
+                        # each (<=256-color) palette intact. Multi-palette
+                        # animations whose COMPOSITED canvas states exceed
+                        # 256 colors cannot be re-encoded faithfully (GIF's
+                        # per-frame palette limit) — encode_gif_frames
+                        # raises and the item surfaces as a per-item error
+                        # row rather than a silently quantized or
+                        # frame-dropped payload (review r05)
                         frames = [
                             codecs.resize_nearest(f, width, height)
                             for f in codecs.decode_gif(payload)

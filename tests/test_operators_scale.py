@@ -1299,6 +1299,45 @@ def test_resize_media_animated_gif(spark):
     )
     after = decode_media(media_resized).collect()[0]
     assert after["n_frames"] == 4 and after["width"] == 16
+    # a multi-palette animation whose composited canvas exceeds 256 colors
+    # cannot round-trip GIF faithfully → VISIBLE per-item error, never a
+    # quantized or frame-dropped payload (review r05): build one from two
+    # 256-color frames where frame 2's transparency keeps half of frame 1
+    import struct as _st
+
+    palA = np.array(
+        [[i, 0, 0] for i in range(256)], dtype=np.uint8
+    )  # 256 reds
+    # 16x32 canvas: every red appears twice (top and bottom half)
+    f1 = palA[np.arange(512).reshape(32, 16) % 256]
+    b = bytearray(codecs.encode_gif(f1))
+    # frame 2: TOP-HALF sub-region painted with a local table of 256
+    # greens → composited state = 256 greens + 256 reds (bottom half
+    # untouched) ≈ 511 distinct colors, unencodable per-frame
+    palB = bytes(b"".join(bytes([0, g, 0]) for g in range(256)))
+    idx2 = (np.arange(256).reshape(16, 16) % 256).astype(np.uint8)
+    lzw2 = codecs._gif_lzw_encode(8, idx2.tobytes())
+    gce = bytes([0x21, 0xF9, 4, 0x04, 0, 0, 0, 0])  # disposal 1, no transp
+    frame2 = (
+        gce
+        + bytes([0x2C])
+        + _st.pack("<HHHHB", 0, 0, 16, 16, 0x87)
+        + palB
+        + bytes([8])
+    )
+    for i in range(0, len(lzw2), 255):
+        chunk = lzw2[i : i + 255]
+        frame2 += bytes([len(chunk)]) + chunk
+    frame2 += b"\x00"
+    rich = bytes(b[:-1]) + frame2 + b"\x3b"
+    states = codecs.decode_gif(rich)
+    n_colors = len(np.unique(states[1].reshape(-1, 3), axis=0))
+    assert n_colors > 256  # the fixture really is unencodable
+    rmedia = spark.createDataFrame(
+        [("m-rich", "image", bytearray(rich), "image/gif")], MEDIA_SCHEMA
+    )
+    rrow = resize_media(rmedia, 16, 32).collect()[0]
+    assert rrow["payload"] is None and "256" in rrow["error"]
 
 
 def test_fuzzy_ratio_query_nonvacuous(spark):
