@@ -122,6 +122,9 @@ DRIVER_CAP_OVERFLOW = (
     # round-5 new, born-overflow: composed quality→repetition→dedup→sample
     # keep-gate cascade (per-source survivor funnel + token yield)
     "curation_funnel",
+    # round-5 new, born-overflow: per-doc Shannon character entropy +
+    # unigram compression ratio (pinned-order fold)
+    "char_entropy",
 )
 
 

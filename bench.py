@@ -181,6 +181,7 @@ def main() -> None:
         "bloom_probe",
         "count_min",
         "curation_funnel",
+        "char_entropy",
     ):
         if name not in QUERIES:
             continue

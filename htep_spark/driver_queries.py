@@ -2753,6 +2753,103 @@ FROM est
 
 
 # --------------------------------------------------------------------------
+# Character-entropy quality signal (`char_entropy`): per-doc Shannon
+# entropy of the character distribution plus the implied unigram-coding
+# compression ratio (entropy/8 bits) — the standard cheap proxy for
+# gibberish/boilerplate detection (low entropy = repetitive filler, high
+# entropy = encrypted/binary junk; both tails get flagged). Fully
+# relational: explode characters → per-doc histogram (one hash agg) →
+# entropy fold in PINNED character order (sorted list aggregation) so the
+# float sum is bitwise identical cross-engine — the same determinism
+# discipline as lm_score. Flag thresholds sit well clear of the corpus
+# distribution's interior so both verdicts fire.
+# --------------------------------------------------------------------------
+
+# thresholds sit INSIDE the corpus distribution's tails (2-14 low and
+# 2-29 high flags at every SF) so both verdict branches provably fire
+ENTROPY_MIN_BITS = 4.0  # below: repetitive/filler tail
+ENTROPY_MAX_BITS = 4.6  # above: symbol-soup tail
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", _clinical_col().alias("ctext"))
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("ctext"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    hist = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("cnt"))
+    per = (
+        hist.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_chars"),
+            F.sort_array(F.collect_list(F.struct("ch", "cnt"))).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.size("hs").cast("long").alias("n_distinct_chars"),
+            # keep the UNROUNDED entropy: the ratio below must divide the
+            # raw double, never the 6dp-rounded one — a 6dp value / 8 sits
+            # exactly on .5 decimal boundaries where Spark (shortest-repr
+            # BigDecimal HALF_UP) and DuckDB (exact binary expansion)
+            # round differently (found by the oracle on first run)
+            (
+                -F.aggregate(
+                    F.col("hs"),
+                    F.lit(0.0),
+                    lambda acc, x: acc
+                    + (x["cnt"] / F.col("n_chars"))
+                    * F.log2(x["cnt"] / F.col("n_chars")),
+                )
+            ).alias("_e"),
+        )
+    )
+    ebits = F.round(F.col("_e"), 6)
+    flagged = F.when(ebits < ENTROPY_MIN_BITS, "low_entropy")
+    flagged = flagged.when(ebits > ENTROPY_MAX_BITS, "high_entropy")
+    return per.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        ebits.alias("entropy_bits"),
+        F.round(F.col("_e") / 8.0, 6).alias("unigram_ratio"),
+        flagged.alias("flag"),
+    )
+
+
+def _sql_char_entropy() -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_clinical_sql()} AS ctext FROM documents
+), chars AS (
+  SELECT doc_id, unnest(str_split(ctext, '')) AS ch FROM d
+), hist AS (
+  SELECT doc_id, ch, count(*) AS cnt FROM chars WHERE ch <> ''
+  GROUP BY doc_id, ch
+), tot AS (
+  SELECT doc_id, sum(cnt) AS n_chars FROM hist GROUP BY doc_id
+), per AS (
+  -- UNROUNDED entropy here; both outputs round the raw double (see the
+  -- Spark-side comment on the .5-boundary double-rounding trap)
+  SELECT h.doc_id, t.n_chars, count(*) AS n_distinct_chars,
+         -list_sum(list(
+             (h.cnt / CAST(t.n_chars AS DOUBLE))
+             * log2(h.cnt / CAST(t.n_chars AS DOUBLE))
+             ORDER BY h.ch)) AS e
+  FROM hist h JOIN tot t USING (doc_id)
+  GROUP BY h.doc_id, t.n_chars
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       round(e, 6) AS entropy_bits,
+       round(e / 8.0, 6) AS unigram_ratio,
+       CASE WHEN round(e, 6) < {ENTROPY_MIN_BITS} THEN 'low_entropy'
+            WHEN round(e, 6) > {ENTROPY_MAX_BITS} THEN 'high_entropy'
+            END AS flag
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 # Curation funnel (`curation_funnel`): the composed end-to-end keep-gate
 # cascade a real training-data run executes (the Dolma / RefinedWeb /
 # FineWeb recipe shape) — Gopher length/ratio rules → Gopher repetition
@@ -3589,4 +3686,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "bloom_probe": (q_bloom_probe, _sql_bloom_probe()),
     "count_min": (q_count_min, _sql_count_min()),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
+    "char_entropy": (q_char_entropy, _sql_char_entropy()),
 }

@@ -1512,6 +1512,25 @@ def test_bloom_probe_branches(spark):
     assert fps == 9  # deterministic at m=128 on the fixed corpus
 
 
+def test_char_entropy_flags_both_tails(spark):
+    """The entropy quality signal must discriminate on the fixed corpus:
+    both tail flags fire (thresholds sit inside the distribution), the
+    unflagged interior dominates, and entropy is within the [0, log2(
+    n_distinct_chars)] information-theoretic bound for every doc."""
+    import math
+
+    from htep_spark.driver_queries import q_char_entropy
+
+    rows = q_char_entropy(spark, "/root/testdata/sf0.001").collect()
+    flags = {r["flag"] for r in rows}
+    assert {"low_entropy", "high_entropy", None} <= flags | {None}
+    assert "low_entropy" in flags and "high_entropy" in flags
+    assert sum(1 for r in rows if r["flag"] is None) > len(rows) * 0.8
+    for r in rows:
+        assert 0.0 <= r["entropy_bits"] <= math.log2(r["n_distinct_chars"]) + 1e-6
+        assert abs(r["unigram_ratio"] - r["entropy_bits"] / 8.0) < 1e-5
+
+
 def test_curation_funnel_monotone(spark):
     """The composed keep-gate cascade must be a real funnel on the fixed
     corpus: stage counts monotonically non-increasing per source, at least
