@@ -329,3 +329,61 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         assert lhs.equals(rhs), f"tol={tol}: first diff at\n" + str(
             pd.concat([got, want["rid_r"].rename("want")], axis=1)[lhs != rhs].head()
         )
+
+
+_paletted_anim = st.integers(2, 16).flatmap(
+    lambda h: st.integers(2, 16).flatmap(
+        lambda w: st.integers(1, 3).flatmap(
+            lambda nf: st.lists(
+                st.lists(
+                    st.integers(0, 7), min_size=h * w, max_size=h * w
+                ),
+                min_size=nf,
+                max_size=nf,
+            ).map(
+                lambda idxs: [
+                    np.array(
+                        [[i * 31 % 256, i * 57 % 256, i * 13 % 256] for i in row],
+                        dtype=np.uint8,
+                    ).reshape(h, w, 3)
+                    for row in idxs
+                ]
+            )
+        )
+    )
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_paletted_anim)
+def test_gif_frames_roundtrip_fuzz(frames):
+    """encode_gif_frames→decode_gif is the identity for any ≤256-color
+    animation of shared canvas size (per-frame local color tables)."""
+    from htep_spark.functions import codecs
+
+    out = codecs.decode_gif(codecs.encode_gif_frames(frames))
+    assert len(out) == len(frames)
+    for got, want in zip(out, frames):
+        assert np.array_equal(got, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(_img_arrays, min_size=1, max_size=3),
+    st.sampled_from(["none", "packbits", "lzw"]),
+    st.sampled_from(["<", ">"]),
+    st.sampled_from([0, 3, 7]),
+)
+def test_tiff_pages_roundtrip_fuzz(pages, comp, bo, rps):
+    """encode_tiff_pages→decode_tiff_pages is the identity for any page
+    list across compressions, byte orders, and strip layouts."""
+    from htep_spark.functions import codecs
+
+    payload = codecs.encode_tiff_pages(
+        pages, compression=comp, byteorder=bo, rows_per_strip=rps
+    )
+    assert codecs.sniff_format(payload) == "tiff"
+    out = codecs.decode_tiff_pages(payload)
+    assert len(out) == len(pages)
+    for got, want in zip(out, pages):
+        assert np.array_equal(got, want)
