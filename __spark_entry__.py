@@ -125,6 +125,9 @@ DRIVER_CAP_OVERFLOW = (
     # round-5 new, born-overflow: per-doc Shannon character entropy +
     # unigram compression ratio (pinned-order fold)
     "char_entropy",
+    # round-5 new, born-overflow: exact doc-length percentiles by
+    # rank-selection over exact_global_rank
+    "token_quantiles",
 )
 
 

@@ -182,6 +182,7 @@ def main() -> None:
         "count_min",
         "curation_funnel",
         "char_entropy",
+        "token_quantiles",
     ):
         if name not in QUERIES:
             continue

@@ -2753,6 +2753,67 @@ FROM est
 
 
 # --------------------------------------------------------------------------
+# Exact corpus quantiles (`token_quantiles`): the percentile dashboard an
+# ingest pipeline reports (doc-length p25/p50/p75/p90/p99) computed
+# EXACTLY at scale — rank-based selection over the range-partitioned
+# `exact_global_rank` (no single-partition sort, no approx_percentile
+# cross-engine mismatch): the q-quantile is the value at rank
+# ceil(q * N), deterministic for any cluster size. One more consumer of
+# the global-rank operator beyond the CCNet terciles.
+# --------------------------------------------------------------------------
+
+TOKEN_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def q_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    counts = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("n_tokens"),
+    )
+    ranked = exact_global_rank(counts, "n_tokens", tie_cols=("doc_id",))
+    qdf = F.broadcast(
+        spark.createDataFrame([(q,) for q in TOKEN_QUANTILES], "quantile double")
+    )
+    return (
+        ranked.crossJoin(qdf)
+        .filter(
+            F.col("global_rank")
+            == F.ceil(F.col("quantile") * F.col("global_count"))
+        )
+        .select(
+            "quantile",
+            F.col("n_tokens").cast("long").alias("value"),
+            F.col("global_rank").cast("long").alias("rank"),
+            F.col("global_count").cast("long").alias("n"),
+        )
+    )
+
+
+def _sql_token_quantiles() -> str:
+    qs = ", ".join(f"({q})" for q in TOKEN_QUANTILES)
+    return f"""
+WITH counts AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) AS global_rank,
+         count(*) OVER () AS n
+  FROM counts
+)
+SELECT q.quantile, CAST(r.n_tokens AS BIGINT) AS value,
+       CAST(r.global_rank AS BIGINT) AS rank, CAST(r.n AS BIGINT) AS n
+FROM ranked r JOIN (VALUES {qs}) AS q(quantile)
+  ON r.global_rank = CAST(ceil(q.quantile * r.n) AS BIGINT)
+"""
+
+
+# --------------------------------------------------------------------------
 # Character-entropy quality signal (`char_entropy`): per-doc Shannon
 # entropy of the character distribution plus the implied unigram-coding
 # compression ratio (entropy/8 bits) — the standard cheap proxy for
@@ -3687,4 +3748,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "count_min": (q_count_min, _sql_count_min()),
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "char_entropy": (q_char_entropy, _sql_char_entropy()),
+    "token_quantiles": (q_token_quantiles, _sql_token_quantiles()),
 }

@@ -202,6 +202,16 @@ def test_exact_global_rank_has_no_single_partition_window(spark):
     )
     assert "Exchange SinglePartition" not in hplan, hplan
     assert "Scan ExistingRDD" in hplan, hplan
+    # rank-selected quantiles: same construction, same gate
+    from htep_spark.driver_queries import q_token_quantiles
+
+    qplan = (
+        q_token_quantiles(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in qplan, qplan
 
 
 def test_dup_spans_plan_shape(spark):
