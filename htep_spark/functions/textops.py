@@ -219,11 +219,23 @@ class MultiWordMatcher:
         # per word-count group: entries + stacked char-count matrix for a
         # vectorized multiset upper bound (valid since LCS <= multiset
         # intersection size)
-        self.by_n: Dict[int, Tuple[list, "np.ndarray", "np.ndarray", int, int]] = {}
+        self.by_n: Dict[int, tuple] = {}
         for n, entries in groups.items():
             mat = np.stack([self._charvec(e) for e in entries])
             lens = np.array([len(e) for e in entries], dtype=np.int64)
-            self.by_n[n] = (entries, mat, lens, int(lens.min()), int(lens.max()))
+            # restrict the multiset bound to the byte columns the DICT side
+            # can populate: for any other byte, min(entry_count=0, x) = 0,
+            # so dropping those columns changes nothing — and shrinks the
+            # (M, E, 256) broadcast ~8x (only ~30 columns are alive)
+            active = np.nonzero(mat.sum(axis=0))[0]
+            self.by_n[n] = (
+                entries,
+                np.ascontiguousarray(mat[:, active]),
+                lens,
+                int(lens.min()),
+                int(lens.max()),
+                active,
+            )
         self._memo: Dict[str, Tuple[str, ...]] = {}
 
     @staticmethod
@@ -273,19 +285,23 @@ class MultiWordMatcher:
         entry — n-grams failing even that skip the charvec work entirely."""
         import numpy as np
 
-        entries, mat, lens, lmin, lmax = group
+        entries, mat, lens, lmin, lmax, active = group
         out: Dict[str, Tuple[str, ...]] = {}
-        survivors = []
-        for g in ngrams:
-            lg = len(g)
-            best = lg if lmin <= lg <= lmax else (lmin if lg < lmin else lmax)
-            if 200.0 * min(best, lg) / (best + lg) < self.threshold:
+        # vectorized length prefilter: the bound 200*min(L,lg)/(L+lg) is
+        # maximized at L = clamp(lg, lmin, lmax) (see docstring)
+        all_lgs = np.fromiter((len(g) for g in ngrams), np.int64, len(ngrams))
+        best = np.clip(all_lgs, lmin, lmax)
+        ok = (
+            200.0 * np.minimum(best, all_lgs) / (best + all_lgs)
+            >= self.threshold
+        )
+        survivors = [g for g, o in zip(ngrams, ok) if o]
+        for g, o in zip(ngrams, ok):
+            if not o:
                 out[g] = ()
-            else:
-                survivors.append(g)
         if survivors:
-            vecs = self._charvec_batch(survivors)
-            lgs = np.array([len(g) for g in survivors], dtype=np.int64)
+            vecs = self._charvec_batch(survivors)[:, active]
+            lgs = all_lgs[ok]
             # (M, E) multiset-intersection sizes in one broadcast
             common = np.minimum(mat[None, :, :], vecs[:, None, :]).sum(axis=2)
             bound = (
