@@ -23,6 +23,7 @@ __all__ = [
     "stream_dedup_turns",
     "stream_interval_join",
     "stream_heavy_hitters",
+    "stream_sessionized_counts",
 ]
 
 
@@ -189,6 +190,32 @@ def stream_conversation_state(
                 if idle_timeout_ms > 0
                 else GroupStateTimeout.NoTimeout
             ),
+        )
+    )
+
+
+def stream_sessionized_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization via Spark's native ``session_window``:
+    per-user dynamic-gap session aggregation — the streaming counterpart
+    of the batch ``q_sessionize`` lag-gap rule. A session closes once no
+    event arrives within ``gap`` of the previous one; the watermark lets
+    the state store finalize and evict closed sessions (state is O(open
+    sessions), bounded by the watermark horizon — the property that makes
+    this viable on an unbounded event stream). Emits one row per closed
+    session in append mode: user, session span, event count."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("win"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
         )
     )
 

@@ -834,6 +834,71 @@ def test_stateful_conversation_stream(spark, tmp_path):
         assert rows[conv_id]["contiguous"] is True
 
 
+def test_stream_sessionized_counts(spark, tmp_path):
+    """Native session_window streaming sessionization must reproduce a
+    pandas gap-rule replay exactly: same per-user session event counts and
+    session spans (start = first event; end = last event + gap), including
+    the boundary case — an event at exactly prev + gap MERGES into the
+    session (session_window's interval is closed on the right; only
+    ts > prev + gap opens a new session), pinned by the exact-gap steps
+    in the fixture."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from htep_spark.streaming.stream import stream_sessionized_counts
+
+    base = dt.datetime(2024, 3, 1)
+    gap = dt.timedelta(minutes=30)
+    rows = []
+    for uid in range(4):
+        t = base + dt.timedelta(minutes=uid)
+        for j in range(20):
+            # deterministic mixture of intra-session steps, an exact-gap
+            # boundary step, and clear session breaks
+            step = [5, 29, 30, 61][(uid + j) % 4]
+            t = t + dt.timedelta(minutes=step)
+            rows.append((uid, t))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    src = str(tmp_path / "sess_src")
+    spark.createDataFrame(pdf, "user_id long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = stream_sessionized_counts(stream, gap="30 minutes", watermark="0 seconds")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    # pandas replay: new session only when ts > prev + gap (closed edge)
+    want = {}
+    for uid, grp in pdf.groupby("user_id"):
+        ts = sorted(grp["ts"])
+        start, prev, n = ts[0], ts[0], 1
+        for t in ts[1:]:
+            if t > prev + gap:
+                want[(uid, start, prev + gap)] = n
+                start, n = t, 0
+            n += 1
+            prev = t
+        want[(uid, start, prev + gap)] = n
+    # append mode emits only watermark-finalized sessions; with the corpus
+    # fully replayed and watermark 0, every session but possibly each
+    # user's LAST may be emitted — require all finalized ones to match
+    assert got, "no sessions emitted"
+    for k, n in got.items():
+        assert want.get(k) == n, (k, n, want.get(k))
+    # the big majority of sessions finalize (each user has ~5 breaks)
+    assert len(got) >= len(want) - 4
+
+
 def test_stream_heavy_hitters(spark, tmp_path):
     """Distributed SpaceSaving over a skewed token stream: in the
     exact regime (capacity >= per-shard vocabulary) the summaries equal
