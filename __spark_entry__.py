@@ -128,6 +128,10 @@ DRIVER_CAP_OVERFLOW = (
     # round-5 new, born-overflow: exact doc-length percentiles by
     # rank-selection over exact_global_rank
     "token_quantiles",
+    # round-5 new, born-overflow: the difflib Ratcliff/Obershelp scorer
+    # (T4 close-match layer) vs a work-list recursive-CTE — the last
+    # non-trivially-SQL scorer, now hash-checked
+    "difflib_match",
 )
 
 

@@ -2753,6 +2753,176 @@ FROM est
 
 
 # --------------------------------------------------------------------------
+# difflib scorer oracle (`difflib_match`): hash-checks the LAST remaining
+# non-trivially-SQL scorer — difflib's Ratcliff/Obershelp ratio, the T4
+# TokenCorrector's close-match layer (functions/textops.py:93,
+# CloseMatchIndex; ref src/nlp/block_parser.py:281-322) — against a DuckDB
+# work-list recursive CTE. Per (term, token) pair the recursion repeatedly
+# finds the LEFTMOST-LONGEST common substring (difflib find_longest_match
+# tie-break: max k, then min i, then min j — computed as the lexicographic
+# min of [-k, i, j] over all (i, j) start pairs, where the common-prefix
+# length at (i, j) is max(L · [substr equal at length L]) — exact because
+# prefixes are nested) and recurses on the left/right flanks; matched
+# chars M = sum of block sizes, ratio = 2·M/(la+lb) — bitwise-identical
+# integer arithmetic. Candidates are pruned by difflib's own provable
+# length bound 2·min(la,lb)/(la+lb) >= cutoff; the lookup tie-break
+# (highest ratio, then lexicographically LARGEST word — difflib
+# nlargest over (ratio, word)) is row_number() ORDER BY ratio DESC, term
+# DESC. Direction matters in principle (set_seq1(cand)/set_seq2(word)),
+# so the SQL fixes a=term, b=token exactly like the kernel. With this,
+# the genuinely non-SQL residue is the HTML parser and strategy
+# keep-best only. DRIVER_CAP_OVERFLOW; replayed by check_oracles.
+# --------------------------------------------------------------------------
+
+DIFFLIB_CUTOFF = 0.84  # TokenCorrector's medical similarity_cutoff
+
+
+def q_difflib_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dictionaries import DRUGS_SINGLE
+
+    subs, dels = _fuzzy_prelude_terms()
+    idx = (F.col("doc_id") % 16 + 1).cast("int")
+
+    def lit_at(terms):
+        return F.element_at(F.array(*[F.lit(t) for t in terms]), idx)
+
+    toks = F.concat(
+        F.array(lit_at(subs), lit_at(dels)),
+        F.slice(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]{3,}"), 0),
+            1,
+            1,
+        ),
+    )
+    words = _docs(spark, sf_dir).select(
+        "doc_id", F.posexplode(toks).alias("word_idx", "token")
+    )
+    vocab = sorted({t.lower() for t in DRUGS_SINGLE})
+    cutoff = DIFFLIB_CUTOFF
+
+    @F.pandas_udf("match_term string, ratio double")
+    def score(tokens: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        import difflib
+
+        from htep_spark.functions.fuzzy import CloseMatchIndex
+
+        index = CloseMatchIndex(vocab)
+        memo: dict = {}
+        for series in tokens:
+            rows = []
+            for tok in series:
+                if tok not in memo:
+                    hit = index.lookup(tok, cutoff)
+                    if hit is None:
+                        memo[tok] = {"match_term": None, "ratio": None}
+                    else:
+                        sm = difflib.SequenceMatcher(None, hit, tok)
+                        memo[tok] = {
+                            "match_term": hit,
+                            "ratio": sm.ratio(),
+                        }
+                rows.append(memo[tok])
+            yield pd.DataFrame(rows, columns=["match_term", "ratio"])
+
+    return words.select(
+        "doc_id",
+        F.col("word_idx").cast("long").alias("word_idx"),
+        "token",
+        score(F.col("token")).alias("r"),
+    ).select(
+        "doc_id",
+        "word_idx",
+        "token",
+        F.col("r.match_term").alias("match_term"),
+        F.round("r.ratio", 6).alias("ratio"),
+    )
+
+
+def _sql_difflib_match() -> str:
+    from .dictionaries import DRUGS_SINGLE
+
+    subs, dels = _fuzzy_prelude_terms()
+    vocab = sorted({t.lower() for t in DRUGS_SINGLE})
+
+    def sql_list(terms):
+        return "[" + ", ".join(f"'{t}'" for t in terms) + "]"
+
+    dict_rows = ",\n    ".join(f"('{t}')" for t in vocab)
+    cutoff = DIFFLIB_CUTOFF
+    # leftmost-longest common substring of (a, b) as lexicographic min of
+    # [-k, i, j]; prefix length via max(L * eq(L)) (nested prefixes)
+    best = """
+      list_sort(flatten(list_transform(range(1, length(a) + 1), i ->
+        list_transform(range(1, length(b) + 1), j ->
+          [- list_max(list_transform(
+                 range(0, least(length(a) - i + 1, length(b) - j + 1) + 1),
+                 L -> CASE WHEN substr(a, i, L) = substr(b, j, L)
+                           THEN L ELSE 0 END)),
+           i, j]))))[1]
+    """
+    return f"""
+WITH RECURSIVE dict(term) AS (
+  VALUES {dict_rows}
+), toks AS (
+  SELECT doc_id,
+         list_concat(
+           [{sql_list(subs)}[(doc_id % 16) + 1],
+            {sql_list(dels)}[(doc_id % 16) + 1]],
+           regexp_extract_all(lower(text), '[a-z]{{3,}}')[1:1]
+         ) AS ws
+  FROM documents
+), words AS (
+  SELECT doc_id, i - 1 AS word_idx, ws[i] AS token
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i FROM toks)
+), utoks AS (
+  SELECT DISTINCT token FROM words
+), cand AS (
+  -- difflib's own provable bound: ratio <= 2*min(la,lb)/(la+lb)
+  SELECT u.token, d.term
+  FROM utoks u JOIN dict d
+    ON 2.0 * least(length(u.token), length(d.term))
+       / (length(u.token) + length(d.term)) >= {cutoff}
+), seg AS (
+  -- work-list recursion: a = candidate term, b = token (the kernel's
+  -- set_seq1/set_seq2 direction); each pending (k = 0) segment either
+  -- dies (no common substring) or emits one done row carrying the block
+  -- size (part 1) plus left/right flank segments (parts 2/3)
+  SELECT token, term, term AS a, token AS b, 0 AS k FROM cand
+  UNION ALL
+  SELECT token, term,
+         CASE part WHEN 1 THEN '' WHEN 2 THEN substr(a, 1, bi - 1)
+                   ELSE substr(a, bi + bk) END AS a,
+         CASE part WHEN 1 THEN '' WHEN 2 THEN substr(b, 1, bj - 1)
+                   ELSE substr(b, bj + bk) END AS b,
+         CASE part WHEN 1 THEN bk ELSE 0 END AS k
+  FROM (
+    SELECT token, term, a, b, -(bt[1]) AS bk, bt[2] AS bi, bt[3] AS bj
+    FROM (SELECT token, term, a, b, {best} AS bt FROM seg
+          WHERE length(a) > 0 AND length(b) > 0 AND k = 0)
+  ) s CROSS JOIN unnest([1, 2, 3]) AS u(part)
+  WHERE bk > 0
+    AND (part = 1
+         OR (part = 2 AND bi > 1 AND bj > 1)
+         OR (part = 3 AND bi + bk <= length(a) AND bj + bk <= length(b)))
+), scores AS (
+  SELECT token, term,
+         2.0 * sum(k) / (length(token) + length(term)) AS ratio
+  FROM seg GROUP BY token, term
+), best_match AS (
+  SELECT token, term, ratio FROM (
+    SELECT token, term, ratio,
+           row_number() OVER (
+             PARTITION BY token ORDER BY ratio DESC, term DESC) AS rn
+    FROM scores WHERE ratio >= {cutoff}
+  ) WHERE rn = 1
+)
+SELECT w.doc_id, CAST(w.word_idx AS BIGINT) AS word_idx, w.token,
+       b.term AS match_term, round(b.ratio, 6) AS ratio
+FROM words w LEFT JOIN best_match b ON b.token = w.token
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact corpus quantiles (`token_quantiles`): the percentile dashboard an
 # ingest pipeline reports (doc-length p25/p50/p75/p90/p99) computed
 # EXACTLY at scale — rank-based selection over the range-partitioned
@@ -3749,4 +3919,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "curation_funnel": (q_curation_funnel, _sql_curation_funnel()),
     "char_entropy": (q_char_entropy, _sql_char_entropy()),
     "token_quantiles": (q_token_quantiles, _sql_token_quantiles()),
+    "difflib_match": (q_difflib_match, _sql_difflib_match()),
 }

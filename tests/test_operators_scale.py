@@ -1405,6 +1405,26 @@ def test_resize_media_animated_gif(spark):
     assert rrow["payload"] is None and "256" in rrow["error"]
 
 
+def test_difflib_match_query_nonvacuous(spark):
+    """The difflib_match oracle query must exercise every branch of the
+    T4 close-match layer on the fixed corpus: the corrupted-term prelude
+    rows are guaranteed matches by construction (1-char substitution of a
+    len>=7 term → ratio >= 6/7 = 0.857; deletion → >= 12/13 = 0.923, both
+    above the 0.84 cutoff), genuinely fuzzy (<1.0) ratios appear, and the
+    below-cutoff None branch fires on corpus tokens."""
+    from htep_spark.driver_queries import q_difflib_match
+
+    rows = q_difflib_match(spark, "/root/testdata/sf0.001").collect()
+    matched = [r for r in rows if r["match_term"] is not None]
+    assert matched, "no close matches at all"
+    assert any(r["ratio"] < 1.0 for r in matched), "no fuzzy (<1.0) ratios"
+    assert any(r["match_term"] is None for r in rows), "None branch never hit"
+    prelude_missed = [
+        r for r in rows if r["word_idx"] in (0, 1) and r["match_term"] is None
+    ]
+    assert not prelude_missed, prelude_missed[:3]
+
+
 def test_fuzzy_ratio_query_nonvacuous(spark):
     """The fuzzy_ratio oracle query must actually exercise every branch of
     extract_one on the fixed corpus: the corrupted-term prelude rows
