@@ -183,6 +183,7 @@ def main() -> None:
         "curation_funnel",
         "char_entropy",
         "token_quantiles",
+        "difflib_match",
     ):
         if name not in QUERIES:
             continue
