@@ -183,9 +183,16 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(toks).alias("word_idx", "word")
     ).filter(F.length("word") > 0)
     merges = bpe_train(words.select("word"), "word", BPE_MERGES)
-    encoded = words.select(
-        "doc_id", "word_idx", bpe_encode_col(F.col("word"), merges).alias("s")
+    # encode each DISTINCT word once and join back — the k chained folds
+    # are the expensive part, and natural corpora repeat words heavily
+    # (same |vocab|-not-|corpus| scaling argument as the trainer); the
+    # equi-join on word replaces 10x redundant fold work with one shuffle
+    encoded_vocab = (
+        words.select("word")
+        .distinct()
+        .select("word", bpe_encode_col(F.col("word"), merges).alias("s"))
     )
+    encoded = words.join(encoded_vocab, "word")
     return encoded.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_words"),
         F.sum(F.size("s")).cast("long").alias("n_bpe_tokens"),
