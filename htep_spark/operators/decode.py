@@ -95,24 +95,36 @@ def make_beam_decode_udf(
     @F.pandas_udf(DECODE_RESULT_TYPE)
     def decode(cands: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         decoder = LexiconBeamDecoder(lex, prim)
+        # decode_word is a pure function of the candidate matrix (and the
+        # fixed beam width), and corpora repeat words heavily — memoize on
+        # the exact matrix per worker (same fast path as the extraction
+        # kernel's token/ngram memos; bounded)
+        memo: dict = {}
         for series in cands:
             rows = []
             for word_cands in series:
                 if word_cands is None:
                     word_cands = []
-                norm = [
-                    [
-                        {
-                            "character": c["character"],
-                            "confidence": c["confidence"],
-                        }
-                        for c in (pos or [])
-                    ]
+                key = tuple(
+                    tuple(
+                        (c["character"], c["confidence"]) for c in (pos or [])
+                    )
                     for pos in word_cands
-                ]
-                d = decoder.decode_word(norm, beam_width=beam_width)
-                rows.append(
-                    {
+                )
+                hit = memo.get(key)
+                if hit is None:
+                    norm = [
+                        [
+                            {
+                                "character": c["character"],
+                                "confidence": c["confidence"],
+                            }
+                            for c in (pos or [])
+                        ]
+                        for pos in word_cands
+                    ]
+                    d = decoder.decode_word(norm, beam_width=beam_width)
+                    hit = {
                         "raw_word": d["raw_word"],
                         "decoded_word": d["decoded_word"],
                         "lexicon_word": d["lexicon_word"],
@@ -121,7 +133,9 @@ def make_beam_decode_udf(
                         "replacement_applied": bool(d["replacement_applied"]),
                         "replacement_reason": d["replacement_reason"],
                     }
-                )
+                    if len(memo) < 500_000:
+                        memo[key] = hit
+                rows.append(hit)
             yield pd.DataFrame(rows, columns=[f.name for f in DECODE_RESULT_TYPE])
 
     return decode
