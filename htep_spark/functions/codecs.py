@@ -69,6 +69,41 @@ __all__ = [
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Decoder safety bound: a corrupt header must never drive allocations —
+# fuzzing found GIF headers claiming ~26000x27000 canvases turning the
+# strict per-item decode path into a multi-GB allocation (a DoS, not a
+# decode). 64M pixels (192MB RGB) is far beyond any legitimate payload in
+# this engine; absurd claims raise the documented ValueError instead.
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def _check_dims(w: int, h: int, what: str = "image") -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{what} dimensions {w}x{h} outside supported range "
+            f"(max {MAX_DECODE_PIXELS} pixels)"
+        )
+
+
+def _strict_decoder(what: str):
+    """Every decoder's error contract is ValueError on corrupt input —
+    truncated headers otherwise leak struct.error/IndexError (fuzz-found),
+    crashing callers that honor the documented contract."""
+
+    def wrap(fn):
+        import functools
+
+        @functools.wraps(fn)
+        def inner(payload, *args, **kwargs):
+            try:
+                return fn(payload, *args, **kwargs)
+            except (struct.error, IndexError, EOFError, wave.Error) as exc:
+                raise ValueError(f"truncated {what} stream: {exc}") from exc
+
+        return inner
+
+    return wrap
+
 
 def sniff_format(payload: bytes) -> str:
     """Magic-byte format sniff → 'png' | 'jpeg' | 'bmp' | 'ppm' | 'wav' |
@@ -153,6 +188,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_strict_decoder("PNG")
 def decode_png(payload: bytes) -> np.ndarray:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
@@ -174,6 +210,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    _check_dims(w, h, "PNG")
     if depth != 8 or interlace not in (0, 1):
         raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
     channels = {0: 1, 2: 3, 6: 4}.get(color_type)
@@ -261,6 +298,7 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + info + body
 
 
+@_strict_decoder("BMP")
 def decode_bmp(payload: bytes) -> np.ndarray:
     if payload[:2] != b"BM":
         raise ValueError("not a BMP")
@@ -272,6 +310,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
     flip = h > 0
     h = abs(h)
+    _check_dims(w, h, "BMP")
     row_size = (w * 3 + 3) & ~3
     rows = []
     for y in range(h):
@@ -296,6 +335,7 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
+@_strict_decoder("PPM")
 def decode_ppm(payload: bytes) -> np.ndarray:
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM")
@@ -314,6 +354,7 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    _check_dims(w, h, "PPM")
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
     data = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
@@ -335,6 +376,7 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+@_strict_decoder("WAV")
 def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
     """PCM WAV bytes → (int16 samples shaped (n, channels), sample_rate)."""
     with wave.open(io.BytesIO(payload), "rb") as wf:
@@ -359,6 +401,7 @@ def encode_rawv(frames: List[np.ndarray]) -> bytes:
     return b"".join(parts)
 
 
+@_strict_decoder("RAWV")
 def decode_rawv(payload: bytes, frame_indices=None) -> List[np.ndarray]:
     """Decode all frames, or only ``frame_indices`` (others skipped cheaply
     via the length prefixes — the seekable-container property a real
@@ -366,6 +409,10 @@ def decode_rawv(payload: bytes, frame_indices=None) -> List[np.ndarray]:
     if payload[:4] != b"RAWV":
         raise ValueError("not a RAWV container")
     (n,) = struct.unpack(">I", payload[4:8])
+    if n > (len(payload) - 8) // 4:
+        # each frame needs at least its 4-byte length prefix — a claimed
+        # count beyond that is a corrupt header, not a huge video
+        raise ValueError(f"RAWV frame count {n} exceeds payload capacity")
     wanted = set(range(n)) if frame_indices is None else set(frame_indices)
     pos, frames = 8, {}
     for i in range(n):
@@ -581,6 +628,7 @@ def encode_gif_frames(frames: List[np.ndarray]) -> bytes:
     return bytes(out)
 
 
+@_strict_decoder("GIF")
 def decode_gif(payload: bytes) -> List[np.ndarray]:
     """GIF bytes → list of (H, W, 3) uint8 canvas states (one per frame;
     frames composite onto the previous canvas, transparent pixels keep
@@ -599,6 +647,7 @@ def decode_gif(payload: bytes) -> List[np.ndarray]:
 
 def _decode_gif_inner(payload: bytes) -> List[np.ndarray]:
     w, h, flags, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    _check_dims(w, h, "GIF canvas")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -640,6 +689,7 @@ def _decode_gif_inner(payload: bytes) -> List[np.ndarray]:
         if b != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
         x0, y0, fw, fh, iflags = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        _check_dims(fw, fh, "GIF frame")
         pos += 9
         table = gct
         if iflags & 0x80:  # local color table
@@ -996,6 +1046,7 @@ def encode_tiff_pages(
     return bytes(out)
 
 
+@_strict_decoder("TIFF")
 def decode_tiff(payload: bytes) -> np.ndarray:
     """TIFF bytes → (H, W, C) uint8 of the FIRST page. Supports II/MM,
     8-bit gray/RGB, chunky config, any strip layout, Compression 1 (none),
@@ -1009,6 +1060,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     return img
 
 
+@_strict_decoder("TIFF")
 def decode_tiff_pages(payload: bytes) -> List[np.ndarray]:
     """Multi-page TIFF → list of (H, W, C) uint8 pages, walking the
     standard next-IFD chain (TIFF 6.0 'multiple images per file'). Raises
@@ -1071,6 +1123,7 @@ def _decode_tiff_ifd(payload: bytes, bo: str, ifd_off: int) -> tuple:
             raise ValueError(f"TIFF missing required tag {req}")
     w = tags[256][0]
     h = tags[257][0]
+    _check_dims(w, h, "TIFF page")
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8] * spp)
     if any(b != 8 for b in bps):

@@ -480,6 +480,16 @@ def _read_marker(data: bytes, pos: int) -> Tuple[int, int]:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Error contract: corrupt/truncated input raises ValueError (the
+    internal struct/index/entropy-segment errors are translated here —
+    fuzz-found leaks otherwise crash per-item error handling upstream)."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (struct.error, IndexError, EOFError) as exc:
+        raise ValueError(f"truncated JPEG stream: {exc}") from exc
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes → (H, W, 3) uint8 (or (H, W, 1) for grayscale)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -508,6 +518,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             precision, fh, fw, nf = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
+            from .codecs import _check_dims
+
+            _check_dims(fw, fh, "JPEG frame")
             comps = []
             for ci in range(nf):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]

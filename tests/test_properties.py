@@ -387,3 +387,29 @@ def test_tiff_pages_roundtrip_fuzz(pages, comp, bo, rps):
     assert len(out) == len(pages)
     for got, want in zip(out, pages):
         assert np.array_equal(got, want)
+
+
+@settings(max_examples=250, deadline=None)
+@given(
+    st.sampled_from(
+        [
+            b"GIF89a", b"GIF87a", b"II*\x00", b"MM\x00*", b"BM", b"P6",
+            b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"RAWV", b"",
+        ]
+    ),
+    st.binary(min_size=0, max_size=120),
+)
+def test_decoders_error_contract_on_garbage(magic, body):
+    """Corrupt payloads must raise ValueError — never hang, never allocate
+    from absurd claimed dimensions (the MAX_DECODE_PIXELS guard), never
+    leak struct.error/IndexError/EOFError (fuzz round 5 found a GIF header
+    claiming a ~2GB canvas and several raw-exception leaks)."""
+    from htep_spark.functions import codecs
+
+    payload = magic + body
+    try:
+        img = codecs.decode_image(payload)
+    except ValueError:
+        return
+    # a decode that SUCCEEDS on random garbage must still be a sane image
+    assert img.size <= codecs.MAX_DECODE_PIXELS * 4
