@@ -70,23 +70,36 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries in QUERIES, replayed by `python tools/check_oracles.py`) but held
 # OUT of the driver dict so every driver entry keeps getting a recorded row.
 #
-# Round-5 rotation (VERDICT r04 next-round #1): the six round-4 operators
-# (`sample_hash`, `repetition_stats`, `bpe_train`, `domain_mix`,
-# `embed_keepers`, `lm_tercile`) rotate INTO the driver dict; displaced are
-# six entries whose coverage is redundant with a strictly stronger sibling
-# still in the dict (judge-nominated):
-#   fusion_events     ⊂ fusion + extract_full (same kernel, event slice)
-#   deid_dates        ⊂ deid_spans (all six detectors' spans hash-checked)
-#   multiword_disease ⊂ dict_match (same matcher, disease slice)
-#   winnow_fingerprints ⊂ winnow_overlap (same fingerprints, joined form)
-#   conv_class_rollup ⊂ classify + urgency + extract_class + conv_metrics_order
-#   top_docs          (plain top-k ordering; ordering surface kept by
-#                      conv_metrics_order + bm25 + top_ngrams)
-#   lm_score          ⊂ lm_tercile (its oracle SQL is the tercile oracle's
-#                      `scored` CTE verbatim; mean_logp hash-checked there,
-#                      n_bigrams carried by the new lm_heldout) — displaced
-#                      for `lm_heldout` (CCNet-proper held-out scoring,
-#                      VERDICT r04 next-round #2)
+# Round-6 rotation (VERDICT r05 next-round #1): the twelve born-overflow
+# round-5 oracles (`fuzzy_ratio`, `bpe_encode`, `dup_spans`,
+# `contamination`, `mixture_plan`, `approx_distinct`, `bloom_probe`,
+# `count_min`, `curation_funnel`, `char_entropy`, `token_quantiles`,
+# `difflib_match`) rotate INTO the driver dict; displaced are twelve
+# judge-nominated entries, each redundant with a stronger sibling still in
+# the dict or stable-green since r1 (all keep replaying in check_oracles):
+#   fusion       (green r1-r5; kernel also covered by extract_full +
+#                 fusion_events replay)
+#   sections     (green r1-r5; G1/G5 segmentation also via classify_segments)
+#   urgency      (green r1-r5; ⊂ conv_class_rollup replay + extract_class)
+#   measurements (green r1-r5; C4 regex surface ⊂ vitals_fields +
+#                 extract_fields_scalar)
+#   text_stats   (green r1-r5; superset stats carried by quality_filter +
+#                 repetition_stats + char_entropy)
+#   fingerprint  (green r1-r5; winnow family carried by winnow_overlap)
+#   dedup_exact  (green r1-r5; dedup family carried by dedup_keepers +
+#                 minhash/simhash/embed oracles; exact dedup is also the
+#                 curation_funnel's third gate)
+#   cer          (green r2-r5; built-in levenshtein both engines — the
+#                 fuzzy_ratio/difflib_match rotations hash-check strictly
+#                 harder edit-distance kernels)
+#   events_hourly (green r1-r5; windowed-agg surface kept by sessionize +
+#                 range_join_sessions + asof_events)
+#   sample_hash  (rotated in r5, recorded green; md5 gate re-verified every
+#                 round inside mixture_plan + curation_funnel)
+#   domain_mix   (rotated in r5, recorded green; strictly contained in
+#                 mixture_plan's source-mix derivation)
+#   lm_tercile   (rotated in r5, recorded green; lm_heldout covers the
+#                 tercile machinery over the harder held-out split)
 DRIVER_CAP_OVERFLOW = (
     "fusion_events",
     "deid_dates",
@@ -95,43 +108,23 @@ DRIVER_CAP_OVERFLOW = (
     "conv_class_rollup",
     "top_docs",
     "lm_score",
-    # round-5 new, born-overflow: the T7 indel-ratio scorer hash-checked
-    # vs a DuckDB recursive-CTE LCS (VERDICT r04 #7 stretch)
-    "fuzzy_ratio",
-    # round-5 new, born-overflow: tokenizer application (train-then-encode,
-    # doc-aware k-step CTE-chain oracle)
-    "bpe_encode",
-    # round-5 new, born-overflow: Lee-et-al-2022 cross-doc exact-substring
-    # duplication fraction (k-token window hashes)
-    "dup_spans",
-    # round-5 new, born-overflow: GPT-3-style benchmark n-gram
-    # contamination check (broadcast bench grams vs corpus windows)
-    "contamination",
-    # round-5 new, born-overflow: domain-mix weights → executable md5
-    # sampling plan, applied and verified in the same query
-    "mixture_plan",
-    # round-5 new, born-overflow: from-scratch HyperLogLog on the shared
-    # md5 hash (cross-engine-checkable distinct sketch)
-    "approx_distinct",
-    # round-5 new, born-overflow: from-scratch Bloom filter membership
-    # probe (join-pruning primitive; FP branch exercised at tight m)
-    "bloom_probe",
-    # round-5 new, born-overflow: from-scratch Count-Min point-frequency
-    # sketch (overcount branch exercised at tight width)
-    "count_min",
-    # round-5 new, born-overflow: composed quality→repetition→dedup→sample
-    # keep-gate cascade (per-source survivor funnel + token yield)
-    "curation_funnel",
-    # round-5 new, born-overflow: per-doc Shannon character entropy +
-    # unigram compression ratio (pinned-order fold)
-    "char_entropy",
-    # round-5 new, born-overflow: exact doc-length percentiles by
-    # rank-selection over exact_global_rank
-    "token_quantiles",
-    # round-5 new, born-overflow: the difflib Ratcliff/Obershelp scorer
-    # (T4 close-match layer) vs a work-list recursive-CTE — the last
-    # non-trivially-SQL scorer, now hash-checked
-    "difflib_match",
+    # round-6 displaced (judge-nominated, VERDICT r05 #1):
+    "fusion",
+    "sections",
+    "urgency",
+    "measurements",
+    "text_stats",
+    "fingerprint",
+    "dedup_exact",
+    "cer",
+    "events_hourly",
+    "sample_hash",
+    "domain_mix",
+    "lm_tercile",
+    # round-6 new, born-overflow: the O3 block keep/drop rule over the REAL
+    # HTML parser's block features, vs a DuckDB relational reconstruction of
+    # the synthesized-page block stream (VERDICT r05 #2)
+    "block_keep",
 )
 
 

@@ -101,13 +101,28 @@ def main() -> None:
     # this timing is the full grouped-pipeline cost, not the rollup alone.
     # best-of-3 (was 2): this query showed the widest clean-sentinel swing
     # on record (8.5-13s for identical code, round 5) — one more sample
-    # tightens the minimum without changing the frozen query set
+    # tightens the minimum without changing the frozen query set.
+    # Round 6 (VERDICT r05 #6): the kernel (Arrow extraction UDF) and the
+    # aggregation (salted two-stage rollup) phases are timed separately so
+    # the ±20% swing is attributable — the extraction output is pinned with
+    # localCheckpoint and the rollup timed over the pinned frame; the
+    # headline number stays the full-pipeline best-of-3 as before.
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         _run(per_conversation_metrics(run_extraction(transcripts)))
         best = min(best, time.time() - t0)
     timings["conv_metrics"] = round(best, 3)
+    t0 = time.time()
+    pinned = run_extraction(transcripts).localCheckpoint(eager=True)
+    conv_kernel_sec = round(time.time() - t0, 3)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _run(per_conversation_metrics(pinned))
+        best = min(best, time.time() - t0)
+    conv_agg_sec = round(best, 3)
+    pinned.unpersist()
     transcripts.unpersist()
 
     # headline 2: operator queries over the driver testdata tables
@@ -145,7 +160,14 @@ def main() -> None:
     ):
         fn = extra.get(name) or QUERIES[name][0]
         # best of 3: this shared VM shows up to 4x noisy-neighbor variance
-        # on one-shot timings; the minimum is the least-contended sample
+        # on one-shot timings; the minimum is the least-contended sample.
+        # Round 6 (VERDICT r05 #4): headline queries now ALSO get the
+        # per-query untimed warm pass the extras got in round 5, so
+        # plan-compile state bleeding from a neighboring query can never
+        # masquerade as a regression (the r5 sessionize/cer/sentences/
+        # deid_dates/text_stats phantom). Protocol change is flagged in the
+        # emitted JSON (headline_protocol) per ADVICE r05.
+        _run(fn(spark, SF_DIR))  # untimed warm pass
         best = float("inf")
         for _ in range(3):
             t0 = time.time()
@@ -209,6 +231,19 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra_timings,
+                # protocol-version markers (ADVICE r05): r3/r4 extras were
+                # one-shot best-of-3; r5 extras and r6+ headline add an
+                # untimed per-query warm pass — cross-round per-query
+                # comparisons must be like-for-like on these markers
+                "headline_protocol": "warm+bo3",
+                "extras_protocol": "warm+bo3",
+                # conv_metrics phase split (VERDICT r05 #6): kernel = one
+                # Arrow-extraction pass pinned via localCheckpoint;
+                # agg = best-of-3 rollup over the pinned frame
+                "conv_metrics_phases": {
+                    "kernel_sec": conv_kernel_sec,
+                    "agg_sec": conv_agg_sec,
+                },
                 "sentinel_sec": [sentinel_start, sentinel_end],
                 "sf": SF,
                 "turns": n,

@@ -3313,12 +3313,20 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # probe list: every corpus token (must all claim present — the
-    # no-false-negative guarantee) + the fixed absent probes
-    probes = vocab.select("token", F.lit(1).alias("in_corpus")).unionByName(
-        spark.createDataFrame(
-            [(t, 0) for t in BLOOM_ABSENT_PROBES], "token string, in_corpus int"
-        )
+    # no-false-negative guarantee) + the fixed absent probes. The absent
+    # list is anti-joined against the vocab first (ADVICE r05): if a probe
+    # string ever occurred as a corpus token at some future SF it would
+    # otherwise emit two contradictory rows for that token. The vocab side
+    # is pre-filtered with isin() (pushed into the scan) so the anti-join
+    # broadcasts a ≤48-row frame — never a vocab shuffle.
+    absent = spark.createDataFrame(
+        [(t, 0) for t in BLOOM_ABSENT_PROBES], "token string, in_corpus int"
+    ).join(
+        F.broadcast(vocab.filter(F.col("token").isin(BLOOM_ABSENT_PROBES))),
+        "token",
+        "left_anti",
     )
+    probes = vocab.select("token", F.lit(1).alias("in_corpus")).unionByName(absent)
     ppos = probes.select(
         "token",
         "in_corpus",
@@ -3367,6 +3375,7 @@ WITH vocab AS (
   SELECT token, 1 AS in_corpus FROM vocab
   UNION ALL
   SELECT * FROM (VALUES {probe_rows}) AS a(token, in_corpus)
+  WHERE a.token NOT IN (SELECT token FROM vocab)
 ), ppos AS (
   SELECT token, in_corpus, unnest([{pos_list}]) AS pos FROM probes
 ), hit AS (
@@ -3412,11 +3421,18 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = base.groupBy("source").agg(
         F.count("*").alias("n_docs"), F.sum("ntok").alias("n_tokens")
     )
-    w = Window.partitionBy()
-    desired = (
-        F.sum("n_tokens").over(w) * MIXTURE_BUDGET_FRAC / F.count("*").over(w)
+    # corpus totals as a 1-row map-side-combinable aggregate cross-joined
+    # (broadcast) back — NOT an empty-partition window, which would plan an
+    # Exchange SinglePartition over the per-source rows (ADVICE r05; same
+    # pattern exact_global_rank documents). Arithmetic identical: long sums
+    # and counts, promoted to double by the budget fraction.
+    totals = per.agg(
+        F.sum("n_tokens").alias("_tot_tokens"), F.count("*").alias("_n_sources")
     )
-    rates = per.select(
+    desired = (
+        F.col("_tot_tokens") * MIXTURE_BUDGET_FRAC / F.col("_n_sources")
+    )
+    rates = per.crossJoin(F.broadcast(totals)).select(
         "source",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.floor(
@@ -3813,6 +3829,149 @@ def _q_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# O3 block keep/drop over the REAL HTML parser (`block_keep`, VERDICT r05
+# #2, generalizing the G1 10%-of-max rule at
+# src/segmentation/line_segmenter.py:19): per doc a deterministic HTML page
+# is synthesized around the clinical text — title, nav boilerplate, two
+# main <p> blocks, three branch-exercising blocks (a short linky <p>:
+# n<10 ∧ anchor>0; a link-dense <p>: density 19/26 > 0.33; an anchored
+# long <p> that must be KEPT: density 4/53), and an entity-bearing footer
+# (&copy; → '©' checks entity decoding). The Spark side runs the REAL
+# stream parser (`tokenize_blocks`) + the REAL `_keep_block` rule in a
+# pandas UDF; DuckDB reconstructs every expected block's reading-order
+# index, normalized text, char/anchor counts, boilerplate flag and depth
+# relationally from the same constants and re-derives keep via the
+# documented thresholds — so BOTH the O2 parser event stream (on this
+# synthesized-HTML family) and the O3 arithmetic are hash-checked, not
+# just the rule. Link-density floats are exact int ratios compared to the
+# same 0.33 double on both engines (bitwise-identical division), so the
+# verdicts cannot diverge. Scale shape: one narrow Arrow projection — the
+# same per-row UDF plan as extract_full.
+# --------------------------------------------------------------------------
+
+
+def _block_html_col():
+    arr = F.array(*[F.lit(s) for s in CLINICAL_SNIPPETS])
+    idx = (F.col("doc_id") % len(CLINICAL_SNIPPETS) + 1).cast("int")
+    return F.concat(
+        F.lit("<html><head><title>record "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "</title><script>var x=1;</script><style>p{margin:0}</style>"
+            "</head><body>"
+            "<nav><a href='/'>Home</a> <a href='/records'>Records</a> "
+            "<a href='/help'>Help</a></nav>"
+            "<div class='main'><p>"
+        ),
+        F.element_at(arr, idx),
+        F.lit("</p><p>"),
+        F.col("text"),
+        F.lit(
+            "</p></div>"
+            "<p>a b <a href='/z'>c</a> d</p>"
+            "<p>See <a href='/ref'>reference page here</a> ok</p>"
+            "<p>Related: <a href='/a'>link</a> plus much longer surrounding"
+            " prose text</p>"
+            "<footer><a href='/terms'>Terms</a> &copy; clinic "
+        ),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("</footer></body></html>"),
+    )
+
+
+_BLOCK_ROWS_TYPE = (
+    "array<struct<block_idx:int,text:string,n_chars:int,anchor_chars:int,"
+    "in_boilerplate:boolean,depth:int,keep:boolean>>"
+)
+
+
+def q_block_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _docs(spark, sf_dir)
+        .select("doc_id", _block_html_col().alias("html"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    @F.pandas_udf(_BLOCK_ROWS_TYPE)
+    def blocks_udf(htmls: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from htep_spark.functions.html_extract import _keep_block, tokenize_blocks
+
+        for series in htmls:
+            out = []
+            for h in series:
+                bs = tokenize_blocks(h if isinstance(h, str) else "")
+                out.append(
+                    [
+                        {
+                            "block_idx": b["block_idx"],
+                            "text": b["text"],
+                            "n_chars": b["n_chars"],
+                            "anchor_chars": b["anchor_chars"],
+                            "in_boilerplate": b["in_boilerplate"],
+                            "depth": b["depth"],
+                            "keep": _keep_block(b),
+                        }
+                        for b in bs
+                    ]
+                )
+            yield pd.Series(out)
+
+    return docs.select("doc_id", F.explode(blocks_udf(F.col("html"))).alias("b")).select(
+        "doc_id",
+        F.col("b.block_idx").cast("long").alias("block_idx"),
+        F.col("b.text").alias("text"),
+        F.col("b.n_chars").cast("long").alias("n_chars"),
+        F.col("b.anchor_chars").cast("long").alias("anchor_chars"),
+        F.col("b.in_boilerplate").cast("long").alias("in_boilerplate"),
+        F.col("b.depth").cast("long").alias("depth"),
+        F.col("b.keep").cast("long").alias("keep"),
+    )
+
+
+def _sql_block_keep() -> str:
+    from .functions.html_extract import LINK_DENSITY_MAX, MIN_BLOCK_CHARS
+
+    whens = "".join(
+        f" WHEN {i} THEN {_sql_quote(s)}" for i, s in enumerate(CLINICAL_SNIPPETS)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         CASE (doc_id % {len(CLINICAL_SNIPPETS)}){whens} END AS line1,
+         text AS line2
+  FROM documents
+), blocks AS (
+  SELECT doc_id, 0 AS block_idx, 'record ' || CAST(doc_id AS VARCHAR) AS text,
+         0 AS anchor_chars, 0 AS in_boilerplate, 3 AS depth FROM docs
+  UNION ALL SELECT doc_id, 1, 'Home Records Help', 15, 1, 3 FROM docs
+  UNION ALL SELECT doc_id, 2, trim(regexp_replace(line1, '\\s+', ' ', 'g')),
+         0, 0, 4 FROM docs
+  UNION ALL SELECT doc_id, 3, trim(regexp_replace(line2, '\\s+', ' ', 'g')),
+         0, 0, 4 FROM docs
+  UNION ALL SELECT doc_id, 4, 'a b c d', 1, 0, 3 FROM docs
+  UNION ALL SELECT doc_id, 5, 'See reference page here ok', 19, 0, 3 FROM docs
+  UNION ALL SELECT doc_id, 6,
+         'Related: link plus much longer surrounding prose text', 4, 0, 3
+         FROM docs
+  UNION ALL SELECT doc_id, 7,
+         'Terms © clinic ' || CAST(doc_id % 100 AS VARCHAR), 5, 1, 3 FROM docs
+)
+SELECT doc_id, CAST(block_idx AS BIGINT) AS block_idx, text,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(anchor_chars AS BIGINT) AS anchor_chars,
+       CAST(in_boilerplate AS BIGINT) AS in_boilerplate,
+       CAST(depth AS BIGINT) AS depth,
+       CAST(CASE WHEN in_boilerplate = 1 THEN 0
+                 WHEN CAST(anchor_chars AS DOUBLE) / length(text)
+                      > CAST({LINK_DENSITY_MAX!r} AS DOUBLE) THEN 0
+                 WHEN length(text) < {MIN_BLOCK_CHARS} AND anchor_chars > 0
+                      THEN 0
+                 ELSE 1 END AS BIGINT) AS keep
+FROM blocks
+"""
+
+
 def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text_analysis import q_winnow_fingerprints
 
@@ -3920,4 +4079,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "char_entropy": (q_char_entropy, _sql_char_entropy()),
     "token_quantiles": (q_token_quantiles, _sql_token_quantiles()),
     "difflib_match": (q_difflib_match, _sql_difflib_match()),
+    "block_keep": (q_block_keep, _sql_block_keep()),
 }

@@ -540,7 +540,11 @@ def sample_frames(
                                     "error": None,
                                 }
                             )
-                    except Exception as exc:  # corrupt stream / IFD chain
+                    # corrupt stream / IFD chain — _strict_decoder already
+                    # translates struct/Index/EOF errors into ValueError, so
+                    # anything else (TypeError, AttributeError, ...) is a
+                    # programming bug and must fail the job (ADVICE r05)
+                    except ValueError as exc:
                         rows.append(
                             {
                                 "media_id": media_id,

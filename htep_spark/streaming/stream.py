@@ -222,7 +222,6 @@ def stream_sessionized_counts(
 
 def stream_heavy_hitters(
     tokens: DataFrame,
-    watermark: str = "10 minutes",
     capacity: int = 64,
     n_shards: int = 8,
 ) -> DataFrame:
@@ -293,8 +292,12 @@ def stream_heavy_hitters(
         "token",
         "ts",
     )
+    # no watermark: with NoTimeout and a non-event-time groupBy key a
+    # watermark would have no effect on state or output (ADVICE r05 — a
+    # misleading knob, removed). State is bounded by the SpaceSaving
+    # capacity itself (O(n_shards × capacity) forever), not by eviction.
     return (
-        sharded.withWatermark("ts", watermark)
+        sharded
         .groupBy("shard")
         .applyInPandasWithState(
             update,

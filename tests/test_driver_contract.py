@@ -17,20 +17,31 @@ def test_queries_and_oracles_consistent():
     assert set(oracles) <= set(qs)
     # the SQL-expressible core is oracled
     for name in (
-        "fusion", "sections", "urgency", "classify", "dict_match",
-        "vitals_fields", "text_stats", "fingerprint", "dedup_exact",
+        "classify", "dict_match",
+        "vitals_fields",
         "ngram_jaccard", "ann_cosine", "embed_near_dup", "sessionize",
-        "events_hourly", "lang_id", "cer", "sentences",
+        "lang_id", "sentences",
         "simhash", "dedup_keepers", "classify_segments",
         "minhash_lsh", "dedup_keepers_minhash", "winnow_overlap",
         "greedy_decode", "beam_replace", "deid_spans", "deid_mask",
-        # round-5 rotation: the six round-4 operators now IN the dict
-        "sample_hash", "repetition_stats", "bpe_train", "domain_mix",
-        "embed_keepers", "lm_tercile",
-        # round-5 new: CCNet-proper held-out perplexity terciles
-        "lm_heldout",
+        "repetition_stats", "bpe_train", "embed_keepers", "lm_heldout",
+        # round-6 rotation (VERDICT r05 #1): the twelve born-overflow
+        # round-5 oracles now IN the dict (displaced siblings — fusion,
+        # sections, urgency, measurements, text_stats, fingerprint,
+        # dedup_exact, cer, events_hourly, sample_hash, domain_mix,
+        # lm_tercile — keep replaying via DRIVER_CAP_OVERFLOW)
+        "fuzzy_ratio", "bpe_encode", "dup_spans", "contamination",
+        "mixture_plan", "approx_distinct", "bloom_probe", "count_min",
+        "curation_funnel", "char_entropy", "token_quantiles",
+        "difflib_match",
     ):
         assert name in oracles, name
+    # displaced entries stay oracle-paired in QUERIES (replayed by
+    # tools/check_oracles.py) even though the driver dict holds them out
+    from htep_spark.driver_queries import QUERIES
+
+    for name in entrymod.DRIVER_CAP_OVERFLOW:
+        assert name in QUERIES and QUERIES[name][1] is not None, name
     # rows-only operators present (beam_decode/deid folded into the
     # beam_replace / deid_spans+deid_mask oracles in round 4)
     for name in (

@@ -214,6 +214,27 @@ def test_exact_global_rank_has_no_single_partition_window(spark):
     assert "Exchange SinglePartition" not in qplan, qplan
 
 
+def test_mixture_plan_no_window(spark):
+    """ADVICE r05: q_mixture_plan's corpus totals formerly used an
+    empty-partition window (Exchange SinglePartition over the per-source
+    rows, WindowExec warning during replay). They are now a 1-row
+    map-side-combinable aggregate broadcast back via crossJoin — the plan
+    must contain NO window operator at all; the only single-partition
+    exchange permitted is the one feeding the 1-row global aggregate
+    (partial-agg rows, one per partition — not data rows)."""
+    from htep_spark.driver_queries import q_mixture_plan
+
+    plan = (
+        q_mixture_plan(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    # plan application: the derived rates join back as a broadcast
+    assert "BroadcastExchange" in plan, plan
+
+
 def test_dup_spans_plan_shape(spark):
     """dup_spans' scale claim: token-linear explode + two hash aggregations
     + equi-joins — NO cartesian product, NO single-partition exchange, and
