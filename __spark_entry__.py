@@ -125,6 +125,10 @@ DRIVER_CAP_OVERFLOW = (
     # HTML parser's block features, vs a DuckDB relational reconstruction of
     # the synthesized-page block stream (VERDICT r05 #2)
     "block_keep",
+    # round-6 new, born-overflow: the R12 keep-best strategy loop over three
+    # segmentation variants — real kernel vs full SQL re-derivation of every
+    # variant's decode + the strict-> first-wins argmax (VERDICT r05 #3)
+    "strategy_best",
 )
 
 

@@ -3811,6 +3811,18 @@ def _sql_beam_replace_str() -> str:
     return _sql_beam_replace()
 
 
+def _q_strategy_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.decode import q_strategy_best
+
+    return q_strategy_best(spark, sf_dir)
+
+
+def _sql_strategy_best_str() -> str:
+    from .operators.decode import _sql_strategy_best
+
+    return _sql_strategy_best()
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import q_minhash_lsh
 
@@ -4080,4 +4092,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "token_quantiles": (q_token_quantiles, _sql_token_quantiles()),
     "difflib_match": (q_difflib_match, _sql_difflib_match()),
     "block_keep": (q_block_keep, _sql_block_keep()),
+    "strategy_best": (_q_strategy_best, _sql_strategy_best_str()),
 }

@@ -636,6 +636,86 @@ def test_paragraph_strategy_selection_changes_outcome():
     assert text == "ASPIRIN"  # low confidence -> primary replacement fires
 
 
+def test_segmented_keep_best_argmax_and_tie():
+    """predict_line_best_segmented: true argmax over variant confidences,
+    strict `>` so the FIRST variant wins exact ties, and the emitted
+    per-variant results are consistent with the winner."""
+    from htep_spark.dictionaries import DRUGS_SINGLE
+    from htep_spark.functions.beam import LexiconBeamDecoder
+    from htep_spark.functions.strategy import predict_line_best_segmented
+
+    decoder = LexiconBeamDecoder(DRUGS_SINGLE)
+    hi = [_mk_word("ASPIRIN", conf=0.9)]
+    lo = [_mk_word("ASPIRIN", conf=0.5)]
+    # middle variant strictly best -> index 1 wins
+    bi, bt, bc, results = predict_line_best_segmented([lo, hi, lo], decoder)
+    assert bi == 1 and (bt, bc) == results[1]
+    assert results[1][1] > results[0][1] == results[2][1]
+    # identical variants tie -> first wins
+    bi, bt, bc, results = predict_line_best_segmented([lo, lo, lo], decoder)
+    assert bi == 0 and (bt, bc) == results[0]
+
+
+def test_strategy_best_corpus_margins():
+    """Cross-engine safety of the 6dp-rounded argmax on the fixed corpora:
+    replicate the strategy_best construction in pure Python (shared md5
+    confidence formula + the REAL decoder) and assert (a) every strategy
+    index wins somewhere (non-vacuous argmax), (b) distinct per-doc variant
+    confidences differ by > 2e-6 (a 6dp disagreement cannot flip the
+    winner), (c) every unrounded mean clears its 0.5e-6 rounding boundary
+    by > 1e-12 — three orders of magnitude above the worst accumulated
+    cross-libm exp/ln error for an 8-term mean (~1e-15 relative); the
+    measured corpus minimum is 4.2e-10 (sf0.001+sf0.01 sweep, r6)."""
+    import hashlib
+    import re as _re
+
+    import duckdb
+
+    from htep_spark.dictionaries import DISEASES_SINGLE, DRUGS_SINGLE
+    from htep_spark.functions.beam import LexiconBeamDecoder
+    from htep_spark.functions.strategy import decode_line_with_strategy
+    from htep_spark.operators.decode import _corrupt_prelude_terms
+
+    def conf(ch, w, i):
+        h = int(hashlib.md5(f"{ch}|{w}|{i}".encode()).hexdigest()[:15], 16)
+        return 0.35 + (h % 64) / 100.0
+
+    def mk(w):
+        return [[{"character": c, "confidence": conf(c, w, i)}]
+                for i, c in enumerate(w)]
+
+    cd, _, _ = _corrupt_prelude_terms()
+    decoder = LexiconBeamDecoder(DRUGS_SINGLE + DISEASES_SINGLE, DRUGS_SINGLE)
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    winners = set()
+    for doc_id, text in rows:
+        toks = _re.findall("[A-Z]+", text.upper())[:3]
+        ws = [cd[doc_id % 16]] + toks
+        variants = [
+            ws,
+            [ws[0] + ws[1], ws[2] + ws[3]],
+            [p for w in ws for p in
+             ([w[: len(w) // 2], w[len(w) // 2:]] if len(w) >= 4 else [w])],
+        ]
+        confs = []
+        for line in variants:
+            _, c = decode_line_with_strategy([mk(w) for w in line], decoder, 20, 0.0)
+            confs.append(c)
+            # (c) rounding-boundary clearance on the RAW mean
+            frac = abs(c * 1e6 - round(c * 1e6))
+            assert abs(frac - 0.5) * 1e-6 > 1e-12, (doc_id, c)
+        rounded = [round(c, 6) for c in confs]
+        for i in range(3):
+            for j in range(i + 1, 3):
+                d = abs(rounded[i] - rounded[j])
+                assert d == 0.0 or d > 2e-6, (doc_id, rounded)
+        winners.add(max(range(3), key=lambda i: (rounded[i], -i)))
+    assert winners == {0, 1, 2}, winners
+
+
 def test_classify_pattern_gates_are_sound():
     """The literal gates that skip findall must be implied by the patterns:
     on a corpus designed to fire every pattern and every near-miss, the
