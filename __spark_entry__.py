@@ -129,6 +129,11 @@ DRIVER_CAP_OVERFLOW = (
     # segmentation variants — real kernel vs full SQL re-derivation of every
     # variant's decode + the strict-> first-wins argmax (VERDICT r05 #3)
     "strategy_best",
+    # round-6 new, born-overflow: q-digest quantile sketch — deterministic
+    # histogram-driven compaction, byte-equal digests both engines, sketch
+    # estimates vs exact quantiles within the proven D*sigma rank bound
+    # (VERDICT r05 #7)
+    "qdigest",
 )
 
 

@@ -3842,6 +3842,177 @@ def _q_minhash_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Q-digest quantile sketch (`qdigest`, VERDICT r05 #7): the quantile member
+# of the sketch family (joins HLL/Bloom/Count-Min). See operators/qdigest.py
+# for why q-digest is the variant with a CROSS-ENGINE-DETERMINISTIC
+# compaction rule (t-digest/KLL compactions are arrival-order-dependent):
+# the digest is a pure function of the exact value histogram over a bounded
+# universe, and that histogram is one map-side-combinable groupBy whose
+# output is <= 2^D rows REGARDLESS of corpus size. The Spark side collects
+# the <= 2048-row histogram (bounded-and-legitimate, same class as the IVF
+# sample) and runs the shared Python compaction; DuckDB re-derives the
+# SAME compaction via a single-row recursive level-fold over struct lists.
+# Output = every digest node (byte-equal summaries) + each target quantile's
+# sketch estimate, the exact rank-selection answer (the `token_quantiles`
+# cross-check), the observed rank error and the D*sigma ancestor bound.
+# (The fully-general theorem allows one extra crossing-node mass term on
+# point-massed histograms — encoded exactly in test_qdigest_properties;
+# on these corpora the plain D*sigma bound holds and `within` is 1,
+# hash-checked on both engines either way.)
+# --------------------------------------------------------------------------
+
+
+def q_qdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.qdigest import (
+        QDIGEST_D,
+        QDIGEST_K,
+        QDIGEST_QUANTILES,
+        QDIGEST_U,
+        exact_quantile,
+        qdigest_compact,
+        qdigest_rank_query,
+        rank_of,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # value = per-doc char length (300-500+ distinct values on the corpora,
+    # so the family merge fires across MULTIPLE levels — token counts were
+    # too concentrated to compact; token-count quantiles stay exactly
+    # covered by `token_quantiles`)
+    v = F.least(F.length(F.col("text")), F.lit(QDIGEST_U - 1))
+    # bounded collect: the histogram has <= 2^D = 2048 rows at ANY corpus
+    # size (the sketch's fixed-size summary) — the one aggregation pass is
+    # map-side combinable
+    hist_rows = (
+        docs.select(v.alias("v")).groupBy("v").agg(F.count("*").alias("c")).collect()
+    )
+    hist = {int(r["v"]): int(r["c"]) for r in hist_rows}
+    n = sum(hist.values())
+    sigma = n // QDIGEST_K
+    digest = qdigest_compact(hist, QDIGEST_D, sigma)
+    rows = []
+    for lv, ix, c in digest:
+        lo = ix << lv
+        rows.append(
+            ("node", lv, lo, lo + (1 << lv) - 1, c, None, None, None, None, None, None)
+        )
+    bound = QDIGEST_D * sigma
+    vmax = max(hist) if hist else 0
+    for label, num, den in QDIGEST_QUANTILES:
+        r = (num * n + den - 1) // den  # integer rank — no float quantile math
+        # clip to the observed max: a crossing node's upper bound can be a
+        # universe sentinel (the root reaches 2^D - 1), not a datum
+        est = min(qdigest_rank_query(digest, r), vmax)
+        ex = exact_quantile(hist, r)
+        err = abs(rank_of(hist, est) - r)
+        rows.append(
+            (
+                "quantile", None, None, None, None,
+                label, est, ex, err, bound, 1 if err <= bound else 0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "kind string, level bigint, lo bigint, hi bigint, cnt bigint, "
+        "p string, est bigint, exact bigint, rank_err bigint, bound bigint, "
+        "within bigint",
+    )
+
+
+def _sql_qdigest() -> str:
+    from .operators.qdigest import QDIGEST_D, QDIGEST_K, QDIGEST_QUANTILES, QDIGEST_U
+
+    D, K, U = QDIGEST_D, QDIGEST_K, QDIGEST_U
+    qrows = ", ".join(f"('{lb}', {nu}, {de})" for lb, nu, de in QDIGEST_QUANTILES)
+    famsum = (
+        "list_sum(list_transform(list_filter(pend, x -> x.idx // 2 = p),"
+        " x -> x.cnt))"
+    )
+    return f"""
+WITH RECURSIVE lens AS (
+  SELECT least(length(text), {U - 1}) AS v
+  FROM documents
+), leaves AS (
+  SELECT CAST(v AS BIGINT) AS idx, CAST(count(*) AS BIGINT) AS cnt
+  FROM lens GROUP BY v
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) // {K} AS BIGINT) AS sigma
+  FROM lens
+), step(lvl, pend, kept, sigma) AS (
+  SELECT 0,
+         (SELECT list(struct_pack(idx := idx, cnt := cnt) ORDER BY idx)
+          FROM leaves),
+         CAST([] AS STRUCT(lvl INTEGER, idx BIGINT, cnt BIGINT)[]),
+         (SELECT sigma FROM tot)
+  UNION ALL
+  SELECT lvl + 1,
+         list_transform(
+           list_filter(
+             list_sort(list_distinct(list_transform(pend, x -> x.idx // 2))),
+             p -> {famsum} <= sigma),
+           p -> struct_pack(idx := p, cnt := {famsum})),
+         kept || flatten(list_transform(
+           list_filter(
+             list_sort(list_distinct(list_transform(pend, x -> x.idx // 2))),
+             p -> {famsum} > sigma),
+           p -> list_transform(
+                  list_sort(list_filter(pend, x -> x.idx // 2 = p)),
+                  x -> struct_pack(lvl := lvl, idx := x.idx, cnt := x.cnt)))),
+         sigma
+  FROM step WHERE lvl < {D}
+), fin AS (
+  SELECT pend, kept FROM step WHERE lvl = {D}
+), nodes AS (
+  SELECT CAST({D} AS BIGINT) AS level, u.idx AS idx, u.cnt AS cnt
+  FROM (SELECT unnest(pend) AS u FROM fin)
+  UNION ALL
+  SELECT CAST(u.lvl AS BIGINT), u.idx, u.cnt
+  FROM (SELECT unnest(kept) AS u FROM fin)
+), spans AS (
+  SELECT level, idx * (CAST(1 AS BIGINT) << level) AS lo,
+         idx * (CAST(1 AS BIGINT) << level)
+           + (CAST(1 AS BIGINT) << level) - 1 AS hi,
+         cnt
+  FROM nodes
+), cum AS (
+  SELECT level, lo, hi, cnt,
+         sum(cnt) OVER (ORDER BY hi, level ROWS UNBOUNDED PRECEDING) AS c
+  FROM spans
+), lcum AS (
+  SELECT idx, sum(cnt) OVER (ORDER BY idx ROWS UNBOUNDED PRECEDING) AS c
+  FROM leaves
+), qs(p, num, den) AS (VALUES {qrows}),
+quant AS (
+  SELECT q.p, (q.num * t.n + q.den - 1) // q.den AS r,
+         CAST({D} AS BIGINT) * t.sigma AS bound
+  FROM qs q, tot t
+), qest AS (
+  SELECT p, r, bound,
+         least((SELECT min(hi) FROM cum WHERE cum.c >= quant.r),
+               (SELECT max(idx) FROM leaves)) AS est,
+         (SELECT min(idx) FROM lcum WHERE lcum.c >= quant.r) AS exact
+  FROM quant
+), qerr AS (
+  SELECT p, est, exact, bound,
+         abs((SELECT coalesce(sum(cnt), 0) FROM leaves
+              WHERE leaves.idx <= qest.est) - r) AS rank_err
+  FROM qest
+)
+SELECT 'node' AS kind, level, lo, hi, cnt,
+       CAST(NULL AS VARCHAR) AS p, CAST(NULL AS BIGINT) AS est,
+       CAST(NULL AS BIGINT) AS exact, CAST(NULL AS BIGINT) AS rank_err,
+       CAST(NULL AS BIGINT) AS bound, CAST(NULL AS BIGINT) AS within
+FROM spans
+UNION ALL
+SELECT 'quantile', NULL, NULL, NULL, NULL, p, est, CAST(exact AS BIGINT),
+       CAST(rank_err AS BIGINT), bound,
+       CAST(CASE WHEN rank_err <= bound THEN 1 ELSE 0 END AS BIGINT)
+FROM qerr
+"""
+
+
+# --------------------------------------------------------------------------
 # O3 block keep/drop over the REAL HTML parser (`block_keep`, VERDICT r05
 # #2, generalizing the G1 10%-of-max rule at
 # src/segmentation/line_segmenter.py:19): per doc a deterministic HTML page
@@ -4093,4 +4264,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "difflib_match": (q_difflib_match, _sql_difflib_match()),
     "block_keep": (q_block_keep, _sql_block_keep()),
     "strategy_best": (_q_strategy_best, _sql_strategy_best_str()),
+    "qdigest": (q_qdigest, _sql_qdigest()),
 }
