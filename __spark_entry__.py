@@ -134,6 +134,11 @@ DRIVER_CAP_OVERFLOW = (
     # estimates vs exact quantiles within the proven D*sigma rank bound
     # (VERDICT r05 #7)
     "qdigest",
+    # round-6 new, born-overflow: URL normalization (case/port/tracking-
+    # param/fragment hygiene) + registrable-domain extraction over a
+    # multi-label public-suffix slice + broadcast per-domain rollups
+    # (VERDICT r05 #8; deterministic synthesized URL column)
+    "url_domains",
 )
 
 

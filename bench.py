@@ -209,6 +209,10 @@ def main() -> None:
         "char_entropy",
         "token_quantiles",
         "difflib_match",
+        "block_keep",
+        "strategy_best",
+        "qdigest",
+        "url_domains",
     ):
         if name not in QUERIES:
             continue

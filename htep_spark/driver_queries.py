@@ -4013,6 +4013,218 @@ FROM qerr
 
 
 # --------------------------------------------------------------------------
+# URL/domain normalization + per-domain rollups (`url_domains`, VERDICT r05
+# #8): the per-document provenance-URL hygiene pass every web-scale
+# curation pipeline runs before domain mixing (the CCNet/RefinedWeb
+# url-dedup + domain-quota step). The testdata has no URL column, so one is
+# synthesized DETERMINISTICALLY from (doc_id, source) — eight messiness
+# variants keyed by doc_id % 8 (mixed case, www prefix, default and
+# non-default ports, utm_*/fbclid tracking params, fragments, trailing-dot
+# hosts, a cdn subdomain) over per-source registrable domains spanning
+# single- and multi-label public suffixes (com ... co.uk, com.au, co.jp).
+# Normalization (all relational, both engines, shared constants):
+# lowercase scheme+host, strip trailing host dot, strip the www prefix,
+# drop default ports (keep :8080), drop fragments, drop tracking params
+# (keep the rest of the query), then extract the registrable domain via a
+# longest-suffix-first match and broadcast-join per-domain doc/token
+# rollups back onto each row. Scale shape: pure string expressions in one
+# projection + one map-side-combinable agg broadcast back — no UDF, no
+# extra shuffle of the corpus.
+# --------------------------------------------------------------------------
+
+# 8 registrable-domain suffixes (public-suffix-list slice: multi-label
+# entries first exercise the longest-match rule), keyed by source % 8
+URL_SUFFIXES = ["co.uk", "org.uk", "com.au", "co.jp", "com", "org", "net", "io"]
+
+# tracking params stripped by normalization
+URL_TRACKING_RE = "^(utm_[a-z]+|fbclid)="
+
+# messy-URL variants (doc_id % 8): token streams over a tiny vocabulary —
+# ('lit', s) literal, ('dom',) lowercase registrable domain, ('udom',)
+# uppercased domain, ('path',) canonical path, ('docid',) the doc id
+URL_VARIANTS = [
+    [("lit", "https://www."), ("dom",), ("path",)],
+    [("lit", "HTTPS://WWW."), ("udom",), ("path",)],
+    [("lit", "https://"), ("dom",), ("lit", ":8080"), ("path",)],
+    [
+        ("lit", "https://"), ("dom",), ("path",),
+        ("lit", "?utm_source=feed&id="), ("docid",), ("lit", "&utm_campaign=x"),
+    ],
+    [("lit", "https://cdn."), ("dom",), ("path",), ("lit", "#frag-2")],
+    [("lit", "http://"), ("dom",), ("lit", ":80"), ("path",)],
+    [("lit", "https://"), ("dom",), ("lit", "."), ("path",)],
+    [
+        ("lit", "https://www."), ("dom",), ("lit", ":443"), ("path",),
+        ("lit", "?fbclid=abc&page=2#x"),
+    ],
+]
+
+
+def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in URL_SUFFIXES]),
+        (src_num % len(URL_SUFFIXES) + 1).cast("int"),
+    )
+    dom = F.concat(F.lit("site"), src_num.cast("string"), F.lit("."), suffix)
+    path = F.concat(F.lit("/doc/"), F.col("doc_id").cast("string"))
+
+    def tok_col(tok):
+        kind = tok[0]
+        if kind == "lit":
+            return F.lit(tok[1])
+        if kind == "dom":
+            return dom
+        if kind == "udom":
+            return F.upper(dom)
+        if kind == "path":
+            return path
+        return F.col("doc_id").cast("string")  # docid
+
+    url = F.element_at(
+        F.array(*[F.concat(*[tok_col(t) for t in v]) for v in URL_VARIANTS]),
+        (F.col("doc_id") % len(URL_VARIANTS) + 1).cast("int"),
+    )
+    toks = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    )
+    base = docs.select(
+        "doc_id", url.alias("url"), toks.cast("long").alias("ntok")
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    hostport = F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_replace(hostport, r":[0-9]+$", "")), r"\.$", ""
+        ),
+        r"^www\.",
+        "",
+    )
+    upath = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+(/[^?#]*)", 1)
+    query = F.regexp_extract("url", r"\?([^#]*)", 1)
+    fquery = F.array_join(
+        F.filter(F.split(query, "&"), lambda x: ~x.rlike(URL_TRACKING_RE)), "&"
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        upath,
+        F.when(fquery != "", F.concat(F.lit("?"), fquery)).otherwise(F.lit("")),
+    )
+    # registrable domain: longest suffix first (multi-label before generic)
+    ordered = sorted(URL_SUFFIXES, key=lambda s: (-s.count("."), s))
+    domain = None
+    for s in ordered:
+        pat = "([^.]+\\." + s.replace(".", "\\.") + ")$"
+        hit = F.regexp_extract(host, pat, 1)
+        cond = F.col("host").endswith("." + s)
+        domain = (
+            F.when(cond, hit) if domain is None else domain.when(cond, hit)
+        )
+    parsed = base.select(
+        "doc_id",
+        "url",
+        "ntok",
+        host.alias("host"),
+        norm.alias("norm_url"),
+    ).withColumn("domain", domain.otherwise(F.col("host")))
+    rollup = parsed.groupBy("domain").agg(
+        F.count("*").cast("long").alias("domain_docs"),
+        F.sum("ntok").cast("long").alias("domain_tokens"),
+    )
+    return parsed.join(F.broadcast(rollup), "domain").select(
+        "doc_id", "url", "norm_url", "host", "domain",
+        "domain_docs", "domain_tokens",
+    )
+
+
+def _sql_url_domains() -> str:
+    n_suf = len(URL_SUFFIXES)
+    suffix_list = "[" + ", ".join(f"'{s}'" for s in URL_SUFFIXES) + "]"
+    dom = (
+        f"('site' || CAST(CAST(substr(source, 4) AS INT) AS VARCHAR) || '.'"
+        f" || {suffix_list}[(CAST(substr(source, 4) AS INT) % {n_suf}) + 1])"
+    )
+    path = "('/doc/' || CAST(doc_id AS VARCHAR))"
+
+    def tok_sql(tok):
+        kind = tok[0]
+        if kind == "lit":
+            return _sql_quote(tok[1])
+        if kind == "dom":
+            return dom
+        if kind == "udom":
+            return f"upper({dom})"
+        if kind == "path":
+            return path
+        return "CAST(doc_id AS VARCHAR)"
+
+    whens = "".join(
+        f" WHEN {i} THEN " + " || ".join(tok_sql(t) for t in v)
+        for i, v in enumerate(URL_VARIANTS)
+    )
+    ordered = sorted(URL_SUFFIXES, key=lambda s: (-s.count("."), s))
+    dom_whens = "".join(
+        " WHEN host LIKE '%." + s + "' THEN "
+        "regexp_extract(host, '([^.]+\\." + s.replace(".", "\\.") + ")$', 1)"
+        for s in ordered
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE (doc_id % {len(URL_VARIANTS)}){whens} END AS url,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              AS BIGINT) AS ntok
+  FROM documents
+), parts AS (
+  SELECT doc_id, url, ntok,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1) AS hostport,
+         regexp_extract(url, '^[A-Za-z]+://[^/?#]+(/[^?#]*)', 1) AS upath,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM base
+), hostq AS (
+  SELECT doc_id, url, ntok, scheme, upath,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_replace(
+           lower(regexp_replace(hostport, ':[0-9]+$', '')), '\\.$', ''),
+           '^www\\.', '') AS host,
+         array_to_string(
+           list_filter(string_split(query, '&'),
+                       x -> NOT regexp_matches(x, '{URL_TRACKING_RE}')),
+           '&') AS fquery
+  FROM parts
+), parsed AS (
+  SELECT doc_id, url, ntok, host,
+         scheme || '://' || host ||
+         CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443'))
+              THEN ':' || port ELSE '' END ||
+         upath ||
+         CASE WHEN fquery <> '' THEN '?' || fquery ELSE '' END AS norm_url,
+         CASE{dom_whens} ELSE host END AS domain
+  FROM hostq
+), rollup AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS domain_docs,
+         CAST(sum(ntok) AS BIGINT) AS domain_tokens
+  FROM parsed GROUP BY domain
+)
+SELECT p.doc_id, p.url, p.norm_url, p.host, p.domain,
+       r.domain_docs, r.domain_tokens
+FROM parsed p JOIN rollup r USING (domain)
+"""
+
+
+# --------------------------------------------------------------------------
 # O3 block keep/drop over the REAL HTML parser (`block_keep`, VERDICT r05
 # #2, generalizing the G1 10%-of-max rule at
 # src/segmentation/line_segmenter.py:19): per doc a deterministic HTML page
@@ -4265,4 +4477,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "block_keep": (q_block_keep, _sql_block_keep()),
     "strategy_best": (_q_strategy_best, _sql_strategy_best_str()),
     "qdigest": (q_qdigest, _sql_qdigest()),
+    "url_domains": (q_url_domains, _sql_url_domains()),
 }
