@@ -24,6 +24,7 @@ __all__ = [
     "stream_interval_join",
     "stream_heavy_hitters",
     "stream_sessionized_counts",
+    "stream_windowed_count_min",
 ]
 
 
@@ -305,6 +306,61 @@ def stream_heavy_hitters(
             stateStructType=state_schema,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_windowed_count_min(
+    tokens: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "5 minutes",
+    depth: int = None,
+    width: int = None,
+) -> DataFrame:
+    """Streaming per-window Count-Min sketch over a ``(token, ts)`` stream
+    (the TODO #5 streaming variant of the batch `count_min` oracle).
+
+    The CM counter table IS a relational aggregation — cell (d, pos) of a
+    window counts the tokens hashing there — so the streaming form needs
+    no custom state operator at all: explode each token into its ``depth``
+    salted cells (same md5 positions as the batch sketch, so the batch
+    oracle validates the counter math) and run a watermarked tumbling-
+    window groupBy. Emits one row per (window, row, col) counter in append
+    mode once the watermark closes the window.
+
+    Scale/state: the state store holds depth x width counters PER OPEN
+    WINDOW — fixed size regardless of stream rate or vocabulary (the
+    sketch property), bounded in window count by the watermark horizon.
+    Point estimates are a post-hoc min over a probe's cells per window
+    (plain batch join on the sink table)."""
+    from ..driver_queries import CM_D, CM_W
+    from ..functions.hashing import md5_prefix60_spark
+
+    d = depth or CM_D
+    w = width or CM_W
+
+    def pos(token_col, j):
+        return F.pmod(
+            md5_prefix60_spark(F.concat(token_col, F.lit(f"|cm{j}"))),
+            F.lit(w),
+        )
+
+    cells = tokens.select(
+        "ts",
+        F.posexplode(
+            F.array(*[pos(F.col("token"), j) for j in range(d)])
+        ).alias("row", "col"),
+    )
+    return (
+        cells.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "row", "col")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "row",
+            "col",
+            "cnt",
         )
     )
 

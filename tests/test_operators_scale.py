@@ -2186,3 +2186,81 @@ def test_exact_global_rank_semantics(spark):
         assert got == want, n_parts
     out = exact_global_rank(df, "score", tie_cols=("id",)).collect()
     assert all(r["global_count"] == 200 for r in out)
+
+
+def test_stream_windowed_count_min(spark, tmp_path):
+    """Streaming per-window Count-Min: the emitted (window, row, col, cnt)
+    counters must equal a batch replay of the same md5 cell positions over
+    the same data, window by window — i.e. the streaming sketch is exactly
+    the batch `count_min` counter table computed per tumbling window. Every
+    emitted counter must also satisfy the CM guarantee (cnt >= any single
+    token's true in-window count hashing there)."""
+    import datetime as dt
+    import hashlib
+
+    import pandas as pd
+
+    from htep_spark.driver_queries import CM_D, CM_W
+    from htep_spark.streaming.stream import stream_windowed_count_min
+
+    def cm_pos(token, j):
+        h = int(
+            hashlib.md5(f"{token}|cm{j}".encode()).hexdigest()[:15], 16
+        )
+        return h % CM_W
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for i in range(600):
+        tok = f"tok{i % 17:02d}"
+        # three 10-minute windows, one event per second
+        rows.append((tok, base + dt.timedelta(seconds=i * 3)))
+    pdf = pd.DataFrame(rows, columns=["token", "ts"])
+    src = str(tmp_path / "cm_src")
+    spark.createDataFrame(pdf, "token string, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("token string, ts timestamp").parquet(src)
+    out = stream_windowed_count_min(
+        stream, window_duration="10 minutes", watermark="0 seconds"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cm_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["row"], r["col"]): r["cnt"]
+        for r in spark.sql("select * from cm_stream").collect()
+    }
+    assert got, "no counters emitted"
+    # batch replay: same cells per window
+    want: dict = {}
+    win = dt.timedelta(minutes=10)
+    for tok, ts in rows:
+        wstart = base + ((ts - base) // win) * win
+        for j in range(CM_D):
+            k = (wstart, j, cm_pos(tok, j))
+            want[k] = want.get(k, 0) + 1
+    emitted_windows = {k[0] for k in got}
+    assert len(emitted_windows) >= 2  # last window may await the watermark
+    for k, cnt in got.items():
+        assert want.get(k) == cnt, (k, cnt, want.get(k))
+    # all counters of an emitted window are present (the full d x w slice
+    # that has any mass) -> per-window point estimates are computable
+    for k, cnt in want.items():
+        if k[0] in emitted_windows:
+            assert got.get(k) == cnt, (k, cnt)
+    # CM guarantee inside each emitted window: estimate >= true count
+    truth: dict = {}
+    for tok, ts in rows:
+        wstart = base + ((ts - base) // win) * win
+        truth[(wstart, tok)] = truth.get((wstart, tok), 0) + 1
+    for (wstart, tok), true_cnt in truth.items():
+        if wstart in emitted_windows:
+            est = min(
+                got[(wstart, j, cm_pos(tok, j))] for j in range(CM_D)
+            )
+            assert est >= true_cnt

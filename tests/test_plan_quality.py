@@ -235,6 +235,36 @@ def test_mixture_plan_no_window(spark):
     assert "BroadcastExchange" in plan, plan
 
 
+def test_round6_operator_plan_shapes(spark):
+    """url_domains must stay entirely JVM-side (string expressions only —
+    no Python in the plan), join its per-domain rollup as a broadcast, and
+    shuffle the corpus exactly once (the rollup aggregation). block_keep is
+    one narrow Arrow projection (scan → exchange → UDF → explode), no
+    shuffle of parsed rows, no joins."""
+    from htep_spark.driver_queries import QUERIES
+
+    plan = (
+        QUERIES["url_domains"][0](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+    bplan = (
+        QUERIES["block_keep"][0](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert bplan.count("ArrowEvalPython") == 1, bplan
+    assert "Exchange hashpartitioning" not in bplan, bplan
+    assert "CartesianProduct" not in bplan, bplan
+
+
 def test_dup_spans_plan_shape(spark):
     """dup_spans' scale claim: token-linear explode + two hash aggregations
     + equi-joins — NO cartesian product, NO single-partition exchange, and
