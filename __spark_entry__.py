@@ -139,6 +139,14 @@ DRIVER_CAP_OVERFLOW = (
     # multi-label public-suffix slice + broadcast per-domain rollups
     # (VERDICT r05 #8; deterministic synthesized URL column)
     "url_domains",
+    # round-6 new, born-overflow: GPT-style concat-and-chunk sequence
+    # packing — global exclusive prefix sum via exact_global_cumsum
+    # (range-partitioned, no single-partition window), per-doc chunk spans
+    "seq_pack",
+    # round-6 new, born-overflow: DSIR importance resampling (Xie et al.
+    # 2023) — hashed-bucket target/source log-likelihood ratios, JVM
+    # pinned-order fold, exact_global_rank top-k cut
+    "dsir_select",
 )
 
 

@@ -4013,6 +4013,242 @@ FROM qerr
 
 
 # --------------------------------------------------------------------------
+# Sequence packing (`seq_pack`): the GPT-style concat-and-chunk batching
+# operator — documents concatenate in pinned doc_id order into one token
+# stream that is cut into fixed SEQ_PACK_C-token training windows; each
+# document reports the chunk span it lands in (boundary-crossing documents
+# are the ones a packing-aware loader must mask across). The global
+# exclusive prefix sum uses `exact_global_cumsum` (range-partitioned, NO
+# single-partition window — plan-gated), so the construction survives a
+# 10^9-document corpus; the oracle is a plain running-sum window (small
+# data has no scale constraint). Everything else is integer arithmetic:
+# start = floor(cum/C), end = floor((cum+ntok-1)/C).
+# --------------------------------------------------------------------------
+
+SEQ_PACK_C = 512  # tokens per packed training sequence
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_cumsum
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+        )
+        .cast("long")
+        .alias("ntok"),
+    )
+    cum = exact_global_cumsum(docs, "doc_id", "ntok")
+    # `div` = exact integer division (never a double round-trip)
+    start = F.expr(f"cum_before div {SEQ_PACK_C}")
+    end = F.expr(f"(cum_before + ntok - 1) div {SEQ_PACK_C}")
+    return cum.select(
+        "doc_id",
+        "ntok",
+        F.col("cum_before").cast("long").alias("cum_before"),
+        start.cast("long").alias("start_chunk"),
+        end.cast("long").alias("end_chunk"),
+        (end - start + 1).cast("long").alias("n_chunks_spanned"),
+        "global_total",
+    )
+
+
+def _sql_seq_pack() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              AS BIGINT) AS ntok
+  FROM documents
+), cum AS (
+  SELECT doc_id, ntok,
+         sum(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - ntok
+           AS cum_before,
+         sum(ntok) OVER () AS global_total
+  FROM base
+)
+SELECT doc_id, ntok, CAST(cum_before AS BIGINT) AS cum_before,
+       CAST(cum_before // {SEQ_PACK_C} AS BIGINT) AS start_chunk,
+       CAST((cum_before + ntok - 1) // {SEQ_PACK_C} AS BIGINT) AS end_chunk,
+       CAST((cum_before + ntok - 1) // {SEQ_PACK_C}
+            - cum_before // {SEQ_PACK_C} + 1 AS BIGINT) AS n_chunks_spanned,
+       CAST(global_total AS BIGINT) AS global_total
+FROM cum
+"""
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling (`dsir_select`): Data Selection via Importance
+# Resampling (Xie et al., NeurIPS 2023) — score every document by the
+# log-likelihood ratio of a TARGET distribution (here: the clinical-snippet
+# corpus, the domain we want more of) vs the SOURCE distribution (the raw
+# corpus) over HASHED token-feature buckets, then keep the top quarter by
+# weight (the paper's deterministic top-k variant; the sampled variant
+# adds Gumbel noise). Shapes at scale: the two feature distributions are
+# FIXED-size summaries (DSIR_BUCKETS counters — the sketch property; the
+# source summary is one map-side-combinable agg, collected bounded and
+# inlined as plan literals like the BPE merge table), the per-doc weight is
+# ONE JVM fold over the materialized token array (position-pinned order,
+# no join, no Python), and the top-k cut is exact_global_rank — no
+# single-partition window. DuckDB independently recomputes BOTH
+# distributions, every ln, the pinned-order fold and the ranked cut, so
+# the hash cross-checks the Python-side ln literals against DuckDB's libm
+# as well as the count parity. Weight = round(mean log-ratio, 6) — rounded
+# once, on the raw double (the char_entropy lesson).
+# --------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed feature buckets (the paper's hashed n-grams)
+DSIR_KEEP_DEN = 4  # keep the top 1/4 of documents by importance weight
+
+
+def _dsir_bucket_py(tok: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{tok}|dsir".encode()).hexdigest()[:15], 16) % (
+        DSIR_BUCKETS
+    )
+
+
+def _dsir_target_counts():
+    """Bucket counts of the literal clinical-snippet target corpus —
+    deterministic constants (the DuckDB oracle recomputes them from the
+    same snippet literals, so even this counting is cross-checked)."""
+    import re as _re
+
+    counts: Dict[int, int] = {}
+    total = 0
+    for s in CLINICAL_SNIPPETS:
+        for tok in _re.findall(_TOKEN_PATTERN, s.lower()):
+            b = _dsir_bucket_py(tok)
+            counts[b] = counts.get(b, 0) + 1
+            total += 1
+    return counts, total
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from .functions.hashing import md5_prefix60_spark
+    from .operators.ranking import exact_global_rank
+
+    B = DSIR_BUCKETS
+    tcounts, T = _dsir_target_counts()
+    docs = _docs(spark, sf_dir)
+    # ground-truth split: EVEN docs get the clinical prelude (in-target
+    # material), ODD docs are raw word soup — a correct importance scorer
+    # must rank the prelude docs on top (pytest-gated recovery check)
+    text_col = F.when(F.col("doc_id") % 2 == 0, _clinical_col()).otherwise(
+        F.col("text")
+    )
+    toks_expr = F.regexp_extract_all(F.lower(text_col), F.lit(_TOKEN_PATTERN), 0)
+    staged = token_barrier(docs, toks_expr, keep_cols=("doc_id",))
+
+    def bucket(tok_col):
+        return F.pmod(
+            md5_prefix60_spark(F.concat(tok_col, F.lit("|dsir"))), F.lit(B)
+        )
+
+    # source distribution: one agg to <= B rows (bounded collect, inlined
+    # back as plan literals — the BPE-merge-table pattern)
+    src_rows = (
+        staged.select(F.explode("t").alias("tok"))
+        .select(bucket(F.col("tok")).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    scounts = {int(r["b"]): int(r["c"]) for r in src_rows}
+    S = sum(scounts.values())
+    lr = {
+        b: math.log((tcounts.get(b, 0) + 1) / (T + B))
+        - math.log((scounts.get(b, 0) + 1) / (S + B))
+        for b in range(B)
+    }
+    lr_map = F.create_map(
+        *[x for b in range(B) for x in (F.lit(b), F.lit(lr[b]))]
+    )
+    weighted = staged.select(
+        "doc_id",
+        F.size("t").cast("long").alias("ntok"),
+        F.round(
+            F.aggregate(
+                F.col("t"),
+                F.lit(0.0),
+                lambda acc, tok: acc + F.element_at(lr_map, bucket(tok)),
+            )
+            / F.size("t"),
+            6,
+        ).alias("weight"),
+    ).withColumn("nw", -F.col("weight"))
+    ranked = exact_global_rank(weighted, "nw", tie_cols=("doc_id",))
+    return ranked.select(
+        "doc_id",
+        "ntok",
+        "weight",
+        F.col("global_rank").alias("rank"),
+        (F.col("global_rank") <= F.col("global_count") / DSIR_KEEP_DEN)
+        .cast("long")
+        .alias("selected"),
+    )
+
+
+def _sql_dsir_select() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    B = DSIR_BUCKETS
+    snip_rows = ",\n    ".join(f"({_sql_quote(s)})" for s in CLINICAL_SNIPPETS)
+    bucket = lambda e: f"({md5_prefix60_sql(f'{e} || {chr(39)}|dsir{chr(39)}')}) % {B}"
+    return f"""
+WITH snips(s) AS (
+  VALUES {snip_rows}
+), tgt_toks AS (
+  SELECT unnest(regexp_extract_all(lower(s), '{_TOKEN_PATTERN}')) AS tok
+  FROM snips
+), tgt AS (
+  SELECT {bucket('tok')} AS b, CAST(count(*) AS BIGINT) AS t_cnt
+  FROM tgt_toks GROUP BY 1
+), tstat AS (
+  SELECT CAST(count(*) AS BIGINT) AS T FROM tgt_toks
+), toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(CASE WHEN doc_id % 2 = 0
+                                       THEN {_clinical_sql()}
+                                       ELSE text END),
+                            '{_TOKEN_PATTERN}') AS ts
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, i AS pos, ts[i] AS tok,
+         {bucket('ts[i]')} AS b
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts)+1)) AS i FROM toks)
+), src AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS s_cnt FROM tok_rows GROUP BY b
+), sstat AS (
+  SELECT CAST(sum(s_cnt) AS BIGINT) AS S FROM src
+), lr AS (
+  SELECT s.b,
+         ln((coalesce(g.t_cnt, 0) + 1) / CAST(t.T + {B} AS DOUBLE))
+         - ln((s.s_cnt + 1) / CAST(st.S + {B} AS DOUBLE)) AS lrv
+  FROM src s LEFT JOIN tgt g USING (b), tstat t, sstat st
+), doc AS (
+  SELECT r.doc_id, CAST(count(*) AS BIGINT) AS ntok,
+         round(list_sum(list(l.lrv ORDER BY r.pos)) / count(*), 6) AS weight
+  FROM tok_rows r JOIN lr l USING (b)
+  GROUP BY r.doc_id
+), ranked AS (
+  SELECT doc_id, ntok, weight,
+         row_number() OVER (ORDER BY weight DESC, doc_id) AS rank,
+         count(*) OVER () AS n
+  FROM doc
+)
+SELECT doc_id, ntok, weight, CAST(rank AS BIGINT) AS rank,
+       CAST(CASE WHEN rank <= n / {DSIR_KEEP_DEN} THEN 1 ELSE 0 END
+            AS BIGINT) AS selected
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
 # URL/domain normalization + per-domain rollups (`url_domains`, VERDICT r05
 # #8): the per-document provenance-URL hygiene pass every web-scale
 # curation pipeline runs before domain mixing (the CCNet/RefinedWeb
@@ -4478,4 +4714,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "strategy_best": (_q_strategy_best, _sql_strategy_best_str()),
     "qdigest": (q_qdigest, _sql_qdigest()),
     "url_domains": (q_url_domains, _sql_url_domains()),
+    "seq_pack": (q_seq_pack, _sql_seq_pack()),
+    "dsir_select": (q_dsir_select, _sql_dsir_select()),
 }

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_global_rank",
+    "exact_global_cumsum",
     "q_lm_tercile",
     "sql_lm_tercile",
     "q_lm_heldout",
@@ -92,6 +93,64 @@ def exact_global_rank(
         # this operator exists to avoid)
         .withColumn("global_count", F.lit(acc).cast("long"))
         .drop("_pid", "_offset", "_mn", "_mid")
+    )
+
+
+def exact_global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    tie_cols: Sequence[str] = (),
+    n_partitions: int = 0,
+) -> DataFrame:
+    """Append ``cum_before`` (exclusive prefix sum of ``val_col`` in global
+    ``order_col`` order) and ``global_total`` — the weighted sibling of
+    ``exact_global_rank`` (same range-partition + pinned-materialization
+    scaffolding, same no-single-partition-window guarantee).
+
+    The in-partition running sum DOES use a window partitioned by the
+    materialized partition id: that plans one extra hash exchange of the
+    narrow rows, but its keys are the P partition ids of a range exchange
+    — one reducer per former partition, balanced by construction — and the
+    alternative (a driver-side loop) would not be distributed at all. The
+    per-partition value totals ride the same #partitions-scalar action the
+    rank variant already pays."""
+    from pyspark.sql.window import Window
+
+    keys = [F.col(order_col)] + [F.col(t) for t in tie_cols]
+    n_parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n_parts, *keys)
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    stats = sorted(
+        (r["_pid"], r["tot"])
+        for r in parted.groupBy("_pid")
+        .agg(F.sum(val_col).alias("tot"))
+        .collect()
+    )  # #partitions scalars — the one driver action
+    offsets, acc = [], 0
+    for pid, tot in stats:
+        offsets.append((pid, acc))
+        acc += int(tot)
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "_pid int, _offset long")
+    )
+    w = Window.partitionBy("_pid").orderBy("_mid")
+    return (
+        parted.join(off_df, "_pid")
+        .withColumn(
+            "cum_before",
+            F.col("_offset")
+            + F.sum(val_col).over(w)
+            - F.col(val_col),
+        )
+        .withColumn("global_total", F.lit(acc).cast("long"))
+        .drop("_pid", "_offset", "_mid")
     )
 
 

@@ -841,3 +841,59 @@ def test_field_gates_are_sound():
         "doctor_name": None, "hospital": None, "diagnosis": [],
         "medicines": [], "vitals": {}, "instructions": [],
     }
+
+
+def test_dsir_recovers_target_docs_and_margins():
+    """DSIR recovery + cross-engine-rounding safety on the fixed corpus:
+    (a) every selected doc must be a prelude (in-target) doc — the scorer
+    recovers the planted ground truth; (b) every doc's unrounded mean
+    log-ratio clears its 0.5e-6 rounding boundary by > 1e-12 (python-libm
+    literals on the Spark side vs DuckDB ln cannot flip the 6dp value)."""
+    import math
+    import re as _re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        CLINICAL_SNIPPETS,
+        DSIR_BUCKETS,
+        _dsir_bucket_py,
+        _dsir_target_counts,
+        _TOKEN_PATTERN,
+    )
+
+    B = DSIR_BUCKETS
+    tcounts, T = _dsir_target_counts()
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    docs = {}
+    for doc_id, text in rows:
+        if doc_id % 2 == 0:
+            text = CLINICAL_SNIPPETS[doc_id % 8] + "\n" + text
+        docs[doc_id] = _re.findall(_TOKEN_PATTERN, text.lower())
+    scounts: dict = {}
+    for toks in docs.values():
+        for tok in toks:
+            b = _dsir_bucket_py(tok)
+            scounts[b] = scounts.get(b, 0) + 1
+    S = sum(scounts.values())
+    lr = {
+        b: math.log((tcounts.get(b, 0) + 1) / (T + B))
+        - math.log((scounts.get(b, 0) + 1) / (S + B))
+        for b in range(B)
+    }
+    weights = {}
+    for doc_id, toks in docs.items():
+        acc = 0.0
+        for tok in toks:  # pinned position order, like both engines
+            acc += lr[_dsir_bucket_py(tok)]
+        w = acc / len(toks)
+        frac = abs(w * 1e6 - round(w * 1e6))
+        assert abs(frac - 0.5) * 1e-6 > 1e-12, (doc_id, w)
+        weights[doc_id] = round(w, 6)
+    order = sorted(weights, key=lambda d: (-weights[d], d))
+    n_keep = len(order) // 4
+    selected = set(order[:n_keep])
+    assert all(d % 2 == 0 for d in selected), "non-prelude doc selected"
