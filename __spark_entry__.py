@@ -147,6 +147,10 @@ DRIVER_CAP_OVERFLOW = (
     # 2023) — hashed-bucket target/source log-likelihood ratios, JVM
     # pinned-order fold, exact_global_rank top-k cut
     "dsir_select",
+    # round-6 new, born-overflow: SemDeDup (Abbas et al. 2023) semantic
+    # dedup — seeded-IVF clustering, within-cell cosine pairs, connected
+    # components, keep-farthest-from-centroid representative
+    "semdedup",
 )
 
 

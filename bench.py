@@ -213,6 +213,9 @@ def main() -> None:
         "strategy_best",
         "qdigest",
         "url_domains",
+        "seq_pack",
+        "dsir_select",
+        "semdedup",
     ):
         if name not in QUERIES:
             continue

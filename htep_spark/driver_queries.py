@@ -2023,6 +2023,150 @@ FROM emb e LEFT JOIN labels l ON e.vec_id = l.vec_id
 
 
 # --------------------------------------------------------------------------
+# SemDeDup (`semdedup`, Abbas et al. 2023): semantic deduplication — the
+# embedding-space analogue of MinHash dedup used on web-scale LLM corpora.
+# Cluster embeddings with a coarse quantizer, find within-cluster pairs
+# above a cosine threshold, and keep ONE representative per duplicate
+# group — the paper keeps the member FARTHEST from its centroid (the
+# "keep outliers" rule; lowest centroid-cosine, vec_id tie-break).
+# Composes three audited blocks: the seeded-row IVF quantizer (ann_ivf —
+# assignment is broadcast + rounded-cosine argmax), within-cell pair
+# generation (cell equi-join, never an all-pairs across cells — the
+# paper's own scale story: clusters bound the quadratic term), and the
+# pointer-jumping connected components (dedup_keepers). All cosine gates
+# and the keeper ordering use 6dp-rounded values on both engines.
+# --------------------------------------------------------------------------
+
+SEMDEDUP_N = 200  # embedding subset (within-cell pairs stay bounded)
+SEMDEDUP_CELLS = 8  # seeded-row centroids: vec_id 0..7
+SEMDEDUP_THRESHOLD = 0.3  # within-cluster duplicate-pair cosine gate
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import connected_components
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < SEMDEDUP_N)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cents = emb.filter(F.col("vec_id") < SEMDEDUP_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("cv")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+            )
+        )
+
+    sims = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "sim",
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (norm(F.col("v")) * norm(F.col("cv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    assigned = (
+        sims.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "v", "cell", F.col("sim").alias("centroid_sim"))
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cell"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("cell").alias("cell_b"),
+    )
+    pairs = (
+        a.join(b, (a["cell"] == b["cell_b"]) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (norm(F.col("va")) * norm(F.col("vb"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    comps = connected_components(pairs)
+    labeled = assigned.join(
+        comps, assigned["vec_id"] == comps["doc_id"], "left"
+    ).select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "centroid_sim",
+        F.coalesce("cluster_id", F.col("vec_id")).cast("long").alias("cluster_id"),
+    )
+    w2 = Window.partitionBy("cluster_id").orderBy(
+        F.asc("centroid_sim"), F.asc("vec_id")
+    )
+    return labeled.withColumn(
+        "keep", (F.row_number().over(w2) == 1).cast("long")
+    )
+
+
+def _sql_semdedup() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    sim_ec = cos.format(a="e.v", b="c.cv")
+    sim_ab = cos.format(a="a.v", b="b.v")
+    return f"""
+WITH RECURSIVE emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < {SEMDEDUP_N}
+), cents AS (
+  SELECT CAST(vec_id AS INTEGER) AS cell, v AS cv
+  FROM emb WHERE vec_id < {SEMDEDUP_CELLS}
+), ea AS (
+  SELECT vec_id, v, cell, sim AS centroid_sim FROM (
+    SELECT e.vec_id, e.v, c.cell, {sim_ec} AS sim,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sim_ec} DESC, c.cell ASC) AS crank
+    FROM emb e CROSS JOIN cents c)
+  WHERE crank = 1
+), epairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ea a JOIN ea b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {sim_ab} >= {SEMDEDUP_THRESHOLD}
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM epairs
+  UNION
+  SELECT vec_b AS src, vec_a AS dst FROM epairs
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), labels AS (
+  SELECT src AS vec_id, least(min(dst), src) AS cluster_id
+  FROM reach GROUP BY src
+), labeled AS (
+  SELECT e.vec_id, CAST(e.cell AS BIGINT) AS cell, e.centroid_sim,
+         CAST(coalesce(l.cluster_id, e.vec_id) AS BIGINT) AS cluster_id
+  FROM ea e LEFT JOIN labels l ON e.vec_id = l.vec_id
+)
+SELECT vec_id, cell, centroid_sim, cluster_id,
+       CAST(CASE WHEN row_number() OVER (
+              PARTITION BY cluster_id
+              ORDER BY centroid_sim ASC, vec_id ASC) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM labeled
+"""
+
+
+# --------------------------------------------------------------------------
 # Event sessionization: lag-gap rule (window functions, SURVEY §2.7)
 # --------------------------------------------------------------------------
 
@@ -4716,4 +4860,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "url_domains": (q_url_domains, _sql_url_domains()),
     "seq_pack": (q_seq_pack, _sql_seq_pack()),
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
+    "semdedup": (q_semdedup, _sql_semdedup()),
 }
