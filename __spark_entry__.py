@@ -151,6 +151,9 @@ DRIVER_CAP_OVERFLOW = (
     # dedup — seeded-IVF clustering, within-cell cosine pairs, connected
     # components, keep-farthest-from-centroid representative
     "semdedup",
+    # round-6 new, born-overflow: RefinedWeb-style per-domain quota cap
+    # (md5-ordered top-Q per registrable domain, WindowGroupLimit plan)
+    "domain_quota",
 )
 
 

@@ -216,6 +216,7 @@ def main() -> None:
         "seq_pack",
         "dsir_select",
         "semdedup",
+        "domain_quota",
     ):
         if name not in QUERIES:
             continue

@@ -4605,6 +4605,51 @@ FROM parsed p JOIN rollup r USING (domain)
 
 
 # --------------------------------------------------------------------------
+# Per-domain quota sampling (`domain_quota`): the RefinedWeb-style cap —
+# no registrable domain may contribute more than DOMAIN_QUOTA_Q documents;
+# within a domain, survivors are chosen by a seed-free md5 order (the
+# sample_hash discipline: deterministic on any cluster size, no RNG state).
+# Composes the audited url_domains domain derivation (nested-WITH
+# composition oracle, the curation_funnel pattern). Scale shape: ONE
+# ranked window per domain whose rank<=Q filter Spark rewrites into
+# WindowGroupLimit (top-Q per group without materializing full ranks —
+# plan-gated), over the already-derived domain column.
+# --------------------------------------------------------------------------
+
+DOMAIN_QUOTA_Q = 15  # max docs per registrable domain
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ord_col = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("quota"), F.col("doc_id")), 10_000
+    )
+    base = q_url_domains(spark, sf_dir).select(
+        "doc_id", "domain", ord_col.alias("ord")
+    )
+    w = Window.partitionBy("domain").orderBy("ord", "doc_id")
+    return (
+        base.withColumn("qrank", F.row_number().over(w))
+        .filter(F.col("qrank") <= DOMAIN_QUOTA_Q)
+        .select(
+            "doc_id", "domain", F.col("qrank").cast("long").alias("qrank")
+        )
+    )
+
+
+def _sql_domain_quota() -> str:
+    ord_sql = _md5_bucket_sql("'quota' || '|' || CAST(doc_id AS VARCHAR)", 10_000)
+    return f"""
+WITH u AS ({_sql_url_domains()})
+SELECT doc_id, domain, CAST(qrank AS BIGINT) AS qrank FROM (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY {ord_sql}, doc_id) AS qrank
+  FROM u
+) WHERE qrank <= {DOMAIN_QUOTA_Q}
+"""
+
+
+# --------------------------------------------------------------------------
 # O3 block keep/drop over the REAL HTML parser (`block_keep`, VERDICT r05
 # #2, generalizing the G1 10%-of-max rule at
 # src/segmentation/line_segmenter.py:19): per doc a deterministic HTML page
@@ -4861,4 +4906,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "seq_pack": (q_seq_pack, _sql_seq_pack()),
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
     "semdedup": (q_semdedup, _sql_semdedup()),
+    "domain_quota": (q_domain_quota, _sql_domain_quota()),
 }

@@ -264,6 +264,17 @@ def test_round6_operator_plan_shapes(spark):
     assert "Exchange hashpartitioning" not in bplan, bplan
     assert "CartesianProduct" not in bplan, bplan
 
+    # domain_quota: the rank<=Q filter must rewrite into WindowGroupLimit
+    # (top-Q per domain without materializing full ranks), all JVM-side
+    qplan = (
+        QUERIES["domain_quota"][0](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in qplan, qplan
+    assert "EvalPython" not in qplan, qplan
+
 
 def test_dup_spans_plan_shape(spark):
     """dup_spans' scale claim: token-linear explode + two hash aggregations
