@@ -154,6 +154,12 @@ DRIVER_CAP_OVERFLOW = (
     # round-6 new, born-overflow: RefinedWeb-style per-domain quota cap
     # (md5-ordered top-Q per registrable domain, WindowGroupLimit plan)
     "domain_quota",
+    # round-6 new, born-overflow: the FULL BlockTextParser T2-T6 correction
+    # waterfall (lossless tokenize -> confusion normalize -> exact med/eng
+    # -> difflib close-match med(0.84)/eng(0.93) -> apply_case), real
+    # kernel vs complete SQL re-derivation — the block_parse rows-only
+    # residue is now just struct plumbing
+    "block_correct",
 )
 
 

@@ -217,6 +217,7 @@ def main() -> None:
         "dsir_select",
         "semdedup",
         "domain_quota",
+        "block_correct",
     ):
         if name not in QUERIES:
             continue

@@ -4605,6 +4605,264 @@ FROM parsed p JOIN rollup r USING (domain)
 
 
 # --------------------------------------------------------------------------
+# BlockTextParser correction waterfall (`block_correct`): the LAST composed
+# non-SQL surface of the T2-T6 chain, now hash-checked end-to-end. The
+# REAL kernel (the same ``TokenCorrector`` + ``_PARSER_TOKEN_RE`` walk
+# that ``correct_text_regex`` / the `block_parse` rows-only query run,
+# ref ``src/nlp/block_parser.py:281-322,359-373``) emits every token part
+# with its correction and source layer; DuckDB re-derives the ENTIRE
+# waterfall relationally: the lossless tokenization regex, the T2
+# digit->letter confusion translate, the non-alpha strip, BOTH exact
+# lookups, BOTH difflib close-match layers (medical cutoff 0.84, english
+# 0.93 — the work-list recursive-CTE Ratcliff/Obershelp machinery of
+# `difflib_match`, instantiated twice with the lexicographically-largest
+# tie-break), and the T3 apply_case mapping (isupper/capitalize/islower
+# branches). A per-doc prelude (doc_id % 16) plants each branch: an
+# UPPERCASE confusion-corrupted medical term (normalize -> exact hit), a
+# Title-case non-confusion-corrupted medical term (close-medical), a
+# one-char-deleted long english term (close-english; 2(n-1)/(2n-1) >= .93
+# needs len >= 8), 'hyper-tension' (hyphen token, exact after strip),
+# 'ab' (len<3 pass-through) and '!' (non-word pass-through). Whitespace
+# parts ride along unchanged, so reassembly order is verifiable.
+# --------------------------------------------------------------------------
+
+BLOCK_SIM_CUTOFF = 0.84  # TokenCorrector similarity_cutoff
+BLOCK_ENG_CUTOFF = 0.93  # TokenCorrector english_similarity_cutoff
+
+_CONFUSION_INV = {"o": "0", "l": "1", "e": "3", "s": "5", "g": "6", "b": "8"}
+
+
+def _block_correct_prelude():
+    """16 per-branch corrupted terms (doc_id % 16) — single source for the
+    Spark literal arrays and the DuckDB list literals."""
+    from .dictionaries import ENGLISH_COMMON, MEDICAL_TERMS
+
+    meds = [
+        t
+        for t in sorted(set(MEDICAL_TERMS))
+        if len(t) >= 7 and any(c in _CONFUSION_INV for c in t)
+    ]
+    engs = [t for t in sorted(set(ENGLISH_COMMON)) if len(t) >= 7]
+    exacts, closes, edels = [], [], []
+    for i in range(16):
+        t = meds[(i * 5) % len(meds)]
+        # branch A: first confusable letter -> its digit, shown UPPERCASE
+        # (T2 normalize undoes the digit -> exact medical; T3 upper branch)
+        pos = next(j for j, c in enumerate(t) if c in _CONFUSION_INV)
+        exacts.append((t[:pos] + _CONFUSION_INV[t[pos]] + t[pos + 1 :]).upper())
+        # branch B: non-confusion letter substitution, Title-case
+        # (1 sub in len>=7 -> ratio (n-1)/n >= 0.857 >= 0.84 close-medical)
+        t2 = meds[(i * 7 + 3) % len(meds)]
+        p2 = i % len(t2)
+        repl = chr(ord("a") + (ord(t2[p2]) - ord("a") + 2 + i) % 26)
+        while repl in _CONFUSION_INV or repl == t2[p2]:
+            repl = chr(ord("a") + (ord(repl) - ord("a") + 1) % 26)
+        closes.append((t2[:p2] + repl + t2[p2 + 1 :]).capitalize())
+        # branch C: one-char INSERTION into a len>=7 english term,
+        # lowercase (ratio 2n/(2n+1) >= 14/15 = 0.933 >= 0.93
+        # close-english; the corpus dictionary has no len>=8 terms, so
+        # deletion can't clear the 0.93 bar but insertion can)
+        t3 = engs[(i * 3 + 1) % len(engs)]
+        p3 = i % (len(t3) + 1)
+        ins = chr(ord("a") + (7 * i + 4) % 26)
+        edels.append(t3[:p3] + ins + t3[p3:])
+    return exacts, closes, edels
+
+
+_BLOCK_CORRECT_TYPE = "array<struct<part:string,corrected:string,source:string>>"
+
+
+def q_block_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dictionaries import ENGLISH_COMMON, MEDICAL_TERMS
+
+    exacts, closes, edels = _block_correct_prelude()
+    idx = (F.col("doc_id") % 16 + 1).cast("int")
+    lit_at = lambda terms: F.element_at(F.array(*[F.lit(t) for t in terms]), idx)
+    btext = F.concat(
+        lit_at(exacts), F.lit(" "), lit_at(closes), F.lit(" "), lit_at(edels),
+        F.lit(" hyper-tension ab !\n"), F.col("text"),
+    )
+    staged = (
+        _docs(spark, sf_dir)
+        .select("doc_id", btext.alias("btext"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    med, eng = list(MEDICAL_TERMS), list(ENGLISH_COMMON)
+
+    @F.pandas_udf(_BLOCK_CORRECT_TYPE)
+    def correct_parts(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from htep_spark.functions.textops import _PARSER_TOKEN_RE, TokenCorrector
+
+        corrector = TokenCorrector(med, eng, BLOCK_SIM_CUTOFF, BLOCK_ENG_CUTOFF)
+        for series in texts:
+            out = []
+            for text in series:
+                rows = []
+                for part in _PARSER_TOKEN_RE.findall(
+                    text if isinstance(text, str) else ""
+                ):
+                    corrected, source = corrector.correct(part)
+                    rows.append(
+                        {"part": part, "corrected": corrected, "source": source}
+                    )
+                out.append(rows)
+            yield pd.Series(out)
+
+    return staged.select(
+        "doc_id", F.posexplode(correct_parts(F.col("btext"))).alias("part_idx", "p")
+    ).select(
+        "doc_id",
+        F.col("part_idx").cast("long").alias("part_idx"),
+        F.col("p.part").alias("part"),
+        F.col("p.corrected").alias("corrected"),
+        F.col("p.source").alias("source"),
+    )
+
+
+def _sql_difflib_best_layer(name: str, terms, cutoff: float) -> str:
+    """One difflib close-match layer as recursive-CTE text: distinct
+    unmatched cleaned tokens vs a term list, SequenceMatcher ratio via the
+    work-list leftmost-longest-block recursion (the `difflib_match`
+    machinery), winner = (ratio DESC, term DESC) — get_close_matches'
+    nlargest tie-break — at an INCLUSIVE cutoff."""
+    dict_rows = ",\n    ".join(f"('{t}')" for t in sorted(set(terms)))
+    best = """
+      list_sort(flatten(list_transform(range(1, length(a) + 1), i ->
+        list_transform(range(1, length(b) + 1), j ->
+          [- list_max(list_transform(
+                 range(0, least(length(a) - i + 1, length(b) - j + 1) + 1),
+                 L -> CASE WHEN substr(a, i, L) = substr(b, j, L)
+                           THEN L ELSE 0 END)),
+           i, j]))))[1]
+    """
+    return f"""{name}_dict(term) AS (
+  VALUES {dict_rows}
+), {name}_cand AS (
+  SELECT u.cleaned AS token, d.term
+  FROM fuzz_toks u JOIN {name}_dict d
+    ON 2.0 * least(length(u.cleaned), length(d.term))
+       / (length(u.cleaned) + length(d.term)) >= {cutoff}
+), {name}_seg AS (
+  SELECT token, term, term AS a, token AS b, 0 AS k FROM {name}_cand
+  UNION ALL
+  SELECT token, term,
+         CASE part WHEN 1 THEN '' WHEN 2 THEN substr(a, 1, bi - 1)
+                   ELSE substr(a, bi + bk) END AS a,
+         CASE part WHEN 1 THEN '' WHEN 2 THEN substr(b, 1, bj - 1)
+                   ELSE substr(b, bj + bk) END AS b,
+         CASE part WHEN 1 THEN bk ELSE 0 END AS k
+  FROM (
+    SELECT token, term, a, b, -(bt[1]) AS bk, bt[2] AS bi, bt[3] AS bj
+    FROM (SELECT token, term, a, b, {best} AS bt FROM {name}_seg
+          WHERE length(a) > 0 AND length(b) > 0 AND k = 0)
+  ) s CROSS JOIN unnest([1, 2, 3]) AS u(part)
+  WHERE bk > 0
+    AND (part = 1
+         OR (part = 2 AND bi > 1 AND bj > 1)
+         OR (part = 3 AND bi + bk <= length(a) AND bj + bk <= length(b)))
+), {name}_best AS (
+  SELECT token, term FROM (
+    SELECT token, term,
+           row_number() OVER (
+             PARTITION BY token ORDER BY
+               2.0 * ratio_num / (length(token) + length(term)) DESC,
+               term DESC) AS rn
+    FROM (SELECT token, term, sum(k) AS ratio_num
+          FROM {name}_seg GROUP BY token, term)
+    WHERE 2.0 * ratio_num / (length(token) + length(term)) >= {cutoff}
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_block_correct() -> str:
+    from .dictionaries import ENGLISH_COMMON, MEDICAL_TERMS
+
+    exacts, closes, edels = _block_correct_prelude()
+    sql_list = lambda terms: (
+        "list_value(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    )
+    med_rows = ",\n    ".join(f"('{t}')" for t in sorted(set(MEDICAL_TERMS)))
+    eng_rows = ",\n    ".join(f"('{t}')" for t in sorted(set(ENGLISH_COMMON)))
+    # Python str.isupper()/islower(): at least one cased char, all cased
+    # chars in that case — for ASCII tokens: s = upper(s) AND s <> lower(s)
+    isupper = "(part = upper(part) AND part <> lower(part))"
+    first = "substr(part, 1, 1)"
+    rest = "substr(part, 2)"
+    iscap = (
+        f"({first} = upper({first}) AND {first} <> lower({first})"
+        f" AND {rest} = lower({rest}) AND {rest} <> upper({rest}))"
+    )
+    islower = "(part = lower(part) AND part <> upper(part))"
+    apply_case = (
+        f"CASE WHEN {isupper} THEN upper(hit)"
+        f" WHEN {iscap} THEN upper(substr(hit, 1, 1)) || lower(substr(hit, 2))"
+        f" WHEN {islower} THEN lower(hit)"
+        f" ELSE hit END"
+    )
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         {sql_list(exacts)}[(doc_id % 16) + 1] || ' ' ||
+         {sql_list(closes)}[(doc_id % 16) + 1] || ' ' ||
+         {sql_list(edels)}[(doc_id % 16) + 1] ||
+         ' hyper-tension ab !' || chr(10) || text AS btext
+  FROM documents
+), parts AS (
+  SELECT doc_id, i - 1 AS part_idx, ps[i] AS part
+  FROM (SELECT doc_id,
+               regexp_extract_all(btext,
+                 '\\s+|[A-Za-z0-9]+(?:[-''][A-Za-z0-9]+)?|[^\\w\\s]') AS ps,
+               unnest(range(1, len(regexp_extract_all(btext,
+                 '\\s+|[A-Za-z0-9]+(?:[-''][A-Za-z0-9]+)?|[^\\w\\s]')) + 1))
+                 AS i
+        FROM base)
+), toks AS (
+  SELECT doc_id, part_idx, part,
+         length(part) >= 3 AND regexp_matches(part, '[A-Za-z]') AS is_word,
+         lower(regexp_replace(translate(part, '013568', 'olesgb'),
+                              '[^A-Za-z]', '', 'g')) AS cleaned
+  FROM parts
+), med_dict(term) AS (
+  VALUES {med_rows}
+), eng_dict(term) AS (
+  VALUES {eng_rows}
+), fuzz_toks AS (
+  -- distinct word tokens that fail BOTH exact lookups (the only ones the
+  -- close-match layers ever see)
+  SELECT DISTINCT cleaned FROM toks
+  WHERE is_word AND cleaned <> ''
+    AND cleaned NOT IN (SELECT term FROM med_dict)
+    AND cleaned NOT IN (SELECT term FROM eng_dict)
+), {_sql_difflib_best_layer("fm", sorted(set(MEDICAL_TERMS)), BLOCK_SIM_CUTOFF)},
+{_sql_difflib_best_layer("fe", sorted(set(ENGLISH_COMMON)), BLOCK_ENG_CUTOFF)},
+resolved AS (
+  SELECT t.doc_id, t.part_idx, t.part,
+         CASE WHEN NOT t.is_word OR t.cleaned = '' THEN NULL
+              WHEN em.term IS NOT NULL THEN em.term
+              WHEN ee.term IS NOT NULL THEN ee.term
+              WHEN bm.term IS NOT NULL THEN bm.term
+              WHEN be.term IS NOT NULL THEN be.term
+              ELSE NULL END AS hit,
+         CASE WHEN NOT t.is_word OR t.cleaned = '' THEN NULL
+              WHEN em.term IS NOT NULL THEN 'medical'
+              WHEN ee.term IS NOT NULL THEN 'english'
+              WHEN bm.term IS NOT NULL THEN 'medical'
+              WHEN be.term IS NOT NULL THEN 'english'
+              ELSE NULL END AS source
+  FROM toks t
+  LEFT JOIN med_dict em ON t.is_word AND t.cleaned = em.term
+  LEFT JOIN eng_dict ee ON t.is_word AND t.cleaned = ee.term
+  LEFT JOIN fm_best bm ON t.is_word AND t.cleaned = bm.token
+  LEFT JOIN fe_best be ON t.is_word AND t.cleaned = be.token
+)
+SELECT doc_id, CAST(part_idx AS BIGINT) AS part_idx, part,
+       CASE WHEN hit IS NULL THEN part ELSE {apply_case} END AS corrected,
+       source
+FROM resolved
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-domain quota sampling (`domain_quota`): the RefinedWeb-style cap —
 # no registrable domain may contribute more than DOMAIN_QUOTA_Q documents;
 # within a domain, survivors are chosen by a seed-free md5 order (the
@@ -4907,4 +5165,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "dsir_select": (q_dsir_select, _sql_dsir_select()),
     "semdedup": (q_semdedup, _sql_semdedup()),
     "domain_quota": (q_domain_quota, _sql_domain_quota()),
+    "block_correct": (q_block_correct, _sql_block_correct()),
 }
