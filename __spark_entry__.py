@@ -160,6 +160,11 @@ DRIVER_CAP_OVERFLOW = (
     # kernel vs complete SQL re-derivation — the block_parse rows-only
     # residue is now just struct plumbing
     "block_correct",
+    # round-6 new, born-overflow: the conversation_rollup grouped-map merge
+    # rules (first non-empty name in turn order, union-sort arrays with
+    # NULL/[] planted, max-urgency escalation incl. unknown-rank -1) over
+    # synthetic turn structs — the real applyInPandas vs DuckDB
+    "conv_rollup_merge",
 )
 
 

@@ -218,6 +218,7 @@ def main() -> None:
         "semdedup",
         "domain_quota",
         "block_correct",
+        "conv_rollup_merge",
     ):
         if name not in QUERIES:
             continue

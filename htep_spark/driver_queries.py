@@ -4863,6 +4863,171 @@ FROM resolved
 
 
 # --------------------------------------------------------------------------
+# Conversation-rollup merge semantics (`conv_rollup_merge`): the REAL
+# ``conversation_rollup`` grouped-map operator (the applyInPandas behind
+# the rows-only `conv_rollup` query) run over SYNTHETIC per-turn result
+# structs planted from md5 constants, vs a DuckDB re-derivation of every
+# merge rule: first non-null non-EMPTY string per name field in turn
+# order (empty strings are planted and must be skipped), drug/disease
+# union-sort across turns with NULL and [] arrays planted, max-urgency
+# escalation by rank (routine<high<urgent; an unknown value ranks -1 and
+# is planted, including conversations where EVERY turn is unknown), and
+# sorted-distinct document types. This pins the cross-turn merge rules
+# cross-engine; the remaining conv_rollup residue is only the upstream
+# extraction structs (pytest byte-equality) and plumbing.
+# --------------------------------------------------------------------------
+
+ROLLUP_NAMES = [None, "", "Alice Smith", "Bob Jones", "Cara Line"]
+ROLLUP_DOCTORS = [None, "", "Dr Adams", "Dr Baker", "Dr Chen"]
+ROLLUP_HOSPITALS = [None, "", "St Mary", "City General", "Lakeside"]
+ROLLUP_DRUG_SETS = [None, [], ["aspirin"], ["metformin", "aspirin"]]
+ROLLUP_DISEASE_SETS = [None, [], ["diabetes"], ["hypertension", "diabetes"]]
+ROLLUP_URGENCIES = ["routine", "high", "urgent", "mystery"]  # mystery -> -1
+ROLLUP_DOCTYPES = ["consultation", "prescription", "lab_report"]
+
+
+def _rollup_k_spark(salt: str, mod: int):
+    from .functions.hashing import md5_prefix60_spark
+
+    return F.pmod(
+        md5_prefix60_spark(
+            F.concat_ws("|", F.lit(salt), F.col("doc_id").cast("string"))
+        ),
+        F.lit(mod),
+    )
+
+
+def _rollup_k_sql(salt: str, mod: int) -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    expr = f"'{salt}' || '|' || CAST(doc_id AS VARCHAR)"
+    return f"({md5_prefix60_sql(expr)}) % {mod}"
+
+
+def q_conv_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.conversation import conversation_rollup
+
+    def pick(salt, values):
+        k = _rollup_k_spark(salt, len(values))
+        expr = None
+        for i, v in enumerate(values):
+            cond = k == i
+            col = F.lit(v) if v is not None else F.lit(None).cast("string")
+            expr = F.when(cond, col) if expr is None else expr.when(cond, col)
+        return expr
+
+    def pick_arr(salt, sets):
+        k = _rollup_k_spark(salt, len(sets))
+        expr = None
+        for i, v in enumerate(sets):
+            col = (
+                F.lit(None).cast("array<string>")
+                if v is None
+                else F.array(*[F.lit(x) for x in v]).cast("array<string>")
+            )
+            expr = F.when(k == i, col) if expr is None else expr.when(k == i, col)
+        return expr
+
+    # small conversations (source x doc_id%7 -> ~3-4 turns each) so the
+    # non-escalated branches (no-urgent, even all-unknown conversations)
+    # actually appear in the output, not just the saturated maximum
+    synth = _docs(spark, sf_dir).select(
+        F.concat_ws(
+            "-", F.col("source"), (F.col("doc_id") % 7).cast("string")
+        ).alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.struct(
+            F.struct(
+                pick("pn", ROLLUP_NAMES).alias("patient_name"),
+                pick("dn", ROLLUP_DOCTORS).alias("doctor_name"),
+                pick("ho", ROLLUP_HOSPITALS).alias("hospital"),
+            ).alias("extracted"),
+            pick_arr("dr", ROLLUP_DRUG_SETS).alias("matched_drugs"),
+            pick_arr("di", ROLLUP_DISEASE_SETS).alias("matched_diseases"),
+            pick("ur", ROLLUP_URGENCIES).alias("urgency"),
+            pick("dt", ROLLUP_DOCTYPES).alias("document_type"),
+        ).alias("result"),
+    )
+    rolled = conversation_rollup(synth)
+    return rolled.select(
+        "conv_id",
+        F.col("n_turns").cast("long").alias("n_turns"),
+        "patient_name",
+        "doctor_name",
+        "hospital",
+        F.array_join("all_drugs", "|").alias("all_drugs"),
+        F.array_join("all_diseases", "|").alias("all_diseases"),
+        "max_urgency",
+        F.array_join("document_types", "|").alias("document_types"),
+    )
+
+
+def _sql_conv_rollup_merge() -> str:
+    def case_str(salt, values):
+        k = _rollup_k_sql(salt, len(values))
+        whens = "".join(
+            f" WHEN {i} THEN " + ("NULL" if v is None else _sql_quote(v))
+            for i, v in enumerate(values)
+        )
+        return f"CASE {k}{whens} END"
+
+    def case_arr(salt, sets):
+        k = _rollup_k_sql(salt, len(sets))
+        whens = "".join(
+            " WHEN {} THEN {}".format(
+                i,
+                "CAST(NULL AS VARCHAR[])"
+                if v is None
+                else "[" + ", ".join(_sql_quote(x) for x in v) + "]"
+                if v
+                else "CAST([] AS VARCHAR[])",
+            )
+            for i, v in enumerate(sets)
+        )
+        return f"CASE {k}{whens} END"
+
+    urank = (
+        "CASE urgency WHEN 'routine' THEN 0 WHEN 'high' THEN 1"
+        " WHEN 'urgent' THEN 2 ELSE -1 END"
+    )
+    first = (
+        lambda c: f"(list({c} ORDER BY turn_idx) FILTER ({c} IS NOT NULL AND {c} <> ''))[1]"
+    )
+    # outer coalesce: DuckDB array_to_string([]) is NULL, Spark
+    # array_join([]) is '' — an all-NULL-array conversation must read ''
+    union = (
+        lambda c: "coalesce(array_to_string(list_sort(list_distinct(coalesce("
+        f"flatten(list({c} ORDER BY turn_idx) FILTER ({c} IS NOT NULL)),"
+        " CAST([] AS VARCHAR[])))), '|'), '')"
+    )
+    return f"""
+WITH synth AS (
+  SELECT source || '-' || CAST(doc_id % 7 AS VARCHAR) AS conv_id,
+         doc_id AS turn_idx,
+         {case_str("pn", ROLLUP_NAMES)} AS patient_name,
+         {case_str("dn", ROLLUP_DOCTORS)} AS doctor_name,
+         {case_str("ho", ROLLUP_HOSPITALS)} AS hospital,
+         {case_arr("dr", ROLLUP_DRUG_SETS)} AS matched_drugs,
+         {case_arr("di", ROLLUP_DISEASE_SETS)} AS matched_diseases,
+         {case_str("ur", ROLLUP_URGENCIES)} AS urgency,
+         {case_str("dt", ROLLUP_DOCTYPES)} AS document_type
+  FROM documents
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       {first("patient_name")} AS patient_name,
+       {first("doctor_name")} AS doctor_name,
+       {first("hospital")} AS hospital,
+       {union("matched_drugs")} AS all_drugs,
+       {union("matched_diseases")} AS all_diseases,
+       (list(urgency ORDER BY {urank} DESC, turn_idx ASC))[1] AS max_urgency,
+       array_to_string(list_sort(list_distinct(list(document_type))), '|')
+         AS document_types
+FROM synth GROUP BY conv_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-domain quota sampling (`domain_quota`): the RefinedWeb-style cap —
 # no registrable domain may contribute more than DOMAIN_QUOTA_Q documents;
 # within a domain, survivors are chosen by a seed-free md5 order (the
@@ -5166,4 +5331,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "semdedup": (q_semdedup, _sql_semdedup()),
     "domain_quota": (q_domain_quota, _sql_domain_quota()),
     "block_correct": (q_block_correct, _sql_block_correct()),
+    "conv_rollup_merge": (q_conv_rollup_merge, _sql_conv_rollup_merge()),
 }
