@@ -165,6 +165,10 @@ DRIVER_CAP_OVERFLOW = (
     # NULL/[] planted, max-urgency escalation incl. unknown-rank -1) over
     # synthetic turn structs — the real applyInPandas vs DuckDB
     "conv_rollup_merge",
+    # round-6 new, born-overflow: Gumbel-top-k weighted sampling without
+    # replacement (token-proportional; seed-free md5 uniforms, rounded-key
+    # ranking via exact_global_rank) — the sampled-DSIR primitive
+    "gumbel_sample",
 )
 
 

@@ -219,6 +219,7 @@ def main() -> None:
         "domain_quota",
         "block_correct",
         "conv_rollup_merge",
+        "gumbel_sample",
     ):
         if name not in QUERIES:
             continue

@@ -4863,6 +4863,84 @@ FROM resolved
 
 
 # --------------------------------------------------------------------------
+# Gumbel-top-k weighted sampling (`gumbel_sample`): sampling WITHOUT
+# replacement with inclusion probability proportional to document weight
+# — the Gumbel-max trick (Vieira 2014; the sampled variant of DSIR and
+# the standard distributed weighted sampler): key_d = ln(w_d) + G_d with
+# G_d = -ln(-ln(u_d)), u_d a seed-free md5 uniform, and the sample = the
+# top-K keys. Weight here = token count (token-budget-proportional doc
+# sampling — the multi-epoch mixture primitive). Everything is one
+# projection + exact_global_rank: no RNG state, no driver loop,
+# cluster-size invariant, reproducible on both engines (u is the SAME
+# integer-derived double; keys rounded once at 6dp before ranking with a
+# doc_id tie-break — the strategy_best determinism pin).
+# --------------------------------------------------------------------------
+
+GUMBEL_KEEP_DEN = 10  # sample 1/10 of documents
+
+
+def q_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_prefix60_spark
+    from .operators.ranking import exact_global_rank
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+        )
+        .cast("long")
+        .alias("ntok"),
+    )
+    h = md5_prefix60_spark(
+        F.concat_ws("|", F.lit("gumbel"), F.col("doc_id").cast("string"))
+    )
+    # u in (0,1) strictly: (h + 0.5) / 2^60 — identical long->double cast
+    # then identical arithmetic on both engines, so u is bitwise-shared
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    key = F.round(F.log(F.col("ntok").cast("double")) - F.log(-F.log(u)), 6)
+    weighted = docs.select(
+        "doc_id", "ntok", key.alias("key")
+    ).withColumn("nk", -F.col("key"))
+    ranked = exact_global_rank(weighted, "nk", tie_cols=("doc_id",))
+    return ranked.select(
+        "doc_id",
+        "ntok",
+        "key",
+        F.col("global_rank").alias("rank"),
+        (F.col("global_rank") <= F.col("global_count") / GUMBEL_KEEP_DEN)
+        .cast("long")
+        .alias("sampled"),
+    )
+
+
+def _sql_gumbel_sample() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    h = md5_prefix60_sql("'gumbel' || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              AS BIGINT) AS ntok,
+         round(ln(CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+                       AS DOUBLE))
+               - ln(-ln((CAST(({h}) AS DOUBLE) + 0.5) / {float(1 << 60)!r})),
+               6) AS key
+  FROM documents
+), ranked AS (
+  SELECT doc_id, ntok, key,
+         row_number() OVER (ORDER BY key DESC, doc_id) AS rank,
+         count(*) OVER () AS n
+  FROM base
+)
+SELECT doc_id, ntok, key, CAST(rank AS BIGINT) AS rank,
+       CAST(CASE WHEN rank <= n / {GUMBEL_KEEP_DEN} THEN 1 ELSE 0 END
+            AS BIGINT) AS sampled
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
 # Conversation-rollup merge semantics (`conv_rollup_merge`): the REAL
 # ``conversation_rollup`` grouped-map operator (the applyInPandas behind
 # the rows-only `conv_rollup` query) run over SYNTHETIC per-turn result
@@ -5332,4 +5410,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "domain_quota": (q_domain_quota, _sql_domain_quota()),
     "block_correct": (q_block_correct, _sql_block_correct()),
     "conv_rollup_merge": (q_conv_rollup_merge, _sql_conv_rollup_merge()),
+    "gumbel_sample": (q_gumbel_sample, _sql_gumbel_sample()),
 }

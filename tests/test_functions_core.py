@@ -897,3 +897,41 @@ def test_dsir_recovers_target_docs_and_margins():
     n_keep = len(order) // 4
     selected = set(order[:n_keep])
     assert all(d % 2 == 0 for d in selected), "non-prelude doc selected"
+
+
+def test_gumbel_sample_length_bias_and_margins():
+    """Gumbel-top-k weighted sampling sanity on the fixed corpus: (a) the
+    sampled set is length-biased (inclusion prob ∝ ntok, so the sampled
+    mean token count must exceed the corpus mean); (b) every key clears
+    its 6dp rounding boundary by > 1e-12 (cross-libm ln parity, the
+    strategy_best/dsir margin discipline)."""
+    import hashlib
+    import math
+    import re as _re
+
+    import duckdb
+
+    from htep_spark.driver_queries import _TOKEN_PATTERN, GUMBEL_KEEP_DEN
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchall()
+    keys = {}
+    ntoks = {}
+    for doc_id, text in rows:
+        ntok = len(_re.findall(_TOKEN_PATTERN, text.lower()))
+        h = int(
+            hashlib.md5(f"gumbel|{doc_id}".encode()).hexdigest()[:15], 16
+        )
+        u = (float(h) + 0.5) / float(1 << 60)
+        k = math.log(float(ntok)) - math.log(-math.log(u))
+        frac = abs(k * 1e6 - round(k * 1e6))
+        assert abs(frac - 0.5) * 1e-6 > 1e-12, (doc_id, k)
+        keys[doc_id] = round(k, 6)
+        ntoks[doc_id] = ntok
+    order = sorted(keys, key=lambda d: (-keys[d], d))
+    sampled = order[: len(order) // GUMBEL_KEEP_DEN]
+    mean_all = sum(ntoks.values()) / len(ntoks)
+    mean_sampled = sum(ntoks[d] for d in sampled) / len(sampled)
+    assert mean_sampled > mean_all, (mean_sampled, mean_all)
