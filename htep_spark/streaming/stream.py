@@ -25,6 +25,7 @@ __all__ = [
     "stream_heavy_hitters",
     "stream_sessionized_counts",
     "stream_windowed_count_min",
+    "stream_windowed_qdigest_histogram",
 ]
 
 
@@ -360,6 +361,40 @@ def stream_windowed_count_min(
             F.col("win.end").alias("window_end"),
             "row",
             "col",
+            "cnt",
+        )
+    )
+
+
+def stream_windowed_qdigest_histogram(
+    values: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "5 minutes",
+    universe_bits: int = None,
+) -> DataFrame:
+    """Streaming per-window q-digest FEED: the bounded-universe value
+    histogram as a watermarked tumbling-window aggregation over a
+    ``(value, ts)`` stream. The q-digest compaction is a pure function of
+    this histogram (operators/qdigest.py), so per-window quantile sketches
+    are a plain batch post-step over the sink (``qdigest_compact`` on each
+    window's rows) — the same feed/finalize split as
+    ``stream_windowed_count_min``. State per open window is <= 2^D
+    counters regardless of stream rate (the sketch property), bounded in
+    window count by the watermark horizon."""
+    from ..operators.qdigest import QDIGEST_U
+
+    u = (1 << universe_bits) if universe_bits else QDIGEST_U
+    clipped = values.select(
+        "ts", F.least(F.col("value"), F.lit(u - 1)).alias("v")
+    )
+    return (
+        clipped.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "v")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "v",
             "cnt",
         )
     )

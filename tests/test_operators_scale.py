@@ -2264,3 +2264,68 @@ def test_stream_windowed_count_min(spark, tmp_path):
                 got[(wstart, j, cm_pos(tok, j))] for j in range(CM_D)
             )
             assert est >= true_cnt
+
+
+def test_stream_windowed_qdigest(spark, tmp_path):
+    """Streaming q-digest: the per-window histogram emitted by the stream,
+    fed through the SHARED deterministic compaction, must produce exactly
+    the digest and quantile estimates a batch q-digest computes over the
+    same window's values — the feed/finalize split is lossless."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from htep_spark.operators.qdigest import (
+        QDIGEST_D,
+        exact_quantile,
+        qdigest_compact,
+        qdigest_rank_query,
+    )
+    from htep_spark.streaming.stream import stream_windowed_qdigest_histogram
+
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    for i in range(900):
+        # three 10-minute windows, skewed values
+        rows.append(((i * 37) % 256 + (i % 3) * 100, base + dt.timedelta(seconds=i * 2)))
+    pdf = pd.DataFrame(rows, columns=["value", "ts"])
+    src = str(tmp_path / "qd_src")
+    spark.createDataFrame(pdf, "value long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("value long, ts timestamp").parquet(src)
+    out = stream_windowed_qdigest_histogram(
+        stream, window_duration="10 minutes", watermark="0 seconds"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qd_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from qd_stream").collect()
+    assert got, "no histogram rows emitted"
+    wins: dict = {}
+    for r in got:
+        wins.setdefault(r["window_start"], {})[r["v"]] = r["cnt"]
+    assert len(wins) >= 2
+    win = dt.timedelta(minutes=10)
+    for wstart, hist in wins.items():
+        # batch replay of the same window
+        want: dict = {}
+        for v, ts in rows:
+            if base + ((ts - base) // win) * win == wstart:
+                want[v] = want.get(v, 0) + 1
+        assert hist == want, wstart
+        n = sum(hist.values())
+        sigma = n // 64
+        digest = qdigest_compact(hist, QDIGEST_D, sigma)
+        assert sum(c for _, _, c in digest) == n
+        r_mid = (n + 1) // 2
+        est = min(qdigest_rank_query(digest, r_mid), max(hist))
+        exact = exact_quantile(hist, r_mid)
+        # the digest answers within the proven rank bound for the median
+        cum = sum(c for v, c in hist.items() if v <= est)
+        assert abs(cum - r_mid) <= QDIGEST_D * sigma + max(hist.values())
+        assert est >= exact  # q-digest answers never under-shoot the rank
