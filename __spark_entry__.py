@@ -169,6 +169,10 @@ DRIVER_CAP_OVERFLOW = (
     # replacement (token-proportional; seed-free md5 uniforms, rounded-key
     # ranking via exact_global_rank) — the sampled-DSIR primitive
     "gumbel_sample",
+    # round-6 new, born-overflow: per-doc k-gram novelty vs earlier docs
+    # (directional dup_spans — the marginal-information/memorization-risk
+    # curve; windows introduced by the doc itself never count against it)
+    "novelty",
 )
 
 

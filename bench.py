@@ -220,6 +220,7 @@ def main() -> None:
         "block_correct",
         "conv_rollup_merge",
         "gumbel_sample",
+        "novelty",
     ):
         if name not in QUERIES:
             continue

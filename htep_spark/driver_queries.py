@@ -4863,6 +4863,93 @@ FROM resolved
 
 
 # --------------------------------------------------------------------------
+# N-gram novelty profile (`novelty`): for each document, the fraction of
+# its distinct k-token windows never seen in any EARLIER document (doc_id
+# order = ingestion order) — the directional counterpart of `dup_spans`
+# and the memorization-risk / marginal-information signal used when
+# deciding whether newly crawled data adds anything (a Lee-et-al-style
+# dedup curve per document). Relational end-to-end: the same token-linear
+# window hashes, one groupBy for the global first-seeing doc per hash, one
+# equi-join back. A doc's own windows never count against it (first = its
+# own doc_id when it introduces the window).
+# --------------------------------------------------------------------------
+
+
+def q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", _clinical_col().alias("ctext"))
+    k = DUP_SPAN_K
+    toked = token_barrier(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0),
+        keep_cols=("doc_id",),
+    )
+    windows = toked.select(
+        "doc_id", F.explode(_window_hashes(F.col("t"), k)).alias("whash")
+    ).distinct()
+    first = windows.groupBy("whash").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        windows.join(first, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            F.sum((F.col("first_doc") < F.col("doc_id")).cast("long")).alias(
+                "n_seen_before"
+            ),
+        )
+    )
+    nov = F.round(
+        1.0
+        - F.col("n_seen_before") / F.greatest(F.col("n_windows"), F.lit(1)),
+        6,
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_seen_before", F.lit(0)).alias("n_seen_before"),
+            F.coalesce(nov, F.lit(1.0)).alias("novelty"),
+        )
+    )
+
+
+def _sql_novelty() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    k = DUP_SPAN_K
+    whash = md5_prefix60_sql(f"array_to_string(t[i + 1 : i + {k}], ' ')")
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         regexp_extract_all(lower({_clinical_sql()}), '{_TOKEN_PATTERN}') AS t
+  FROM documents
+), windows AS (
+  SELECT DISTINCT doc_id, {whash} AS whash
+  FROM (SELECT doc_id, t, unnest(range(0, greatest(len(t) - {k} + 1, 0)))
+               AS i
+        FROM toked)
+), first AS (
+  SELECT whash, min(doc_id) AS first_doc FROM windows GROUP BY whash
+), per AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN f.first_doc < w.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_seen_before
+  FROM windows w JOIN first f USING (whash)
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_windows, 0) AS n_windows,
+       coalesce(p.n_seen_before, 0) AS n_seen_before,
+       coalesce(round(CAST(1.0 AS DOUBLE) - p.n_seen_before /
+                      greatest(p.n_windows, 1), 6),
+                CAST(1.0 AS DOUBLE)) AS novelty
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Gumbel-top-k weighted sampling (`gumbel_sample`): sampling WITHOUT
 # replacement with inclusion probability proportional to document weight
 # — the Gumbel-max trick (Vieira 2014; the sampled variant of DSIR and
@@ -5411,4 +5498,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "block_correct": (q_block_correct, _sql_block_correct()),
     "conv_rollup_merge": (q_conv_rollup_merge, _sql_conv_rollup_merge()),
     "gumbel_sample": (q_gumbel_sample, _sql_gumbel_sample()),
+    "novelty": (q_novelty, _sql_novelty()),
 }
