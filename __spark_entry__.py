@@ -173,6 +173,10 @@ DRIVER_CAP_OVERFLOW = (
     # (directional dup_spans — the marginal-information/memorization-risk
     # curve; windows introduced by the doc itself never count against it)
     "novelty",
+    # round-6 new, born-overflow: the T7 dictionary-correction APPLICATION
+    # (peel/recase/rejoin + lineage + matched list) — the block_correct
+    # twin for the ocr_postprocessor path, real kernel vs full SQL
+    "dict_correct",
 )
 
 

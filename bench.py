@@ -221,6 +221,7 @@ def main() -> None:
         "conv_rollup_merge",
         "gumbel_sample",
         "novelty",
+        "dict_correct",
     ):
         if name not in QUERIES:
             continue

@@ -4863,6 +4863,211 @@ FROM resolved
 
 
 # --------------------------------------------------------------------------
+# Dictionary-correction application (`dict_correct`): the T7
+# ocr_postprocessor waterfall APPLIED — the twin of `block_correct` for
+# the other correction path (ref ``src/nlp/ocr_postprocessor.py:188-283``).
+# The REAL ``dictionary_correct`` runs in a pandas UDF (drugs layer,
+# multi_dict empty — the n-gram detection pass is oracled separately via
+# `multiword_disease`); DuckDB re-derives per token: whitespace split,
+# strip-all-non-alpha + lower, the len<3 pass, the exact-set fast path,
+# the fuzzy extract_one at cutoff 85 (the `fuzzy_ratio` recursive-CTE LCS
+# machinery, first-seen-dict-order tie-break), the non-alpha
+# prefix/suffix PEEL on the original token, the UPPER/Capitalize recase,
+# the single-space rejoin (newline-collapsing quirk — exercised by the
+# prelude's newline), the correction lineage records and the sorted-dedup
+# matched list. Prelude per doc (doc_id % 16): '(SUB)'-wrapped UPPER
+# substitution-corrupted drug (both peels + upper), Title deletion-
+# corrupted drug + ',' (suffix peel + capitalize), an exact drug term
+# (fast path), and 'ab!' / '12' pass-throughs.
+# --------------------------------------------------------------------------
+
+
+def q_dict_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dictionaries import DRUG_SET, DRUGS_SINGLE
+
+    subs, dels = _fuzzy_prelude_terms()
+    idx = (F.col("doc_id") % 16 + 1).cast("int")
+    lit_at = lambda terms: F.element_at(F.array(*[F.lit(t) for t in terms]), idx)
+    exact_terms = [DRUGS_SINGLE[(i * 3) % len(DRUGS_SINGLE)] for i in range(16)]
+    btext = F.concat(
+        F.lit("("), lit_at([s.upper() for s in subs]), F.lit(") "),
+        lit_at([d.capitalize() for d in dels]), F.lit(", "),
+        lit_at(exact_terms), F.lit(" ab! 12\n"), F.col("text"),
+    )
+    staged = (
+        _docs(spark, sf_dir)
+        .select("doc_id", btext.alias("btext"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    drugs, dset = list(DRUGS_SINGLE), frozenset(DRUG_SET)
+
+    @F.pandas_udf("corrected_text string, corrections string, matched string")
+    def dc(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        from htep_spark.functions.textops import dictionary_correct
+
+        memo: dict = {}
+        for series in texts:
+            rows = []
+            for text in series:
+                corrected, corrections, matched = dictionary_correct(
+                    text if isinstance(text, str) else "",
+                    drugs, [], dset, FUZZY_RATIO_CUTOFF, "drug", memo,
+                )
+                rows.append(
+                    {
+                        "corrected_text": corrected,
+                        "corrections": "|".join(
+                            f"{c['from']}>{c['to']}:{c['score']}"
+                            for c in corrections
+                        ),
+                        "matched": "|".join(matched),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["corrected_text", "corrections", "matched"]
+            )
+
+    return staged.select("doc_id", dc(F.col("btext")).alias("r")).select(
+        "doc_id",
+        F.col("r.corrected_text").alias("corrected_text"),
+        F.col("r.corrections").alias("corrections"),
+        F.col("r.matched").alias("matched"),
+    )
+
+
+def _sql_dict_correct() -> str:
+    from .dictionaries import DRUG_SET, DRUGS_SINGLE
+
+    subs, dels = _fuzzy_prelude_terms()
+    exact_terms = [DRUGS_SINGLE[(i * 3) % len(DRUGS_SINGLE)] for i in range(16)]
+    sql_list = lambda terms: (
+        "list_value(" + ", ".join(f"'{t}'" for t in terms) + ")"
+    )
+    dict_rows = ",\n    ".join(
+        f"('{t}', {i + 1})" for i, t in enumerate(DRUGS_SINGLE)
+    )
+    exact_rows = ",\n    ".join(f"('{t}')" for t in sorted(DRUG_SET))
+    cutoff = FUZZY_RATIO_CUTOFF
+    # isupper/first-upper on the peeled core (Python str semantics, ASCII)
+    isupper = "(core = upper(core) AND core <> lower(core))"
+    firstup = (
+        "(substr(core, 1, 1) = upper(substr(core, 1, 1))"
+        " AND substr(core, 1, 1) <> lower(substr(core, 1, 1)))"
+    )
+    return f"""
+WITH RECURSIVE dict(term, didx) AS (
+  VALUES {dict_rows}
+), exact(term) AS (
+  VALUES {exact_rows}
+), base AS (
+  SELECT doc_id,
+         '(' || {sql_list([s.upper() for s in subs])}[(doc_id % 16) + 1]
+         || ') ' || {sql_list([d.capitalize() for d in dels])}[(doc_id % 16) + 1]
+         || ', ' || {sql_list(exact_terms)}[(doc_id % 16) + 1]
+         || ' ab! 12' || chr(10) || text AS btext
+  FROM documents
+), words AS (
+  SELECT doc_id, i AS word_idx, ws[i] AS word
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(btext, '\\s+'),
+                           x -> x <> '') AS ws,
+               unnest(range(1, len(list_filter(
+                 regexp_split_to_array(btext, '\\s+'), x -> x <> '')) + 1))
+                 AS i
+        FROM base)
+), tok AS (
+  SELECT doc_id, word_idx, word,
+         lower(regexp_replace(word, '[^A-Za-z]', '', 'g')) AS clean
+  FROM words
+), fuzz_clean AS (
+  SELECT DISTINCT clean FROM tok
+  WHERE length(clean) >= 3 AND clean NOT IN (SELECT term FROM exact)
+), cand AS (
+  SELECT u.clean AS token, d.term, d.didx
+  FROM fuzz_clean u JOIN dict d
+    ON 200.0 * least(length(u.clean), length(d.term))
+       / (length(u.clean) + length(d.term)) >= {cutoff}
+), dp AS (
+  SELECT token, term, didx, 0 AS i,
+         list_transform(range(0, length(term) + 1), x -> 0) AS row
+  FROM cand
+  UNION ALL
+  SELECT token, term, didx, i + 1,
+         list_transform(
+           range(1, length(term) + 2),
+           j -> CASE WHEN j = 1 THEN 0 ELSE
+             greatest(
+               row[j],
+               list_max(list_transform(
+                 range(1, j),
+                 k -> row[k] + CASE WHEN substr(token, i + 1, 1)
+                                         = substr(term, k, 1)
+                               THEN 1 ELSE 0 END))
+             ) END
+         ) AS row
+  FROM dp WHERE i < length(token)
+), scores AS (
+  SELECT token, term, didx,
+         200.0 * row[length(term) + 1] / (length(token) + length(term))
+           AS ratio
+  FROM dp WHERE i = length(token)
+), best AS (
+  SELECT token, term, ratio FROM (
+    SELECT token, term, ratio,
+           row_number() OVER (
+             PARTITION BY token ORDER BY ratio DESC, didx ASC) AS rn
+    FROM scores WHERE ratio >= {cutoff}
+  ) WHERE rn = 1
+), resolved AS (
+  SELECT t.doc_id, t.word_idx, t.word, t.clean,
+         CASE WHEN length(t.clean) < 3 THEN NULL
+              WHEN e.term IS NOT NULL THEN t.clean
+              WHEN b.term IS NOT NULL THEN b.term
+              ELSE NULL END AS matchterm,
+         CASE WHEN length(t.clean) >= 3 AND e.term IS NULL
+                   AND b.term IS NOT NULL AND b.term <> t.clean
+              THEN b.term ELSE NULL END AS applied_term,
+         b.ratio AS ratio,
+         regexp_extract(t.word, '^[^A-Za-z]*') AS pre,
+         regexp_extract(t.word, '[^A-Za-z]*$') AS suf
+  FROM tok t
+  LEFT JOIN exact e ON length(t.clean) >= 3 AND t.clean = e.term
+  LEFT JOIN best b
+    ON length(t.clean) >= 3 AND e.term IS NULL AND t.clean = b.token
+), rebuilt AS (
+  SELECT doc_id, word_idx, word, matchterm, applied_term, ratio, pre, suf,
+         CASE WHEN applied_term IS NULL THEN NULL
+              ELSE substr(word, length(pre) + 1,
+                          length(word) - length(pre) - length(suf)) END
+           AS core
+  FROM resolved
+), finalw AS (
+  SELECT doc_id, word_idx, word, matchterm, ratio,
+         CASE WHEN applied_term IS NULL THEN word
+              ELSE pre ||
+                   CASE WHEN {isupper} THEN upper(applied_term)
+                        WHEN core <> '' AND {firstup}
+                          THEN upper(substr(applied_term, 1, 1))
+                               || lower(substr(applied_term, 2))
+                        ELSE applied_term END
+                   || suf END AS fword,
+         applied_term IS NOT NULL AS applied
+  FROM rebuilt
+)
+SELECT doc_id,
+       string_agg(fword, ' ' ORDER BY word_idx) AS corrected_text,
+       coalesce(string_agg(
+         CASE WHEN applied THEN word || '>' || fword || ':'
+                   || CAST(CAST(floor(ratio) AS BIGINT) AS VARCHAR) END,
+         '|' ORDER BY word_idx) FILTER (applied), '') AS corrections,
+       coalesce(array_to_string(list_sort(list_distinct(
+         list(matchterm) FILTER (matchterm IS NOT NULL))), '|'), '')
+         AS matched
+FROM finalw GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # N-gram novelty profile (`novelty`): for each document, the fraction of
 # its distinct k-token windows never seen in any EARLIER document (doc_id
 # order = ingestion order) — the directional counterpart of `dup_spans`
@@ -5499,4 +5704,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "conv_rollup_merge": (q_conv_rollup_merge, _sql_conv_rollup_merge()),
     "gumbel_sample": (q_gumbel_sample, _sql_gumbel_sample()),
     "novelty": (q_novelty, _sql_novelty()),
+    "dict_correct": (q_dict_correct, _sql_dict_correct()),
 }
