@@ -4286,7 +4286,12 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text")
     )
     toks_expr = F.regexp_extract_all(F.lower(text_col), F.lit(_TOKEN_PATTERN), 0)
-    staged = token_barrier(docs, toks_expr, keep_cols=("doc_id",))
+    # drop zero-token docs: the DuckDB side's per-doc GROUP BY over the
+    # exploded tokens has no row for them, and the Spark weight would be
+    # 0/0 = NULL — parity requires absence on both sides (review r6)
+    staged = token_barrier(docs, toks_expr, keep_cols=("doc_id",)).filter(
+        F.size("t") > 0
+    )
 
     def bucket(tok_col):
         return F.pmod(
@@ -4505,7 +4510,10 @@ def q_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain = None
     for s in ordered:
         pat = "([^.]+\\." + s.replace(".", "\\.") + ")$"
-        hit = F.regexp_extract(host, pat, 1)
+        # extract from the MATERIALIZED host column — embedding the raw
+        # normalization chain here would re-derive it once per suffix
+        # branch (8x per row; the CollapseProject hazard, review r6)
+        hit = F.regexp_extract(F.col("host"), pat, 1)
         cond = F.col("host").endswith("." + s)
         domain = (
             F.when(cond, hit) if domain is None else domain.when(cond, hit)
@@ -5189,7 +5197,13 @@ def q_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # u in (0,1) strictly: (h + 0.5) / 2^60 — identical long->double cast
     # then identical arithmetic on both engines, so u is bitwise-shared
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
-    key = F.round(F.log(F.col("ntok").cast("double")) - F.log(-F.log(u)), 6)
+    # greatest(ntok, 1): a zero-token doc would be ln(0) — an ERROR in
+    # DuckDB but a silent NULL in Spark (review r6); weight floor = ln(1)
+    key = F.round(
+        F.log(F.greatest(F.col("ntok"), F.lit(1)).cast("double"))
+        - F.log(-F.log(u)),
+        6,
+    )
     weighted = docs.select(
         "doc_id", "ntok", key.alias("key")
     ).withColumn("nk", -F.col("key"))
@@ -5214,8 +5228,9 @@ WITH base AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
               AS BIGINT) AS ntok,
-         round(ln(CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
-                       AS DOUBLE))
+         round(ln(CAST(greatest(
+                   len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')),
+                   1) AS DOUBLE))
                - ln(-ln((CAST(({h}) AS DOUBLE) + 0.5) / {float(1 << 60)!r})),
                6) AS key
   FROM documents

@@ -242,10 +242,17 @@ def make_strategy_best_udf(
     @F.pandas_udf(STRATEGY_BEST_TYPE)
     def decode(payloads: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         decoder = LexiconBeamDecoder(lex, prim)
+        null_row = {f.name: None for f in STRATEGY_BEST_TYPE}
         for series in payloads:
             rows = []
             for payload in series:
                 variants = json.loads(payload) if payload else []
+                # defensive: a NULL-text doc yields a null payload (and a
+                # malformed one could yield <3 or null variants) — emit a
+                # null row instead of crashing the task on results[i]
+                if len(variants) != 3 or any(v is None for v in variants):
+                    rows.append(dict(null_row))
+                    continue
                 bi, bt, bc, results = predict_line_best_segmented(
                     variants, decoder
                 )

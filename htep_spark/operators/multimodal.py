@@ -509,7 +509,11 @@ def sample_frames(
                                     "error": None,
                                 }
                             )
-                    except Exception as exc:
+                    # _strict_decoder translates corrupt-stream errors into
+                    # ValueError; anything else is a programming bug and
+                    # must fail the job (same contract as the GIF/TIFF
+                    # branch below — ADVICE r05 / review r6)
+                    except ValueError as exc:
                         rows.append(
                             {
                                 "media_id": media_id,

@@ -106,7 +106,9 @@ def exact_global_cumsum(
     """Append ``cum_before`` (exclusive prefix sum of ``val_col`` in global
     ``order_col`` order) and ``global_total`` — the weighted sibling of
     ``exact_global_rank`` (same range-partition + pinned-materialization
-    scaffolding, same no-single-partition-window guarantee).
+    scaffolding, same no-single-partition-window guarantee). ``val_col``
+    must be non-null — NULL values would be skipped by the running sum
+    while still occupying rank positions, yielding inconsistent prefixes.
 
     The in-partition running sum DOES use a window partitioned by the
     materialized partition id: that plans one extra hash exchange of the
@@ -135,7 +137,11 @@ def exact_global_cumsum(
     offsets, acc = [], 0
     for pid, tot in stats:
         offsets.append((pid, acc))
-        acc += int(tot)
+        # tot is None only when a partition's val_col is entirely NULL;
+        # the contract requires a non-null val_col (NULL rows would also
+        # poison the in-partition running sum) — treat as 0 for the
+        # offset rather than crashing the driver (review r6)
+        acc += int(tot) if tot is not None else 0
     spark = df.sparkSession
     off_df = F.broadcast(
         spark.createDataFrame(offsets, "_pid int, _offset long")

@@ -384,8 +384,11 @@ def stream_windowed_qdigest_histogram(
     from ..operators.qdigest import QDIGEST_U
 
     u = (1 << universe_bits) if universe_bits else QDIGEST_U
+    # clip BOTH ends: the q-digest domain is [0, 2^D); a negative value
+    # would silently corrupt the family merges and node bounds (review r6)
     clipped = values.select(
-        "ts", F.least(F.col("value"), F.lit(u - 1)).alias("v")
+        "ts",
+        F.greatest(F.lit(0), F.least(F.col("value"), F.lit(u - 1))).alias("v"),
     )
     return (
         clipped.withWatermark("ts", watermark)

@@ -689,6 +689,8 @@ def test_strategy_best_corpus_margins():
     rows = duckdb.sql(
         "SELECT doc_id, text FROM "
         "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        " UNION ALL SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
     ).fetchall()
     winners = set()
     for doc_id, text in rows:
