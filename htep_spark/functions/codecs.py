@@ -424,6 +424,7 @@ def decode_rawv(payload: bytes, frame_indices=None) -> List[np.ndarray]:
     return [frames[i] for i in sorted(frames)]
 
 
+@_strict_decoder("RAWV")
 def rawv_frame_count(payload: bytes) -> int:
     if payload[:4] != b"RAWV":
         raise ValueError("not a RAWV container")
