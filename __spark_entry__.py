@@ -177,6 +177,9 @@ DRIVER_CAP_OVERFLOW = (
     # (peel/recase/rejoin + lineage + matched list) — the block_correct
     # twin for the ocr_postprocessor path, real kernel vs full SQL
     "dict_correct",
+    # round-6 new, born-overflow: sampled DSIR (the paper's Gumbel-top-k
+    # selection rule over the oracled importance weights)
+    "dsir_sampled",
 )
 
 

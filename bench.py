@@ -222,6 +222,7 @@ def main() -> None:
         "gumbel_sample",
         "novelty",
         "dict_correct",
+        "dsir_sampled",
     ):
         if name not in QUERIES:
             continue

@@ -2023,6 +2023,68 @@ FROM emb e LEFT JOIN labels l ON e.vec_id = l.vec_id
 
 
 # --------------------------------------------------------------------------
+# Sampled DSIR (`dsir_sampled`): the DSIR paper's ACTUAL selection rule —
+# sampling without replacement with inclusion probability proportional to
+# exp(importance weight), via the Gumbel-top-k trick: key = weight + G
+# with G = -ln(-ln(u)) over a seed-free md5 uniform. Composes the two
+# already-oracled pieces (the `dsir_select` weights and the
+# `gumbel_sample` key machinery); the deterministic top-k cut remains
+# `dsir_select`. Keys are rounded once at 6dp before ranking (both
+# engines add the SAME already-rounded weight to a same-ulp Gumbel).
+# --------------------------------------------------------------------------
+
+
+def q_dsir_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_prefix60_spark
+    from .operators.ranking import exact_global_rank
+
+    base = _dsir_weights(spark, sf_dir)
+    h = md5_prefix60_spark(
+        F.concat_ws("|", F.lit("dgum"), F.col("doc_id").cast("string"))
+    )
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    key = F.round(F.col("weight") - F.log(-F.log(u)), 6)
+    weighted = base.select("doc_id", "ntok", "weight", key.alias("key"))
+    ranked = exact_global_rank(
+        weighted.withColumn("nk", -F.col("key")), "nk", tie_cols=("doc_id",)
+    )
+    return ranked.select(
+        "doc_id",
+        "ntok",
+        "weight",
+        "key",
+        F.col("global_rank").alias("rank"),
+        (F.col("global_rank") <= F.col("global_count") / DSIR_KEEP_DEN)
+        .cast("long")
+        .alias("sampled"),
+    )
+
+
+def _sql_dsir_sampled() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    h = md5_prefix60_sql("'dgum' || '|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH dz AS ({_sql_dsir_select()}
+), keyed AS (
+  SELECT doc_id, ntok, weight,
+         round(weight - ln(-ln((CAST(({h}) AS DOUBLE) + 0.5)
+                               / {float(1 << 60)!r})), 6) AS key
+  FROM dz
+), ranked AS (
+  SELECT doc_id, ntok, weight, key,
+         row_number() OVER (ORDER BY key DESC, doc_id) AS rank,
+         count(*) OVER () AS n
+  FROM keyed
+)
+SELECT doc_id, ntok, weight, key, CAST(rank AS BIGINT) AS rank,
+       CAST(CASE WHEN rank <= n / {DSIR_KEEP_DEN} THEN 1 ELSE 0 END
+            AS BIGINT) AS sampled
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------------
 # SemDeDup (`semdedup`, Abbas et al. 2023): semantic deduplication — the
 # embedding-space analogue of MinHash dedup used on web-scale LLM corpora.
 # Cluster embeddings with a coarse quantizer, find within-cluster pairs
@@ -4270,11 +4332,13 @@ def _dsir_target_counts():
     return counts, total
 
 
-def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ntok, weight) — the DSIR importance weights; shared by the
+    deterministic top-k cut (`dsir_select`) and the Gumbel-sampled variant
+    (`dsir_sampled`)."""
     import math
 
     from .functions.hashing import md5_prefix60_spark
-    from .operators.ranking import exact_global_rank
 
     B = DSIR_BUCKETS
     tcounts, T = _dsir_target_counts()
@@ -4317,7 +4381,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr_map = F.create_map(
         *[x for b in range(B) for x in (F.lit(b), F.lit(lr[b]))]
     )
-    weighted = staged.select(
+    return staged.select(
         "doc_id",
         F.size("t").cast("long").alias("ntok"),
         F.round(
@@ -4329,7 +4393,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("t"),
             6,
         ).alias("weight"),
-    ).withColumn("nw", -F.col("weight"))
+    )
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    weighted = _dsir_weights(spark, sf_dir).withColumn("nw", -F.col("weight"))
     ranked = exact_global_rank(weighted, "nw", tie_cols=("doc_id",))
     return ranked.select(
         "doc_id",
@@ -5720,4 +5790,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "gumbel_sample": (q_gumbel_sample, _sql_gumbel_sample()),
     "novelty": (q_novelty, _sql_novelty()),
     "dict_correct": (q_dict_correct, _sql_dict_correct()),
+    "dsir_sampled": (q_dsir_sampled, _sql_dsir_sampled()),
 }
