@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators.extract import extract_turn_udf
 
@@ -23,6 +24,7 @@ __all__ = [
     "stream_dedup_turns",
     "stream_interval_join",
     "stream_heavy_hitters",
+    "merge_heavy_hitters",
     "stream_sessionized_counts",
     "stream_windowed_count_min",
     "stream_windowed_qdigest_histogram",
@@ -308,6 +310,35 @@ def stream_heavy_hitters(
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def merge_heavy_hitters(summaries: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k from the per-shard SpaceSaving emissions — the batch
+    finalize step over a `stream_heavy_hitters` sink table.
+
+    Because tokens are SHARDED BY TOKEN HASH, a token's whole count lives
+    in exactly one shard, so the global merge is NOT a sketch merge (no
+    error compounding): take each (shard, token)'s LATEST emission (the
+    update-mode sink may hold several generations — latest = max
+    est_count, since SpaceSaving counts are monotone per token while the
+    token stays resident) and rank by estimated count with the standard
+    (est desc, err asc, token asc) tie-break. The result carries each
+    survivor's error bound unchanged."""
+    latest = summaries.groupBy("shard", "token").agg(
+        F.max("est_count").alias("est_count"),
+        F.min("max_err").alias("max_err"),
+    )
+    w = Window.orderBy(
+        F.desc("est_count"), F.asc("max_err"), F.asc("token")
+    )
+    # a global top-k over O(n_shards x capacity) summary rows — tiny by
+    # construction, so the single-partition window is over the SUMMARY,
+    # never the stream
+    return (
+        latest.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("token", "est_count", "max_err", "rank")
     )
 
 

@@ -966,6 +966,19 @@ def test_stream_heavy_hitters(spark, tmp_path):
     top_true = sorted(truth, key=lambda t: -truth[t])[:3]
     merged = {r["token"] for r in tight}
     assert set(top_true) <= merged
+    # merge_heavy_hitters finalize: in the exact regime the global top-k
+    # over the sink equals the true top-k exactly (counts and order)
+    from htep_spark.streaming.stream import merge_heavy_hitters
+
+    topk = merge_heavy_hitters(spark.table("hh_exact"), k=5).collect()
+    want_top = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["token"], r["est_count"]) for r in topk] == want_top
+    assert [r["rank"] for r in topk] == [1, 2, 3, 4, 5]
+    # tight regime: the merged top-k still satisfies the SpaceSaving bound
+    ttop = merge_heavy_hitters(spark.table("hh_tight"), k=5).collect()
+    for r in ttop:
+        true = truth.get(r["token"], 0)
+        assert true <= r["est_count"] <= true + r["max_err"], r
 
 
 def test_dedup_keepers_connected_components(spark):
