@@ -180,6 +180,10 @@ DRIVER_CAP_OVERFLOW = (
     # round-6 new, born-overflow: sampled DSIR (the paper's Gumbel-top-k
     # selection rule over the oracled importance weights)
     "dsir_sampled",
+    # round-6 new, born-overflow: the round-6 operators composed into one
+    # per-domain survivor cascade (quota -> DSIR -> Gumbel, doc+token
+    # yields) — the curation_funnel composition discipline
+    "web_funnel",
 )
 
 

@@ -223,6 +223,7 @@ def main() -> None:
         "novelty",
         "dict_correct",
         "dsir_sampled",
+        "web_funnel",
     ):
         if name not in QUERIES:
             continue

@@ -5146,6 +5146,77 @@ FROM finalw GROUP BY doc_id
 
 
 # --------------------------------------------------------------------------
+# Web-curation funnel (`web_funnel`): the round-6 operators composed into
+# one per-domain survivor cascade — registrable domain (url_domains) →
+# per-domain quota cap (domain_quota) → DSIR top-quarter importance cut
+# (dsir_select) → Gumbel sample (gumbel_sample) — with doc and token
+# yields at each gate. The same composition-oracle discipline as
+# `curation_funnel`: both engines compose the ALREADY-hash-checked
+# building blocks (nested WITH over the generated SQL constants), so the
+# funnel hash proves the chained gates agree document-by-document, not
+# just in aggregate. Token yield uses gumbel_sample's raw-corpus ntok.
+# --------------------------------------------------------------------------
+
+
+def q_web_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = q_url_domains(spark, sf_dir).select("doc_id", "domain")
+    q = q_domain_quota(spark, sf_dir).select(
+        "doc_id", F.lit(1).alias("in_quota")
+    )
+    d = q_dsir_select(spark, sf_dir).select("doc_id", "selected")
+    g = q_gumbel_sample(spark, sf_dir).select("doc_id", "ntok", "sampled")
+    joined = (
+        u.join(q, "doc_id", "left")
+        .join(d, "doc_id")
+        .join(g, "doc_id")
+        .select(
+            "domain",
+            "ntok",
+            F.coalesce("in_quota", F.lit(0)).alias("s1"),
+            (F.coalesce("in_quota", F.lit(0)) * F.col("selected")).alias("s2"),
+            (
+                F.coalesce("in_quota", F.lit(0))
+                * F.col("selected")
+                * F.col("sampled")
+            ).alias("s3"),
+        )
+    )
+    return joined.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("s1").cast("long").alias("pass_quota"),
+        F.sum("s2").cast("long").alias("pass_dsir"),
+        F.sum("s3").cast("long").alias("sampled"),
+        F.sum(F.col("ntok") * F.col("s3")).cast("long").alias("kept_tokens"),
+    )
+
+
+def _sql_web_funnel() -> str:
+    return f"""
+WITH u AS ({_sql_url_domains()}
+), q AS ({_sql_domain_quota()}
+), d AS ({_sql_dsir_select()}
+), g AS ({_sql_gumbel_sample()}
+), j AS (
+  SELECT u.domain, g.ntok,
+         CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END AS s1,
+         CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END * d.selected AS s2,
+         CASE WHEN q.doc_id IS NULL THEN 0 ELSE 1 END * d.selected
+           * g.sampled AS s3
+  FROM u
+  LEFT JOIN q ON u.doc_id = q.doc_id
+  JOIN d ON u.doc_id = d.doc_id
+  JOIN g ON u.doc_id = g.doc_id
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s1) AS BIGINT) AS pass_quota,
+       CAST(sum(s2) AS BIGINT) AS pass_dsir,
+       CAST(sum(s3) AS BIGINT) AS sampled,
+       CAST(sum(ntok * s3) AS BIGINT) AS kept_tokens
+FROM j GROUP BY domain
+"""
+
+
+# --------------------------------------------------------------------------
 # N-gram novelty profile (`novelty`): for each document, the fraction of
 # its distinct k-token windows never seen in any EARLIER document (doc_id
 # order = ingestion order) — the directional counterpart of `dup_spans`
@@ -5791,4 +5862,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "novelty": (q_novelty, _sql_novelty()),
     "dict_correct": (q_dict_correct, _sql_dict_correct()),
     "dsir_sampled": (q_dsir_sampled, _sql_dsir_sampled()),
+    "web_funnel": (q_web_funnel, _sql_web_funnel()),
 }

@@ -937,3 +937,26 @@ def test_gumbel_sample_length_bias_and_margins():
     mean_all = sum(ntoks.values()) / len(ntoks)
     mean_sampled = sum(ntoks[d] for d in sampled) / len(sampled)
     assert mean_sampled > mean_all, (mean_sampled, mean_all)
+
+
+def test_web_funnel_monotone():
+    """The composed web-curation cascade must be monotone per domain
+    (n_docs >= pass_quota >= pass_dsir >= sampled) and its totals must
+    equal the individual gates' own totals (quota = domains x Q; dsir
+    quarter intersected with quota; token yield only from survivors)."""
+    import duckdb
+
+    from htep_spark.driver_queries import DOMAIN_QUOTA_Q, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    df = con.execute(QUERIES["web_funnel"][1]).df()
+    assert (df.pass_quota <= df.n_docs).all()
+    assert (df.pass_dsir <= df.pass_quota).all()
+    assert (df.sampled <= df.pass_dsir).all()
+    assert (df.pass_quota <= DOMAIN_QUOTA_Q).all()
+    assert ((df.kept_tokens == 0) == (df.sampled == 0)).all()
+    assert df.pass_dsir.sum() > 0 and df.sampled.sum() > 0  # non-vacuous
