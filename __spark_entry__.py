@@ -184,6 +184,11 @@ DRIVER_CAP_OVERFLOW = (
     # per-domain survivor cascade (quota -> DSIR -> Gumbel, doc+token
     # yields) — the curation_funnel composition discipline
     "web_funnel",
+    # round-6 new, born-overflow: CCNet/C4 corpus-wide duplicate-line
+    # removal with keep-first semantics and per-doc text reconstruction
+    # (fixed-width token "lines"; argmin over a packed key — no window,
+    # cluster-size invariant)
+    "line_dedup",
 )
 
 

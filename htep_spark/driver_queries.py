@@ -5783,6 +5783,148 @@ def _sql_winnow() -> str:
     return SQL_WINNOW
 
 
+# --------------------------------------------------------------------------
+# Corpus-wide duplicate-line removal (`line_dedup`): the CCNet / C4
+# line-level dedup pass (Wenzek et al. 2020 §4.1; Raffel et al. 2020 C4
+# "three-sentence span" rule) — every later occurrence of a line anywhere
+# in the corpus (including within the same document) is dropped, the first
+# occurrence in (doc_id, line_idx) order is kept, and each document is
+# reconstructed from its surviving lines in order. This corpus has no
+# newlines, so a "line" is a deterministic fixed-width window of
+# LINE_DEDUP_LEN consecutive tokens (the C4 span analogue) — the boundary
+# rule is shared by both engines, so the dedup decision is identical.
+#
+# Scale shape: token-linear — one exchange to group line hashes (map-side
+# combinable min), one hash-key join back (co-partitioned under AQE), one
+# per-doc agg for the reconstruction. First-occurrence is an argmin over a
+# packed (doc_id, line_idx) key — no window function, no sort, and no
+# driver-side state, so the keeper choice is cluster-size invariant.
+# Distinct from `novelty` (which counts overlapped windows per doc) and
+# `dedup_exact` (whole-doc): this one EDITS the corpus and yields the
+# deduplicated text, the form a training pipeline actually materializes.
+# --------------------------------------------------------------------------
+
+LINE_DEDUP_LEN = 8  # tokens per synthetic "line" (C4 uses 3-sentence spans)
+_LINE_PACK = 1_000_000  # packs (doc_id, line_idx) into one argmin key
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_prefix60_spark
+
+    L = LINE_DEDUP_LEN
+    docs = _docs(spark, sf_dir).select("doc_id", _clinical_col().alias("ctext"))
+    toked = token_barrier(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0),
+        keep_cols=("doc_id",),
+    )
+    # sequence(0, n) DESCENDS for n < 0 — guard zero-token docs (same trap
+    # as _window_hashes); slice() clamps the final partial line
+    n_lines = F.ceil(F.size("t") / F.lit(float(L))).cast("int")
+    line_arr = F.when(
+        F.size("t") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i * L + 1, L)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = toked.select(
+        "doc_id", F.posexplode(line_arr).alias("line_idx", "line_text")
+    ).select(
+        "doc_id",
+        "line_idx",
+        "line_text",
+        md5_prefix60_spark(F.col("line_text")).alias("lhash"),
+        (F.col("doc_id") * _LINE_PACK + F.col("line_idx")).alias("packed"),
+    )
+    first = lines.groupBy("lhash").agg(F.min("packed").alias("first_packed"))
+    flagged = lines.join(first, "lhash").withColumn(
+        "is_kept", (F.col("packed") == F.col("first_packed")).cast("long")
+    )
+    kept_struct = F.when(
+        F.col("is_kept") == 1, F.struct("line_idx", "line_text")
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("is_kept").cast("long").alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("is_kept") == 1, F.size(F.split("line_text", " "))
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tokens_kept"),
+        # collect_list skips NULLs -> only kept lines; array_sort on the
+        # struct orders by line_idx, restoring document order regardless of
+        # shuffle arrival order
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.line_text,
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_tokens_kept", F.lit(0)).alias("n_tokens_kept"),
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+        )
+    )
+
+
+def _sql_line_dedup() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    L = LINE_DEDUP_LEN
+    lhash = md5_prefix60_sql("line_text")
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         regexp_extract_all(lower({_clinical_sql()}), '{_TOKEN_PATTERN}') AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id, i AS line_idx,
+         array_to_string(t[i * {L} + 1 : i * {L} + {L}], ' ') AS line_text
+  FROM (SELECT doc_id, t,
+               unnest(range(0, CAST(ceil(len(t) / CAST({L} AS DOUBLE))
+                                    AS BIGINT))) AS i
+        FROM toked)
+), hashed AS (
+  SELECT doc_id, line_idx, line_text, {lhash} AS lhash,
+         doc_id * {_LINE_PACK} + line_idx AS packed
+  FROM lines
+), first AS (
+  SELECT lhash, min(packed) AS first_packed FROM hashed GROUP BY lhash
+), flagged AS (
+  SELECT h.doc_id, h.line_idx, h.line_text,
+         CASE WHEN h.packed = f.first_packed THEN 1 ELSE 0 END AS is_kept
+  FROM hashed h JOIN first f USING (lhash)
+), per AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(is_kept) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN is_kept = 1
+                       THEN len(string_split(line_text, ' ')) ELSE 0 END)
+              AS BIGINT) AS n_tokens_kept,
+         coalesce(string_agg(CASE WHEN is_kept = 1 THEN line_text END, ' '
+                             ORDER BY line_idx), '') AS dedup_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_lines, 0) AS n_lines,
+       coalesce(p.n_kept, 0) AS n_kept,
+       coalesce(p.n_tokens_kept, 0) AS n_tokens_kept,
+       coalesce(p.dedup_text, '') AS dedup_text
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -5863,4 +6005,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "dict_correct": (q_dict_correct, _sql_dict_correct()),
     "dsir_sampled": (q_dsir_sampled, _sql_dsir_sampled()),
     "web_funnel": (q_web_funnel, _sql_web_funnel()),
+    "line_dedup": (q_line_dedup, _sql_line_dedup()),
 }

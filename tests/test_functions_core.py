@@ -960,3 +960,60 @@ def test_web_funnel_monotone():
     assert (df.pass_quota <= DOMAIN_QUOTA_Q).all()
     assert ((df.kept_tokens == 0) == (df.sampled == 0)).all()
     assert df.pass_dsir.sum() > 0 and df.sampled.sum() > 0  # non-vacuous
+
+
+def test_line_dedup_keep_first_and_reconstruction():
+    """Corpus-wide duplicate-line removal (`line_dedup`, CCNet §4.1 / C4
+    span rule): an independent pure-Python replay of the keep-first rule —
+    fixed-width 8-token windows over the clinical-prelude text, global
+    first-occurrence in (doc_id, line_idx) order wins, per-doc text
+    rebuilt from survivors in order — must match the DuckDB oracle
+    row-for-row at sf0.001, and the pass must be non-vacuous (at least
+    one later duplicate actually dropped)."""
+    import re as _re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        _TOKEN_PATTERN,
+        CLINICAL_SNIPPETS,
+        LINE_DEDUP_LEN,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(QUERIES["line_dedup"][1]).fetchall()
+    }
+
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    L = LINE_DEDUP_LEN
+    seen: set = set()
+    dropped_any = False
+    for doc_id, text in rows:
+        full = CLINICAL_SNIPPETS[doc_id % len(CLINICAL_SNIPPETS)] + "\n" + text
+        toks = _re.findall(_TOKEN_PATTERN, full.lower())
+        lines = [" ".join(toks[i : i + L]) for i in range(0, len(toks), L)]
+        kept = []
+        for ln in lines:
+            if ln in seen:
+                dropped_any = True
+            else:
+                seen.add(ln)
+                kept.append(ln)
+        exp = (
+            len(lines),
+            len(kept),
+            sum(len(ln.split(" ")) for ln in kept),
+            " ".join(kept),
+        )
+        assert got[doc_id] == exp, (doc_id, got[doc_id][:3], exp[:3])
+    assert dropped_any, "no duplicate line in the corpus; dedup vacuous"
+    assert len(got) == len(rows)
