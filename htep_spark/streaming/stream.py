@@ -28,6 +28,8 @@ __all__ = [
     "stream_sessionized_counts",
     "stream_windowed_count_min",
     "stream_windowed_qdigest_histogram",
+    "stream_windowed_topk",
+    "merge_windowed_topk",
 ]
 
 
@@ -459,5 +461,148 @@ def stream_windowed_metrics(
             "n_failed",
             "n_corrections",
             "n_drug_turns",
+        )
+    )
+
+
+def stream_windowed_topk(
+    tokens: DataFrame,
+    window_duration: str = "10 minutes",
+    watermark: str = "5 minutes",
+    capacity: int = 64,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Per-window streaming heavy hitters (the TODO #5 windowed emit):
+    distributed SpaceSaving keyed by ``(tumbling window, token-hash
+    shard)`` via ``applyInPandasWithState`` with EVENT-TIME TIMEOUT — each
+    window's per-shard summary is emitted exactly once, when the watermark
+    passes the window end, then its state is dropped (append semantics,
+    unlike the endless update stream of `stream_heavy_hitters`).
+
+    Scale design: same token-hash sharding as `stream_heavy_hitters` (a
+    token's in-window count lives in exactly one shard, so the per-window
+    global merge in `merge_windowed_topk` is NOT a sketch merge — no error
+    compounding). State is O(open_windows × n_shards × capacity): bounded
+    by the SpaceSaving capacity per (window, shard) and by the watermark
+    horizon in window count — survives unbounded vocabulary per window
+    where an exact windowed groupBy-count's state is O(per-window vocab).
+
+    Guarantees per (window, shard): standard SpaceSaving — every token
+    with in-window shard count > shard_window_len / capacity is present;
+    ``true <= est_count <= true + max_err`` for every summarized token.
+    Rows later than the watermark are filtered before the stateful
+    operator (standard semantics), so a closed window can never re-open.
+
+    Timeout timestamps are epoch ms of the window end; the group key
+    arrives as a naive datetime in the session timezone, so this assumes
+    host tz == session tz (both UTC in this deployment).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    output_schema = (
+        "window_start timestamp, window_end timestamp, shard long, "
+        "token string, est_count long, max_err long"
+    )
+    state_schema = "tokens array<string>, counts array<long>, errs array<long>"
+    cap = capacity
+    cols = ["window_start", "window_end", "shard", "token", "est_count", "max_err"]
+
+    def update(key, pdfs, state):
+        win_start, win_end, shard = key
+        if state.hasTimedOut:
+            toks, counts, errs = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    [win_start, win_end, shard, t, c, e]
+                    for t, c, e in zip(toks, counts, errs)
+                ],
+                columns=cols,
+            )
+            return
+        if state.exists:
+            toks, counts, errs = state.get
+            summary = {t: [int(c), int(e)] for t, c, e in zip(toks, counts, errs)}
+        else:
+            summary = {}
+        for pdf in pdfs:
+            vc = pdf["token"].value_counts()
+            # deterministic fold order: (count desc, token asc) — bounds
+            # hold for any order; pinning one makes replays byte-stable
+            for tok in sorted(vc.index, key=lambda t: (-int(vc[t]), t)):
+                cnt = int(vc[tok])
+                if tok in summary:
+                    summary[tok][0] += cnt
+                elif len(summary) < cap:
+                    summary[tok] = [cnt, 0]
+                else:  # evict the minimum-count item (ties: smallest token)
+                    mtok = min(summary, key=lambda t: (summary[t][0], t))
+                    mcnt = summary[mtok][0]
+                    del summary[mtok]
+                    summary[tok] = [mcnt + cnt, mcnt]
+        items = sorted(summary.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [t for t, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+            )
+        )
+        # fire when the WATERMARK (event time, delay already applied)
+        # passes the window end — the append-mode close rule
+        state.setTimeoutTimestamp(int(win_end.timestamp() * 1000))
+        yield pd.DataFrame([], columns=cols)
+
+    sharded = (
+        tokens.withWatermark("ts", watermark)
+        .select(
+            F.window("ts", window_duration).alias("win"),
+            F.pmod(F.xxhash64("token"), F.lit(n_shards)).alias("shard"),
+            "token",
+            "ts",
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "shard",
+            "token",
+            # the watermark-tagged column must stay visible to the
+            # stateful operator or the analyzer rejects EventTimeTimeout
+            "ts",
+        )
+    )
+    return sharded.groupBy(
+        "window_start", "window_end", "shard"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def merge_windowed_topk(summaries: DataFrame, k: int = 10) -> DataFrame:
+    """Per-window global top-k finalize over a `stream_windowed_topk`
+    sink table. Each (window, shard, token) summary row is final (emitted
+    once at window close) and a token's whole in-window count lives in one
+    shard, so this is a plain per-window rank — no sketch merge, no error
+    compounding. The window partitioning keeps the rank exchange keyed
+    (no single-partition window): per-window summary rows are bounded by
+    n_shards × capacity regardless of stream rate."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("est_count"), F.asc("max_err"), F.asc("token")
+    )
+    return (
+        summaries.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "window_start",
+            "window_end",
+            "token",
+            "est_count",
+            "max_err",
+            "rank",
         )
     )

@@ -2342,3 +2342,122 @@ def test_stream_windowed_qdigest(spark, tmp_path):
         cum = sum(c for v, c in hist.items() if v <= est)
         assert abs(cum - r_mid) <= QDIGEST_D * sigma + max(hist.values())
         assert est >= exact  # q-digest answers never under-shoot the rank
+
+
+def test_stream_windowed_topk(spark, tmp_path):
+    """Per-window distributed SpaceSaving with event-time-timeout close:
+    each (window, shard) summary is emitted exactly once when the
+    watermark passes the window end. Exact regime (capacity >= per-shard
+    in-window vocabulary): emitted counts equal the batch per-window
+    counts, err 0, and `merge_windowed_topk` equals the true per-window
+    top-k (counts AND order). Tight regime: per-(window, shard) bounds
+    hold (true <= est <= true + err; frequent-in-shard tokens present).
+    The final window stays open (watermark never passes its end)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from htep_spark.streaming.stream import (
+        merge_windowed_topk,
+        stream_windowed_topk,
+    )
+
+    # three 10-minute windows of a Zipf-ish stream whose head token
+    # DIFFERS per window (tok00/tok01/tok02) so per-window ranking is
+    # actually window-dependent
+    base = dt.datetime(2024, 7, 1)
+    rows = []
+    for w in range(3):
+        for i in range(20):
+            tok = f"tok{(i + w) % 20:02d}"
+            for j in range(120 // (i + 1)):
+                rows.append(
+                    (tok, base + dt.timedelta(minutes=10 * w, seconds=len(rows) % 500))
+                )
+    pdf = pd.DataFrame(rows, columns=["token", "ts"])
+    win = dt.timedelta(minutes=10)
+    pdf["win_start"] = pdf["ts"].apply(lambda t: base + ((t - base) // win) * win)
+    truth = (
+        pdf.groupby(["win_start", "token"]).size().to_dict()
+    )  # (window_start, token) -> true in-window count
+    src = str(tmp_path / "wtopk_src")
+    spark.createDataFrame(
+        pdf[["token", "ts"]], "token string, ts timestamp"
+    ).write.parquet(src)
+
+    def run(capacity, name):
+        stream = spark.readStream.schema("token string, ts timestamp").parquet(src)
+        out = stream_windowed_topk(
+            stream,
+            window_duration="10 minutes",
+            watermark="0 seconds",
+            capacity=capacity,
+            n_shards=4,
+        )
+        assert out.isStreaming
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.table(name).collect()
+
+    exact = run(capacity=64, name="wtopk_exact")
+    assert exact, "no windows closed"
+    emitted = {r["window_start"] for r in exact}
+    # watermark = max event time -> the last window's end is never passed
+    assert emitted == {base, base + win}, emitted
+    got = {(r["window_start"], r["token"]): r for r in exact}
+    assert len(got) == len(exact), "duplicate (window, token) emission"
+    for (ws, tok), r in got.items():
+        assert r["est_count"] == truth[(ws, tok)], (ws, tok)
+        assert r["max_err"] == 0
+        assert r["window_end"] == ws + win
+    for (ws, tok), cnt in truth.items():
+        if ws in emitted:
+            assert (ws, tok) in got, (ws, tok, cnt)
+
+    # finalize: per-window global top-5 equals the true per-window top-5
+    topk = merge_windowed_topk(spark.table("wtopk_exact"), k=5).collect()
+    for ws in emitted:
+        want = sorted(
+            ((t, c) for (w, t), c in truth.items() if w == ws),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:5]
+        rs = sorted(
+            (r for r in topk if r["window_start"] == ws), key=lambda r: r["rank"]
+        )
+        assert [(r["token"], r["est_count"]) for r in rs] == want
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+    # the two emitted windows rank DIFFERENT heads (window-dependence)
+    heads = {
+        r["window_start"]: r["token"] for r in topk if r["rank"] == 1
+    }
+    assert len(set(heads.values())) == 2, heads
+
+    # tight regime: capacity 6 < 20-token vocabulary
+    tight = run(capacity=6, name="wtopk_tight")
+    shard_of = {}
+    for r in spark.sql(
+        "select distinct token, pmod(xxhash64(token), 4) as shard from wtopk_exact"
+    ).collect():
+        shard_of[r["token"]] = r["shard"]
+    by_ws_shard: dict = {}
+    for r in tight:
+        assert r["window_start"] in emitted  # same close rule
+        by_ws_shard.setdefault((r["window_start"], r["shard"]), []).append(r)
+    for (ws, shard), rs in by_ws_shard.items():
+        assert len(rs) <= 6
+        shard_len = sum(
+            c for (w, t), c in truth.items() if w == ws and shard_of[t] == shard
+        )
+        present = {r["token"] for r in rs}
+        for r in rs:
+            true = truth.get((ws, r["token"]), 0)
+            assert true <= r["est_count"] <= true + r["max_err"], r
+        for (w, t), c in truth.items():
+            if w == ws and shard_of[t] == shard and c > shard_len / 6:
+                assert t in present, (t, c, shard_len)
