@@ -189,6 +189,10 @@ DRIVER_CAP_OVERFLOW = (
     # (fixed-width token "lines"; argmin over a packed key — no window,
     # cluster-size invariant)
     "line_dedup",
+    # round-6 new, born-overflow: PMI bigram collocations (Church & Hanks
+    # 1990) — positional-marginal association mining with a min-count
+    # floor and a range-partitioned top-K cut
+    "pmi_bigrams",
 )
 
 

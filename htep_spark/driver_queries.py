@@ -5925,6 +5925,114 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 """
 
 
+# --------------------------------------------------------------------------
+# PMI bigram collocations (`pmi_bigrams`): corpus-level association mining
+# (Church & Hanks 1990) — the statistical complement to the frequency-only
+# `top_ngrams` surface. PMI(w1, w2) = ln(c12 * N / (cl(w1) * cr(w2))) over
+# bigram events, with POSITIONAL marginals (cl = count of bigrams whose
+# first word is w1, cr = second-word marginal) so the probabilities sum to
+# one on each axis; a min-count floor suppresses the rare-pair PMI
+# explosion, and the top-K cut ranks by the 6dp-rounded score (both
+# engines round the same libm ln, the dsir/gumbel margin discipline).
+#
+# Scale shape: one narrow zip_with bigram construction (no per-doc window
+# — contrast q_lm_score, which needs positions), one (w1, w2) hash agg
+# (map-side combinable), two tiny marginal re-aggregations OF THE COUNT
+# TABLE (never a second corpus scan), a broadcast 1-row total, and the
+# range-partitioned `exact_global_rank` cut — no single-partition window
+# anywhere. All numerators are cast to double BEFORE multiplying: c12 * N
+# overflows bigint at ~1e12-token corpora.
+# --------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # bigram count floor (kills the rare-pair PMI explosion)
+PMI_TOP_K = 50
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    docs = _docs(spark, sf_dir)
+    toked = token_barrier(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0),
+    )
+    n1 = F.size("t") - 1
+    bg_arr = F.when(
+        F.size("t") >= 2,
+        F.zip_with(
+            F.slice("t", F.lit(1), n1),
+            F.slice("t", F.lit(2), n1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = toked.select(F.explode(bg_arr).alias("b")).select("b.w1", "b.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    cl = cb.groupBy("w1").agg(F.sum("c12").alias("cl"))
+    cr = cb.groupBy("w2").agg(F.sum("c12").alias("cr"))
+    nb = cb.agg(F.sum("c12").alias("nb"))  # 1 row, broadcast below
+    scored = (
+        cb.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(nb))
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") * F.col("nb").cast("double"))
+                    / (F.col("cl").cast("double") * F.col("cr").cast("double"))
+                ),
+                6,
+            ),
+        )
+    )
+    ranked = exact_global_rank(
+        scored.withColumn("np", -F.col("pmi")), "np", tie_cols=("w1", "w2")
+    )
+    return (
+        ranked.filter(F.col("global_rank") <= PMI_TOP_K)
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("cl").cast("long").alias("cl"),
+            F.col("cr").cast("long").alias("cr"),
+            "pmi",
+            F.col("global_rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _sql_pmi_bigrams() -> str:
+    return f"""
+WITH toked AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
+  FROM documents
+), bg AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toked)
+), cb AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY ALL
+), cl AS (
+  SELECT w1, CAST(sum(c12) AS BIGINT) AS cl FROM cb GROUP BY w1
+), cr AS (
+  SELECT w2, CAST(sum(c12) AS BIGINT) AS cr FROM cb GROUP BY w2
+), nb AS (
+  SELECT CAST(sum(c12) AS BIGINT) AS nb FROM cb
+), scored AS (
+  SELECT w1, w2, c12, cl, cr,
+         round(ln((CAST(c12 AS DOUBLE) * CAST(nb AS DOUBLE))
+                  / (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))), 6) AS pmi
+  FROM cb JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nb
+  WHERE c12 >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, c12, cl, cr, pmi, CAST(rn AS BIGINT) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn
+      FROM scored)
+WHERE rn <= {PMI_TOP_K}
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -6006,4 +6114,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "dsir_sampled": (q_dsir_sampled, _sql_dsir_sampled()),
     "web_funnel": (q_web_funnel, _sql_web_funnel()),
     "line_dedup": (q_line_dedup, _sql_line_dedup()),
+    "pmi_bigrams": (q_pmi_bigrams, _sql_pmi_bigrams()),
 }

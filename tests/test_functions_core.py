@@ -1017,3 +1017,63 @@ def test_line_dedup_keep_first_and_reconstruction():
         assert got[doc_id] == exp, (doc_id, got[doc_id][:3], exp[:3])
     assert dropped_any, "no duplicate line in the corpus; dedup vacuous"
     assert len(got) == len(rows)
+
+
+def test_pmi_bigrams_pure_python_replay_and_margins():
+    """PMI collocations (`pmi_bigrams`): an independent pure-Python replay
+    — positional-marginal PMI over min-count-floored bigrams, top-K by
+    (rounded pmi desc, w1, w2) — must match the DuckDB oracle exactly at
+    sf0.001, every score must clear its 6dp rounding boundary by > 1e-12
+    (cross-libm ln parity, the dsir/gumbel margin discipline), and the cut
+    must be non-vacuous (more candidates than K, so the rank actually
+    selects)."""
+    import math
+    import re as _re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        _TOKEN_PATTERN,
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = con.execute(QUERIES["pmi_bigrams"][1]).fetchall()
+
+    rows = con.execute("SELECT text FROM documents").fetchall()
+    c12: dict = {}
+    for (text,) in rows:
+        toks = _re.findall(_TOKEN_PATTERN, text.lower())
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] = c12.get((a, b), 0) + 1
+    cl: dict = {}
+    cr: dict = {}
+    for (a, b), c in c12.items():
+        cl[a] = cl.get(a, 0) + c
+        cr[b] = cr.get(b, 0) + c
+    nb = sum(c12.values())
+    scored = []
+    for (a, b), c in c12.items():
+        if c >= PMI_MIN_COUNT:
+            pmi = math.log((float(c) * float(nb)) / (float(cl[a]) * float(cr[b])))
+            frac = abs(pmi * 1e6 - round(pmi * 1e6))
+            assert abs(frac - 0.5) * 1e-6 > 1e-12, ((a, b), pmi)
+            scored.append((a, b, c, cl[a], cr[b], round(pmi, 6)))
+    assert len(scored) > PMI_TOP_K, "cut vacuous: candidates <= K"
+    scored.sort(key=lambda r: (-r[5], r[0], r[1]))
+    want = [r + (i + 1,) for i, r in enumerate(scored[:PMI_TOP_K])]
+    assert got == want
+    # association is a different ordering than frequency: the PMI top-K
+    # ranking differs from the raw count ranking (the surface top_ngrams
+    # would return) — PMI must reorder, not merely re-emit, the head
+    by_freq = sorted(
+        ((a, b) for (a, b), c in c12.items() if c >= PMI_MIN_COUNT),
+        key=lambda k: (-c12[k], k),
+    )[:PMI_TOP_K]
+    assert [(r[0], r[1]) for r in got] != by_freq
