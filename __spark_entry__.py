@@ -193,6 +193,10 @@ DRIVER_CAP_OVERFLOW = (
     # 1990) — positional-marginal association mining with a min-count
     # floor and a range-partitioned top-K cut
     "pmi_bigrams",
+    # round-6 new, born-overflow: exact per-doc longest duplicated
+    # token-substring (Lee et al. 2022) — all-docs-simultaneous driver-
+    # controlled binary search vs a recursive-CTE bisection oracle
+    "dup_longest",
 )
 
 

@@ -5796,7 +5796,10 @@ def _sql_winnow() -> str:
 #
 # Scale shape: token-linear — one exchange to group line hashes (map-side
 # combinable min), one hash-key join back (co-partitioned under AQE), one
-# per-doc agg for the reconstruction. First-occurrence is an argmin over a
+# per-doc agg for the reconstruction. As a pure plan the line frame is
+# derived twice (once per join side — the module-wide no-persist idiom);
+# at real scale persist()/checkpoint the `lines` frame once to halve the
+# tokenization cost. First-occurrence is an argmin over a
 # packed (doc_id, line_idx) key — no window function, no sort, and no
 # driver-side state, so the keeper choice is cluster-size invariant.
 # Distinct from `novelty` (which counts overlapped windows per doc) and
@@ -5922,6 +5925,153 @@ SELECT d.doc_id,
        coalesce(p.n_tokens_kept, 0) AS n_tokens_kept,
        coalesce(p.dedup_text, '') AS dedup_text
 FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-doc longest duplicated token-substring (`dup_longest`): the exact
+# within-document repetition diagnostic of Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better") — for each document, the
+# maximum L such that some L-token substring occurs twice, plus the
+# lexicographically smallest such substring. A suffix automaton answers
+# this in O(n) on one node; the Spark-first re-expression is a DRIVER-
+# CONTROLLED BINARY SEARCH run for ALL documents simultaneously: each
+# round materializes every unconverged doc's candidate windows of its own
+# mid-length and tests "any window repeated?" as one hash aggregation, so
+# the loop depth is ceil(log2(max_doc_len)) rounds TOTAL (not per doc) and
+# each round is a narrow explode + map-side-combinable agg. The token
+# frame is localCheckpoint-pinned once and reused by every round and the
+# final pass (the embed_keepers CC discipline — also what protects the
+# window lambda from the re-tokenize-per-window trap, see token_barrier).
+# Windows compare as STRINGS (no hash), so both engines' duplicate
+# verdicts are exact — the DuckDB oracle replays the same bisection as a
+# recursive CTE with a correlated duplicate-check subquery.
+# Monotone predicate: "has a duplicated window of length L" is downward-
+# closed in L, which is what makes bisection sound.
+# --------------------------------------------------------------------------
+
+DUP_LONGEST_MAX_ITER = 40  # safety bound; actual depth = ceil(log2(max n))
+
+
+def q_dup_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", _clinical_col().alias("ctext"))
+    toked = token_barrier(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0),
+        keep_cols=("doc_id",),
+    ).withColumn("n", F.size("t"))
+    toked = toked.localCheckpoint(eager=True)
+
+    def windows(len_col):
+        # n - len + 1 >= 2 for every row this is applied to (len <= n-1),
+        # so the sequence never descends
+        return F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - len_col + 1),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, len_col)),
+            )
+        )
+
+    state = toked.select(
+        "doc_id",
+        F.lit(0).alias("lo"),
+        F.greatest(F.col("n") - 1, F.lit(0)).alias("hi"),
+    )
+    for _ in range(DUP_LONGEST_MAX_ITER):
+        state = state.localCheckpoint(eager=True)
+        unconverged = state.filter(F.col("lo") < F.col("hi"))
+        if unconverged.isEmpty():  # one scalar action per round
+            break
+        active = unconverged.withColumn(
+            "mid", F.floor((F.col("lo") + F.col("hi") + 1) / 2).cast("int")
+        )
+        wins = active.join(toked, "doc_id").select(
+            "doc_id", "lo", "hi", "mid", windows(F.col("mid")).alias("w")
+        )
+        dup = wins.groupBy("doc_id", "lo", "hi", "mid").agg(
+            (F.count("*") > F.count_distinct("w")).alias("dup")
+        )
+        stepped = dup.select(
+            "doc_id",
+            F.when(F.col("dup"), F.col("mid")).otherwise(F.col("lo")).alias("lo"),
+            F.when(F.col("dup"), F.col("hi"))
+            .otherwise(F.col("mid") - 1)
+            .alias("hi"),
+        )
+        state = state.filter(F.col("lo") >= F.col("hi")).unionByName(stepped)
+
+    best = (
+        state.filter(F.col("lo") > 0)
+        .join(toked, "doc_id")
+        .select("doc_id", windows(F.col("lo")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.min("w").alias("top_dup"))
+    )
+    return (
+        toked.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
+        .join(
+            state.select(
+                "doc_id", F.col("lo").cast("long").alias("max_dup_len")
+            ),
+            "doc_id",
+        )
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "max_dup_len",
+            F.coalesce("top_dup", F.lit("")).alias("top_dup"),
+        )
+    )
+
+
+def _sql_dup_longest() -> str:
+    text = _clinical_sql()
+    return f"""
+WITH RECURSIVE toked AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower({text}), '{_TOKEN_PATTERN}') AS t,
+         len(regexp_extract_all(lower({text}), '{_TOKEN_PATTERN}')) AS n
+  FROM documents
+), bs AS (
+  SELECT doc_id, 0 AS lo, greatest(n - 1, 0) AS hi FROM toked
+  UNION ALL
+  -- set-based bisection round: ONE grouped duplicate check over every
+  -- unconverged doc's mid-length windows (a correlated per-doc subquery
+  -- here re-scans toked per outer row — measured 300x slower at sf0.1)
+  SELECT doc_id,
+         CASE WHEN dup THEN mid ELSE lo END AS lo,
+         CASE WHEN dup THEN hi ELSE mid - 1 END AS hi
+  FROM (
+    SELECT doc_id, lo, hi, mid, count(*) > count(DISTINCT w) AS dup
+    FROM (
+      SELECT b.doc_id, b.lo, b.hi, b.mid,
+             array_to_string(tk.t[i.i : i.i + b.mid - 1], ' ') AS w
+      FROM (SELECT doc_id, lo, hi, (lo + hi + 1) // 2 AS mid
+            FROM bs WHERE lo < hi) b
+      JOIN toked tk USING (doc_id),
+           unnest(range(1, tk.n - b.mid + 2)) AS i(i)
+    )
+    GROUP BY doc_id, lo, hi, mid
+  )
+), final AS (
+  SELECT doc_id, lo AS dup_len FROM bs WHERE lo >= hi
+), wins AS (
+  SELECT f.doc_id, array_to_string(tk.t[i.i : i.i + f.dup_len - 1], ' ') AS w
+  FROM final f JOIN toked tk USING (doc_id),
+       unnest(range(1, tk.n - f.dup_len + 2)) AS i(i)
+  WHERE f.dup_len > 0
+), best AS (
+  SELECT doc_id, min(w) AS top_dup
+  FROM (SELECT doc_id, w FROM wins GROUP BY doc_id, w HAVING count(*) > 1)
+  GROUP BY doc_id
+)
+SELECT tk.doc_id, CAST(tk.n AS BIGINT) AS n_tokens,
+       CAST(f.dup_len AS BIGINT) AS max_dup_len,
+       coalesce(b.top_dup, '') AS top_dup
+FROM toked tk JOIN final f USING (doc_id) LEFT JOIN best b USING (doc_id)
 """
 
 
@@ -6115,4 +6265,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "web_funnel": (q_web_funnel, _sql_web_funnel()),
     "line_dedup": (q_line_dedup, _sql_line_dedup()),
     "pmi_bigrams": (q_pmi_bigrams, _sql_pmi_bigrams()),
+    "dup_longest": (q_dup_longest, _sql_dup_longest()),
 }

@@ -1077,3 +1077,53 @@ def test_pmi_bigrams_pure_python_replay_and_margins():
         key=lambda k: (-c12[k], k),
     )[:PMI_TOP_K]
     assert [(r[0], r[1]) for r in got] != by_freq
+
+
+def test_dup_longest_matches_brute_force():
+    """Exact longest duplicated token-substring (`dup_longest`): the
+    DuckDB bisection oracle must equal a brute-force scan (descending L,
+    first L with any repeated window; lexicographically smallest winner)
+    on every sf0.001 doc — i.e. the binary search is sound (the duplicate
+    predicate is downward-closed in L) and the reported substring really
+    is maximal. Non-vacuous: several distinct dup lengths occur and at
+    least one doc has no within-doc repeat."""
+    import re as _re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        _TOKEN_PATTERN,
+        CLINICAL_SNIPPETS,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = {
+        r[0]: r[1:] for r in con.execute(QUERIES["dup_longest"][1]).fetchall()
+    }
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+
+    def brute(toks):
+        for L in range(len(toks) - 1, 0, -1):
+            seen: dict = {}
+            for i in range(len(toks) - L + 1):
+                w = " ".join(toks[i : i + L])
+                seen[w] = seen.get(w, 0) + 1
+            reps = sorted(w for w, c in seen.items() if c > 1)
+            if reps:
+                return L, reps[0]
+        return 0, ""
+
+    lens = set()
+    for doc_id, text in rows:
+        full = CLINICAL_SNIPPETS[doc_id % len(CLINICAL_SNIPPETS)] + "\n" + text
+        toks = _re.findall(_TOKEN_PATTERN, full.lower())
+        L, w = brute(toks)
+        assert got[doc_id] == (len(toks), L, w), (doc_id, got[doc_id], (L, w))
+        lens.add(L)
+    assert len(lens) >= 3, lens
+    assert len(got) == len(rows)
