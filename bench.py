@@ -224,6 +224,9 @@ def main() -> None:
         "dict_correct",
         "dsir_sampled",
         "web_funnel",
+        "line_dedup",
+        "pmi_bigrams",
+        "dup_longest",
     ):
         if name not in QUERIES:
             continue

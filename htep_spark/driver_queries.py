@@ -5933,98 +5933,87 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 # within-document repetition diagnostic of Lee et al. 2022 ("Deduplicating
 # Training Data Makes Language Models Better") — for each document, the
 # maximum L such that some L-token substring occurs twice, plus the
-# lexicographically smallest such substring. A suffix automaton answers
-# this in O(n) on one node; the Spark-first re-expression is a DRIVER-
-# CONTROLLED BINARY SEARCH run for ALL documents simultaneously: each
-# round materializes every unconverged doc's candidate windows of its own
-# mid-length and tests "any window repeated?" as one hash aggregation, so
-# the loop depth is ceil(log2(max_doc_len)) rounds TOTAL (not per doc) and
-# each round is a narrow explode + map-side-combinable agg. The token
-# frame is localCheckpoint-pinned once and reused by every round and the
-# final pass (the embed_keepers CC discipline — also what protects the
-# window lambda from the re-tokenize-per-window trap, see token_barrier).
-# Windows compare as STRINGS (no hash), so both engines' duplicate
-# verdicts are exact — the DuckDB oracle replays the same bisection as a
-# recursive CTE with a correlated duplicate-check subquery.
-# Monotone predicate: "has a duplicated window of length L" is downward-
-# closed in L, which is what makes bisection sound.
+# lexicographically smallest such substring.
+#
+# Spark-first design call: the problem is DOC-LOCAL, so it belongs in a
+# worker-local kernel, not in distributed iteration — the plan is
+# scan -> JVM tokenize -> mapInPandas, with ZERO exchanges (plan-gated
+# below); at 100 TB that is one narrow pass, embarrassingly parallel over
+# row groups. A driver-controlled all-docs-simultaneous bisection variant
+# (each round one grouped window-duplicate check, the embed_keepers
+# batched-hop discipline) was built and measured first: correct, but
+# 8.4-11.9s warm at sf0.1 vs ~1s for the kernel — log2(max_len) shuffle
+# rounds lose to a shuffle-free pass whenever a single doc fits a worker,
+# which is always for real corpora. Tokenization stays JVM-side
+# (regexp_extract_all — the cross-engine-parity-proven path shared with
+# line_dedup/novelty); the Python kernel only bisects over tuple-keyed
+# window sets, so no regex/lower semantics ever diverge from the oracle.
+#
+# The kernel bisects on "has a duplicated window of length L" (downward-
+# closed in L, hence bisection-sound), O(n log n) window hashes per doc;
+# the DuckDB oracle replays the same bisection as a set-based recursive
+# CTE (one grouped duplicate check per round over every unconverged doc).
+# Windows compare exactly (tuples / strings, no hashes) on both engines;
+# the reported substring is the min over JOINED window strings — for
+# equal-length windows of [a-z0-9]+ tokens that ordering is well-defined
+# identically on both engines (the separator ' ' sorts below the whole
+# token alphabet, so joined-string order equals token-tuple order).
 # --------------------------------------------------------------------------
 
-DUP_LONGEST_MAX_ITER = 40  # safety bound; actual depth = ceil(log2(max n))
+
+def _dup_longest_kernel(toks) -> tuple:
+    """(n_tokens, max_dup_len, top_dup) for one token sequence; exact."""
+    toks = [str(t) for t in toks]
+    n = len(toks)
+    lo, hi = 0, max(n - 1, 0)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        seen = set()
+        dup = False
+        for i in range(n - mid + 1):
+            w = tuple(toks[i : i + mid])
+            if w in seen:
+                dup = True
+                break
+            seen.add(w)
+        if dup:
+            lo = mid
+        else:
+            hi = mid - 1
+    if lo == 0:
+        return n, 0, ""
+    cnt: dict = {}
+    for i in range(n - lo + 1):
+        w = tuple(toks[i : i + lo])
+        cnt[w] = cnt.get(w, 0) + 1
+    best = min(" ".join(w) for w, c in cnt.items() if c > 1)
+    return n, lo, best
 
 
 def q_dup_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
     docs = _docs(spark, sf_dir).select("doc_id", _clinical_col().alias("ctext"))
-    toked = token_barrier(
-        docs,
-        F.regexp_extract_all(F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0),
-        keep_cols=("doc_id",),
-    ).withColumn("n", F.size("t"))
-    toked = toked.localCheckpoint(eager=True)
-
-    def windows(len_col):
-        # n - len + 1 >= 2 for every row this is applied to (len <= n-1),
-        # so the sequence never descends
-        return F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n") - len_col + 1),
-                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, len_col)),
-            )
-        )
-
-    state = toked.select(
+    toked = docs.select(
         "doc_id",
-        F.lit(0).alias("lo"),
-        F.greatest(F.col("n") - 1, F.lit(0)).alias("hi"),
+        F.regexp_extract_all(
+            F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0
+        ).alias("t"),
     )
-    for _ in range(DUP_LONGEST_MAX_ITER):
-        state = state.localCheckpoint(eager=True)
-        unconverged = state.filter(F.col("lo") < F.col("hi"))
-        if unconverged.isEmpty():  # one scalar action per round
-            break
-        active = unconverged.withColumn(
-            "mid", F.floor((F.col("lo") + F.col("hi") + 1) / 2).cast("int")
-        )
-        wins = active.join(toked, "doc_id").select(
-            "doc_id", "lo", "hi", "mid", windows(F.col("mid")).alias("w")
-        )
-        dup = wins.groupBy("doc_id", "lo", "hi", "mid").agg(
-            (F.count("*") > F.count_distinct("w")).alias("dup")
-        )
-        stepped = dup.select(
-            "doc_id",
-            F.when(F.col("dup"), F.col("mid")).otherwise(F.col("lo")).alias("lo"),
-            F.when(F.col("dup"), F.col("hi"))
-            .otherwise(F.col("mid") - 1)
-            .alias("hi"),
-        )
-        state = state.filter(F.col("lo") >= F.col("hi")).unionByName(stepped)
 
-    best = (
-        state.filter(F.col("lo") > 0)
-        .join(toked, "doc_id")
-        .select("doc_id", windows(F.col("lo")).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") > 1)
-        .groupBy("doc_id")
-        .agg(F.min("w").alias("top_dup"))
-    )
-    return (
-        toked.select("doc_id", F.col("n").cast("long").alias("n_tokens"))
-        .join(
-            state.select(
-                "doc_id", F.col("lo").cast("long").alias("max_dup_len")
-            ),
-            "doc_id",
-        )
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "max_dup_len",
-            F.coalesce("top_dup", F.lit("")).alias("top_dup"),
-        )
+    def run(batches):
+        for pdf in batches:
+            out = [
+                (int(d),) + _dup_longest_kernel(t)
+                for d, t in zip(pdf["doc_id"], pdf["t"])
+            ]
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_tokens", "max_dup_len", "top_dup"]
+            )
+
+    return toked.mapInPandas(
+        run,
+        schema="doc_id long, n_tokens long, max_dup_len long, top_dup string",
     )
 
 

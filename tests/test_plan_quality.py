@@ -292,3 +292,31 @@ def test_dup_spans_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_dup_longest_plan_is_shuffle_free(spark):
+    """dup_longest's scale claim (docstring): a doc-local problem solved
+    worker-locally — scan → JVM tokenize → mapInPandas with ZERO
+    exchanges of any kind, and exactly one Python stage (the bisection
+    kernel). line_dedup's corpus-global claim rides along: no cartesian
+    product, no single-partition exchange."""
+    from htep_spark.driver_queries import q_dup_longest, q_line_dedup
+
+    plan = (
+        q_dup_longest(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+    lplan = (
+        q_line_dedup(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in lplan, lplan
+    assert "Exchange SinglePartition" not in lplan, lplan
+    assert "EvalPython" not in lplan and "MapInPandas" not in lplan, lplan
