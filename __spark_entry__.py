@@ -194,9 +194,13 @@ DRIVER_CAP_OVERFLOW = (
     # floor and a range-partitioned top-K cut
     "pmi_bigrams",
     # round-6 new, born-overflow: exact per-doc longest duplicated
-    # token-substring (Lee et al. 2022) — all-docs-simultaneous driver-
-    # controlled binary search vs a recursive-CTE bisection oracle
+    # token-substring (Lee et al. 2022) — zero-exchange doc-local
+    # bisection kernel vs a recursive-CTE bisection oracle
     "dup_longest",
+    # round-6 new, born-overflow: C4 duplicate-span scrubbing (Raffel et
+    # al. 2020 §2.2) — overlapping-window keep-first removal with
+    # per-doc text reconstruction
+    "span_scrub",
 )
 
 

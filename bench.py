@@ -227,6 +227,7 @@ def main() -> None:
         "line_dedup",
         "pmi_bigrams",
         "dup_longest",
+        "span_scrub",
     ):
         if name not in QUERIES:
             continue

@@ -5929,6 +5929,117 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# Duplicate-span scrubbing (`span_scrub`): the C4 rule proper (Raffel et
+# al. 2020 §2.2 — "discarded all but one of any three-sentence span
+# occurring more than once") over OVERLAPPING k-token windows at arbitrary
+# positions — the positional generalization of `line_dedup`'s fixed-width
+# pass. Every non-first global occurrence of a duplicated window (first =
+# packed (doc_id, pos) argmin, cluster-size invariant, same rule as
+# line_dedup) marks its k token positions for removal; each document is
+# reconstructed from its surviving tokens in order. Distinct from
+# `dup_spans`, which only COUNTS duplicated windows — this one edits the
+# corpus and yields the text a training pipeline materializes.
+#
+# Scale shape: token-linear ×k — windows reuse `_window_hashes` (exchange-
+# backed, md5-prefix60 both engines), one map-side-combinable min agg, one
+# hash join back, a distinct on covered positions, one anti-join, one
+# per-doc reconstruction agg. No window functions, no driver state.
+# --------------------------------------------------------------------------
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", _clinical_col().alias("ctext"))
+    k = DUP_SPAN_K
+    toked = token_barrier(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0),
+        keep_cols=("doc_id",),
+    )
+    wins = toked.select(
+        "doc_id", F.posexplode(_window_hashes(F.col("t"), k)).alias("pos", "whash")
+    ).withColumn("packed", F.col("doc_id") * _LINE_PACK + F.col("pos"))
+    first = wins.groupBy("whash").agg(F.min("packed").alias("first_packed"))
+    covered = (
+        wins.join(first, "whash")
+        .filter(F.col("packed") != F.col("first_packed"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + k - 1)
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    positions = toked.select(
+        "doc_id", F.posexplode(F.col("t")).alias("tpos", "tok")
+    )
+    kept = positions.join(covered, ["doc_id", "tpos"], "left_anti")
+    per = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("scrub_text"),
+    )
+    return (
+        toked.select("doc_id", F.size("t").cast("long").alias("n_tokens"))
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("scrub_text", F.lit("")).alias("scrub_text"),
+        )
+    )
+
+
+def _sql_span_scrub() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    k = DUP_SPAN_K
+    text = _clinical_sql()
+    whash = md5_prefix60_sql(f"array_to_string(t[i + 1 : i + {k}], ' ')")
+    return f"""
+WITH toked AS (
+  SELECT doc_id, regexp_extract_all(lower({text}), '{_TOKEN_PATTERN}') AS t
+  FROM documents
+), wins AS (
+  SELECT doc_id, i AS pos, {whash} AS whash,
+         doc_id * {_LINE_PACK} + i AS packed
+  FROM (SELECT doc_id, t,
+               unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS i
+        FROM toked)
+), first AS (
+  SELECT whash, min(packed) AS first_packed FROM wins GROUP BY whash
+), covered AS (
+  SELECT DISTINCT w.doc_id, w.pos + u.j AS tpos
+  FROM wins w JOIN first f USING (whash),
+       unnest(range(0, {k})) AS u(j)
+  WHERE w.packed <> f.first_packed
+), positions AS (
+  SELECT doc_id, i - 1 AS tpos, t[i] AS tok
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toked)
+), kept AS (
+  SELECT p.doc_id, p.tpos, p.tok
+  FROM positions p ANTI JOIN covered c USING (doc_id, tpos)
+), per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY tpos) AS scrub_text
+  FROM kept GROUP BY doc_id
+)
+SELECT tk.doc_id, CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(len(tk.t) - coalesce(p.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(p.scrub_text, '') AS scrub_text
+FROM toked tk LEFT JOIN per p USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Per-doc longest duplicated token-substring (`dup_longest`): the exact
 # within-document repetition diagnostic of Lee et al. 2022 ("Deduplicating
 # Training Data Makes Language Models Better") — for each document, the
@@ -6255,4 +6366,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "line_dedup": (q_line_dedup, _sql_line_dedup()),
     "pmi_bigrams": (q_pmi_bigrams, _sql_pmi_bigrams()),
     "dup_longest": (q_dup_longest, _sql_dup_longest()),
+    "span_scrub": (q_span_scrub, _sql_span_scrub()),
 }

@@ -1127,3 +1127,62 @@ def test_dup_longest_matches_brute_force():
         lens.add(L)
     assert len(lens) >= 3, lens
     assert len(got) == len(rows)
+
+
+def test_span_scrub_keep_first_coverage_semantics():
+    """C4 duplicate-span scrubbing (`span_scrub`): an independent
+    pure-Python replay — overlapping k-token windows, global keep-first by
+    (doc_id, pos), every other occurrence marks its k positions, doc
+    rebuilt from surviving tokens — must match the DuckDB oracle
+    row-for-row at sf0.001. Non-vacuous both ways: some doc loses tokens,
+    some doc keeps everything; and a doc's removal count is never more
+    than its token count."""
+    import re as _re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        _TOKEN_PATTERN,
+        CLINICAL_SNIPPETS,
+        DUP_SPAN_K,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = {
+        r[0]: r[1:] for r in con.execute(QUERIES["span_scrub"][1]).fetchall()
+    }
+
+    rows = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    k = DUP_SPAN_K
+    toks_of = {}
+    for doc_id, text in rows:
+        full = CLINICAL_SNIPPETS[doc_id % len(CLINICAL_SNIPPETS)] + "\n" + text
+        toks_of[doc_id] = _re.findall(_TOKEN_PATTERN, full.lower())
+    first: dict = {}
+    for doc_id in sorted(toks_of):  # packed-key order == (doc_id, pos)
+        toks = toks_of[doc_id]
+        for i in range(max(len(toks) - k + 1, 0)):
+            w = tuple(toks[i : i + k])
+            first.setdefault(w, (doc_id, i))
+    removed_some = kept_all = False
+    for doc_id in sorted(toks_of):
+        toks = toks_of[doc_id]
+        cov = set()
+        for i in range(max(len(toks) - k + 1, 0)):
+            if first[tuple(toks[i : i + k])] != (doc_id, i):
+                cov.update(range(i, i + k))
+        keep = [t for i, t in enumerate(toks) if i not in cov]
+        exp = (len(toks), len(toks) - len(keep), " ".join(keep))
+        assert got[doc_id] == exp, (doc_id, got[doc_id][:2], exp[:2])
+        assert exp[1] <= exp[0]
+        removed_some |= exp[1] > 0
+        kept_all |= exp[1] == 0 and exp[0] > 0
+    assert removed_some and kept_all
+    assert len(got) == len(rows)
