@@ -201,6 +201,10 @@ DRIVER_CAP_OVERFLOW = (
     # al. 2020 §2.2) — overlapping-window keep-first removal with
     # per-doc text reconstruction
     "span_scrub",
+    # round-6 new, born-overflow: train/val/test split leakage audit —
+    # md5-bucket split + cross-split shared-window counts with a
+    # skew-capped attribution join
+    "split_leakage",
 )
 
 

@@ -228,6 +228,7 @@ def main() -> None:
         "pmi_bigrams",
         "dup_longest",
         "span_scrub",
+        "split_leakage",
     ):
         if name not in QUERIES:
             continue

@@ -5929,6 +5929,166 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# Train/val/test split leakage audit (`split_leakage`): the pre-training
+# hygiene check a pipeline runs AFTER splitting — deterministic md5-bucket
+# split (8/1/1), then for every held-out doc: how many of its distinct
+# k-token windows also occur in ANY train doc (`n_leaked` / `leak_frac`),
+# and which single train doc shares the most windows (the deduplication
+# work-list). Complements `contamination` (external benchmark, broadcast
+# join) — this is the WITHIN-corpus cross-split audit, a big-big join
+# keyed by window hash.
+#
+# Scale shape: one token-linear window pass, distinct (doc, whash) pairs,
+# then (a) the leak COUNT joins eval windows to the train-window DF table
+# (hash join on whash, map-side combinable), and (b) the ATTRIBUTION join
+# excludes hub windows with train document frequency > LEAK_DF_CAP before
+# fanning out to (eval_doc, train_doc) pairs — the skew guard that keeps
+# a stop-phrase window from producing |eval|×|train| rows at 100 TB.
+# Capped hub windows still count toward n_leaked (only attribution skips
+# them); the cap is part of the operator's contract, identical in the
+# oracle, and sized so both branches fire at sf0.01 (prelude windows have
+# df≈62 > 40). Top attribution ranks (shared desc, train_doc asc) in a
+# PARTITIONED window (per eval doc — never single-partition).
+# --------------------------------------------------------------------------
+
+LEAK_DF_CAP = 40  # train-doc-frequency cap for the attribution join
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_prefix60_spark
+
+    k = DUP_SPAN_K
+    docs = _docs(spark, sf_dir).select("doc_id", _clinical_col().alias("ctext"))
+    bucket = F.pmod(
+        md5_prefix60_spark(
+            F.concat(F.lit("split|"), F.col("doc_id").cast("string"))
+        ),
+        F.lit(10),
+    )
+    toked = token_barrier(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0),
+        keep_cols=("doc_id",),
+    )
+    dw = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(_window_hashes(F.col("t"), k))).alias(
+            "whash"
+        ),
+    ).withColumn("b", bucket)
+    train_w = dw.filter(F.col("b") < 8).select(
+        "whash", F.col("doc_id").alias("train_doc")
+    )
+    eval_w = dw.filter(F.col("b") >= 8).select("doc_id", "whash")
+    tdf = train_w.groupBy("whash").agg(F.count("*").alias("df"))
+    leaked = (
+        eval_w.join(tdf, "whash")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_leaked"))
+    )
+    nwin = eval_w.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows")
+    )
+    pairs = (
+        eval_w.join(tdf.filter(F.col("df") <= LEAK_DF_CAP), "whash")
+        .join(train_w, "whash")
+        .groupBy("doc_id", "train_doc")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("shared").desc(), F.col("train_doc").asc()
+    )
+    top = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "train_doc", "shared")
+    )
+    base = docs.select("doc_id").withColumn("b", bucket).filter(
+        F.col("b") >= 8
+    )
+    return (
+        base.join(nwin, "doc_id", "left")
+        .join(leaked, "doc_id", "left")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("b") == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+            F.round(
+                F.coalesce("n_leaked", F.lit(0))
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("leak_frac"),
+            F.coalesce("train_doc", F.lit(-1)).alias("top_train_doc"),
+            F.coalesce("shared", F.lit(0)).alias("shared_with_top"),
+        )
+    )
+
+
+def _sql_split_leakage() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    k = DUP_SPAN_K
+    text = _clinical_sql()
+    whash = md5_prefix60_sql(f"array_to_string(t[i + 1 : i + {k}], ' ')")
+    b = (
+        md5_prefix60_sql("'split|' || CAST(doc_id AS VARCHAR)")
+        + " % 10"
+    )
+    return f"""
+WITH toked AS (
+  SELECT doc_id, regexp_extract_all(lower({text}), '{_TOKEN_PATTERN}') AS t
+  FROM documents
+), dw AS (
+  SELECT DISTINCT doc_id, whash, ({b}) AS b
+  FROM (SELECT doc_id, {whash} AS whash
+        FROM (SELECT doc_id, t,
+                     unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS i
+              FROM toked))
+), train_w AS (
+  SELECT whash, doc_id AS train_doc FROM dw WHERE b < 8
+), eval_w AS (
+  SELECT doc_id, whash FROM dw WHERE b >= 8
+), tdf AS (
+  SELECT whash, count(*) AS df FROM train_w GROUP BY whash
+), leaked AS (
+  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+  FROM eval_w e JOIN tdf USING (whash) GROUP BY e.doc_id
+), nwin AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows
+  FROM eval_w GROUP BY doc_id
+), pairs AS (
+  SELECT e.doc_id, t.train_doc, CAST(count(*) AS BIGINT) AS shared
+  FROM eval_w e
+  JOIN (SELECT whash FROM tdf WHERE df <= {LEAK_DF_CAP}) c USING (whash)
+  JOIN train_w t USING (whash)
+  GROUP BY e.doc_id, t.train_doc
+), top AS (
+  SELECT doc_id, train_doc, shared
+  FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY shared DESC, train_doc ASC) AS rn
+        FROM pairs)
+  WHERE rn = 1
+)
+SELECT d.doc_id,
+       CASE WHEN ({b}) = 8 THEN 'val' ELSE 'test' END AS split,
+       coalesce(n.n_windows, 0) AS n_windows,
+       coalesce(l.n_leaked, 0) AS n_leaked,
+       round(CAST(coalesce(l.n_leaked, 0) AS DOUBLE)
+             / greatest(coalesce(n.n_windows, 0), 1), 6) AS leak_frac,
+       coalesce(t.train_doc, -1) AS top_train_doc,
+       coalesce(t.shared, 0) AS shared_with_top
+FROM (SELECT doc_id FROM documents WHERE ({b}) >= 8) d
+LEFT JOIN nwin n USING (doc_id)
+LEFT JOIN leaked l USING (doc_id)
+LEFT JOIN top t USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Duplicate-span scrubbing (`span_scrub`): the C4 rule proper (Raffel et
 # al. 2020 §2.2 — "discarded all but one of any three-sentence span
 # occurring more than once") over OVERLAPPING k-token windows at arbitrary
@@ -6367,4 +6527,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "pmi_bigrams": (q_pmi_bigrams, _sql_pmi_bigrams()),
     "dup_longest": (q_dup_longest, _sql_dup_longest()),
     "span_scrub": (q_span_scrub, _sql_span_scrub()),
+    "split_leakage": (q_split_leakage, _sql_split_leakage()),
 }

@@ -1186,3 +1186,87 @@ def test_span_scrub_keep_first_coverage_semantics():
         kept_all |= exp[1] == 0 and exp[0] > 0
     assert removed_some and kept_all
     assert len(got) == len(rows)
+
+
+def test_split_leakage_pure_python_replay():
+    """Split-leakage audit (`split_leakage`): an independent pure-Python
+    replay — md5-bucket 8/1/1 split, distinct k-token windows, leak
+    counts vs the train side, df<=cap attribution with (shared desc,
+    train_doc asc) tie-break — must match the DuckDB oracle row-for-row
+    at sf0.001. Both cap branches must fire: at least one doc leaks but
+    has NO attribution (all its shared windows are hub windows above
+    LEAK_DF_CAP) and at least one doc is attributed."""
+    import hashlib
+    import re as _re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        _TOKEN_PATTERN,
+        CLINICAL_SNIPPETS,
+        DUP_SPAN_K,
+        LEAK_DF_CAP,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(QUERIES["split_leakage"][1]).fetchall()
+    }
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    k = DUP_SPAN_K
+
+    def bucket(doc_id):
+        h = int(hashlib.md5(f"split|{doc_id}".encode()).hexdigest()[:15], 16)
+        return h % 10
+
+    wins_of = {}
+    for doc_id, text in rows:
+        full = CLINICAL_SNIPPETS[doc_id % len(CLINICAL_SNIPPETS)] + "\n" + text
+        toks = _re.findall(_TOKEN_PATTERN, full.lower())
+        wins_of[doc_id] = {
+            tuple(toks[i : i + k])
+            for i in range(max(len(toks) - k + 1, 0))
+        }
+    train = {d: ws for d, ws in wins_of.items() if bucket(d) < 8}
+    train_df: dict = {}
+    for ws in train.values():
+        for w in ws:
+            train_df[w] = train_df.get(w, 0) + 1
+    capped_fired = attributed = False
+    for doc_id, ws in wins_of.items():
+        b = bucket(doc_id)
+        if b < 8:
+            assert doc_id not in got
+            continue
+        leaked = {w for w in ws if w in train_df}
+        shared_counts: dict = {}
+        for td, tws in train.items():
+            s = sum(
+                1 for w in ws if w in tws and train_df[w] <= LEAK_DF_CAP
+            )
+            if s:
+                shared_counts[td] = s
+        if shared_counts:
+            top = min(shared_counts, key=lambda d: (-shared_counts[d], d))
+            top_doc, top_shared = top, shared_counts[top]
+            attributed = True
+        else:
+            top_doc, top_shared = -1, 0
+            capped_fired |= bool(leaked)
+        exp = (
+            "val" if b == 8 else "test",
+            len(ws),
+            len(leaked),
+            round(len(leaked) / max(len(ws), 1), 6),
+            top_doc,
+            top_shared,
+        )
+        assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
+    assert capped_fired, "cap branch vacuous: every leaked doc attributed"
+    assert attributed, "attribution vacuous"
