@@ -205,6 +205,9 @@ DRIVER_CAP_OVERFLOW = (
     # md5-bucket split + cross-split shared-window counts with a
     # skew-capped attribution join
     "split_leakage",
+    # round-6 new, born-overflow: per-user event-type Markov transition
+    # matrix (partitioned lead window + row-normalized probabilities)
+    "event_transitions",
 )
 
 

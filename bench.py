@@ -229,6 +229,7 @@ def main() -> None:
         "dup_longest",
         "span_scrub",
         "split_leakage",
+        "event_transitions",
     ):
         if name not in QUERIES:
             continue

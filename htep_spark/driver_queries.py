@@ -5929,6 +5929,64 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# Event-type Markov transition matrix (`event_transitions`): classic
+# behavioral analytics over the events stream — per-user event sequences
+# ordered by (ts, event_id), adjacent (src -> dst) transition counts, and
+# row-normalized transition probabilities. Complements `sessionize` /
+# `events_hourly` (volume surfaces) with the SEQUENCE structure.
+#
+# Scale shape: one hash exchange on user_id for the lead() window (a
+# PARTITIONED window — per-user sequences, never single-partition), one
+# map-side-combinable (src, dst) count, per-src totals re-aggregated from
+# the count table (|types|^2 rows — never a second corpus pass) and
+# broadcast back. Probability = round(cnt/total, 6) — identical integer
+# inputs both engines; the pytest asserts every value clears the 6dp
+# rounding boundary (a power-of-two denominator CAN land exactly on .5e-6,
+# where engines' rounding modes could diverge).
+# --------------------------------------------------------------------------
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("event_type").alias("src"), "dst")
+    )
+    cnt = trans.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    totals = cnt.groupBy("src").agg(F.sum("n").alias("total"))
+    return (
+        cnt.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("p"),
+        )
+    )
+
+
+def _sql_event_transitions() -> str:
+    return """
+WITH trans AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), cnt AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM trans WHERE dst IS NOT NULL GROUP BY src, dst
+), totals AS (
+  SELECT src, sum(n) AS total FROM cnt GROUP BY src
+)
+SELECT c.src, c.dst, c.n,
+       round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS p
+FROM cnt c JOIN totals t USING (src)
+"""
+
+
+# --------------------------------------------------------------------------
 # Train/val/test split leakage audit (`split_leakage`): the pre-training
 # hygiene check a pipeline runs AFTER splitting — deterministic md5-bucket
 # split (8/1/1), then for every held-out doc: how many of its distinct
@@ -6528,4 +6586,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "dup_longest": (q_dup_longest, _sql_dup_longest()),
     "span_scrub": (q_span_scrub, _sql_span_scrub()),
     "split_leakage": (q_split_leakage, _sql_split_leakage()),
+    "event_transitions": (q_event_transitions, _sql_event_transitions()),
 }

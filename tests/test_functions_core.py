@@ -1270,3 +1270,48 @@ def test_split_leakage_pure_python_replay():
         assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
     assert capped_fired, "cap branch vacuous: every leaked doc attributed"
     assert attributed, "attribution vacuous"
+
+
+def test_event_transitions_pure_python_replay_and_margins():
+    """Event-type Markov matrix (`event_transitions`): an independent
+    pure-Python replay — per-user sequences ordered by (ts, event_id),
+    adjacent transitions, row-normalized probabilities — must match the
+    DuckDB oracle at sf0.001; per-src probabilities must sum to 1 within
+    float tolerance; every probability must clear its 6dp rounding
+    boundary by > 1e-9 (power-of-two denominators can land exactly on
+    .5e-6, where engine rounding modes could diverge)."""
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    got = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(QUERIES["event_transitions"][1]).fetchall()
+    }
+    rows = con.execute(
+        "SELECT user_id, event_type, ts, event_id FROM events "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    cnt: dict = {}
+    prev: dict = {}
+    for user_id, etype, _ts, _eid in rows:
+        if user_id in prev:
+            cnt[(prev[user_id], etype)] = cnt.get((prev[user_id], etype), 0) + 1
+        prev[user_id] = etype
+    totals: dict = {}
+    for (src, _dst), n in cnt.items():
+        totals[src] = totals.get(src, 0) + n
+    assert set(got) == set(cnt)
+    for key, n in cnt.items():
+        p = n / totals[key[0]]
+        frac = abs(p * 1e6 - round(p * 1e6))
+        assert abs(frac - 0.5) > 1e-9, (key, p)
+        assert got[key] == (n, round(p, 6)), (key, got[key], (n, p))
+    for src, tot in totals.items():
+        s = sum(got[(s2, d)][1] for (s2, d) in got if s2 == src)
+        assert abs(s - 1.0) < 1e-4, (src, s)
