@@ -208,6 +208,12 @@ DRIVER_CAP_OVERFLOW = (
     # round-6 new, born-overflow: per-user event-type Markov transition
     # matrix (partitioned lead window + row-normalized probabilities)
     "event_transitions",
+    # round-6 new, born-overflow: domain link-graph PageRank (Page et al.
+    # 1999) — K damped power iterations over a deterministic synthesized
+    # host graph, weighted out-degree normalization, dangling-mass
+    # redistribution; graph tables checkpointed once, iterations never
+    # re-scan the corpus (plan-gated)
+    "pagerank",
 )
 
 

@@ -6501,6 +6501,180 @@ WHERE rn <= {PMI_TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Domain link-graph PageRank (`pagerank`): the crawl-prioritization /
+# spam-demotion score every web-scale curation pipeline computes over its
+# host graph (Page et al. 1999; the CommonCrawl host-level ranking that
+# feeds URL frontier ordering and RefinedWeb-style source weighting —
+# complements `url_domains` (node hygiene) and `domain_quota` (per-node
+# caps) with the GRAPH structure between domains). The testdata has no
+# link column, so a deterministic host graph is synthesized from
+# (source, doc_id): node = src_num % PR_N_NODES, each doc emits one
+# directed edge node -> (src_num*7 + doc_id*13 + 3) % PR_N_NODES, edge
+# weight = number of emitting docs. Self-loops are dropped, and every
+# out-edge of nodes with node % 7 == PR_DANGLE_MOD is removed so the
+# dangling-mass branch (nodes with no out-edges redistribute their rank
+# uniformly) provably fires. PR_ITERS damped power iterations with
+# weighted out-degree normalization, teleport (1-d)/N.
+#
+# Scale shape: the graph tables (nodes / edges / out-weights) are derived
+# from ONE corpus scan, aggregated to at most PR_N_NODES^2 rows, and
+# pinned with eager localCheckpoint (the connected-components lineage
+# pattern) — the K iterations then join only the tiny checkpointed
+# frames, never re-scanning the corpus (plan-gated: zero FileScans in
+# the returned DataFrame). At real scale nodes/edges are |hosts|-sized,
+# each iteration is one broadcast-or-shuffle join + map-side-combinable
+# agg keyed by dst — the standard distributed PageRank shape. The
+# dangling mass and N ride 1-row cross-joined aggregates, never a
+# driver-side loop over rows.
+#
+# Cross-engine determinism: per-term arithmetic is identical; only the
+# reduce order of the <= PR_N_NODES-term contribution sums differs, and
+# the damping factor contracts accumulated float drift (error_{i+1} <=
+# d * error_i + eps), so ranks agree to ~1e-14 — far below the 6dp
+# boundary (pytest asserts every value clears the .5e-6 boundary by a
+# wide margin, the event_transitions discipline).
+# --------------------------------------------------------------------------
+
+PR_N_NODES = 24  # bounded node universe at any SF (src_num % 24)
+PR_DAMPING = 0.85
+PR_ITERS = 8
+PR_DANGLE_MOD = 3  # nodes with node % 7 == 3 lose all out-edges (dangle)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    s = (src_num % PR_N_NODES).alias("src")
+    t = ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst")
+    raw = docs.select(s, t)
+
+    # graph tables: derived from one corpus scan, aggregated to <= N^2
+    # rows, then PINNED — iterations must never re-trigger the scan
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        raw.filter(
+            (F.col("src") != F.col("dst"))
+            & (F.col("src") % 7 != PR_DANGLE_MOD)
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    outw = (
+        edges.groupBy("src")
+        .agg(F.sum("w").cast("long").alias("ow"))
+        .localCheckpoint(eager=True)
+    )
+    n_in = edges.groupBy("dst").agg(F.count("*").cast("long").alias("n_in"))
+    e = edges.join(F.broadcast(outw), "src").select(
+        "src", "dst", (F.col("w") / F.col("ow")).alias("frac")
+    )
+    ncnt = nodes.agg(F.count("*").cast("double").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    d = PR_DAMPING
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(e, ranks["node"] == e["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("frac") * F.col("r")).alias("c"))
+        )
+        dang = (
+            ranks.join(outw, ranks["node"] == outw["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(ncnt))
+            .crossJoin(F.broadcast(dang))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - d)) / F.col("n")
+                    + F.lit(d)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n"))
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.join(F.broadcast(outw), ranks["node"] == outw["src"], "left")
+        .join(F.broadcast(n_in), ranks["node"] == n_in["dst"], "left")
+        .select(
+            "node",
+            F.coalesce(F.col("ow"), F.lit(0)).cast("long").alias("out_weight"),
+            F.coalesce(F.col("n_in"), F.lit(0)).cast("long").alias("n_in"),
+            F.when(F.col("ow").isNull(), 1).otherwise(0).cast("long").alias(
+                "dangling"
+            ),
+            F.round(F.col("r"), 6).alias("pr"),
+        )
+    )
+
+
+def _sql_pagerank() -> str:
+    n, d = PR_N_NODES, PR_DAMPING
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        p = f"r{i - 1}"
+        iters.append(
+            f"""d{i} AS (
+  SELECT coalesce(sum(r), 0.0) AS dm FROM {p}
+  WHERE node NOT IN (SELECT src FROM outw)
+), c{i} AS (
+  SELECT e.dst AS node, sum(e.frac * p.r) AS c
+  FROM e JOIN {p} p ON p.node = e.src GROUP BY e.dst
+), r{i} AS (
+  SELECT nd.node,
+         {1.0 - d} / n + {d} * (coalesce(c.c, 0.0) + dm.dm / n) AS r
+  FROM nodes nd CROSS JOIN ncnt CROSS JOIN d{i} dm
+  LEFT JOIN c{i} c ON c.node = nd.node
+)"""
+        )
+    chain = ", ".join(iters)
+    return f"""
+WITH raw AS (
+  SELECT (CAST(substr(source, 4) AS BIGINT) % {n}) AS src,
+         ((CAST(substr(source, 4) AS BIGINT) * 7 + doc_id * 13 + 3) % {n})
+           AS dst
+  FROM documents
+), nodes AS (
+  SELECT src AS node FROM raw UNION SELECT dst FROM raw
+), ncnt AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM raw WHERE src <> dst AND (src % 7) <> {PR_DANGLE_MOD}
+  GROUP BY src, dst
+), outw AS (
+  SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM edges GROUP BY src
+), inw AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS n_in FROM edges GROUP BY dst
+), e AS (
+  SELECT src, dst, CAST(w AS DOUBLE) / ow AS frac
+  FROM edges JOIN outw USING (src)
+), r0 AS (
+  SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN ncnt
+), {chain}
+SELECT nd.node,
+       CAST(coalesce(ow.ow, 0) AS BIGINT) AS out_weight,
+       CAST(coalesce(inw.n_in, 0) AS BIGINT) AS n_in,
+       CAST(CASE WHEN ow.ow IS NULL THEN 1 ELSE 0 END AS BIGINT) AS dangling,
+       round(rk.r, 6) AS pr
+FROM nodes nd
+JOIN r{PR_ITERS} rk ON rk.node = nd.node
+LEFT JOIN outw ow ON ow.src = nd.node
+LEFT JOIN inw ON inw.dst = nd.node
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -6587,4 +6761,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "span_scrub": (q_span_scrub, _sql_span_scrub()),
     "split_leakage": (q_split_leakage, _sql_split_leakage()),
     "event_transitions": (q_event_transitions, _sql_event_transitions()),
+    "pagerank": (q_pagerank, _sql_pagerank()),
 }

@@ -1315,3 +1315,73 @@ def test_event_transitions_pure_python_replay_and_margins():
     for src, tot in totals.items():
         s = sum(got[(s2, d)][1] for (s2, d) in got if s2 == src)
         assert abs(s - 1.0) < 1e-4, (src, s)
+
+
+def test_pagerank_pure_python_replay_and_invariants():
+    """Domain link-graph PageRank (`pagerank`): an independent pure-Python
+    power iteration — same synthesized graph, same damping/teleport/
+    dangling-mass rules — must match the DuckDB oracle at sf0.001 to 6dp;
+    ranks must sum to 1; the dangling branch must provably fire (every
+    node % 7 == PR_DANGLE_MOD present in the graph has out_weight 0 and
+    dangling = 1); every rank clears its 6dp rounding boundary (the
+    cross-engine float-sum-order guard)."""
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        PR_DAMPING,
+        PR_DANGLE_MOD,
+        PR_ITERS,
+        PR_N_NODES,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(QUERIES["pagerank"][1]).fetchall()
+    }
+
+    pairs = con.execute(
+        f"SELECT (CAST(substr(source, 4) AS BIGINT) % {PR_N_NODES}),"
+        f" ((CAST(substr(source, 4) AS BIGINT) * 7 + doc_id * 13 + 3)"
+        f" % {PR_N_NODES}) FROM documents"
+    ).fetchall()
+    nodes = sorted({s for s, _ in pairs} | {t for _, t in pairs})
+    w: dict = {}
+    for s, t in pairs:
+        if s != t and s % 7 != PR_DANGLE_MOD:
+            w[(s, t)] = w.get((s, t), 0) + 1
+    ow: dict = {}
+    for (s, _t), c in w.items():
+        ow[s] = ow.get(s, 0) + c
+    n = len(nodes)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(PR_ITERS):
+        dm = sum(r[v] for v in nodes if v not in ow)
+        contrib = {v: 0.0 for v in nodes}
+        for (s, t), c in w.items():
+            contrib[t] += (c / ow[s]) * r[s]
+        r = {
+            v: (1.0 - PR_DAMPING) / n
+            + PR_DAMPING * (contrib[v] + dm / n)
+            for v in nodes
+        }
+    assert set(got) == set(nodes)
+    dangled = 0
+    for v in nodes:
+        out_weight, n_in, dangling, pr = got[v]
+        frac = abs(r[v] * 1e6 - round(r[v] * 1e6))
+        assert abs(frac - 0.5) > 1e-9, (v, r[v])
+        assert pr == round(r[v], 6), (v, pr, r[v])
+        assert out_weight == ow.get(v, 0), (v, out_weight)
+        assert dangling == (0 if v in ow else 1), (v, dangling)
+        if v % 7 == PR_DANGLE_MOD:
+            assert dangling == 1 and out_weight == 0, (v, got[v])
+            dangled += 1
+    assert dangled >= 2, "dangling branch vacuous: no planted dangler in graph"
+    assert abs(sum(r.values()) - 1.0) < 1e-9
+    assert abs(sum(p for _, _, _, p in got.values()) - 1.0) < 1e-4

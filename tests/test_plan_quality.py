@@ -320,3 +320,24 @@ def test_dup_longest_plan_is_shuffle_free(spark):
     assert "CartesianProduct" not in lplan, lplan
     assert "Exchange SinglePartition" not in lplan, lplan
     assert "EvalPython" not in lplan and "MapInPandas" not in lplan, lplan
+
+
+def test_pagerank_iterations_never_rescan_corpus(spark):
+    """pagerank's scale claim (docstring): graph tables are derived from
+    ONE corpus scan and pinned with eager localCheckpoint — the K power
+    iterations join only the tiny checkpointed frames, so the returned
+    plan contains ZERO FileScans (the scan already happened), no
+    cartesian product, and no Python stage. Scalar 1-row aggregates
+    (N, dangling mass) over the <= PR_N_NODES-row frames are the only
+    single-partition work, by construction."""
+    from htep_spark.driver_queries import q_pagerank
+
+    plan = (
+        q_pagerank(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
