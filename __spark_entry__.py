@@ -214,6 +214,11 @@ DRIVER_CAP_OVERFLOW = (
     # redistribution; graph tables checkpointed once, iterations never
     # re-scan the corpus (plan-gated)
     "pagerank",
+    # round-6 new, born-overflow: per-user ordered conversion funnel
+    # (signup -> click -> purchase, 3-day per-step window) — chained
+    # shrinking equi-joins + map-side-combinable mins, exact integer
+    # epoch-microsecond latencies, no per-user window function
+    "event_funnel",
 )
 
 

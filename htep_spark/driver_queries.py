@@ -6502,6 +6502,118 @@ WHERE rn <= {PMI_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# Ordered conversion funnel (`event_funnel`): the classic product-analytics
+# sequence query over the events stream — per user, the first signup, then
+# the first click STRICTLY AFTER it within a conversion window, then the
+# first purchase strictly after that click within the same window
+# (MATCH_RECOGNIZE-lite; the sequential-dependency shape `sessionize` /
+# `event_transitions` don't cover). Stage = deepest step reached; step
+# latencies in exact integer microseconds. Every stage 1/2/3 fires at
+# sf0.001 with the 3-day window (probed; stage 0 is structurally absent —
+# step 1 is the unconditional first signup and every user signs up).
+#
+# Scale shape: three filtered scans aggregated per user (map-side
+# combinable min), each step an equi-join on user_id against the
+# MONOTONICALLY SHRINKING previous-step frame with the window predicate
+# applied at the join — never a per-user window function, never an
+# unbounded self-join (the time bound prunes candidate events before the
+# min). All arithmetic in BIGINT epoch-microseconds: exact cross-engine
+# parity, no timestamp-formatting surface.
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+FUNNEL_WINDOW_S = 3 * 86400  # per-step conversion window (probed: all
+# three stages populated at sf0.001 AND sf0.01)
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wu = FUNNEL_WINDOW_S * 1_000_000
+    # ts is TIMESTAMP_NTZ: unix_micros() rejects it and a cast to TIMESTAMP
+    # would inject the session timezone — timestampdiff from the NTZ epoch
+    # is the timezone-free exact-integer conversion (DuckDB epoch_us treats
+    # naive timestamps identically)
+    um = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    ev = _events(spark, sf_dir).select("user_id", "event_type", um.alias("um"))
+    users = ev.select("user_id").distinct()
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("um").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter((F.col("um") > F.col("t1")) & (F.col("um") <= F.col("t1") + wu))
+        .groupBy("user_id")
+        .agg(F.min("um").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter((F.col("um") > F.col("t2")) & (F.col("um") <= F.col("t2") + wu))
+        .groupBy("user_id")
+        .agg(F.min("um").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            stage.cast("long").alias("stage"),
+            F.col("t1").cast("long").alias("t1_us"),
+            F.col("t2").cast("long").alias("t2_us"),
+            F.col("t3").cast("long").alias("t3_us"),
+            (F.col("t2") - F.col("t1")).cast("long").alias("micros_1_2"),
+            (F.col("t3") - F.col("t2")).cast("long").alias("micros_2_3"),
+        )
+    )
+
+
+def _sql_event_funnel() -> str:
+    wu = FUNNEL_WINDOW_S * 1_000_000
+    a, b, c = (_sql_quote(s) for s in FUNNEL_STEPS)
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1
+  FROM events WHERE event_type = {a} GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = {b}
+    AND epoch_us(e.ts) > s1.t1 AND epoch_us(e.ts) <= s1.t1 + {wu}
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = {c}
+    AND epoch_us(e.ts) > s2.t2 AND epoch_us(e.ts) <= s2.t2 + {wu}
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+       CAST(t1 AS BIGINT) AS t1_us,
+       CAST(t2 AS BIGINT) AS t2_us,
+       CAST(t3 AS BIGINT) AS t3_us,
+       CAST(t2 - t1 AS BIGINT) AS micros_1_2,
+       CAST(t3 - t2 AS BIGINT) AS micros_2_3
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Domain link-graph PageRank (`pagerank`): the crawl-prioritization /
 # spam-demotion score every web-scale curation pipeline computes over its
 # host graph (Page et al. 1999; the CommonCrawl host-level ranking that
@@ -6762,4 +6874,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "split_leakage": (q_split_leakage, _sql_split_leakage()),
     "event_transitions": (q_event_transitions, _sql_event_transitions()),
     "pagerank": (q_pagerank, _sql_pagerank()),
+    "event_funnel": (q_event_funnel, _sql_event_funnel()),
 }

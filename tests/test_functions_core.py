@@ -1317,6 +1317,70 @@ def test_event_transitions_pure_python_replay_and_margins():
         assert abs(s - 1.0) < 1e-4, (src, s)
 
 
+def test_event_funnel_pure_python_replay_and_branches():
+    """Ordered conversion funnel (`event_funnel`): an independent
+    pure-Python replay — first signup, first click strictly after it
+    within the window, first purchase strictly after that click within
+    the window — must match the DuckDB oracle at sf0.001; all three
+    stages must be populated (the window constant was probed for this);
+    latencies must be positive and within the window."""
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        FUNNEL_STEPS,
+        FUNNEL_WINDOW_S,
+        QUERIES,
+    )
+
+    wu = FUNNEL_WINDOW_S * 1_000_000
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    got = {
+        r[0]: r[1:]
+        for r in con.execute(QUERIES["event_funnel"][1]).fetchall()
+    }
+    rows = con.execute(
+        "SELECT user_id, event_type, epoch_us(ts) FROM events"
+    ).fetchall()
+    by_user: dict = {}
+    for uid, etype, um in rows:
+        by_user.setdefault(uid, []).append((etype, um))
+
+    def first_after(evs, step, lo, hi):
+        cands = [um for et, um in evs if et == step and lo < um <= hi]
+        return min(cands) if cands else None
+
+    stages_seen = set()
+    assert set(got) == set(by_user)
+    for uid, evs in by_user.items():
+        t1 = min(
+            (um for et, um in evs if et == FUNNEL_STEPS[0]), default=None
+        )
+        t2 = (
+            first_after(evs, FUNNEL_STEPS[1], t1, t1 + wu)
+            if t1 is not None
+            else None
+        )
+        t3 = (
+            first_after(evs, FUNNEL_STEPS[2], t2, t2 + wu)
+            if t2 is not None
+            else None
+        )
+        stage = 3 if t3 else 2 if t2 else 1 if t1 else 0
+        stages_seen.add(stage)
+        m12 = t2 - t1 if t2 else None
+        m23 = t3 - t2 if t3 else None
+        assert got[uid] == (stage, t1, t2, t3, m12, m23), (uid, got[uid])
+        if m12 is not None:
+            assert 0 < m12 <= wu
+        if m23 is not None:
+            assert 0 < m23 <= wu
+    assert {1, 2, 3} <= stages_seen, stages_seen
+
+
 def test_pagerank_pure_python_replay_and_invariants():
     """Domain link-graph PageRank (`pagerank`): an independent pure-Python
     power iteration — same synthesized graph, same damping/teleport/
