@@ -219,6 +219,12 @@ DRIVER_CAP_OVERFLOW = (
     # shrinking equi-joins + map-side-combinable mins, exact integer
     # epoch-microsecond latencies, no per-user window function
     "event_funnel",
+    # round-6 new, born-overflow: mergeable HyperLogLog — per-group
+    # register tables, the MERGED sketch (register-wise max) and the
+    # DIRECT global sketch emitted side by side with serialized registers;
+    # hash certifies merged == direct byte-for-byte (the lossless-merge
+    # theorem that makes sketches shard at 100 TB)
+    "hll_merge",
 )
 
 

@@ -6502,6 +6502,155 @@ WHERE rn <= {PMI_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# Mergeable HyperLogLog (`hll_merge`): the property that makes sketches
+# work at 100 TB is not the estimate — it's MERGEABILITY (register-wise
+# max is associative/commutative/idempotent, so per-shard sketches
+# combine map-side with no error compounding; Flajolet et al. 2007 §4).
+# `approx_distinct` verified the estimator; this verifies the merge:
+# per-source-group register tables (src_num % HLL_MERGE_GROUPS), the
+# MERGED sketch (max over group registers per bucket), and the DIRECT
+# global sketch (one pass over all tokens) — emitted side by side with
+# serialized register arrays, so the driver hash certifies, and the
+# pytest asserts, that merged == direct byte-for-byte (the lossless-merge
+# theorem) on BOTH engines. Per-scope exact distinct counts ride along
+# for the honesty check.
+#
+# Scale shape: one token-linear pass to (group, bucket) registers — a
+# map-side-combinable max agg to GROUPS×m rows — then the merge is an agg
+# over those fixed-size summaries, never a second corpus pass. The
+# register fold runs in pinned bucket order (sorted list aggregation), so
+# the double sum is bitwise identical in both engines.
+# --------------------------------------------------------------------------
+
+HLL_MERGE_GROUPS = 4
+_HLL_MERGED_ID = 98  # grp sentinel: merged-from-groups sketch
+_HLL_GLOBAL_ID = 99  # grp sentinel: direct one-pass global sketch
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_prefix60_spark
+
+    m = HLL_M
+    toks = _docs(spark, sf_dir).select(
+        (F.substring(F.col("source"), 4, 10).cast("long") % HLL_MERGE_GROUPS)
+        .alias("g"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("token"),
+    )
+    h = md5_prefix60_spark(F.col("token"))
+    rest = F.shiftrightunsigned(h, 6)
+    bitlen = F.length(F.conv(rest.cast("string"), 10, 2))
+    rho = F.when(rest == 0, F.lit(55)).otherwise(55 - bitlen)
+    hb = toks.select(
+        "g", F.pmod(h, F.lit(m)).alias("bucket"), rho.alias("rho"), "token"
+    )
+    gregs = hb.groupBy("g", "bucket").agg(F.max("rho").alias("reg"))
+    mregs = (
+        gregs.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .select(F.lit(_HLL_MERGED_ID).cast("long").alias("g"), "bucket", "reg")
+    )
+    dregs = (
+        hb.groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+        .select(F.lit(_HLL_GLOBAL_ID).cast("long").alias("g"), "bucket", "reg")
+    )
+    allr = gregs.select("g", "bucket", "reg").union(mregs).union(dregs)
+    folded = allr.groupBy("g").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "reg"))).alias("rs")
+    ).select(
+        "g",
+        F.aggregate(
+            F.col("rs"), F.lit(0.0), lambda acc, x: acc + F.pow(2.0, -x["reg"])
+        ).alias("present_sum"),
+        F.size("rs").cast("long").alias("n_present"),
+        F.array_join(
+            F.transform(
+                F.col("rs"),
+                lambda x: F.concat(
+                    x["bucket"].cast("string"), F.lit(":"), x["reg"].cast("string")
+                ),
+            ),
+            "|",
+        ).alias("regs"),
+    )
+    gexact = toks.groupBy("g").agg(F.count_distinct("token").alias("n_exact"))
+    glob = toks.agg(F.count_distinct("token").alias("n_exact"))
+    exact = gexact.union(
+        glob.select(F.lit(_HLL_MERGED_ID).cast("long").alias("g"), "n_exact")
+    ).union(glob.select(F.lit(_HLL_GLOBAL_ID).cast("long").alias("g"), "n_exact"))
+    raw_est = F.lit(_HLL_ALPHA * m * m) / (
+        F.col("present_sum") + (F.lit(m) - F.col("n_present"))
+    )
+    zeros = (F.lit(m) - F.col("n_present")).cast("double")
+    est = F.when(
+        (raw_est <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw_est)
+    return folded.join(exact, "g").select(
+        F.col("g").alias("grp"),
+        "n_present",
+        "regs",
+        F.round(est, 6).alias("est"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+    )
+
+
+def _sql_hll_merge() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    h = md5_prefix60_sql("token")
+    m = HLL_M
+    return f"""
+WITH toks AS (
+  SELECT (CAST(substr(source, 4) AS BIGINT) % {HLL_MERGE_GROUPS}) AS g,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS token
+  FROM documents
+), hashed AS (
+  SELECT g, token, ({h}) % {m} AS bucket,
+         CASE WHEN ({h}) >> 6 = 0 THEN 55
+              ELSE 55 - length(bin(({h}) >> 6)) END AS rho
+  FROM toks
+), gregs AS (
+  SELECT g, bucket, max(rho) AS reg FROM hashed GROUP BY g, bucket
+), allr AS (
+  SELECT g, bucket, reg FROM gregs
+  UNION ALL
+  SELECT {_HLL_MERGED_ID} AS g, bucket, max(reg) FROM gregs GROUP BY bucket
+  UNION ALL
+  SELECT {_HLL_GLOBAL_ID} AS g, bucket, max(rho) FROM hashed GROUP BY bucket
+), folded AS (
+  SELECT g,
+         list_sum(list(pow(2.0, -reg) ORDER BY bucket)) AS present_sum,
+         CAST(count(*) AS BIGINT) AS n_present,
+         string_agg(bucket || ':' || reg, '|' ORDER BY bucket) AS regs
+  FROM allr GROUP BY g
+), exact AS (
+  SELECT g, count(DISTINCT token) AS n_exact FROM toks GROUP BY g
+  UNION ALL
+  SELECT {_HLL_MERGED_ID}, count(DISTINCT token) FROM toks
+  UNION ALL
+  SELECT {_HLL_GLOBAL_ID}, count(DISTINCT token) FROM toks
+), est AS (
+  SELECT g, n_present, regs,
+         CASE
+           WHEN ({_HLL_ALPHA} * {m} * {m})
+                / (present_sum + ({m} - n_present)) <= 2.5 * {m}
+                AND ({m} - n_present) > 0
+           THEN {m} * ln({m} / CAST({m} - n_present AS DOUBLE))
+           ELSE ({_HLL_ALPHA} * {m} * {m})
+                / (present_sum + ({m} - n_present))
+         END AS e
+  FROM folded
+)
+SELECT est.g AS grp, est.n_present, est.regs, round(est.e, 6) AS est,
+       CAST(exact.n_exact AS BIGINT) AS n_exact
+FROM est JOIN exact ON exact.g = est.g
+"""
+
+
+# --------------------------------------------------------------------------
 # Ordered conversion funnel (`event_funnel`): the classic product-analytics
 # sequence query over the events stream — per user, the first signup, then
 # the first click STRICTLY AFTER it within a conversion window, then the
@@ -6875,4 +7024,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "event_transitions": (q_event_transitions, _sql_event_transitions()),
     "pagerank": (q_pagerank, _sql_pagerank()),
     "event_funnel": (q_event_funnel, _sql_event_funnel()),
+    "hll_merge": (q_hll_merge, _sql_hll_merge()),
 }

@@ -1317,6 +1317,54 @@ def test_event_transitions_pure_python_replay_and_margins():
         assert abs(s - 1.0) < 1e-4, (src, s)
 
 
+def test_hll_merge_lossless_merge_theorem_and_bounds():
+    """Mergeable HLL (`hll_merge`): the merged-from-groups sketch must be
+    BYTE-IDENTICAL to the direct one-pass global sketch (register-wise max
+    is associative — the lossless-merge theorem), per-group registers must
+    pointwise lower-bound the global registers, and every estimate must be
+    within a loose 5*1.04/sqrt(m) relative error of its exact count."""
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        HLL_M,
+        HLL_MERGE_GROUPS,
+        _HLL_GLOBAL_ID,
+        _HLL_MERGED_ID,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = {
+        r[0]: {"n_present": r[1], "regs": r[2], "est": r[3], "n_exact": r[4]}
+        for r in con.execute(QUERIES["hll_merge"][1]).fetchall()
+    }
+    assert set(rows) == set(range(HLL_MERGE_GROUPS)) | {
+        _HLL_MERGED_ID,
+        _HLL_GLOBAL_ID,
+    }
+    merged, glob = rows[_HLL_MERGED_ID], rows[_HLL_GLOBAL_ID]
+    assert merged == glob, (merged, glob)
+
+    def parse(regs):
+        return {
+            int(b): int(r)
+            for b, r in (kv.split(":") for kv in regs.split("|"))
+        }
+
+    gmap = parse(glob["regs"])
+    for g in range(HLL_MERGE_GROUPS):
+        for b, r in parse(rows[g]["regs"]).items():
+            assert r <= gmap[b], (g, b, r, gmap[b])
+    bound = 5 * 1.04 / (HLL_M ** 0.5)
+    for g, row in rows.items():
+        rel = abs(row["est"] - row["n_exact"]) / row["n_exact"]
+        assert rel < bound, (g, row, rel)
+
+
 def test_event_funnel_pure_python_replay_and_branches():
     """Ordered conversion funnel (`event_funnel`): an independent
     pure-Python replay — first signup, first click strictly after it
