@@ -225,6 +225,11 @@ DRIVER_CAP_OVERFLOW = (
     # hash certifies merged == direct byte-for-byte (the lossless-merge
     # theorem that makes sketches shard at 100 TB)
     "hll_merge",
+    # round-6 new, born-overflow: two-sample Kolmogorov-Smirnov drift
+    # between md5 corpus halves over the token-count distribution —
+    # exact-integer scaled CDF differences (the argmax cannot drift),
+    # exact_global_cumsum over the bounded value-domain table
+    "ks_drift",
 )
 
 

@@ -6502,6 +6502,114 @@ WHERE rn <= {PMI_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift (`ks_drift`): the distribution-shift
+# monitor a production corpus pipeline runs between snapshots / sources /
+# time slices — here between a deterministic md5 half-split of the corpus
+# over the per-doc token-count distribution. KS = max_v |F_A(v) - F_B(v)|
+# over the merged support. The statistic is computed in EXACT INTEGER
+# arithmetic: the scaled CDF difference cum_a*tb - cum_b*ta is a BIGINT
+# (zero float drift in the argmax — the engines cannot disagree on WHICH
+# value attains the supremum), and doubles appear only in the final
+# 6dp-rounded ratio columns.
+#
+# Scale shape: one token-linear projection, one map-side-combinable agg to
+# the (value, n_a, n_b) table — bounded by the value domain, NOT the
+# corpus — then `exact_global_cumsum` twice over that bounded table
+# (range-partitioned prefix sums; no single-partition window, the
+# seq_pack discipline), a 1-row totals/argmax aggregate cross-joined
+# back. At 100 TB the per-value table is |distinct token counts| rows;
+# everything downstream of the first agg is summary-sized.
+# --------------------------------------------------------------------------
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_cumsum
+
+    split = _md5_bucket_spark(F.concat_ws("|", F.lit("ks"), F.col("doc_id")), 2)
+    toks = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    )
+    pv = (
+        _docs(spark, sf_dir)
+        .select(split.alias("b"), toks.cast("long").alias("v"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.when(F.col("b") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("b") == 1, 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    c1 = exact_global_cumsum(pv, "v", "n_a").withColumnsRenamed(
+        {"cum_before": "cba", "global_total": "ta"}
+    )
+    c2 = exact_global_cumsum(c1, "v", "n_b").withColumnsRenamed(
+        {"cum_before": "cbb", "global_total": "tb"}
+    )
+    sc = c2.select(
+        "v",
+        "n_a",
+        "n_b",
+        (F.col("cba") + F.col("n_a")).alias("cum_a"),
+        (F.col("cbb") + F.col("n_b")).alias("cum_b"),
+        "ta",
+        "tb",
+    ).withColumn(
+        "dsc", F.col("cum_a") * F.col("tb") - F.col("cum_b") * F.col("ta")
+    )
+    ks = sc.agg(F.max(F.abs(F.col("dsc"))).alias("kss"))
+    denom = (F.col("ta") * F.col("tb")).cast("double")
+    return sc.crossJoin(F.broadcast(ks)).select(
+        "v",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("cum_a").cast("long").alias("cum_a"),
+        F.col("cum_b").cast("long").alias("cum_b"),
+        F.round(F.col("cum_a") / F.col("ta"), 6).alias("cdf_a"),
+        F.round(F.col("cum_b") / F.col("tb"), 6).alias("cdf_b"),
+        F.round(F.abs(F.col("dsc")) / denom, 6).alias("adiff"),
+        (F.abs(F.col("dsc")) == F.col("kss")).cast("long").alias("is_ks"),
+        F.round(F.col("kss") / denom, 6).alias("ks_stat"),
+    )
+
+
+def _sql_ks_drift() -> str:
+    b = _md5_bucket_sql("'ks' || '|' || CAST(doc_id AS VARCHAR)", 2)
+    return f"""
+WITH lab AS (
+  SELECT {b} AS b,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              AS BIGINT) AS v
+  FROM documents
+), pv AS (
+  SELECT v,
+         CAST(sum(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM lab GROUP BY v
+), cum AS (
+  SELECT v, n_a, n_b,
+         CAST(sum(n_a) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+         CAST(sum(n_b) OVER (ORDER BY v) AS BIGINT) AS cum_b
+  FROM pv
+), tot AS (
+  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+  FROM pv
+), sc AS (
+  SELECT cum.*, ta, tb, cum_a * tb - cum_b * ta AS dsc
+  FROM cum CROSS JOIN tot
+), ks AS (
+  SELECT max(abs(dsc)) AS kss FROM sc
+)
+SELECT v, n_a, n_b, cum_a, cum_b,
+       round(CAST(cum_a AS DOUBLE) / ta, 6) AS cdf_a,
+       round(CAST(cum_b AS DOUBLE) / tb, 6) AS cdf_b,
+       round(CAST(abs(dsc) AS DOUBLE) / (CAST(ta AS DOUBLE) * tb), 6)
+         AS adiff,
+       CAST(CASE WHEN abs(dsc) = kss THEN 1 ELSE 0 END AS BIGINT) AS is_ks,
+       round(CAST(kss AS DOUBLE) / (CAST(ta AS DOUBLE) * tb), 6) AS ks_stat
+FROM sc CROSS JOIN ks
+"""
+
+
+# --------------------------------------------------------------------------
 # Mergeable HyperLogLog (`hll_merge`): the property that makes sketches
 # work at 100 TB is not the estimate — it's MERGEABILITY (register-wise
 # max is associative/commutative/idempotent, so per-shard sketches
@@ -7025,4 +7133,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "pagerank": (q_pagerank, _sql_pagerank()),
     "event_funnel": (q_event_funnel, _sql_event_funnel()),
     "hll_merge": (q_hll_merge, _sql_hll_merge()),
+    "ks_drift": (q_ks_drift, _sql_ks_drift()),
 }

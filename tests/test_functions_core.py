@@ -1317,6 +1317,67 @@ def test_event_transitions_pure_python_replay_and_margins():
         assert abs(s - 1.0) < 1e-4, (src, s)
 
 
+def test_ks_drift_pure_python_replay_and_boundary_margins():
+    """Two-sample KS drift (`ks_drift`): an independent pure-Python replay
+    — md5 half-split, per-value counts, integer-scaled CDF differences,
+    the max — must match the DuckDB oracle at sf0.001 AND sf0.01; every
+    6dp-rounded ratio must clear its rounding boundary (cdf denominators
+    are data-dependent split sizes — the one place engines' rounding
+    modes could diverge); the is_ks flag must mark exactly the argmax
+    rows; both splits must be non-empty."""
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES
+
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+        )
+        got = con.execute(QUERIES["ks_drift"][1]).fetchall()
+        raw = con.execute(
+            "SELECT CAST(concat('0x', substr(md5('ks' || '|' ||"
+            " CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2,"
+            " len(regexp_extract_all(lower(text), '[a-z0-9]+'))"
+            " FROM documents"
+        ).fetchall()
+        cnt: dict = {}
+        for b, v in raw:
+            key = int(v)
+            na, nb = cnt.get(key, (0, 0))
+            cnt[key] = (na + (b == 0), nb + (b == 1))
+        ta = sum(a for a, _ in cnt.values())
+        tb = sum(b for _, b in cnt.values())
+        assert ta > 0 and tb > 0
+        cum_a = cum_b = 0
+        exp = {}
+        for v in sorted(cnt):
+            na, nb = cnt[v]
+            cum_a, cum_b = cum_a + na, cum_b + nb
+            exp[v] = (na, nb, cum_a, cum_b, cum_a * tb - cum_b * ta)
+        kss = max(abs(d) for *_x, d in exp.values())
+        assert len(got) == len(exp)
+        n_argmax = 0
+        for row in got:
+            v, na, nb, ca, cb, cdf_a, cdf_b, adiff, is_ks, ks_stat = row
+            ena, enb, eca, ecb, edsc = exp[v]
+            assert (na, nb, ca, cb) == (ena, enb, eca, ecb), (sf, v, row)
+            for val in (cdf_a, cdf_b, adiff, ks_stat):
+                frac = abs(val * 1e6 - round(val * 1e6))
+                # 0 means the unrounded value was exactly representable at
+                # 6dp (e.g. 1.0, 0.5) — no tie-break ambiguity there
+                assert abs(frac - 0.5) > 1e-9, (sf, v, val)
+            assert cdf_a == round(eca / ta, 6), (sf, v)
+            assert cdf_b == round(ecb / tb, 6), (sf, v)
+            assert adiff == round(abs(edsc) / (ta * tb), 6), (sf, v)
+            assert ks_stat == round(kss / (ta * tb), 6), (sf, v)
+            assert is_ks == (1 if abs(edsc) == kss else 0), (sf, v)
+            n_argmax += is_ks
+        assert n_argmax >= 1
+        assert kss > 0, "KS vacuous: identical split distributions"
+
+
 def test_hll_merge_lossless_merge_theorem_and_bounds():
     """Mergeable HLL (`hll_merge`): the merged-from-groups sketch must be
     BYTE-IDENTICAL to the direct one-pass global sketch (register-wise max
