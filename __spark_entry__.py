@@ -230,6 +230,12 @@ DRIVER_CAP_OVERFLOW = (
     # exact-integer scaled CDF differences (the argmax cannot drift),
     # exact_global_cumsum over the bounded value-domain table
     "ks_drift",
+    # round-6 new, born-overflow: mojibake repair (the ftfy fix_encoding
+    # core case) — planted double-encoded UTF-8 sequences detected and
+    # repaired via a pinned-order pair table, md5 before/after
+    # fingerprints certify the full repaired byte stream; pure
+    # whole-stage-codegen projection, zero shuffles
+    "mojibake_fix",
 )
 
 

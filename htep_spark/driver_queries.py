@@ -6502,6 +6502,113 @@ WHERE rn <= {PMI_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# Mojibake repair (`mojibake_fix`): the encoding-hygiene pass every web
+# corpus needs before tokenization — UTF-8 text that was decoded as
+# Latin-1 and re-encoded ("CafÃ©" for "Café", "â€™" for "'") is the most
+# common wire corruption in crawled data (the ftfy fix_encoding core
+# case, reduced to its deterministic sequence-mapping heart). The raw
+# corpus is pure ASCII, so a per-doc prelude (doc_id % 6) plants the
+# classic double-encoded sequences plus one clean line (the zero-hit
+# branch). Detection counts occurrences of each known sequence
+# (char-length delta under replace — exact integers both engines);
+# repair applies the pair table as chained literal replaces in pinned
+# list order (no key is a substring of another, and no replacement
+# reintroduces a key, so the order is provably immaterial — pinned
+# anyway). Output carries md5 fingerprints of the text before/after so
+# the driver hash certifies the full repaired byte stream without
+# shipping it.
+#
+# Scale shape: a single narrow projection — chained constant-literal
+# string ops, whole-stage codegen, zero shuffles, zero UDFs. At 100 TB
+# this is the cheapest kind of operator there is; the design point is
+# cross-engine byte parity on multibyte UTF-8 repair.
+# --------------------------------------------------------------------------
+
+# (broken, fixed) pairs, applied in this order on both engines
+MOJIBAKE_PAIRS = [
+    ("Ã©", "é"),
+    ("Ã±", "ñ"),
+    ("Ã¡", "á"),
+    ("Ã¯", "ï"),
+    ("Ã¼", "ü"),
+    ("â€™", "’"),
+    ("â€œ", "“"),
+    ("â€“", "–"),
+]
+
+MOJI_SNIPPETS = [
+    "CafÃ© rÃ©sumÃ© attached",
+    "El niÃ±o estÃ¡ bien",
+    "naÃ¯ve Ã¼ber approach",
+    "donâ€™t worry â€“ stable",
+    "said â€œstableâ€œ twice",
+    "plain ascii note",
+]
+
+
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = F.array(*[F.lit(s) for s in MOJI_SNIPPETS])
+    idx = (F.col("doc_id") % len(MOJI_SNIPPETS) + 1).cast("int")
+    ctext = F.concat(F.element_at(arr, idx), F.lit("\n"), F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", ctext.alias("ctext"))
+    n_moji = None
+    for k, _v in MOJIBAKE_PAIRS:
+        cnt = (
+            (F.length("ctext") - F.length(F.replace(F.col("ctext"), F.lit(k))))
+            / len(k)
+        ).cast("long")
+        n_moji = cnt if n_moji is None else n_moji + cnt
+    fixed = F.col("ctext")
+    for k, v in MOJIBAKE_PAIRS:
+        fixed = F.replace(fixed, F.lit(k), F.lit(v))
+    return docs.select(
+        "doc_id",
+        n_moji.alias("n_moji"),
+        (n_moji > 0).cast("long").alias("moji"),
+        (F.length("ctext") - F.length(fixed)).cast("long").alias("len_delta"),
+        F.md5("ctext").alias("orig_md5"),
+        F.md5(fixed).alias("fixed_md5"),
+        (F.md5(fixed) != F.md5("ctext")).cast("long").alias("changed"),
+    )
+
+
+def _sql_mojibake_fix() -> str:
+    whens = "".join(
+        f" WHEN {i} THEN {_sql_quote(s)}" for i, s in enumerate(MOJI_SNIPPETS)
+    )
+    ctext = (
+        f"(CASE (doc_id % {len(MOJI_SNIPPETS)}){whens} END"
+        f" || chr(10) || text)"
+    )
+    counts = " + ".join(
+        f"((length(ctext) - length(replace(ctext, {_sql_quote(k)}, '')))"
+        f" / {len(k)})"
+        for k, _v in MOJIBAKE_PAIRS
+    )
+    fixed = "ctext"
+    for k, v in MOJIBAKE_PAIRS:
+        fixed = f"replace({fixed}, {_sql_quote(k)}, {_sql_quote(v)})"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {ctext} AS ctext FROM documents
+), rep AS (
+  SELECT doc_id, ctext,
+         CAST({counts} AS BIGINT) AS n_moji,
+         {fixed} AS fixed
+  FROM base
+)
+SELECT doc_id, n_moji,
+       CAST(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END AS BIGINT) AS moji,
+       CAST(length(ctext) - length(fixed) AS BIGINT) AS len_delta,
+       md5(ctext) AS orig_md5,
+       md5(fixed) AS fixed_md5,
+       CAST(CASE WHEN md5(fixed) <> md5(ctext) THEN 1 ELSE 0 END
+            AS BIGINT) AS changed
+FROM rep
+"""
+
+
+# --------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov drift (`ks_drift`): the distribution-shift
 # monitor a production corpus pipeline runs between snapshots / sources /
 # time slices — here between a deterministic md5 half-split of the corpus
@@ -7134,4 +7241,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "event_funnel": (q_event_funnel, _sql_event_funnel()),
     "hll_merge": (q_hll_merge, _sql_hll_merge()),
     "ks_drift": (q_ks_drift, _sql_ks_drift()),
+    "mojibake_fix": (q_mojibake_fix, _sql_mojibake_fix()),
 }

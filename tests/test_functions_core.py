@@ -1317,6 +1317,54 @@ def test_event_transitions_pure_python_replay_and_margins():
         assert abs(s - 1.0) < 1e-4, (src, s)
 
 
+def test_mojibake_fix_pure_python_replay_and_branches():
+    """Mojibake repair (`mojibake_fix`): a pure-Python replay — the same
+    pair table applied with str.replace in pinned order over the same
+    prelude — must reproduce the DuckDB oracle's counts, char deltas and
+    md5 fingerprints (UTF-8 byte hashing parity on multibyte repair);
+    both the hit branch (n_moji > 0, changed, len_delta > 0) and the
+    clean branch (all zeros, md5 unchanged) must fire."""
+    import duckdb
+    import hashlib
+
+    from htep_spark.driver_queries import (
+        MOJI_SNIPPETS,
+        MOJIBAKE_PAIRS,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = {r[0]: r[1:] for r in con.execute(QUERIES["mojibake_fix"][1]).fetchall()}
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    hit = clean = 0
+    for doc_id, text in raw:
+        ctext = MOJI_SNIPPETS[doc_id % len(MOJI_SNIPPETS)] + "\n" + text
+        n = sum(ctext.count(k) for k, _ in MOJIBAKE_PAIRS)
+        fixed = ctext
+        for k, v in MOJIBAKE_PAIRS:
+            fixed = fixed.replace(k, v)
+        exp = (
+            n,
+            1 if n else 0,
+            len(ctext) - len(fixed),
+            hashlib.md5(ctext.encode()).hexdigest(),
+            hashlib.md5(fixed.encode()).hexdigest(),
+            1 if fixed != ctext else 0,
+        )
+        assert got[doc_id] == exp, (doc_id, got[doc_id], exp)
+        if n:
+            hit += 1
+            assert exp[2] > 0 and exp[5] == 1
+        else:
+            clean += 1
+            assert exp[3] == exp[4] and exp[5] == 0
+    assert hit and clean, (hit, clean)
+
+
 def test_ks_drift_pure_python_replay_and_boundary_margins():
     """Two-sample KS drift (`ks_drift`): an independent pure-Python replay
     — md5 half-split, per-value counts, integer-scaled CDF differences,
