@@ -236,6 +236,11 @@ DRIVER_CAP_OVERFLOW = (
     # fingerprints certify the full repaired byte stream; pure
     # whole-stage-codegen projection, zero shuffles
     "mojibake_fix",
+    # round-6 new, born-overflow: crawl frontier scheduling — pagerank
+    # priority + per-domain politeness slots (partitioned window, the
+    # Mercator discipline); verifies the pagerank x url_domains
+    # COMPOSITION
+    "crawl_frontier",
 )
 
 

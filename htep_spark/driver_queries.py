@@ -6502,6 +6502,81 @@ WHERE rn <= {PMI_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# Crawl frontier scheduling (`crawl_frontier`): what a crawler actually
+# DOES with `pagerank` and `url_domains` — order the fetch queue by host
+# authority while respecting per-host politeness (one request per
+# POLITENESS_DELAY_S per registrable domain; the Mercator/Heritrix
+# frontier discipline). Each URL gets its in-domain slot (row_number in a
+# PARTITIONED window ordered by doc_id — per-domain queues, never a
+# global sort), a scheduled fetch offset slot * delay, and the domain's
+# makespan rides along from the already-audited per-domain rollup. The
+# host score joins in from the pagerank table via the domain -> node map
+# (both composed operators are independently hash-verified; this checks
+# their COMPOSITION, the web_funnel discipline).
+#
+# Scale shape: url normalization is a projection; pagerank's node table
+# is tiny and broadcast; the only corpus-width work is one hash exchange
+# on domain for the per-domain window — exactly the partitioning a real
+# frontier shards by (host), so the skew story is the crawl's own skew
+# story (domain_quota is the cap for that).
+# --------------------------------------------------------------------------
+
+POLITENESS_DELAY_S = 5  # per-domain fetch spacing
+
+
+def q_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    u = q_url_domains(spark, sf_dir).select(
+        "doc_id", "domain", "domain_docs"
+    )
+    p = q_pagerank(spark, sf_dir).select("node", "pr")
+    node = (
+        F.regexp_extract(F.col("domain"), r"^site([0-9]+)\.", 1).cast("long")
+        % PR_N_NODES
+    )
+    w = Window.partitionBy("domain").orderBy("doc_id")
+    return (
+        u.withColumn("node", node)
+        .join(F.broadcast(p), "node")
+        .withColumn("slot", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "doc_id",
+            "domain",
+            "node",
+            "pr",
+            "slot",
+            (F.col("slot") * POLITENESS_DELAY_S).cast("long").alias("sched_s"),
+            F.col("domain_docs").cast("long").alias("dom_docs"),
+            ((F.col("domain_docs") - 1) * POLITENESS_DELAY_S)
+            .cast("long")
+            .alias("makespan_s"),
+        )
+    )
+
+
+def _sql_crawl_frontier() -> str:
+    return f"""
+WITH u AS ({_sql_url_domains()}), p AS ({_sql_pagerank()}),
+j AS (
+  SELECT u.doc_id, u.domain, u.domain_docs,
+         (CAST(regexp_extract(u.domain, '^site([0-9]+)\\.', 1) AS BIGINT)
+          % {PR_N_NODES}) AS node
+  FROM u
+), sl AS (
+  SELECT j.*, p.pr,
+         CAST(row_number() OVER (PARTITION BY j.domain ORDER BY j.doc_id)
+              - 1 AS BIGINT) AS slot
+  FROM j JOIN p USING (node)
+)
+SELECT doc_id, domain, node, pr, slot,
+       CAST(slot * {POLITENESS_DELAY_S} AS BIGINT) AS sched_s,
+       CAST(domain_docs AS BIGINT) AS dom_docs,
+       CAST((domain_docs - 1) * {POLITENESS_DELAY_S} AS BIGINT)
+         AS makespan_s
+FROM sl
+"""
+
+
+# --------------------------------------------------------------------------
 # Mojibake repair (`mojibake_fix`): the encoding-hygiene pass every web
 # corpus needs before tokenization — UTF-8 text that was decoded as
 # Latin-1 and re-encoded ("CafÃ©" for "Café", "â€™" for "'") is the most
@@ -7242,4 +7317,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "hll_merge": (q_hll_merge, _sql_hll_merge()),
     "ks_drift": (q_ks_drift, _sql_ks_drift()),
     "mojibake_fix": (q_mojibake_fix, _sql_mojibake_fix()),
+    "crawl_frontier": (q_crawl_frontier, _sql_crawl_frontier()),
 }

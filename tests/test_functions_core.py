@@ -1317,6 +1317,42 @@ def test_event_transitions_pure_python_replay_and_margins():
         assert abs(s - 1.0) < 1e-4, (src, s)
 
 
+def test_crawl_frontier_politeness_invariants():
+    """Crawl frontier (`crawl_frontier`): per-domain slots must be dense
+    0..n-1 in doc_id order, scheduled offsets spaced exactly one
+    politeness delay apart, the last slot's offset must equal the
+    domain's makespan, and every row's pr must equal the pagerank
+    table's value for the domain's node (the composition contract)."""
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        POLITENESS_DELAY_S,
+        PR_N_NODES,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    pr = {r[0]: r[4] for r in con.execute(QUERIES["pagerank"][1]).fetchall()}
+    rows = con.execute(QUERIES["crawl_frontier"][1]).fetchall()
+    assert rows
+    by_dom: dict = {}
+    for doc_id, domain, node, p, slot, sched, dom_docs, makespan in rows:
+        assert p == pr[node], (domain, node)
+        assert sched == slot * POLITENESS_DELAY_S
+        assert makespan == (dom_docs - 1) * POLITENESS_DELAY_S
+        assert node == int(domain.split(".")[0][4:]) % PR_N_NODES
+        by_dom.setdefault(domain, []).append((doc_id, slot, dom_docs))
+    for domain, entries in by_dom.items():
+        entries.sort()
+        n = entries[0][2]
+        assert len(entries) == n, (domain, len(entries), n)
+        assert [s for _d, s, _n in entries] == list(range(n)), domain
+
+
 def test_mojibake_fix_pure_python_replay_and_branches():
     """Mojibake repair (`mojibake_fix`): a pure-Python replay — the same
     pair table applied with str.replace in pinned order over the same
