@@ -241,6 +241,11 @@ DRIVER_CAP_OVERFLOW = (
     # Mercator discipline); verifies the pagerank x url_domains
     # COMPOSITION
     "crawl_frontier",
+    # round-6 new, born-overflow: robots.txt Disallow prefix filtering —
+    # broadcast rule-table left join + per-doc file-order argmin
+    # (min/min_by both engines); planted rule groups fire the no-match,
+    # partial-block, tie-break and empty-file branches
+    "robots_filter",
 )
 
 

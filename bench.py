@@ -230,6 +230,12 @@ def main() -> None:
         "span_scrub",
         "split_leakage",
         "event_transitions",
+        "pagerank",
+        "event_funnel",
+        "hll_merge",
+        "ks_drift",
+        "mojibake_fix",
+        "crawl_frontier",
     ):
         if name not in QUERIES:
             continue

@@ -6502,6 +6502,124 @@ WHERE rn <= {PMI_TOP_K}
 
 
 # --------------------------------------------------------------------------
+# Robots.txt path filtering (`robots_filter`): the compliance gate between
+# the frontier and the fetcher — per-domain Disallow prefix rules applied
+# to canonical paths (RFC 9309 longest-practice reduced to its
+# deterministic core: first matching rule in file order wins). Rule sets
+# are a tiny table keyed by domain rule-group (src_num % 4), planted so
+# every branch fires: a group whose rules match nothing, a group with
+# partial-prefix blocks, a group where TWO rules match the same path
+# (file-order argmin tie-break), and a group with an empty rule file.
+#
+# Scale shape: the rule table is dimension-sized (a real robots corpus is
+# |domains|-sized) and broadcast; the corpus side is one projection into
+# a broadcast left join on (rule_grp, prefix-match) followed by one
+# map-side-combinable argmin per doc — no corpus shuffle keyed by rules,
+# no UDF. Per-domain blocked counts re-aggregate from the doc verdicts.
+# --------------------------------------------------------------------------
+
+# (rule_grp, rule_idx, path_prefix) — grp 3 deliberately has no rows
+ROBOTS_RULES = [
+    (0, 0, "/private/"),
+    (0, 1, "/tmp/"),
+    (1, 0, "/doc/1"),
+    (1, 1, "/doc/3"),
+    (2, 0, "/doc/"),
+    (2, 1, "/d"),
+]
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in URL_SUFFIXES]),
+        (src_num % len(URL_SUFFIXES) + 1).cast("int"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.concat(F.lit("site"), src_num.cast("string"), F.lit("."), suffix)
+        .alias("domain"),
+        F.concat(F.lit("/doc/"), F.col("doc_id").cast("string")).alias("path"),
+        (src_num % 4).alias("rgrp"),
+    )
+    rules = F.broadcast(
+        spark.createDataFrame(ROBOTS_RULES, "grp long, ridx long, prefix string")
+    )
+    j = base.join(
+        rules,
+        (base["rgrp"] == rules["grp"])
+        & base["path"].startswith(rules["prefix"]),
+        "left",
+    )
+    per_doc = j.groupBy("doc_id", "domain", "path", "rgrp").agg(
+        F.min("ridx").alias("mi"),
+        F.min_by("prefix", "ridx").alias("mp"),
+    )
+    verdict = per_doc.select(
+        "doc_id",
+        "domain",
+        "path",
+        "rgrp",
+        F.coalesce(F.col("mi"), F.lit(-1)).cast("long").alias("matched_idx"),
+        F.coalesce(F.col("mp"), F.lit("")).alias("matched_prefix"),
+        F.when(F.col("mi").isNull(), 1).otherwise(0).cast("long").alias(
+            "allowed"
+        ),
+    )
+    dom = verdict.groupBy("domain").agg(
+        F.sum(1 - F.col("allowed")).cast("long").alias("dom_blocked"),
+        F.count("*").cast("long").alias("dom_total"),
+    )
+    return verdict.join(F.broadcast(dom), "domain").select(
+        "doc_id", "domain", "path", "rgrp",
+        "matched_idx", "matched_prefix", "allowed",
+        "dom_blocked", "dom_total",
+    )
+
+
+def _sql_robots_filter() -> str:
+    n_suf = len(URL_SUFFIXES)
+    suffix_list = "[" + ", ".join(f"'{s}'" for s in URL_SUFFIXES) + "]"
+    values = ", ".join(
+        f"({g}, {i}, {_sql_quote(p)})" for g, i, p in ROBOTS_RULES
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         ('site' || CAST(CAST(substr(source, 4) AS BIGINT) AS VARCHAR) || '.'
+          || {suffix_list}[(CAST(substr(source, 4) AS BIGINT) % {n_suf}) + 1])
+           AS domain,
+         ('/doc/' || CAST(doc_id AS VARCHAR)) AS path,
+         (CAST(substr(source, 4) AS BIGINT) % 4) AS rgrp
+  FROM documents
+), rules AS (
+  SELECT * FROM (VALUES {values}) AS t(grp, ridx, prefix)
+), per_doc AS (
+  SELECT b.doc_id, b.domain, b.path, b.rgrp,
+         min(r.ridx) AS mi, arg_min(r.prefix, r.ridx) AS mp
+  FROM base b LEFT JOIN rules r
+    ON r.grp = b.rgrp AND starts_with(b.path, r.prefix)
+  GROUP BY b.doc_id, b.domain, b.path, b.rgrp
+), verdict AS (
+  SELECT doc_id, domain, path, rgrp,
+         CAST(coalesce(mi, -1) AS BIGINT) AS matched_idx,
+         coalesce(mp, '') AS matched_prefix,
+         CAST(CASE WHEN mi IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS allowed
+  FROM per_doc
+), dom AS (
+  SELECT domain, CAST(sum(1 - allowed) AS BIGINT) AS dom_blocked,
+         CAST(count(*) AS BIGINT) AS dom_total
+  FROM verdict GROUP BY domain
+)
+SELECT v.doc_id, v.domain, v.path, v.rgrp, v.matched_idx, v.matched_prefix,
+       v.allowed, d.dom_blocked, d.dom_total
+FROM verdict v JOIN dom d USING (domain)
+"""
+
+
+# --------------------------------------------------------------------------
 # Crawl frontier scheduling (`crawl_frontier`): what a crawler actually
 # DOES with `pagerank` and `url_domains` — order the fetch queue by host
 # authority while respecting per-host politeness (one request per
@@ -7318,4 +7436,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "ks_drift": (q_ks_drift, _sql_ks_drift()),
     "mojibake_fix": (q_mojibake_fix, _sql_mojibake_fix()),
     "crawl_frontier": (q_crawl_frontier, _sql_crawl_frontier()),
+    "robots_filter": (q_robots_filter, _sql_robots_filter()),
 }

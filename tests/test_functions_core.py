@@ -1317,6 +1317,51 @@ def test_event_transitions_pure_python_replay_and_margins():
         assert abs(s - 1.0) < 1e-4, (src, s)
 
 
+def test_robots_filter_pure_python_replay_and_branches():
+    """Robots filtering (`robots_filter`): a pure-Python replay of the
+    first-matching-rule semantics must match the DuckDB oracle at
+    sf0.001, and all four planted branches must fire: a rule group whose
+    rules match nothing, a partial-block group, a group where two rules
+    match the same path (file-order argmin picks idx 0), and the empty
+    rule file group."""
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES, ROBOTS_RULES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    rows = con.execute(QUERIES["robots_filter"][1]).fetchall()
+    assert rows
+    by_grp: dict = {}
+    dom_counts: dict = {}
+    for doc_id, domain, path, rgrp, midx, mpfx, allowed, db, dt in rows:
+        assert path == f"/doc/{doc_id}"
+        cands = [
+            (i, p)
+            for g, i, p in ROBOTS_RULES
+            if g == rgrp and path.startswith(p)
+        ]
+        exp = min(cands) if cands else (-1, "")
+        assert (midx, mpfx) == exp, (doc_id, rgrp, midx, mpfx, exp)
+        assert allowed == (0 if cands else 1)
+        if rgrp == 2:
+            assert len(cands) == 2 and midx == 0 and mpfx == "/doc/"
+        by_grp.setdefault(rgrp, set()).add(allowed)
+        dom_counts.setdefault(domain, [0, 0])
+        dom_counts[domain][0] += 1 - allowed
+        dom_counts[domain][1] += 1
+    assert by_grp[0] == {1}, by_grp  # rules match nothing
+    assert by_grp[1] == {0, 1}, by_grp  # partial block
+    assert by_grp[2] == {0}, by_grp  # everything blocked (tie-break)
+    assert by_grp[3] == {1}, by_grp  # empty rule file
+    # per-domain rollup consistency (re-scan now that totals are final)
+    for doc_id, domain, path, rgrp, midx, mpfx, allowed, db, dt in rows:
+        assert [db, dt] == dom_counts[domain], (domain, db, dt)
+
+
 def test_crawl_frontier_politeness_invariants():
     """Crawl frontier (`crawl_frontier`): per-domain slots must be dense
     0..n-1 in doc_id order, scheduled offsets spaced exactly one
