@@ -246,6 +246,12 @@ DRIVER_CAP_OVERFLOW = (
     # (min/min_by both engines); planted rule groups fire the no-match,
     # partial-block, tie-break and empty-file branches
     "robots_filter",
+    # round-6 new, born-overflow: per-domain boilerplate line removal
+    # (trafilatura/CCNet chrome-stripping; frequency-threshold rule in
+    # exact integer cross-multiplication, distinct from line_dedup's
+    # corpus-global keep-first) — planted header/footer/promo lines fire
+    # the above/below-threshold branches in every domain
+    "template_lines",
 )
 
 

@@ -7344,6 +7344,203 @@ LEFT JOIN inw ON inw.dst = nd.node
 """
 
 
+# --------------------------------------------------------------------------
+# Per-domain boilerplate line removal (`template_lines`): the trafilatura /
+# CCNet-shard boilerplate pass — a line that recurs across a large enough
+# FRACTION of a domain's documents (nav bars, footers, cookie banners) is
+# template markup, not content, and every occurrence is dropped (unlike
+# `line_dedup`, which keeps the corpus-global FIRST occurrence — the two
+# rules serve different stages: line_dedup de-duplicates content,
+# template_lines strips per-site chrome). Lines are the fixed-width
+# LINE_DEDUP_LEN token windows shared with `line_dedup`. The raw corpus
+# has no cross-doc boilerplate, so a deterministic per-domain prelude
+# plants three exactly-8-token lines: a header in EVERY doc of the domain
+# (100%), a footer in docs with even within-domain index (~52% — above
+# the 40% threshold, fires), and a promo in index % 4 == 0 docs (~28% —
+# below it, kept); thresholding is exact integer cross-multiplication
+# (100*nd >= TPL_PCT*n_docs), so both engines make the identical call.
+#
+# Scale shape: token-linear — one map-side-combinable count-distinct per
+# (domain, line-hash), the per-domain doc-count table broadcast into the
+# threshold filter, then one join back on the SAME (domain, lhash) keys
+# (co-partitioned with the producing agg under AQE — no extra exchange),
+# and one per-doc reconstruction agg. The template table is
+# |domains| x |chrome lines| — dimension-sized at any corpus scale.
+# --------------------------------------------------------------------------
+
+TPL_PCT = 40  # template iff occurring in >= 40% of the domain's docs...
+TPL_MIN_DOCS = 3  # ...and in at least 3 distinct docs (small-domain guard)
+
+
+def _tpl_ctext_spark():
+    j = F.floor(F.col("doc_id") / 20).cast("long")
+    header = F.concat(
+        F.lit("nav home "), F.col("source"),
+        F.lit(" about contact subscribe follow rss"),
+    )
+    mid = F.when(
+        j % 2 == 0,
+        F.concat(
+            F.lit("footer copyright "), F.col("source"),
+            F.lit(" all rights reserved privacy terms"),
+        ),
+    )
+    rare = F.when(
+        j % 4 == 0,
+        F.concat(
+            F.lit("promo banner "), F.col("source"),
+            F.lit(" limited offer click here now"),
+        ),
+    )
+    # concat_ws skips NULL parts on both engines
+    return F.concat_ws(" ", header, mid, rare, F.col("text"))
+
+
+def q_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_prefix60_spark
+
+    L = LINE_DEDUP_LEN
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.col("source"), 4, 10).cast("long").alias("src"),
+        _tpl_ctext_spark().alias("ctext"),
+    )
+    toked = token_barrier(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0),
+        keep_cols=("doc_id", "src"),
+    )
+    n_lines = F.ceil(F.size("t") / F.lit(float(L))).cast("int")
+    line_arr = F.when(
+        F.size("t") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("t"), i * L + 1, L)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    lines = toked.select(
+        "doc_id", "src", F.posexplode(line_arr).alias("line_idx", "line_text")
+    ).withColumn("lhash", md5_prefix60_spark(F.col("line_text")))
+    domain_docs = docs.groupBy("src").agg(F.count("*").alias("n_docs"))
+    nd = lines.groupBy("src", "lhash").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    tpl = (
+        nd.join(F.broadcast(domain_docs), "src")
+        .filter(
+            (F.lit(100) * F.col("nd") >= F.lit(TPL_PCT) * F.col("n_docs"))
+            & (F.col("nd") >= TPL_MIN_DOCS)
+        )
+        .select("src", "lhash")
+    )
+    flagged = lines.join(
+        tpl.withColumn("hit", F.lit(1)), ["src", "lhash"], "left"
+    ).withColumn("is_tpl", F.coalesce("hit", F.lit(0)).cast("long"))
+    kept_struct = F.when(F.col("is_tpl") == 0, F.struct("line_idx", "line_text"))
+    per = flagged.groupBy("doc_id", "src").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("is_tpl").cast("long").alias("n_tpl_dropped"),
+        F.sum(1 - F.col("is_tpl")).cast("long").alias("n_kept"),
+        F.sum(
+            F.when(
+                F.col("is_tpl") == 0, F.size(F.split("line_text", " "))
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tokens_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.line_text,
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    dtpl = tpl.groupBy("src").agg(
+        F.count("*").cast("long").alias("domain_tpl_lines")
+    )
+    return per.join(F.broadcast(dtpl), "src", "left").select(
+        "doc_id",
+        "src",
+        "n_lines",
+        "n_tpl_dropped",
+        "n_kept",
+        "n_tokens_kept",
+        F.coalesce("domain_tpl_lines", F.lit(0)).cast("long")
+        .alias("domain_tpl_lines"),
+        "clean_text",
+    )
+
+
+def _sql_template_lines() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    L = LINE_DEDUP_LEN
+    lhash = md5_prefix60_sql("line_text")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(substr(source, 4) AS BIGINT) AS src,
+         concat_ws(' ',
+           'nav home ' || source || ' about contact subscribe follow rss',
+           CASE WHEN (doc_id // 20) % 2 = 0
+                THEN 'footer copyright ' || source ||
+                     ' all rights reserved privacy terms' END,
+           CASE WHEN (doc_id // 20) % 4 = 0
+                THEN 'promo banner ' || source ||
+                     ' limited offer click here now' END,
+           text) AS ctext
+  FROM documents
+), toked AS (
+  SELECT doc_id, src,
+         regexp_extract_all(lower(ctext), '{_TOKEN_PATTERN}') AS t
+  FROM base
+), lines AS (
+  SELECT doc_id, src, i AS line_idx,
+         array_to_string(t[i * {L} + 1 : i * {L} + {L}], ' ') AS line_text
+  FROM (SELECT doc_id, src, t,
+               unnest(range(0, CAST(ceil(len(t) / CAST({L} AS DOUBLE))
+                                    AS BIGINT))) AS i
+        FROM toked)
+), hashed AS (
+  SELECT doc_id, src, line_idx, line_text, {lhash} AS lhash FROM lines
+), dd AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_docs FROM base GROUP BY src
+), nd AS (
+  SELECT src, lhash, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+  FROM hashed GROUP BY src, lhash
+), tpl AS (
+  SELECT src, lhash
+  FROM nd JOIN dd USING (src)
+  WHERE 100 * nd >= {TPL_PCT} * n_docs AND nd >= {TPL_MIN_DOCS}
+), flagged AS (
+  SELECT h.doc_id, h.src, h.line_idx, h.line_text,
+         CASE WHEN t.lhash IS NOT NULL THEN 1 ELSE 0 END AS is_tpl
+  FROM hashed h
+  LEFT JOIN tpl t ON h.src = t.src AND h.lhash = t.lhash
+), per AS (
+  SELECT doc_id, src,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(is_tpl) AS BIGINT) AS n_tpl_dropped,
+         CAST(sum(1 - is_tpl) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN is_tpl = 0
+                       THEN len(string_split(line_text, ' ')) ELSE 0 END)
+              AS BIGINT) AS n_tokens_kept,
+         coalesce(string_agg(CASE WHEN is_tpl = 0 THEN line_text END, ' '
+                             ORDER BY line_idx), '') AS clean_text
+  FROM flagged GROUP BY doc_id, src
+), dtpl AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS domain_tpl_lines
+  FROM tpl GROUP BY src
+)
+SELECT p.doc_id, p.src, p.n_lines, p.n_tpl_dropped, p.n_kept,
+       p.n_tokens_kept,
+       CAST(coalesce(d.domain_tpl_lines, 0) AS BIGINT) AS domain_tpl_lines,
+       p.clean_text
+FROM per p LEFT JOIN dtpl d USING (src)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -7437,4 +7634,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "mojibake_fix": (q_mojibake_fix, _sql_mojibake_fix()),
     "crawl_frontier": (q_crawl_frontier, _sql_crawl_frontier()),
     "robots_filter": (q_robots_filter, _sql_robots_filter()),
+    "template_lines": (q_template_lines, _sql_template_lines()),
 }

@@ -1687,3 +1687,87 @@ def test_pagerank_pure_python_replay_and_invariants():
     assert dangled >= 2, "dangling branch vacuous: no planted dangler in graph"
     assert abs(sum(r.values()) - 1.0) < 1e-9
     assert abs(sum(p for _, _, _, p in got.values()) - 1.0) < 1e-4
+
+
+def test_template_lines_pure_python_replay_and_branches():
+    """Per-domain boilerplate removal (`template_lines`): a pure-Python
+    replay of the frequency-threshold rule over the planted preludes must
+    match the DuckDB oracle at sf0.001, and the planted branches must
+    fire: the 100% header and ~52% footer lines are template (dropped
+    everywhere), the ~28% promo line is below the 40% threshold (kept),
+    and real-text lines survive."""
+    import re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        LINE_DEDUP_LEN,
+        QUERIES,
+        TPL_MIN_DOCS,
+        TPL_PCT,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, source, text FROM documents").fetchall()
+    L = LINE_DEDUP_LEN
+    # replay the prelude + fixed-width line split
+    doc_lines: dict = {}
+    doc_src: dict = {}
+    for doc_id, source, text in raw:
+        j = doc_id // 20
+        parts = [f"nav home {source} about contact subscribe follow rss"]
+        if j % 2 == 0:
+            parts.append(
+                f"footer copyright {source} all rights reserved privacy terms"
+            )
+        if j % 4 == 0:
+            parts.append(f"promo banner {source} limited offer click here now")
+        parts.append(text)
+        toks = re.findall("[a-z0-9]+", " ".join(parts).lower())
+        lines = [
+            " ".join(toks[i : i + L]) for i in range(0, len(toks), L)
+        ]
+        doc_lines[doc_id] = lines
+        doc_src[doc_id] = int(source[3:])
+    # per-(domain, line) distinct-doc counts -> template set
+    from collections import defaultdict
+
+    nd: dict = defaultdict(set)
+    dom_docs: dict = defaultdict(int)
+    for doc_id, lines in doc_lines.items():
+        dom_docs[doc_src[doc_id]] += 1
+        for ln in set(lines):
+            nd[(doc_src[doc_id], ln)].add(doc_id)
+    tpl = {
+        (s, ln)
+        for (s, ln), ds in nd.items()
+        if 100 * len(ds) >= TPL_PCT * dom_docs[s] and len(ds) >= TPL_MIN_DOCS
+    }
+    rows = con.execute(QUERIES["template_lines"][1]).fetchall()
+    assert len(rows) == len(raw)
+    seen_kept_promo = 0
+    for doc_id, src, n_lines, n_drop, n_kept, n_tok, d_tpl, clean in rows:
+        assert src == doc_src[doc_id]
+        lines = doc_lines[doc_id]
+        exp_kept = [ln for ln in lines if (src, ln) not in tpl]
+        assert n_lines == len(lines)
+        assert n_drop == len(lines) - len(exp_kept)
+        assert n_kept == len(exp_kept)
+        assert clean == " ".join(exp_kept), doc_id
+        assert n_tok == sum(len(ln.split(" ")) for ln in exp_kept)
+        assert d_tpl == sum(1 for s, _ln in tpl if s == src)
+        # branch checks: header+footer stripped, promo kept
+        assert "nav home" not in clean and "footer copyright" not in clean
+        assert n_drop >= 1
+        if (doc_id // 20) % 4 == 0:
+            assert "promo banner" in clean
+            seen_kept_promo += 1
+    assert seen_kept_promo > 0
+    # every domain must have exactly the 2 planted template lines (header
+    # + footer): the promo line (~28%) stays below the 40% threshold
+    per_dom = {s: sum(1 for t, _ in tpl if t == s) for s in dom_docs}
+    assert set(per_dom.values()) == {2}, per_dom
