@@ -252,6 +252,10 @@ DRIVER_CAP_OVERFLOW = (
     # corpus-global keep-first) — planted header/footer/promo lines fire
     # the above/below-threshold branches in every domain
     "template_lines",
+    # round-6 new, born-overflow: Zipf rank-frequency OLS fit over the
+    # top-200 terms — exact_global_rank head, pinned-order regression
+    # folds, broadcast 1-row fit, per-term residuals
+    "zipf_fit",
 )
 
 

@@ -7541,6 +7541,213 @@ FROM per p LEFT JOIN dtpl d USING (src)
 """
 
 
+# --------------------------------------------------------------------------
+# Zipf rank-frequency fit (`zipf_fit`): the corpus-health diagnostic every
+# curation pipeline plots — natural text follows freq ∝ rank^(-s) with
+# s ≈ 1 (Zipf 1949); a slope far from -1 or a poor r² flags synthetic,
+# templated, or degenerate corpora. OLS of ln(freq) on ln(rank) over the
+# top ZIPF_TOP_K terms per SCOPE, with per-term residuals so head
+# outliers (boilerplate tokens) are visible. Two scopes make both sides
+# of the diagnostic provable: 'corpus' is the natural token stream (the
+# synthetic testdata is near-uniform — slope ≈ -0.18, r² ≈ 0.06, the
+# "templated corpus" verdict firing correctly), and 'planted' is an
+# exact power law built with the divisor trick — token zw_j is planted
+# in every doc with doc_id % j == 0, so count(zw_j) = ceil(N/j) ∝ 1/j
+# and the estimator must recover slope ≈ -1 with r² ≈ 1 (ground-truth
+# recovery, the dsir_select discipline).
+#
+# Scale shape: one token-linear count agg (map-side combinable), per-
+# scope ranking via `exact_global_rank` on (-freq, token) — range-
+# partitioned, no single-partition window — then ALL regression work
+# happens on the <= 2·ZIPF_TOP_K-row head: one small per-scope agg whose
+# five OLS sums run as pinned-order folds over the rank-sorted list (the
+# char_entropy discipline — float addition is not associative, so the
+# fold order is the contract), and the two-row fit table is broadcast
+# back onto the head rows.
+#
+# Cross-engine determinism: per-term ln() agrees to <= 1 ulp between
+# Java's Math.log and DuckDB's libm; the pinned-order sums keep the
+# accumulated drift ~1e-13, far under the 6dp boundary (margin pytest,
+# the event_transitions discipline).
+# --------------------------------------------------------------------------
+
+ZIPF_TOP_K = 200  # fit window: the head is where Zipf behavior is testable
+ZIPF_PLANT_MAX = 30  # planted family zw_1..zw_30, count(zw_j) = ceil(N/j)
+
+
+def _zipf_freq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    planted = F.array_join(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(ZIPF_PLANT_MAX)),
+                lambda j: F.when(
+                    F.col("doc_id") % j == 0,
+                    F.concat(F.lit("zw"), j.cast("string")),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        " ",
+    )
+    ctext = F.concat_ws(" ", planted, F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower(ctext), F.lit(_TOKEN_PATTERN), 0)
+            ).alias("token")
+        )
+        .withColumn(
+            "scope",
+            F.when(
+                F.col("token").rlike("^zw[0-9]+$"), F.lit("planted")
+            ).otherwise(F.lit("corpus")),
+        )
+        .groupBy("scope", "token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    freq = _zipf_freq_spark(spark, sf_dir).withColumn("neg", -F.col("n"))
+    tops = []
+    for scope in ("corpus", "planted"):
+        ranked = exact_global_rank(
+            freq.filter(F.col("scope") == scope), "neg", ("token",)
+        )
+        tops.append(
+            ranked.filter(F.col("global_rank") <= ZIPF_TOP_K).select(
+                "scope",
+                "token",
+                "n",
+                F.col("global_rank").alias("rank"),
+                F.col("global_count").alias("vocab_size"),
+                F.log(F.col("global_rank").cast("double")).alias("lnr"),
+                F.log(F.col("n").cast("double")).alias("lnf"),
+            )
+        )
+    top = tops[0].unionByName(tops[1])
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("rank"), F.col("lnr"), F.col("lnf")))
+    )
+    sums = top.groupBy("scope").agg(lst.alias("l")).select(
+        "scope",
+        F.size("l").cast("double").alias("k"),
+        F.aggregate("l", F.lit(0.0), lambda a, x: a + x["lnr"]).alias("sx"),
+        F.aggregate("l", F.lit(0.0), lambda a, x: a + x["lnf"]).alias("sy"),
+        F.aggregate(
+            "l", F.lit(0.0), lambda a, x: a + x["lnr"] * x["lnr"]
+        ).alias("sxx"),
+        F.aggregate(
+            "l", F.lit(0.0), lambda a, x: a + x["lnr"] * x["lnf"]
+        ).alias("sxy"),
+        F.aggregate(
+            "l", F.lit(0.0), lambda a, x: a + x["lnf"] * x["lnf"]
+        ).alias("syy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = sums.withColumn("slope", slope).select(
+        "scope",
+        "slope",
+        ((F.col("sy") - F.col("slope") * F.col("sx")) / F.col("k")).alias(
+            "intercept"
+        ),
+        (
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("r2"),
+    )
+    return top.join(F.broadcast(fit), "scope").select(
+        "scope",
+        "token",
+        "n",
+        "rank",
+        "vocab_size",
+        F.round("lnr", 6).alias("ln_rank"),
+        F.round("lnf", 6).alias("ln_freq"),
+        F.round(
+            F.col("lnf") - (F.col("intercept") + F.col("slope") * F.col("lnr")),
+            6,
+        ).alias("resid"),
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+def _sql_zipf_fit() -> str:
+    return f"""
+WITH base AS (
+  SELECT concat_ws(' ',
+           array_to_string(list_filter(list_transform(
+             range(1, {ZIPF_PLANT_MAX} + 1),
+             j -> CASE WHEN doc_id % j = 0 THEN 'zw' || j END),
+             x -> x IS NOT NULL), ' '),
+           text) AS ctext
+  FROM documents
+), tok AS (
+  SELECT unnest(regexp_extract_all(lower(ctext), '{_TOKEN_PATTERN}'))
+           AS token
+  FROM base
+), freq AS (
+  SELECT CASE WHEN regexp_matches(token, '^zw[0-9]+$') THEN 'planted'
+              ELSE 'corpus' END AS scope,
+         token, CAST(count(*) AS BIGINT) AS n
+  FROM tok GROUP BY 1, 2
+), vc AS (
+  SELECT scope, CAST(count(*) AS BIGINT) AS vocab_size
+  FROM freq GROUP BY scope
+), ranked AS (
+  SELECT scope, token, n,
+         CAST(row_number() OVER (PARTITION BY scope
+                                 ORDER BY n DESC, token) AS BIGINT) AS rank
+  FROM freq
+), top AS (
+  SELECT scope, token, n, rank,
+         ln(CAST(rank AS DOUBLE)) AS lnr,
+         ln(CAST(n AS DOUBLE)) AS lnf
+  FROM ranked WHERE rank <= {ZIPF_TOP_K}
+), s AS (
+  SELECT scope,
+         CAST(count(*) AS DOUBLE) AS k,
+         list_sum(list(lnr ORDER BY rank)) AS sx,
+         list_sum(list(lnf ORDER BY rank)) AS sy,
+         list_sum(list(lnr * lnr ORDER BY rank)) AS sxx,
+         list_sum(list(lnr * lnf ORDER BY rank)) AS sxy,
+         list_sum(list(lnf * lnf ORDER BY rank)) AS syy
+  FROM top GROUP BY scope
+), f1 AS (
+  SELECT scope, k, sx, sy, sxx, sxy, syy,
+         (k * sxy - sx * sy) / (k * sxx - sx * sx) AS slope
+  FROM s
+), fit AS (
+  SELECT scope, slope,
+         (sy - slope * sx) / k AS intercept,
+         (k * sxy - sx * sy) * (k * sxy - sx * sy)
+           / ((k * sxx - sx * sx) * (k * syy - sy * sy)) AS r2
+  FROM f1
+)
+SELECT t.scope, t.token, t.n, t.rank, vc.vocab_size,
+       round(t.lnr, 6) AS ln_rank,
+       round(t.lnf, 6) AS ln_freq,
+       round(t.lnf - (f.intercept + f.slope * t.lnr), 6) AS resid,
+       round(f.slope, 6) AS slope,
+       round(f.intercept, 6) AS intercept,
+       round(f.r2, 6) AS r2
+FROM top t
+JOIN fit f USING (scope)
+JOIN vc USING (scope)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -7635,4 +7842,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "crawl_frontier": (q_crawl_frontier, _sql_crawl_frontier()),
     "robots_filter": (q_robots_filter, _sql_robots_filter()),
     "template_lines": (q_template_lines, _sql_template_lines()),
+    "zipf_fit": (q_zipf_fit, _sql_zipf_fit()),
 }

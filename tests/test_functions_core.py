@@ -1771,3 +1771,71 @@ def test_template_lines_pure_python_replay_and_branches():
     # + footer): the promo line (~28%) stays below the 40% threshold
     per_dom = {s: sum(1 for t, _ in tpl if t == s) for s in dom_docs}
     assert set(per_dom.values()) == {2}, per_dom
+
+
+def test_zipf_fit_ground_truth_recovery_and_margins():
+    """Zipf fit (`zipf_fit`): the planted divisor-trick scope is an exact
+    power law (count(zw_j) = ceil(N/j)) and the estimator must recover
+    slope ~ -1 with r2 ~ 1; the near-uniform natural corpus must read as
+    non-Zipfian. A pure-Python OLS replay must agree to ~1e-9, and every
+    6dp-rounded output must clear the rounding boundary by a wide margin
+    (the event_transitions discipline)."""
+    import math
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        QUERIES,
+        ZIPF_PLANT_MAX,
+        ZIPF_TOP_K,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    rows = con.execute(QUERIES["zipf_fit"][1]).fetchall()
+    assert rows
+    by_scope: dict = {}
+    for r in rows:
+        by_scope.setdefault(r[0], []).append(r)
+    assert set(by_scope) == {"corpus", "planted"}
+    # planted scope: exact ceil(N/j) counts, estimator recovers the law
+    planted = sorted(by_scope["planted"], key=lambda r: r[3])
+    assert len(planted) == ZIPF_PLANT_MAX
+    ids = set(range(n_docs))
+    for scope, token, n, rank, vocab, lnr, lnf, resid, slope, b, r2 in planted:
+        j = int(token[2:])
+        assert n == sum(1 for d in ids if d % j == 0), token
+        assert vocab == ZIPF_PLANT_MAX
+        assert -1.1 < slope < -0.9, slope
+        assert r2 > 0.99, r2
+    # corpus scope: near-uniform head -> the templated-corpus verdict
+    c = by_scope["corpus"][0]
+    assert c[8] > -0.5 and c[10] < 0.5, (c[8], c[10])
+    # pure-Python OLS replay + margin sweep per scope
+    for scope, entries in by_scope.items():
+        entries = sorted(entries, key=lambda r: r[3])
+        xs = [math.log(r[3]) for r in entries]
+        ys = [math.log(r[2]) for r in entries]
+        k = float(len(xs))
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        syy = sum(y * y for y in ys)
+        slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+        intercept = (sy - slope * sx) / k
+        r2 = (k * sxy - sx * sy) ** 2 / ((k * sxx - sx * sx) * (k * syy - sy * sy))
+        assert abs(entries[0][8] - slope) < 1e-6
+        assert abs(entries[0][9] - intercept) < 1e-6
+        assert abs(entries[0][10] - r2) < 1e-6
+        for r, x, y in zip(entries, xs, ys):
+            raw = [x, y, y - (intercept + slope * x), slope, intercept, r2]
+            for v in raw:
+                # distance of v*1e6 from the .5 rounding boundary within
+                # its unit interval (0 = exactly on the boundary)
+                frac = abs((v * 1e6) - math.floor(v * 1e6) - 0.5)
+                assert frac > 1e-4, (scope, r[1], v)
+    assert len(by_scope["corpus"]) <= ZIPF_TOP_K
