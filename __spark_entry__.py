@@ -256,6 +256,10 @@ DRIVER_CAP_OVERFLOW = (
     # top-200 terms — exact_global_rank head, pinned-order regression
     # folds, broadcast 1-row fit, per-term residuals
     "zipf_fit",
+    # round-6 new, born-overflow: HITS hubs/authorities over the SAME
+    # pinned host graph as pagerank — L1-normalized alternating updates,
+    # zero-FileScan iteration plan (pagerank discipline)
+    "hits",
 )
 
 

@@ -7748,6 +7748,191 @@ JOIN vc USING (scope)
 """
 
 
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (`hits`): Kleinberg 1999 — the other classical
+# host-graph score next to `pagerank`, separating nodes that LINK to good
+# content (hubs) from nodes that ARE good content (authorities); real
+# crawl pipelines use the pair to seed frontier and spam heuristics. Runs
+# over the SAME synthesized host graph as `pagerank` (identical node/edge
+# derivation incl. the dangle pruning), so the two scores are directly
+# joinable. HITS_ITERS alternating weighted updates with L1
+# normalization: h = E·a / ||E·a||_1, a = Eᵀ·h / ||Eᵀ·h||_1.
+#
+# Scale shape: the pagerank discipline verbatim — graph tables derived
+# from ONE corpus scan, aggregated to <= N² rows, pinned with eager
+# localCheckpoint; each iteration joins only the tiny pinned frames
+# (plan-gated: zero FileScans); the normalizer is a 1-row aggregate
+# broadcast back. At |hosts| scale each half-iteration is one
+# broadcast-or-shuffle join + map-side-combinable agg keyed by node.
+#
+# Cross-engine determinism: per-term arithmetic identical; only the
+# <= N-term reduce orders differ (contribution sums + the normalizer),
+# and L1 normalization keeps values in [0,1] so absolute drift stays
+# ~1e-15 per iteration — far under the 6dp boundary (margin pytest, the
+# pagerank discipline).
+# --------------------------------------------------------------------------
+
+HITS_ITERS = 8
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    raw = docs.select(
+        (src_num % PR_N_NODES).alias("src"),
+        ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst"),
+    )
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        raw.filter(
+            (F.col("src") != F.col("dst"))
+            & (F.col("src") % 7 != PR_DANGLE_MOD)
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    ncnt = nodes.agg(F.count("*").cast("double").alias("n"))
+    auth = nodes.crossJoin(F.broadcast(ncnt)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("a")
+    )
+    hub = None
+    for _ in range(HITS_ITERS):
+        hraw = (
+            nodes.join(
+                edges.join(auth, edges["dst"] == auth["node"])
+                .groupBy("src")
+                .agg(F.sum(F.col("w") * F.col("a")).alias("hv")),
+                nodes["node"] == F.col("src"),
+                "left",
+            )
+            .select("node", F.coalesce("hv", F.lit(0.0)).alias("hv"))
+        )
+        # pin each half-iteration (the connected-components discipline):
+        # the normalizer agg + the next phase both re-read this frame, and
+        # without a checkpoint the doubly-referenced lineage re-executes
+        # exponentially across the 2*HITS_ITERS half-steps
+        hraw = hraw.localCheckpoint(eager=True)
+        hs = hraw.agg(F.sum("hv").alias("s"))
+        hub = hraw.crossJoin(F.broadcast(hs)).select(
+            "node", (F.col("hv") / F.col("s")).alias("h")
+        )
+        araw = (
+            nodes.join(
+                edges.join(hub, edges["src"] == hub["node"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("w") * F.col("h")).alias("av")),
+                nodes["node"] == F.col("dst"),
+                "left",
+            )
+            .select("node", F.coalesce("av", F.lit(0.0)).alias("av"))
+        )
+        araw = araw.localCheckpoint(eager=True)
+        asum = araw.agg(F.sum("av").alias("s"))
+        auth = araw.crossJoin(F.broadcast(asum)).select(
+            "node", (F.col("av") / F.col("s")).alias("a")
+        )
+    outd = edges.groupBy("src").agg(
+        F.count("*").cast("long").alias("n_out"),
+        F.sum("w").cast("long").alias("out_w"),
+    )
+    ind = edges.groupBy("dst").agg(
+        F.count("*").cast("long").alias("n_in"),
+        F.sum("w").cast("long").alias("in_w"),
+    )
+    return (
+        hub.join(auth, "node")
+        .join(F.broadcast(outd), F.col("node") == outd["src"], "left")
+        .join(F.broadcast(ind), F.col("node") == ind["dst"], "left")
+        .select(
+            "node",
+            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+            F.coalesce("out_w", F.lit(0)).cast("long").alias("out_w"),
+            F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
+            F.coalesce("in_w", F.lit(0)).cast("long").alias("in_w"),
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("auth"),
+        )
+    )
+
+
+def _sql_hits() -> str:
+    n = PR_N_NODES
+    iters = []
+    for i in range(1, HITS_ITERS + 1):
+        p = f"a{i - 1}"
+        # AS MATERIALIZED: DuckDB inlines CTEs by default, and the doubly-
+        # referenced per-half-step frames would re-open the parquet
+        # exponentially across 2*HITS_ITERS levels (observed: fd
+        # exhaustion) — the SQL mirror of the Spark-side localCheckpoint
+        iters.append(
+            f"""h{i}r AS MATERIALIZED (
+  SELECT nd.node, coalesce(x.hv, 0.0) AS hv
+  FROM nodes nd LEFT JOIN (
+    SELECT e.src AS node, sum(e.w * p.a) AS hv
+    FROM e JOIN {p} p ON p.node = e.dst GROUP BY e.src) x
+  ON x.node = nd.node
+), h{i}s AS (
+  SELECT sum(hv) AS s FROM h{i}r
+), h{i} AS MATERIALIZED (
+  SELECT node, hv / s AS h FROM h{i}r CROSS JOIN h{i}s
+), a{i}r AS MATERIALIZED (
+  SELECT nd.node, coalesce(x.av, 0.0) AS av
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(e.w * p.h) AS av
+    FROM e JOIN h{i} p ON p.node = e.src GROUP BY e.dst) x
+  ON x.node = nd.node
+), a{i}s AS (
+  SELECT sum(av) AS s FROM a{i}r
+), a{i} AS MATERIALIZED (
+  SELECT node, av / s AS a FROM a{i}r CROSS JOIN a{i}s
+)"""
+        )
+    chain = ", ".join(iters)
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT (CAST(substr(source, 4) AS BIGINT) % {n}) AS src,
+         ((CAST(substr(source, 4) AS BIGINT) * 7 + doc_id * 13 + 3) % {n})
+           AS dst
+  FROM documents
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM raw UNION SELECT dst FROM raw
+), ncnt AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+), e AS MATERIALIZED (
+  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+  FROM raw WHERE src <> dst AND (src % 7) <> {PR_DANGLE_MOD}
+  GROUP BY src, dst
+), outd AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_out,
+         CAST(sum(w) AS BIGINT) AS out_w
+  FROM e GROUP BY src
+), ind AS (
+  SELECT dst, CAST(count(*) AS BIGINT) AS n_in,
+         CAST(sum(w) AS BIGINT) AS in_w
+  FROM e GROUP BY dst
+), a0 AS (
+  SELECT node, 1.0 / n AS a FROM nodes CROSS JOIN ncnt
+), {chain}
+SELECT h.node,
+       CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out,
+       CAST(coalesce(o.out_w, 0) AS BIGINT) AS out_w,
+       CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in,
+       CAST(coalesce(i.in_w, 0) AS BIGINT) AS in_w,
+       round(h.h, 6) AS hub,
+       round(a.a, 6) AS auth
+FROM h{HITS_ITERS} h
+JOIN a{HITS_ITERS} a ON a.node = h.node
+LEFT JOIN outd o ON o.src = h.node
+LEFT JOIN ind i ON i.dst = h.node
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -7843,4 +8028,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "robots_filter": (q_robots_filter, _sql_robots_filter()),
     "template_lines": (q_template_lines, _sql_template_lines()),
     "zipf_fit": (q_zipf_fit, _sql_zipf_fit()),
+    "hits": (q_hits, _sql_hits()),
 }

@@ -1839,3 +1839,71 @@ def test_zipf_fit_ground_truth_recovery_and_margins():
                 frac = abs((v * 1e6) - math.floor(v * 1e6) - 0.5)
                 assert frac > 1e-4, (scope, r[1], v)
     assert len(by_scope["corpus"]) <= ZIPF_TOP_K
+
+
+def test_hits_pure_python_replay_and_invariants():
+    """HITS (`hits`): an independent pure-Python alternating-update
+    replay — same synthesized graph as pagerank, L1 normalization — must
+    match the DuckDB oracle at sf0.001 to 6dp; hub and auth vectors each
+    sum to 1; pruned-out-edge (dangle-rule) nodes have hub 0 but can
+    still hold authority; every value clears its 6dp rounding boundary
+    (the cross-engine float-sum-order guard)."""
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        HITS_ITERS,
+        PR_DANGLE_MOD,
+        PR_N_NODES,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    got = {
+        r[0]: r[1:] for r in con.execute(QUERIES["hits"][1]).fetchall()
+    }
+    pairs = con.execute(
+        f"SELECT (CAST(substr(source, 4) AS BIGINT) % {PR_N_NODES}),"
+        f" ((CAST(substr(source, 4) AS BIGINT) * 7 + doc_id * 13 + 3)"
+        f" % {PR_N_NODES}) FROM documents"
+    ).fetchall()
+    nodes = sorted({s for s, _ in pairs} | {t for _, t in pairs})
+    w: dict = {}
+    for s, t in pairs:
+        if s != t and s % 7 != PR_DANGLE_MOD:
+            w[(s, t)] = w.get((s, t), 0) + 1
+    n = len(nodes)
+    a = {v: 1.0 / n for v in nodes}
+    h: dict = {}
+    for _ in range(HITS_ITERS):
+        h = {v: 0.0 for v in nodes}
+        for (s, t), c in w.items():
+            h[s] += float(c) * a[t]
+        hs = sum(h.values())
+        h = {v: x / hs for v, x in h.items()}
+        a = {v: 0.0 for v in nodes}
+        for (s, t), c in w.items():
+            a[t] += float(c) * h[s]
+        asum = sum(a.values())
+        a = {v: x / asum for v, x in a.items()}
+    assert set(got) == set(nodes)
+    pruned_with_auth = 0
+    for v in nodes:
+        n_out, out_w, n_in, in_w, hub, auth = got[v]
+        for val, exp in ((hub, h[v]), (auth, a[v])):
+            frac = abs(exp * 1e6 - round(exp * 1e6))
+            assert abs(frac - 0.5) > 1e-9, (v, exp)
+            assert val == round(exp, 6), (v, val, exp)
+        assert n_out == sum(1 for (s, _t) in w if s == v)
+        assert out_w == sum(c for (s, _t), c in w.items() if s == v)
+        assert in_w == sum(c for (_s, t), c in w.items() if t == v)
+        if v % 7 == PR_DANGLE_MOD:
+            assert hub == 0.0 and n_out == 0, (v, got[v])
+            if auth > 0:
+                pruned_with_auth += 1
+    assert pruned_with_auth >= 1, "hub/auth separation vacuous"
+    assert abs(sum(h.values()) - 1.0) < 1e-9
+    assert abs(sum(a.values()) - 1.0) < 1e-9

@@ -341,3 +341,22 @@ def test_pagerank_iterations_never_rescan_corpus(spark):
     assert "FileScan" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_hits_iterations_never_rescan_corpus(spark):
+    """hits shares pagerank's scale claim: graph tables pinned with eager
+    localCheckpoint, each half-iteration additionally pinned (the
+    doubly-referenced normalizer lineage would otherwise re-execute
+    exponentially) — so the returned plan contains ZERO FileScans, no
+    cartesian product, and no Python stage."""
+    from htep_spark.driver_queries import q_hits
+
+    plan = (
+        q_hits(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
