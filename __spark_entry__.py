@@ -260,6 +260,11 @@ DRIVER_CAP_OVERFLOW = (
     # pinned host graph as pagerank — L1-normalized alternating updates,
     # zero-FileScan iteration plan (pagerank discipline)
     "hits",
+    # round-6 new, born-overflow: per-source Jensen-Shannon divergence vs
+    # the corpus unigram distribution over a top-K + OTHER-bucket support
+    # (the scale-honest categorical drift monitor; pinned-order KL folds,
+    # planted even-source token fires the p=0 branch)
+    "js_divergence",
 )
 
 

@@ -7933,6 +7933,228 @@ LEFT JOIN ind i ON i.dst = h.node
 """
 
 
+# --------------------------------------------------------------------------
+# Per-source Jensen-Shannon divergence (`js_divergence`): the
+# distributional drift monitor between each source's unigram distribution
+# and the corpus-wide one — the categorical counterpart to `ks_drift`
+# (which handles numeric distributions) and the quantitative backbone of
+# domain-mix audits (Lin 1991; used in data-mixture work to compare
+# domain token distributions). JSD = (KL(p‖m) + KL(q‖m)) / 2 with
+# m = (p+q)/2, bounded in [0, ln 2].
+#
+# Scale honesty: the support is NOT the raw vocabulary — it is the global
+# top-JSD_TOP_K terms plus one OTHER bucket carrying each distribution's
+# remaining mass (distributions stay proper, the estimate degrades
+# gracefully, and the per-source work is K+1 terms regardless of corpus
+# size). The term grid is a crossJoin of two ALREADY-AGGREGATED tiny
+# frames (|sources| × K) — never a corpus-sized product. One token-linear
+# (source, token) count agg; global counts and totals re-aggregated from
+# that table (never a second corpus pass); top-K via `exact_global_rank`.
+# The testdata vocab (31) exceeds K = 16, so the OTHER bucket provably
+# carries mass on both sides; a planted token in even-numbered sources
+# ("jscommon", rank 1 globally) forces the p = 0 zero-mass branch to
+# fire for every odd source.
+#
+# Cross-engine determinism: the KL sums run as pinned-order folds over
+# the term-sorted list (char_entropy discipline); ln() agrees to <= 1
+# ulp; margin pytest.
+# --------------------------------------------------------------------------
+
+JSD_TOP_K = 16  # support = global top-K terms + an OTHER tail bucket
+_JSD_OTHER = "~other"  # sorts after every [a-z0-9]+ token in both engines
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    ctext = F.concat(
+        F.col("text"),
+        F.coalesce(
+            F.when(src_num % 2 == 0, F.lit(" jscommon" * 8)), F.lit("")
+        ),
+    )
+    toks = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(ctext), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("token"),
+    )
+    cst = toks.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ct = cst.groupBy("token").agg(F.sum("c").cast("long").alias("gc"))
+    tot = ct.agg(F.sum("gc").cast("long").alias("t"))
+    topk = (
+        exact_global_rank(ct.withColumn("neg", -F.col("gc")), "neg", ("token",))
+        .filter(F.col("global_rank") <= JSD_TOP_K)
+        .select("token", "gc")
+        .localCheckpoint(eager=True)  # tiny; reused by grid + tail math
+    )
+    ts = cst.groupBy("source").agg(F.sum("c").cast("long").alias("ts"))
+    top_q = topk.agg(F.sum("gc").cast("long").alias("top_gc"))
+    # full |sources| x K grid of two tiny aggregated frames (p=0 rows kept)
+    grid = (
+        ts.crossJoin(F.broadcast(topk))
+        .join(cst, ["source", "token"], "left")
+        .select(
+            "source",
+            "ts",
+            "token",
+            F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+            "gc",
+        )
+    )
+    # per-source OTHER bucket: remaining in-source mass vs remaining
+    # global mass (both re-aggregated, never a second corpus pass)
+    in_top = grid.groupBy("source", "ts").agg(
+        F.sum("c").cast("long").alias("c_top")
+    )
+    other = (
+        in_top.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(top_q))
+        .select(
+            "source",
+            "ts",
+            F.lit(_JSD_OTHER).alias("token"),
+            (F.col("ts") - F.col("c_top")).cast("long").alias("c"),
+            (F.col("t") - F.col("top_gc")).cast("long").alias("gc"),
+        )
+    )
+    terms = grid.unionByName(other).crossJoin(F.broadcast(tot))
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("token"), F.col("c"), F.col("gc")))
+    )
+    folded = (
+        terms.groupBy("source", "ts", "t")
+        .agg(
+            lst.alias("l"),
+            F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_present"),
+        )
+        .select(
+            "source",
+            "ts",
+            "n_present",
+            F.aggregate(
+                F.expr(
+                    "transform(l, e -> struct(e.token as token, e.c as c,"
+                    " cast(ts as double) as ts, e.gc as gc,"
+                    " cast(t as double) as t))"
+                ),
+                F.lit(0.0),
+                lambda a, x: a
+                + F.when(
+                    x["c"] > 0,
+                    (x["c"] / x["ts"])
+                    * F.log(
+                        (x["c"] / x["ts"])
+                        / ((x["c"] / x["ts"] + x["gc"] / x["t"]) / F.lit(2.0))
+                    ),
+                ).otherwise(F.lit(0.0)),
+            ).alias("klp"),
+            F.aggregate(
+                F.expr(
+                    "transform(l, e -> struct(e.token as token, e.c as c,"
+                    " cast(ts as double) as ts, e.gc as gc,"
+                    " cast(t as double) as t))"
+                ),
+                F.lit(0.0),
+                lambda a, x: a
+                + F.when(
+                    x["gc"] > 0,
+                    (x["gc"] / x["t"])
+                    * F.log(
+                        (x["gc"] / x["t"])
+                        / ((x["c"] / x["ts"] + x["gc"] / x["t"]) / F.lit(2.0))
+                    ),
+                ).otherwise(F.lit(0.0)),
+            ).alias("klq"),
+        )
+    )
+    return folded.select(
+        "source",
+        F.col("ts").alias("n_tokens"),
+        "n_present",
+        F.round("klp", 6).alias("kl_p_m"),
+        F.round("klq", 6).alias("kl_q_m"),
+        F.round((F.col("klp") + F.col("klq")) / F.lit(2.0), 6).alias("jsd"),
+    )
+
+
+def _sql_js_divergence() -> str:
+    k = JSD_TOP_K
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT source,
+         text || coalesce(CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                               THEN '{" jscommon" * 8}' END, '') AS ctext
+  FROM documents
+), tok AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(ctext), '{_TOKEN_PATTERN}'))
+           AS token
+  FROM base
+), cst AS MATERIALIZED (
+  SELECT source, token, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY source, token
+), ct AS MATERIALIZED (
+  SELECT token, CAST(sum(c) AS BIGINT) AS gc FROM cst GROUP BY token
+), tot AS (
+  SELECT CAST(sum(gc) AS BIGINT) AS t FROM ct
+), topk AS MATERIALIZED (
+  SELECT token, gc
+  FROM (SELECT token, gc,
+               row_number() OVER (ORDER BY gc DESC, token) AS rnk
+        FROM ct)
+  WHERE rnk <= {k}
+), ts AS MATERIALIZED (
+  SELECT source, CAST(sum(c) AS BIGINT) AS ts FROM cst GROUP BY source
+), top_q AS (
+  SELECT CAST(sum(gc) AS BIGINT) AS top_gc FROM topk
+), grid AS (
+  SELECT s.source, s.ts, tk.token,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS c, tk.gc
+  FROM ts s CROSS JOIN topk tk
+  LEFT JOIN cst c ON c.source = s.source AND c.token = tk.token
+), other AS (
+  SELECT g.source, g.ts, '{_JSD_OTHER}' AS token,
+         CAST(g.ts - sum(g.c) AS BIGINT) AS c,
+         CAST(tot.t - top_q.top_gc AS BIGINT) AS gc
+  FROM grid g CROSS JOIN tot CROSS JOIN top_q
+  GROUP BY g.source, g.ts, tot.t, top_q.top_gc
+), terms AS (
+  SELECT * FROM grid UNION ALL SELECT * FROM other
+), folded AS (
+  SELECT source, ts, t,
+         CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_present,
+         list_sum(list(
+           CASE WHEN c > 0
+                THEN (c / CAST(ts AS DOUBLE))
+                     * ln((c / CAST(ts AS DOUBLE))
+                          / ((c / CAST(ts AS DOUBLE)
+                              + gc / CAST(t AS DOUBLE)) / 2.0))
+                ELSE 0.0 END ORDER BY token)) AS klp,
+         list_sum(list(
+           CASE WHEN gc > 0
+                THEN (gc / CAST(t AS DOUBLE))
+                     * ln((gc / CAST(t AS DOUBLE))
+                          / ((c / CAST(ts AS DOUBLE)
+                              + gc / CAST(t AS DOUBLE)) / 2.0))
+                ELSE 0.0 END ORDER BY token)) AS klq
+  FROM terms CROSS JOIN tot
+  GROUP BY source, ts, t
+)
+SELECT source, ts AS n_tokens, n_present,
+       round(klp, 6) AS kl_p_m,
+       round(klq, 6) AS kl_q_m,
+       round((klp + klq) / 2.0, 6) AS jsd
+FROM folded
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -8029,4 +8251,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "template_lines": (q_template_lines, _sql_template_lines()),
     "zipf_fit": (q_zipf_fit, _sql_zipf_fit()),
     "hits": (q_hits, _sql_hits()),
+    "js_divergence": (q_js_divergence, _sql_js_divergence()),
 }

@@ -1907,3 +1907,72 @@ def test_hits_pure_python_replay_and_invariants():
     assert pruned_with_auth >= 1, "hub/auth separation vacuous"
     assert abs(sum(h.values()) - 1.0) < 1e-9
     assert abs(sum(a.values()) - 1.0) < 1e-9
+
+
+def test_js_divergence_pure_python_replay_and_branches():
+    """JSD drift (`js_divergence`): a pure-Python replay of the
+    top-K + OTHER-bucket construction must match the DuckDB oracle at
+    sf0.001; JSD stays in [0, ln 2]; the planted 'jscommon' token makes
+    every odd source hit the p = 0 branch (n_present = JSD_TOP_K) and
+    gives odd sources strictly higher divergence than even ones; the
+    OTHER bucket carries mass on both sides; every rounded value clears
+    the 6dp boundary."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import JSD_TOP_K, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, text FROM documents").fetchall()
+    cst: dict = defaultdict(Counter)
+    for source, text in raw:
+        t = text + (" jscommon" * 8 if int(source[3:]) % 2 == 0 else "")
+        cst[source].update(re.findall("[a-z0-9]+", t.lower()))
+    ct: Counter = Counter()
+    for c in cst.values():
+        ct.update(c)
+    t_tot = sum(ct.values())
+    topk = sorted(ct.items(), key=lambda kv: (-kv[1], kv[0]))[:JSD_TOP_K]
+    top_tokens = [tok for tok, _ in topk]
+    assert "jscommon" in top_tokens
+    top_gc = sum(gc for _, gc in topk)
+    rows = con.execute(QUERIES["js_divergence"][1]).fetchall()
+    assert len(rows) == len(cst)
+    jsd_by_parity: dict = {0: [], 1: []}
+    for source, n_tokens, n_present, klp_r, klq_r, jsd_r in rows:
+        ts = sum(cst[source].values())
+        assert n_tokens == ts
+        terms = [(tok, cst[source].get(tok, 0), gc) for tok, gc in topk]
+        terms.append(
+            ("~other", ts - sum(c for _, c, _ in terms), t_tot - top_gc)
+        )
+        terms.sort()
+        klp = klq = 0.0
+        for _tok, c, gc in terms:
+            p, q = c / ts, gc / t_tot
+            m = (p + q) / 2.0
+            if c > 0:
+                klp += p * math.log(p / m)
+            if gc > 0:
+                klq += q * math.log(q / m)
+        jsd = (klp + klq) / 2.0
+        for got, exp in ((klp_r, klp), (klq_r, klq), (jsd_r, jsd)):
+            frac = abs(exp * 1e6 - math.floor(exp * 1e6) - 0.5)
+            assert frac > 1e-4, (source, exp)
+            assert got == round(exp, 6), (source, got, exp)
+        assert 0.0 <= jsd_r <= math.log(2) + 1e-9
+        parity = int(source[3:]) % 2
+        assert n_present == (JSD_TOP_K + 1 if parity == 0 else JSD_TOP_K)
+        # OTHER bucket non-vacuous on both sides
+        other = terms[-1]
+        assert other[0] == "~other" and other[1] > 0 and other[2] > 0
+        jsd_by_parity[parity].append(jsd_r)
+    # planted drift: every odd source diverges more than every even one
+    assert max(jsd_by_parity[0]) < min(jsd_by_parity[1])
