@@ -265,6 +265,11 @@ DRIVER_CAP_OVERFLOW = (
     # (the scale-honest categorical drift monitor; pinned-order KL folds,
     # planted even-source token fires the p=0 branch)
     "js_divergence",
+    # round-6 new, born-overflow: Unicode NFC normalization — Python
+    # unicodedata (Arrow UDF) vs DuckDB utf8proc, two independent UAX#15
+    # implementations byte-agreed via md5; planted decomposed/Hangul/
+    # ligature/ascii preludes fire compose, reorder and no-op branches
+    "nfc_normalize",
 )
 
 

@@ -8155,6 +8155,96 @@ FROM folded
 """
 
 
+# --------------------------------------------------------------------------
+# Unicode NFC normalization (`nfc_normalize`): the canonical-form pass a
+# corpus needs before dedup/hashing — visually identical strings with
+# different code-point sequences ("e" + COMBINING ACUTE vs precomposed
+# "é") would otherwise defeat exact dedup, dictionary lookups, and
+# tokenizers (UAX #15; sibling of `mojibake_fix`, which repairs encoding
+# damage while this canonicalizes valid-but-decomposed sequences). The
+# raw corpus is ASCII, so a per-doc prelude (doc_id % 6) plants the
+# canonical cases: combining-mark composition, multiple marks with
+# canonical reordering (ogonek + acute), Hangul jamo LVT composition,
+# a compatibility ligature NFC must PRESERVE (ﬁ — zero-change branch),
+# and plain ASCII (zero-change). The cross-engine check is real: the
+# Spark side normalizes with Python's unicodedata (UCD tables via an
+# Arrow-batched pandas UDF — the approved slow path; normalization has
+# no JVM-expression analogue), DuckDB with utf8proc's nfc_normalize —
+# two independent UAX #15 implementations must agree byte-for-byte,
+# certified via md5 fingerprints of the normalized stream.
+#
+# Scale shape: a narrow per-doc projection + one Arrow batch pass —
+# zero shuffles, zero joins; at 100 TB this is embarrassingly parallel
+# and the UDF cost is one table scan (same class as `mojibake_fix`
+# with a Python kernel instead of literal replaces).
+# --------------------------------------------------------------------------
+
+NFC_SNIPPETS = [
+    # EXPLICITLY DECOMPOSED escapes — a precomposed literal here would
+    # make NFC a no-op and the composition branches vacuous
+    "cafe\u0301 menu",  # combining acute -> composes to \u00e9
+    "A\u030angstro\u0308m unit",  # ring + diaeresis -> \u00c5, \u00f6
+    "\u1100\u1161\u11a8 script",  # Hangul jamo L+V+T -> \uac01
+    "\ufb01le ready",  # compatibility ligature: NFC preserves (no-op)
+    "e\u0328\u0301 order",  # ogonek + acute: canonical reorder + compose
+    "plain ascii line",  # no-op branch
+]
+
+
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = F.array(*[F.lit(s) for s in NFC_SNIPPETS])
+    idx = (F.col("doc_id") % len(NFC_SNIPPETS) + 1).cast("int")
+    ctext = F.concat(F.element_at(arr, idx), F.lit("\n"), F.col("text"))
+    docs = _docs(spark, sf_dir).select("doc_id", ctext.alias("ctext"))
+
+    @F.pandas_udf("string")
+    def nfc(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import unicodedata
+
+        for series in batches:
+            yield series.map(lambda s: unicodedata.normalize("NFC", s))
+
+    return docs.select(
+        "doc_id", "ctext", nfc(F.col("ctext")).alias("norm")
+    ).select(
+        "doc_id",
+        F.length("ctext").cast("long").alias("n_chars_orig"),
+        F.length("norm").cast("long").alias("n_chars_norm"),
+        (F.length("ctext") - F.length("norm"))
+        .cast("long")
+        .alias("n_composed"),
+        F.md5("ctext").alias("orig_md5"),
+        F.md5("norm").alias("norm_md5"),
+        (F.md5("norm") != F.md5("ctext")).cast("long").alias("changed"),
+    )
+
+
+def _sql_nfc_normalize() -> str:
+    whens = "".join(
+        f" WHEN {i} THEN {_sql_quote(s)}" for i, s in enumerate(NFC_SNIPPETS)
+    )
+    ctext = (
+        f"(CASE (doc_id % {len(NFC_SNIPPETS)}){whens} END"
+        f" || chr(10) || text)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {ctext} AS ctext FROM documents
+), rep AS (
+  SELECT doc_id, ctext, nfc_normalize(ctext) AS norm FROM base
+)
+SELECT doc_id,
+       CAST(length(ctext) AS BIGINT) AS n_chars_orig,
+       CAST(length(norm) AS BIGINT) AS n_chars_norm,
+       CAST(length(ctext) - length(norm) AS BIGINT) AS n_composed,
+       md5(ctext) AS orig_md5,
+       md5(norm) AS norm_md5,
+       CAST(CASE WHEN md5(norm) <> md5(ctext) THEN 1 ELSE 0 END AS BIGINT)
+         AS changed
+FROM rep
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -8252,4 +8342,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "zipf_fit": (q_zipf_fit, _sql_zipf_fit()),
     "hits": (q_hits, _sql_hits()),
     "js_divergence": (q_js_divergence, _sql_js_divergence()),
+    "nfc_normalize": (q_nfc_normalize, _sql_nfc_normalize()),
 }

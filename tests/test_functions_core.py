@@ -1976,3 +1976,50 @@ def test_js_divergence_pure_python_replay_and_branches():
         jsd_by_parity[parity].append(jsd_r)
     # planted drift: every odd source diverges more than every even one
     assert max(jsd_by_parity[0]) < min(jsd_by_parity[1])
+
+
+def test_nfc_normalize_pure_python_replay_and_branches():
+    """NFC normalization (`nfc_normalize`): a pure-Python unicodedata
+    replay must match the DuckDB (utf8proc) oracle at sf0.001 — two
+    independent UAX #15 implementations agreeing byte-for-byte — and the
+    planted branches must fire: combining-mark composition (classes 0,
+    1, 4 shrink), Hangul jamo LVT composition (class 2 shrinks by 2),
+    the ﬁ compatibility ligature and plain ASCII are preserved
+    (changed = 0)."""
+    import hashlib
+    import unicodedata
+
+    import duckdb
+
+    from htep_spark.driver_queries import NFC_SNIPPETS, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = dict(con.execute("SELECT doc_id, text FROM documents").fetchall())
+    rows = con.execute(QUERIES["nfc_normalize"][1]).fetchall()
+    assert len(rows) == len(raw)
+    seen = set()
+    for doc_id, n_orig, n_norm, n_comp, omd5, nmd5, changed in rows:
+        snip = NFC_SNIPPETS[doc_id % 6]
+        ctext = snip + "\n" + raw[doc_id]
+        norm = unicodedata.normalize("NFC", ctext)
+        assert omd5 == hashlib.md5(ctext.encode("utf-8")).hexdigest()
+        assert nmd5 == hashlib.md5(norm.encode("utf-8")).hexdigest()
+        assert n_orig == len(ctext) and n_norm == len(norm)
+        assert n_comp == len(ctext) - len(norm)
+        assert changed == (1 if norm != ctext else 0)
+        cls = doc_id % 6
+        if cls in (0, 4):
+            assert n_comp == 1 and changed == 1
+        elif cls in (1, 2):
+            assert n_comp == 2 and changed == 1
+        else:
+            assert n_comp == 0 and changed == 0
+        seen.add(cls)
+    assert seen == set(range(6))
+    # the ogonek+acute case exercises canonical REORDERING, not just
+    # composition: the raw mark order is non-canonical
+    assert unicodedata.normalize("NFC", NFC_SNIPPETS[4]) != NFC_SNIPPETS[4]
