@@ -270,6 +270,10 @@ DRIVER_CAP_OVERFLOW = (
     # implementations byte-agreed via md5; planted decomposed/Hangul/
     # ligature/ascii preludes fire compose, reorder and no-op branches
     "nfc_normalize",
+    # round-6 new, born-overflow: label-propagation communities over the
+    # pinned host graph — synchronous weighted votes, packed-argmin
+    # tie-break, EXACT integer arithmetic end to end
+    "lpa_communities",
 )
 
 

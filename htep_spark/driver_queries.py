@@ -8245,6 +8245,145 @@ FROM rep
 """
 
 
+# --------------------------------------------------------------------------
+# Label-propagation communities (`lpa_communities`): Raghavan et al. 2007
+# — the linear-time community detector crawl/curation pipelines run over
+# the host graph to group mirror farms and site families (the
+# community-level sibling of `dedup_keepers`' connected components, which
+# it generalizes: CC = LPA where any shared edge merges; LPA weighs
+# neighbor votes). SYNCHRONOUS updates with a deterministic tie-break
+# (max weighted vote, then smallest label) over the UNDIRECTED view of
+# the same pinned host graph as `pagerank`/`hits`; LPA_ITERS rounds
+# (convergence by round 2 on this graph — verified stable in pytest).
+# The dominant community plus singleton nodes prove both the vote branch
+# and the keep-own-label fallback fire.
+#
+# Scale shape: pagerank discipline — graph pinned once, per-round work is
+# one join + two map-side-combinable aggs keyed by node; the vote argmax
+# is the PACKED-ARGMIN idiom ((BIG - weight)*100 + label, then min) — no
+# window function, no sort, cluster-size invariant, and EXACT integer
+# arithmetic end to end (unlike pagerank/hits there is no float surface
+# at all: both engines must agree bit-for-bit, not just to 6dp).
+# --------------------------------------------------------------------------
+
+LPA_ITERS = 6
+_LPA_PACK = 10**12  # vote weights stay far below this at any plausible SF
+
+
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    raw = docs.select(
+        (src_num % PR_N_NODES).alias("src"),
+        ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst"),
+    )
+    nodes = (
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w = raw.filter(
+        (F.col("src") != F.col("dst")) & (F.col("src") % 7 != PR_DANGLE_MOD)
+    ).groupBy("src", "dst").agg(F.count("*").cast("long").alias("w"))
+    und = (
+        w.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "w")
+        .union(
+            w.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), "w")
+        )
+        .groupBy("node", "nbr")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(LPA_ITERS):
+        votes = (
+            und.join(
+                labels.select(F.col("node").alias("nbr"), "lab"), "nbr"
+            )
+            .groupBy("node", "lab")
+            .agg(F.sum("w").cast("long").alias("ws"))
+        )
+        pick = votes.select(
+            "node",
+            ((F.lit(_LPA_PACK) - F.col("ws")) * 100 + F.col("lab")).alias(
+                "pk"
+            ),
+        ).groupBy("node").agg(F.min("pk").alias("mp"))
+        labels = (
+            nodes.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("mp") % 100, F.col("node")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lab").agg(F.count("*").cast("long").alias("csize"))
+    ncomm = sizes.agg(F.count("*").cast("long").alias("n_comms"))
+    return (
+        labels.join(F.broadcast(sizes), "lab")
+        .crossJoin(F.broadcast(ncomm))
+        .select(
+            "node",
+            F.col("lab").alias("community"),
+            "csize",
+            "n_comms",
+            (F.col("lab") == F.col("node")).cast("long").alias("own_label"),
+        )
+    )
+
+
+def _sql_lpa_communities() -> str:
+    n = PR_N_NODES
+    iters = []
+    for i in range(1, LPA_ITERS + 1):
+        p = f"l{i - 1}"
+        iters.append(
+            f"""v{i} AS (
+  SELECT u.node, l.lab, CAST(sum(u.w) AS BIGINT) AS ws
+  FROM und u JOIN {p} l ON l.node = u.nbr GROUP BY u.node, l.lab
+), p{i} AS (
+  SELECT node, min(({_LPA_PACK} - ws) * 100 + lab) AS mp
+  FROM v{i} GROUP BY node
+), l{i} AS MATERIALIZED (
+  SELECT nd.node, coalesce(p.mp % 100, nd.node) AS lab
+  FROM nodes nd LEFT JOIN p{i} p ON p.node = nd.node
+)"""
+        )
+    chain = ", ".join(iters)
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT (CAST(substr(source, 4) AS BIGINT) % {n}) AS src,
+         ((CAST(substr(source, 4) AS BIGINT) * 7 + doc_id * 13 + 3) % {n})
+           AS dst
+  FROM documents
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM raw UNION SELECT dst FROM raw
+), w AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM raw WHERE src <> dst AND (src % 7) <> {PR_DANGLE_MOD}
+  GROUP BY src, dst
+), und AS MATERIALIZED (
+  SELECT node, nbr, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src AS node, dst AS nbr, w FROM w
+    UNION ALL
+    SELECT dst AS node, src AS nbr, w FROM w
+  ) GROUP BY node, nbr
+), l0 AS MATERIALIZED (
+  SELECT node, node AS lab FROM nodes
+), {chain}, sizes AS (
+  SELECT lab, CAST(count(*) AS BIGINT) AS csize
+  FROM l{LPA_ITERS} GROUP BY lab
+), ncomm AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_comms FROM sizes
+)
+SELECT l.node, l.lab AS community, s.csize, ncomm.n_comms,
+       CAST(CASE WHEN l.lab = l.node THEN 1 ELSE 0 END AS BIGINT)
+         AS own_label
+FROM l{LPA_ITERS} l JOIN sizes s ON s.lab = l.lab CROSS JOIN ncomm
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -8343,4 +8482,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "hits": (q_hits, _sql_hits()),
     "js_divergence": (q_js_divergence, _sql_js_divergence()),
     "nfc_normalize": (q_nfc_normalize, _sql_nfc_normalize()),
+    "lpa_communities": (q_lpa_communities, _sql_lpa_communities()),
 }

@@ -2023,3 +2023,72 @@ def test_nfc_normalize_pure_python_replay_and_branches():
     # the ogonek+acute case exercises canonical REORDERING, not just
     # composition: the raw mark order is non-canonical
     assert unicodedata.normalize("NFC", NFC_SNIPPETS[4]) != NFC_SNIPPETS[4]
+
+
+def test_lpa_communities_pure_python_replay_and_invariants():
+    """LPA (`lpa_communities`): an independent pure-Python synchronous
+    label propagation — same undirected weighted graph, same
+    max-vote/min-label tie-break — must match the DuckDB oracle at
+    sf0.001 EXACTLY (integer arithmetic end to end); labels must be
+    stable for one extra round (converged, not truncated mid-flight);
+    community sizes must sum to |nodes|; both the dominant community and
+    singleton self-label nodes must exist."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        LPA_ITERS,
+        PR_DANGLE_MOD,
+        PR_N_NODES,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    pairs = con.execute(
+        f"SELECT (CAST(substr(source, 4) AS BIGINT) % {PR_N_NODES}),"
+        f" ((CAST(substr(source, 4) AS BIGINT) * 7 + doc_id * 13 + 3)"
+        f" % {PR_N_NODES}) FROM documents"
+    ).fetchall()
+    nodes = sorted({s for s, _ in pairs} | {t for _, t in pairs})
+    w: dict = defaultdict(int)
+    for s, t in pairs:
+        if s != t and s % 7 != PR_DANGLE_MOD:
+            w[(s, t)] += 1
+    und: dict = defaultdict(int)
+    for (s, t), c in w.items():
+        und[(s, t)] += c
+        und[(t, s)] += c
+
+    def step(lab):
+        ws: dict = defaultdict(int)
+        for (u, v), c in und.items():
+            ws[(u, lab[v])] += c
+        new = {}
+        for nd in nodes:
+            cands = [(l, x) for (u, l), x in ws.items() if u == nd]
+            new[nd] = (
+                min(cands, key=lambda p: (-p[1], p[0]))[0] if cands else lab[nd]
+            )
+        return new
+
+    lab = {v: v for v in nodes}
+    for _ in range(LPA_ITERS):
+        lab = step(lab)
+    assert step(lab) == lab, "labels not converged after LPA_ITERS rounds"
+    sizes: dict = defaultdict(int)
+    for v in lab.values():
+        sizes[v] += 1
+    rows = con.execute(QUERIES["lpa_communities"][1]).fetchall()
+    assert len(rows) == len(nodes)
+    for node, community, csize, n_comms, own in rows:
+        assert community == lab[node], (node, community, lab[node])
+        assert csize == sizes[community]
+        assert n_comms == len(sizes)
+        assert own == (1 if community == node else 0)
+    assert sum(sizes.values()) == len(nodes)
+    assert max(sizes.values()) > 1 and min(sizes.values()) == 1, sizes
