@@ -274,6 +274,12 @@ DRIVER_CAP_OVERFLOW = (
     # pinned host graph — synchronous weighted votes, packed-argmin
     # tie-break, EXACT integer arithmetic end to end
     "lpa_communities",
+    # round-6 new, born-overflow: distributed logistic-regression trainer
+    # (full-batch GD + L2, standardized features, planted labels) — the
+    # MLlib shape: features pinned once, one gradient agg per round,
+    # 1-row weight frame broadcast; hash-verified against a DuckDB CTE
+    # chain replay of the identical training run
+    "logreg_quality",
 )
 
 

@@ -8384,6 +8384,262 @@ FROM l{LPA_ITERS} l JOIN sizes s ON s.lab = l.lab CROSS JOIN ncomm
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed logistic-regression quality classifier (`logreg_quality`):
+# the trainable half of the fastText-style quality gate every curation
+# pipeline ends up with (CCNet's LM filter, GPT-3's WebText classifier,
+# RefinedWeb's rules) — here the TRAINER itself is the operator: full-
+# batch gradient descent with L2 regularization, run entirely as
+# DataFrame aggregations and hash-verified against DuckDB. Labels are a
+# planted rule (doc_id % 3 == 0 carries 1-2 'posmark' tokens); features
+# are ln(1+posmark) — informative — plus ln(1+tokens), ln(1+distinct
+# tokens) — near-noise the model must learn to ignore; features are
+# standardized (the convergence-critical step: unstandardized log-counts
+# dominate the separator and the 8-round budget underfits to 33%
+# accuracy — measured).
+#
+# Scale shape: the MLlib discipline — the standardized feature frame is
+# materialized ONCE (3 doubles/doc; the one corpus-sized checkpoint),
+# then each of LOGREG_ITERS rounds is ONE map-side-combinable gradient
+# aggregation over it (4 partial sums) with the 1-row weight frame
+# broadcast; weight updates are 1-row arithmetic pinned per round
+# (doubly-referenced lineage, the hits discipline). Feature means/stds
+# are two 1-row passes. No window functions, no driver-side loops over
+# rows, no collect.
+#
+# Cross-engine determinism: exp()/ln() agree to <= 1 ulp; the gradient
+# sums reduce in different orders (~1e-13 absolute drift) and the L2
+# term contracts accumulated error each round — margin pytest, the
+# pagerank discipline.
+# --------------------------------------------------------------------------
+
+LOGREG_ITERS = 8
+LOGREG_LR = 1.0
+LOGREG_L2 = 0.01
+
+
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    y = (F.col("doc_id") % 3 == 0).cast("long")
+    npos = F.when(
+        F.col("doc_id") % 3 == 0, 1 + (F.floor(F.col("doc_id") / 3) % 2)
+    ).otherwise(0).cast("long")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    ntok = F.size(toks).cast("long") + npos
+    ndis = (
+        F.size(F.array_distinct(toks)).cast("long")
+        + (npos > 0).cast("long")
+    )
+    feats = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            y.alias("y"),
+            F.log(F.lit(1.0) + npos.cast("double")).alias("x1"),
+            F.log(F.lit(1.0) + ntok.cast("double")).alias("x2"),
+            F.log(F.lit(1.0) + ndis.cast("double")).alias("x3"),
+        )
+        .localCheckpoint(eager=True)  # the one corpus-sized pin: 8 GD
+        # rounds + the two stats passes all re-read this frame
+    )
+    mu = feats.agg(
+        (F.sum("x1") / F.count("*")).alias("mu1"),
+        (F.sum("x2") / F.count("*")).alias("mu2"),
+        (F.sum("x3") / F.count("*")).alias("mu3"),
+        F.count("*").cast("double").alias("n"),
+    )
+    sd = (
+        feats.crossJoin(F.broadcast(mu))
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("x1") - F.col("mu1")) * (F.col("x1") - F.col("mu1"))
+                )
+                / F.first("n")
+            ).alias("sd1"),
+            F.sqrt(
+                F.sum(
+                    (F.col("x2") - F.col("mu2")) * (F.col("x2") - F.col("mu2"))
+                )
+                / F.first("n")
+            ).alias("sd2"),
+            F.sqrt(
+                F.sum(
+                    (F.col("x3") - F.col("mu3")) * (F.col("x3") - F.col("mu3"))
+                )
+                / F.first("n")
+            ).alias("sd3"),
+        )
+    )
+    z = (
+        feats.crossJoin(F.broadcast(mu))
+        .crossJoin(F.broadcast(sd))
+        .select(
+            "doc_id",
+            "y",
+            ((F.col("x1") - F.col("mu1")) / F.col("sd1")).alias("z1"),
+            ((F.col("x2") - F.col("mu2")) / F.col("sd2")).alias("z2"),
+            ((F.col("x3") - F.col("mu3")) / F.col("sd3")).alias("z3"),
+            "n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    w = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], "a0 double, a1 double, a2 double, a3 double"
+    )
+    for _ in range(LOGREG_ITERS):
+        scored = z.crossJoin(F.broadcast(w)).withColumn(
+            "p",
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        F.col("a0")
+                        + F.col("a1") * F.col("z1")
+                        + F.col("a2") * F.col("z2")
+                        + F.col("a3") * F.col("z3")
+                    )
+                )
+            ),
+        )
+        r = F.col("p") - F.col("y").cast("double")
+        g = scored.agg(
+            F.sum(r).alias("g0"),
+            F.sum(r * F.col("z1")).alias("g1"),
+            F.sum(r * F.col("z2")).alias("g2"),
+            F.sum(r * F.col("z3")).alias("g3"),
+            F.first("n").alias("n"),
+        )
+        w = (
+            g.crossJoin(F.broadcast(w))
+            .select(
+                *[
+                    (
+                        F.col(f"a{j}")
+                        - F.lit(LOGREG_LR)
+                        * (
+                            F.col(f"g{j}") / F.col("n")
+                            + F.lit(LOGREG_L2) * F.col(f"a{j}")
+                        )
+                    ).alias(f"a{j}")
+                    for j in range(4)
+                ]
+            )
+            .localCheckpoint(eager=True)  # hits discipline: w is read by
+            # both the next scoring pass and the next update
+        )
+    scored = z.crossJoin(F.broadcast(w)).withColumn(
+        "p",
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.col("a0")
+                    + F.col("a1") * F.col("z1")
+                    + F.col("a2") * F.col("z2")
+                    + F.col("a3") * F.col("z3")
+                )
+            )
+        ),
+    )
+    return scored.select(
+        "doc_id",
+        "y",
+        F.round("z1", 6).alias("z1"),
+        F.round("z2", 6).alias("z2"),
+        F.round("z3", 6).alias("z3"),
+        F.round("p", 6).alias("score"),
+        (F.col("p") > 0.5).cast("long").alias("pred"),
+        ((F.col("p") > 0.5) == (F.col("y") == 1)).cast("long").alias(
+            "correct"
+        ),
+        F.round("a0", 6).alias("w0"),
+        F.round("a1", 6).alias("w1"),
+        F.round("a2", 6).alias("w2"),
+        F.round("a3", 6).alias("w3"),
+    )
+
+
+def _sql_logreg_quality() -> str:
+    lr, l2 = LOGREG_LR, LOGREG_L2
+    iters = []
+    for i in range(1, LOGREG_ITERS + 1):
+        p = f"w{i - 1}"
+        iters.append(
+            f"""g{i} AS (
+  SELECT sum(p - CAST(y AS DOUBLE)) AS g0,
+         sum((p - CAST(y AS DOUBLE)) * z1) AS g1,
+         sum((p - CAST(y AS DOUBLE)) * z2) AS g2,
+         sum((p - CAST(y AS DOUBLE)) * z3) AS g3,
+         first(n) AS n
+  FROM (SELECT z.*,
+               1.0 / (1.0 + exp(-(a0 + a1 * z1 + a2 * z2 + a3 * z3))) AS p
+        FROM z CROSS JOIN {p})
+), w{i} AS MATERIALIZED (
+  SELECT a0 - {lr} * (g0 / n + {l2} * a0) AS a0,
+         a1 - {lr} * (g1 / n + {l2} * a1) AS a1,
+         a2 - {lr} * (g2 / n + {l2} * a2) AS a2,
+         a3 - {lr} * (g3 / n + {l2} * a3) AS a3
+  FROM g{i} CROSS JOIN {p}
+)"""
+        )
+    chain = ", ".join(iters)
+    return f"""
+WITH feats AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+         ln(1.0 + CAST(CASE WHEN doc_id % 3 = 0
+                            THEN 1 + (doc_id // 3) % 2
+                            ELSE 0 END AS DOUBLE)) AS x1,
+         ln(1.0 + CAST(len(regexp_extract_all(lower(text),
+                                              '{_TOKEN_PATTERN}'))
+                       + CASE WHEN doc_id % 3 = 0
+                              THEN 1 + (doc_id // 3) % 2
+                              ELSE 0 END AS DOUBLE)) AS x2,
+         ln(1.0 + CAST(len(list_distinct(regexp_extract_all(lower(text),
+                                                    '{_TOKEN_PATTERN}')))
+                       + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                       AS DOUBLE)) AS x3
+  FROM documents
+), mu AS (
+  SELECT sum(x1) / count(*) AS mu1,
+         sum(x2) / count(*) AS mu2,
+         sum(x3) / count(*) AS mu3,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM feats
+), sd AS (
+  SELECT sqrt(sum((x1 - mu1) * (x1 - mu1)) / first(n)) AS sd1,
+         sqrt(sum((x2 - mu2) * (x2 - mu2)) / first(n)) AS sd2,
+         sqrt(sum((x3 - mu3) * (x3 - mu3)) / first(n)) AS sd3
+  FROM feats CROSS JOIN mu
+), z AS MATERIALIZED (
+  SELECT doc_id, y,
+         (x1 - mu1) / sd1 AS z1,
+         (x2 - mu2) / sd2 AS z2,
+         (x3 - mu3) / sd3 AS z3,
+         n
+  FROM feats CROSS JOIN mu CROSS JOIN sd
+), w0 AS (
+  SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3
+), {chain}
+SELECT z.doc_id, z.y,
+       round(z1, 6) AS z1, round(z2, 6) AS z2, round(z3, 6) AS z3,
+       round(1.0 / (1.0 + exp(-(a0 + a1 * z1 + a2 * z2 + a3 * z3))), 6)
+         AS score,
+       CAST(CASE WHEN 1.0 / (1.0 + exp(-(a0 + a1 * z1 + a2 * z2
+                                         + a3 * z3))) > 0.5
+                 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       CAST(CASE WHEN (1.0 / (1.0 + exp(-(a0 + a1 * z1 + a2 * z2
+                                          + a3 * z3))) > 0.5)
+                      = (z.y = 1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS correct,
+       round(a0, 6) AS w0, round(a1, 6) AS w1,
+       round(a2, 6) AS w2, round(a3, 6) AS w3
+FROM z CROSS JOIN w{LOGREG_ITERS}
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -8483,4 +8739,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "js_divergence": (q_js_divergence, _sql_js_divergence()),
     "nfc_normalize": (q_nfc_normalize, _sql_nfc_normalize()),
     "lpa_communities": (q_lpa_communities, _sql_lpa_communities()),
+    "logreg_quality": (q_logreg_quality, _sql_logreg_quality()),
 }

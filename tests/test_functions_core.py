@@ -2092,3 +2092,101 @@ def test_lpa_communities_pure_python_replay_and_invariants():
         assert own == (1 if community == node else 0)
     assert sum(sizes.values()) == len(nodes)
     assert max(sizes.values()) > 1 and min(sizes.values()) == 1, sizes
+
+
+def test_logreg_quality_pure_python_replay_and_margins():
+    """Distributed logistic regression (`logreg_quality`): an independent
+    pure-Python full-batch GD — same features, standardization, LR, L2
+    and iteration count — must reproduce the DuckDB oracle at sf0.001 to
+    6dp (weights, per-doc scores, standardized features); training must
+    reach 100% accuracy with the classes separated by a wide score gap;
+    the informative feature's weight must dominate the noise features;
+    every rounded value clears its 6dp boundary."""
+    import math
+    import re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        LOGREG_ITERS,
+        LOGREG_L2,
+        LOGREG_LR,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    ids, Y, Xr = [], [], []
+    for d, t in raw:
+        y = 1 if d % 3 == 0 else 0
+        npos = (1 + (d // 3) % 2) if y else 0
+        toks = re.findall("[a-z0-9]+", t.lower())
+        ids.append(d)
+        Y.append(y)
+        Xr.append(
+            [
+                math.log(1.0 + npos),
+                math.log(1.0 + len(toks) + npos),
+                math.log(1.0 + len(set(toks)) + (1 if npos else 0)),
+            ]
+        )
+    n = float(len(Xr))
+    mu = [sum(r[j] for r in Xr) / n for j in range(3)]
+    sd = [
+        math.sqrt(sum((r[j] - mu[j]) ** 2 for r in Xr) / n) for j in range(3)
+    ]
+    Z = [[(r[j] - mu[j]) / sd[j] for j in range(3)] for r in Xr]
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(LOGREG_ITERS):
+        g = [0.0] * 4
+        for z, y in zip(Z, Y):
+            p = 1.0 / (
+                1.0 + math.exp(-(w[0] + w[1] * z[0] + w[2] * z[1] + w[3] * z[2]))
+            )
+            g[0] += p - y
+            for j in range(3):
+                g[j + 1] += (p - y) * z[j]
+        w = [wj - LOGREG_LR * (gj / n + LOGREG_L2 * wj) for wj, gj in zip(w, g)]
+    exp_by_id = {}
+    for d, z, y in zip(ids, Z, Y):
+        p = 1.0 / (
+            1.0 + math.exp(-(w[0] + w[1] * z[0] + w[2] * z[1] + w[3] * z[2]))
+        )
+        exp_by_id[d] = (z, y, p)
+    rows = con.execute(QUERIES["logreg_quality"][1]).fetchall()
+    assert len(rows) == len(raw)
+    n_correct = 0
+    pos_scores, neg_scores = [], []
+    for doc_id, y, z1, z2, z3, score, pred, correct, w0, w1, w2, w3 in rows:
+        ze, ye, pe = exp_by_id[doc_id]
+        assert y == ye
+        for got, exp in (
+            (z1, ze[0]),
+            (z2, ze[1]),
+            (z3, ze[2]),
+            (score, pe),
+            (w0, w[0]),
+            (w1, w[1]),
+            (w2, w[2]),
+            (w3, w[3]),
+        ):
+            frac = abs(exp * 1e6 - math.floor(exp * 1e6) - 0.5)
+            assert frac > 1e-4, (doc_id, exp)
+            assert got == round(exp, 6), (doc_id, got, exp)
+        assert pred == (1 if pe > 0.5 else 0)
+        assert correct == (1 if pred == y else 0)
+        n_correct += correct
+        (pos_scores if y else neg_scores).append(score)
+    assert n_correct == len(rows), "training did not reach 100% accuracy"
+    assert max(neg_scores) < 0.5 < min(pos_scores)
+    # informative feature dominates the near-noise ones
+    assert w[1] > 5 * abs(w[2]) and w[1] > 5 * abs(w[3]), w
+    # 'posmark' is genuinely absent from the natural vocabulary (the
+    # arithmetic-append model of the plant is faithful)
+    assert not any("posmark" in t.lower() for _d, t in raw)
