@@ -280,6 +280,11 @@ DRIVER_CAP_OVERFLOW = (
     # 1-row weight frame broadcast; hash-verified against a DuckDB CTE
     # chain replay of the identical training run
     "logreg_quality",
+    # round-6 new, born-overflow: exact Mann-Whitney AUC with tie-
+    # averaged ranks + threshold confusion metrics over an integer
+    # noisy scorer — all quantities exact halves, bit-identical both
+    # engines; exact_global_cumsum rank offsets
+    "auc_eval",
 )
 
 

@@ -8640,6 +8640,195 @@ FROM z CROSS JOIN w{LOGREG_ITERS}
 """
 
 
+# --------------------------------------------------------------------------
+# Classifier evaluation: exact AUC + confusion metrics (`auc_eval`): the
+# measurement half of the quality-gate story (`logreg_quality` trains;
+# this evaluates) — exact Mann-Whitney AUC with tie-averaged ranks plus
+# threshold precision/recall/F1, over a deterministic noisy scorer
+# (score = 30·npos + md5-bucket noise, INTEGER-valued) whose class
+# distributions overlap, so mid-range AUC, cross-class ties (the
+# average-rank branch), and every confusion cell are all provably
+# exercised.
+#
+# Exactness: integer scores make every quantity rational with
+# denominator 2 — average ranks are exact halves, their weighted sums
+# are exactly representable doubles (values << 2^53), so BOTH engines
+# compute bit-identical AUC with no reduce-order surface at all (a
+# stronger guarantee than the pagerank/hits margin argument).
+#
+# Scale shape: one corpus pass to the per-score group table (bounded by
+# the score domain, not the corpus — the ks_drift discipline),
+# `exact_global_cumsum` for rank offsets (range-partitioned, no
+# single-partition window), and 1-row metric aggregates broadcast back
+# onto the group rows.
+# --------------------------------------------------------------------------
+
+AUC_THRESH = 65  # integer threshold inside the class-overlap band
+
+
+def q_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_cumsum
+
+    y = (F.col("doc_id") % 3 == 0).cast("long")
+    npos = F.when(
+        F.col("doc_id") % 3 == 0, 1 + (F.floor(F.col("doc_id") / 3) % 2)
+    ).otherwise(0).cast("long")
+    noise = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("auc"), F.col("doc_id")), 100
+    )
+    sc = _docs(spark, sf_dir).select(
+        y.alias("y"), (F.lit(30) * npos + noise).cast("long").alias("score")
+    )
+    g = sc.groupBy("score").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    c = exact_global_cumsum(g, "score", "n")
+    ranked = c.select(
+        "score",
+        "n",
+        "n_pos",
+        F.col("cum_before").cast("long").alias("cum_before"),
+        (
+            F.col("cum_before").cast("double")
+            + (F.col("n").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).alias("avg_rank"),
+        F.col("global_total").cast("long").alias("total"),
+    )
+    m = ranked.agg(
+        F.sum(F.col("n_pos").cast("double") * F.col("avg_rank")).alias(
+            "rpos"
+        ),
+        F.sum("n_pos").cast("long").alias("p"),
+        F.first("total").alias("tot"),
+        F.sum(
+            F.when(F.col("score") >= AUC_THRESH, F.col("n_pos")).otherwise(0)
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(
+            F.when(
+                F.col("score") >= AUC_THRESH, F.col("n") - F.col("n_pos")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("fp"),
+    )
+    met = m.select(
+        "rpos",
+        "p",
+        (F.col("tot") - F.col("p")).alias("nn"),
+        "tp",
+        "fp",
+        (F.col("p") - F.col("tp")).alias("fn"),
+        (F.col("tot") - F.col("p") - F.col("fp")).alias("tn"),
+    ).select(
+        "p",
+        "nn",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (
+            (
+                F.col("rpos")
+                - F.col("p").cast("double")
+                * (F.col("p").cast("double") + F.lit(1.0))
+                / F.lit(2.0)
+            )
+            / (F.col("p").cast("double") * F.col("nn").cast("double"))
+        ).alias("auc"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("prec"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double")
+        ).alias("rec"),
+    )
+    return ranked.crossJoin(F.broadcast(met)).select(
+        "score",
+        "n",
+        "n_pos",
+        "cum_before",
+        F.round("avg_rank", 6).alias("avg_rank"),
+        "p",
+        F.col("nn").cast("long").alias("nn"),
+        "tp",
+        "fp",
+        F.col("fn").cast("long").alias("fn"),
+        F.col("tn").cast("long").alias("tn"),
+        F.round("auc", 6).alias("auc"),
+        F.round("prec", 6).alias("precision"),
+        F.round("rec", 6).alias("recall"),
+        F.round(
+            F.lit(2.0)
+            * F.col("prec")
+            * F.col("rec")
+            / (F.col("prec") + F.col("rec")),
+            6,
+        ).alias("f1"),
+    )
+
+
+def _sql_auc_eval() -> str:
+    noise = _md5_bucket_sql("'auc' || '|' || CAST(doc_id AS VARCHAR)", 100)
+    return f"""
+WITH sc AS (
+  SELECT CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+         CAST(30 * (CASE WHEN doc_id % 3 = 0
+                         THEN 1 + (doc_id // 3) % 2 ELSE 0 END)
+              + {noise} AS BIGINT) AS score
+  FROM documents
+), g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM sc GROUP BY score
+), ranked AS (
+  SELECT score, n, n_pos,
+         CAST(coalesce(sum(n) OVER (ORDER BY score
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM g
+), r2 AS (
+  SELECT score, n, n_pos, cum_before,
+         CAST(cum_before AS DOUBLE)
+           + (CAST(n AS DOUBLE) + 1.0) / 2.0 AS avg_rank,
+         total
+  FROM ranked
+), m AS (
+  SELECT sum(CAST(n_pos AS DOUBLE) * avg_rank) AS rpos,
+         CAST(sum(n_pos) AS BIGINT) AS p,
+         first(total) AS tot,
+         CAST(sum(CASE WHEN score >= {AUC_THRESH} THEN n_pos ELSE 0 END)
+              AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN score >= {AUC_THRESH} THEN n - n_pos
+                       ELSE 0 END) AS BIGINT) AS fp
+  FROM r2
+), met AS (
+  SELECT p, CAST(tot - p AS BIGINT) AS nn, tp, fp,
+         CAST(p - tp AS BIGINT) AS fn,
+         CAST(tot - p - fp AS BIGINT) AS tn,
+         (rpos - CAST(p AS DOUBLE) * (CAST(p AS DOUBLE) + 1.0) / 2.0)
+           / (CAST(p AS DOUBLE) * CAST(tot - p AS DOUBLE)) AS auc,
+         CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+         CAST(tp AS DOUBLE) / CAST(tp + (p - tp) AS DOUBLE) AS rec
+  FROM m
+)
+SELECT r2.score, r2.n, r2.n_pos, r2.cum_before,
+       round(r2.avg_rank, 6) AS avg_rank,
+       met.p, met.nn, met.tp, met.fp, met.fn, met.tn,
+       round(met.auc, 6) AS auc,
+       round(met.prec, 6) AS precision,
+       round(met.rec, 6) AS recall,
+       round(2.0 * met.prec * met.rec / (met.prec + met.rec), 6) AS f1
+FROM r2 CROSS JOIN met
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -8740,4 +8929,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "nfc_normalize": (q_nfc_normalize, _sql_nfc_normalize()),
     "lpa_communities": (q_lpa_communities, _sql_lpa_communities()),
     "logreg_quality": (q_logreg_quality, _sql_logreg_quality()),
+    "auc_eval": (q_auc_eval, _sql_auc_eval()),
 }

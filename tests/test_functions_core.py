@@ -2190,3 +2190,64 @@ def test_logreg_quality_pure_python_replay_and_margins():
     # 'posmark' is genuinely absent from the natural vocabulary (the
     # arithmetic-append model of the plant is faithful)
     assert not any("posmark" in t.lower() for _d, t in raw)
+
+
+def test_auc_eval_pair_counting_theorem_and_branches():
+    """AUC eval (`auc_eval`): the rank-sum AUC must equal brute-force
+    pair counting (concordant + half-credit ties over P*N — the
+    Mann-Whitney identity) EXACTLY; confusion cells must all be
+    populated and consistent with precision/recall/F1; cross-class tie
+    groups must exist (the average-rank branch is non-vacuous); every
+    group row's cum_before/avg_rank must replay."""
+    import hashlib
+
+    import duckdb
+
+    from htep_spark.driver_queries import AUC_THRESH, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    ids = [r[0] for r in con.execute("SELECT doc_id FROM documents").fetchall()]
+    pts = []
+    for d in ids:
+        y = 1 if d % 3 == 0 else 0
+        npos = (1 + (d // 3) % 2) if y else 0
+        h = int(hashlib.md5(f"auc|{d}".encode()).hexdigest()[:15], 16)
+        score = 30 * npos + h % 100
+        pts.append((score, y))
+    pos = [s for s, y in pts if y]
+    neg = [s for s, y in pts if not y]
+    conc = sum(1 for p in pos for q in neg if p > q)
+    ties = sum(1 for p in pos for q in neg if p == q)
+    auc_pairs = (conc + 0.5 * ties) / (len(pos) * len(neg))
+    rows = con.execute(QUERIES["auc_eval"][1]).fetchall()
+    assert rows
+    from collections import Counter
+
+    by_score = Counter(s for s, _ in pts)
+    pos_by_score = Counter(s for s, y in pts if y)
+    cross_ties = 0
+    for (
+        score, n, n_pos, cum_before, avg_rank, p, nn, tp, fp, fn, tn,
+        auc, prec, rec, f1,
+    ) in rows:
+        assert n == by_score[score] and n_pos == pos_by_score[score]
+        assert cum_before == sum(c for s, c in by_score.items() if s < score)
+        assert avg_rank == cum_before + (n + 1) / 2.0
+        assert auc == round(auc_pairs, 6), (auc, auc_pairs)
+        assert p == len(pos) and nn == len(neg)
+        exp_tp = sum(1 for s in pos if s >= AUC_THRESH)
+        exp_fp = sum(1 for s in neg if s >= AUC_THRESH)
+        assert (tp, fp, fn, tn) == (
+            exp_tp, exp_fp, len(pos) - exp_tp, len(neg) - exp_fp
+        )
+        assert min(tp, fp, fn, tn) > 0, "a confusion cell is vacuous"
+        pe, re_ = tp / (tp + fp), tp / (tp + fn)
+        assert prec == round(pe, 6) and rec == round(re_, 6)
+        assert f1 == round(2 * pe * re_ / (pe + re_), 6)
+        if 0 < n_pos < n:
+            cross_ties += 1
+    assert ties > 0 and cross_ties > 0, "tie branch vacuous"
