@@ -285,6 +285,11 @@ DRIVER_CAP_OVERFLOW = (
     # noisy scorer — all quantities exact halves, bit-identical both
     # engines; exact_global_cumsum rank offsets
     "auc_eval",
+    # round-6 new, born-overflow: distributed k-means (Lloyd) over the
+    # embeddings table — seeded-row init, broadcast centroid table,
+    # map-side argmin + per-(cid,dim) mean aggs (the MLlib shape),
+    # bit-identical pinned-order distance folds
+    "kmeans_embed",
 )
 
 

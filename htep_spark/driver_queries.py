@@ -8829,6 +8829,180 @@ FROM r2 CROSS JOIN met
 """
 
 
+# --------------------------------------------------------------------------
+# Distributed k-means over embeddings (`kmeans_embed`): Lloyd's algorithm
+# — the clustering workhorse behind SemDeDup's cluster stage, IVF index
+# training (`ann_ivf`'s quantizer is one-shot seeded assignment; this is
+# the ITERATIVE refinement that production index builds actually run),
+# and data-mixture curation by embedding region. Seeded-row init
+# (centroids = vec_id 0..K-1, the semdedup discipline), KMEANS_ITERS
+# Lloyd rounds: assign to nearest centroid (squared L2), recompute
+# centroids as per-dimension means; empty clusters keep their previous
+# centroid (fallback coalesce on both engines).
+#
+# Scale shape: the embedding frame is pinned once; each round is one
+# broadcast of the K×64 centroid table against it (never a corpus
+# shuffle), one map-side-combinable argmin per vector (min over a
+# struct(d2, cid) — deterministic tie-break), and one map-side-
+# combinable per-(cid, dim) sum/count agg — the exact shape of MLlib's
+# k-means. Centroid tables pinned per round (hits discipline).
+#
+# Cross-engine determinism: every DISTANCE is bit-identical (the 64-term
+# fold runs in pinned index order over f32→f64-exact inputs), so
+# assignments can only diverge through centroid-mean reduce order
+# (~1e-14); the pytest margin-sweeps every point's best-vs-second-best
+# distance gap (the dsir_select discipline for discrete decisions) and
+# boundary-checks every rounded output.
+# --------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+KMEANS_DIM = 64
+
+
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            "label",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+                "v"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+
+    def d2_col():
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(centroids):
+        return (
+            emb.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "cid", d2_col().alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select(
+                "vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2")
+            )
+        )
+
+    for _ in range(KMEANS_ITERS):
+        asg = assign(cents)
+        dims = (
+            asg.join(emb, "vec_id")
+            .select("cid", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+        )
+        newc = dims.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("dim", (F.col("s") / F.col("n")).alias("m"))
+                    )
+                ),
+                lambda st: st["m"],
+            ).alias("ncv")
+        )
+        cents = (
+            cents.join(newc, "cid", "left")
+            .select(
+                "cid", F.coalesce(F.col("ncv"), F.col("cv")).alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    final = assign(cents)
+    sizes = final.groupBy("cid").agg(
+        F.count("*").cast("long").alias("csize")
+    )
+    inertia = final.agg(F.sum("d2").alias("inertia"))
+    return (
+        final.join(emb.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(sizes), "cid")
+        .crossJoin(F.broadcast(inertia))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.col("cid").cast("long").alias("cid"),
+            F.round("d2", 6).alias("d2"),
+            "csize",
+            F.round("inertia", 6).alias("inertia"),
+        )
+    )
+
+
+def _sql_kmeans_embed() -> str:
+    k, dim = KMEANS_K, KMEANS_DIM
+    d2 = (
+        f"list_sum(list_transform(range(1, {dim} + 1),"
+        f" i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
+    )
+    iters = []
+    for i in range(1, KMEANS_ITERS + 1):
+        p = f"c{i - 1}"
+        iters.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM emb e CROSS JOIN {p} c)
+  WHERE rn = 1
+), u{i} AS (
+  SELECT cid, list(s / n ORDER BY dim) AS ncv FROM (
+    SELECT a.cid, r.i AS dim, sum(e.v[r.i + 1]) AS s, count(*) AS n
+    FROM a{i} a JOIN emb e USING (vec_id)
+    CROSS JOIN range({dim}) r(i)
+    GROUP BY a.cid, r.i)
+  GROUP BY cid
+), c{i} AS MATERIALIZED (
+  SELECT p.cid, coalesce(u.ncv, p.cv) AS cv
+  FROM {p} p LEFT JOIN u{i} u ON u.cid = p.cid
+)"""
+        )
+    chain = ", ".join(iters)
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < {k}
+), {chain}, fin AS MATERIALIZED (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT e.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM emb e CROSS JOIN c{KMEANS_ITERS} c)
+  WHERE rn = 1
+), sizes AS (
+  SELECT cid, CAST(count(*) AS BIGINT) AS csize FROM fin GROUP BY cid
+), inert AS (
+  SELECT sum(d2) AS inertia FROM fin
+)
+SELECT f.vec_id,
+       CAST(e.label AS BIGINT) AS label,
+       CAST(f.cid AS BIGINT) AS cid,
+       round(f.d2, 6) AS d2,
+       s.csize,
+       round(inert.inertia, 6) AS inertia
+FROM fin f
+JOIN emb e USING (vec_id)
+JOIN sizes s USING (cid)
+CROSS JOIN inert
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -8930,4 +9104,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "lpa_communities": (q_lpa_communities, _sql_lpa_communities()),
     "logreg_quality": (q_logreg_quality, _sql_logreg_quality()),
     "auc_eval": (q_auc_eval, _sql_auc_eval()),
+    "kmeans_embed": (q_kmeans_embed, _sql_kmeans_embed()),
 }

@@ -2251,3 +2251,88 @@ def test_auc_eval_pair_counting_theorem_and_branches():
         if 0 < n_pos < n:
             cross_ties += 1
     assert ties > 0 and cross_ties > 0, "tie branch vacuous"
+
+
+def test_kmeans_embed_pure_python_replay_and_margins():
+    """k-means (`kmeans_embed`): an independent pure-Python Lloyd run —
+    seeded-row init, (d2, cid) argmin tie-break, empty-cluster keep —
+    must match the DuckDB oracle at sf0.001 to 6dp; inertia must be
+    monotonically non-increasing across rounds (Lloyd's theorem); every
+    point's best-vs-second-best distance margin must dwarf the
+    centroid-mean reduce-order drift (the discrete-decision guard); all
+    rounded outputs clear their 6dp boundary."""
+    import math
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    raw = con.execute(
+        "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    V = {r[0]: [float(x) for x in r[2]] for r in raw}
+    labels = {r[0]: r[1] for r in raw}
+    cents = {i: V[i][:] for i in range(KMEANS_K)}
+
+    def assign(cs):
+        out = {}
+        for vid, v in V.items():
+            best = min(
+                (
+                    (sum((a - b) * (a - b) for a, b in zip(v, cs[c])), c)
+                    for c in cs
+                ),
+            )
+            out[vid] = best
+        return out
+
+    inertias = []
+    for _ in range(KMEANS_ITERS):
+        asg = assign(cents)
+        inertias.append(sum(d for d, _c in asg.values()))
+        newc = {}
+        for c in cents:
+            members = [V[vid] for vid, (_d, cc) in asg.items() if cc == c]
+            if members:
+                newc[c] = [
+                    sum(m[j] for m in members) / len(members)
+                    for j in range(len(V[0]))
+                ]
+            else:
+                newc[c] = cents[c]
+        cents = newc
+    fin = assign(cents)
+    inertias.append(sum(d for d, _c in fin.values()))
+    assert all(b <= a + 1e-9 for a, b in zip(inertias, inertias[1:])), inertias
+    sizes: dict = {}
+    for _d, c in fin.values():
+        sizes[c] = sizes.get(c, 0) + 1
+    inertia = inertias[-1]
+    rows = con.execute(QUERIES["kmeans_embed"][1]).fetchall()
+    assert len(rows) == len(V)
+    min_margin = float("inf")
+    for vec_id, label, cid, d2, csize, got_inertia in rows:
+        de, ce = fin[vec_id]
+        assert cid == ce, (vec_id, cid, ce)
+        assert label == labels[vec_id]
+        assert csize == sizes[ce]
+        for got, exp in ((d2, de), (got_inertia, inertia)):
+            frac = abs(exp * 1e6 - math.floor(exp * 1e6) - 0.5)
+            assert frac > 1e-4, (vec_id, exp)
+            assert got == round(exp, 6), (vec_id, got, exp)
+        dists = sorted(
+            sum((a - b) * (a - b) for a, b in zip(V[vec_id], cents[c]))
+            for c in cents
+        )
+        min_margin = min(min_margin, dists[1] - dists[0])
+    assert min_margin > 1e-6, min_margin
+    assert sum(sizes.values()) == len(V) and len(sizes) == KMEANS_K
