@@ -290,6 +290,10 @@ DRIVER_CAP_OVERFLOW = (
     # map-side argmin + per-(cid,dim) mean aggs (the MLlib shape),
     # bit-identical pinned-order distance folds
     "kmeans_embed",
+    # round-6 new, born-overflow: simplified silhouette (the MLlib
+    # ClusteringEvaluator measure) over the shared Lloyd chain — cluster
+    # eval completing the train/cluster/eval ML quadrant
+    "silhouette",
 )
 
 

@@ -8860,7 +8860,29 @@ KMEANS_ITERS = 5
 KMEANS_DIM = 64
 
 
-def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_d2_col():
+    return F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "cid", _kmeans_d2_col().alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(
+            "vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2")
+        )
+    )
+
+
+def _kmeans_frames(spark: SparkSession, sf_dir: str):
+    """Shared Lloyd chain: returns (emb, final_centroids) — reused by
+    `kmeans_embed` (assignment surface) and `silhouette` (eval surface)."""
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select(
@@ -8875,29 +8897,8 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-
-    def d2_col():
-        return F.aggregate(
-            F.zip_with(
-                F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def assign(centroids):
-        return (
-            emb.crossJoin(F.broadcast(centroids))
-            .select("vec_id", "cid", d2_col().alias("d2"))
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cid")).alias("m"))
-            .select(
-                "vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2")
-            )
-        )
-
     for _ in range(KMEANS_ITERS):
-        asg = assign(cents)
+        asg = _kmeans_assign(emb, cents)
         dims = (
             asg.join(emb, "vec_id")
             .select("cid", F.posexplode("v").alias("dim", "val"))
@@ -8921,7 +8922,12 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-    final = assign(cents)
+    return emb, cents
+
+
+def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, cents = _kmeans_frames(spark, sf_dir)
+    final = _kmeans_assign(emb, cents)
     sizes = final.groupBy("cid").agg(
         F.count("*").cast("long").alias("csize")
     )
@@ -8941,12 +8947,19 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_embed() -> str:
-    k, dim = KMEANS_K, KMEANS_DIM
-    d2 = (
-        f"list_sum(list_transform(range(1, {dim} + 1),"
+def _sql_kmeans_d2() -> str:
+    return (
+        f"list_sum(list_transform(range(1, {KMEANS_DIM} + 1),"
         f" i -> (v[i] - cv[i]) * (v[i] - cv[i])))"
     )
+
+
+def _sql_kmeans_chain() -> str:
+    """Shared Lloyd CTE chain ending in `fin` (final assignments) and the
+    final centroid table c{KMEANS_ITERS} — reused by `kmeans_embed` and
+    `silhouette`."""
+    k, dim = KMEANS_K, KMEANS_DIM
+    d2 = _sql_kmeans_d2()
     iters = []
     for i in range(1, KMEANS_ITERS + 1):
         p = f"c{i - 1}"
@@ -8971,8 +8984,7 @@ def _sql_kmeans_embed() -> str:
 )"""
         )
     chain = ", ".join(iters)
-    return f"""
-WITH emb AS MATERIALIZED (
+    return f"""emb AS MATERIALIZED (
   SELECT vec_id, label,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -8985,7 +8997,12 @@ WITH emb AS MATERIALIZED (
                               ORDER BY {d2}, c.cid) AS rn
     FROM emb e CROSS JOIN c{KMEANS_ITERS} c)
   WHERE rn = 1
-), sizes AS (
+)"""
+
+
+def _sql_kmeans_embed() -> str:
+    return f"""
+WITH {_sql_kmeans_chain()}, sizes AS (
   SELECT cid, CAST(count(*) AS BIGINT) AS csize FROM fin GROUP BY cid
 ), inert AS (
   SELECT sum(d2) AS inertia FROM fin
@@ -9000,6 +9017,112 @@ FROM fin f
 JOIN emb e USING (vec_id)
 JOIN sizes s USING (cid)
 CROSS JOIN inert
+"""
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette (`silhouette`): the cluster-quality evaluation
+# for `kmeans_embed` — per point, a = distance to own centroid, b = min
+# distance to any OTHER centroid, s = (b - a) / max(a, b) (the
+# centroid-based simplified silhouette, the O(n·K) form production
+# systems use because the classical O(n²) pairwise silhouette cannot
+# scale; Rousseeuw 1987 §2 / the Spark MLlib ClusteringEvaluator
+# measure). Completes the ML quadrant: train (`logreg_quality`),
+# cluster (`kmeans_embed`), supervised eval (`auc_eval`), cluster eval
+# (here).
+#
+# Scale shape: reuses the shared Lloyd chain (`_kmeans_frames` /
+# `_sql_kmeans_chain` — composition of a hash-verified block, the
+# web_funnel discipline), then ONE broadcast of the final centroid table
+# and one map-side min/agg per point; per-cluster and global means are
+# re-aggregated from the per-point table.
+#
+# Cross-engine determinism: a and b are sqrt of bit-identical pinned-
+# order distance folds; the mean sums reduce in different orders
+# (pagerank discipline, margin pytest).
+# --------------------------------------------------------------------------
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, cents = _kmeans_frames(spark, sf_dir)
+    dists = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", F.sqrt(_kmeans_d2_col()).alias("d")
+    )
+    own = dists.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d"), F.col("cid"))).alias("m")
+    ).select(
+        "vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("a")
+    )
+    other = (
+        dists.join(own.select("vec_id", F.col("cid").alias("own_cid")), "vec_id")
+        .filter(F.col("cid") != F.col("own_cid"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("b"))
+    )
+    per = own.join(other, "vec_id").select(
+        "vec_id",
+        "cid",
+        "a",
+        "b",
+        (
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b"))
+        ).alias("s"),
+    )
+    cmean = per.groupBy("cid").agg(
+        (F.sum("s") / F.count("*")).alias("cluster_sil"),
+        F.count("*").cast("long").alias("csize"),
+    )
+    gmean = per.agg((F.sum("s") / F.count("*")).alias("global_sil"))
+    return (
+        per.join(F.broadcast(cmean), "cid")
+        .crossJoin(F.broadcast(gmean))
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            F.round("a", 6).alias("a"),
+            F.round("b", 6).alias("b"),
+            F.round("s", 6).alias("sil"),
+            "csize",
+            F.round("cluster_sil", 6).alias("cluster_sil"),
+            F.round("global_sil", 6).alias("global_sil"),
+        )
+    )
+
+
+def _sql_silhouette() -> str:
+    d2 = _sql_kmeans_d2()
+    return f"""
+WITH {_sql_kmeans_chain()}, dists AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, sqrt({d2}) AS d
+  FROM emb e CROSS JOIN c{KMEANS_ITERS} c
+), own AS (
+  SELECT vec_id, cid, d AS a FROM (
+    SELECT vec_id, cid, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM dists)
+  WHERE rn = 1
+), oth AS (
+  SELECT d.vec_id, min(d.d) AS b
+  FROM dists d JOIN own o ON o.vec_id = d.vec_id AND d.cid <> o.cid
+  GROUP BY d.vec_id
+), per AS MATERIALIZED (
+  SELECT o.vec_id, o.cid, o.a, t.b,
+         (t.b - o.a) / greatest(o.a, t.b) AS s
+  FROM own o JOIN oth t USING (vec_id)
+), cmean AS (
+  SELECT cid, sum(s) / count(*) AS cluster_sil,
+         CAST(count(*) AS BIGINT) AS csize
+  FROM per GROUP BY cid
+), gmean AS (
+  SELECT sum(s) / count(*) AS global_sil FROM per
+)
+SELECT p.vec_id, CAST(p.cid AS BIGINT) AS cid,
+       round(p.a, 6) AS a, round(p.b, 6) AS b, round(p.s, 6) AS sil,
+       c.csize,
+       round(c.cluster_sil, 6) AS cluster_sil,
+       round(g.global_sil, 6) AS global_sil
+FROM per p JOIN cmean c USING (cid) CROSS JOIN gmean g
 """
 
 
@@ -9105,4 +9228,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "logreg_quality": (q_logreg_quality, _sql_logreg_quality()),
     "auc_eval": (q_auc_eval, _sql_auc_eval()),
     "kmeans_embed": (q_kmeans_embed, _sql_kmeans_embed()),
+    "silhouette": (q_silhouette, _sql_silhouette()),
 }

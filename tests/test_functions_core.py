@@ -2336,3 +2336,67 @@ def test_kmeans_embed_pure_python_replay_and_margins():
         min_margin = min(min_margin, dists[1] - dists[0])
     assert min_margin > 1e-6, min_margin
     assert sum(sizes.values()) == len(V) and len(sizes) == KMEANS_K
+
+
+def test_silhouette_pure_python_replay_and_margins():
+    """Silhouette (`silhouette`): a pure-Python simplified-silhouette
+    replay over the same Lloyd centroids must match the DuckDB oracle at
+    sf0.001 to 6dp; s in [-1, 1]; the own-centroid must agree with the
+    kmeans assignment; every rounded value clears its boundary; s >= 0
+    ALWAYS for the simplified form (a converged assignment makes the own
+    centroid the argmin, so a <= b by construction) with a
+    non-degenerate spread."""
+    import math
+
+    import duckdb
+
+    from htep_spark.driver_queries import KMEANS_ITERS, KMEANS_K, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    raw = con.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    V = {r[0]: [float(x) for x in r[1]] for r in raw}
+    cents = {i: V[i][:] for i in range(KMEANS_K)}
+    for _ in range(KMEANS_ITERS):
+        asg = {
+            vid: min(
+                (sum((a - b) * (a - b) for a, b in zip(v, cents[c])), c)
+                for c in cents
+            )[1]
+            for vid, v in V.items()
+        }
+        for c in cents:
+            mem = [V[vid] for vid, cc in asg.items() if cc == c]
+            if mem:
+                cents[c] = [
+                    sum(m[j] for m in mem) / len(mem) for j in range(len(V[0]))
+                ]
+    rows = con.execute(QUERIES["silhouette"][1]).fetchall()
+    assert len(rows) == len(V)
+    signs = set()
+    for vec_id, cid, a, b, sil, csize, cluster_sil, global_sil in rows:
+        ds = sorted(
+            (
+                math.sqrt(
+                    sum((x - y) * (x - y) for x, y in zip(V[vec_id], cents[c]))
+                ),
+                c,
+            )
+            for c in cents
+        )
+        ae, ce = ds[0]
+        be = min(d for d, c in ds if c != ce)
+        se = (be - ae) / max(ae, be)
+        assert cid == ce
+        for got, exp in ((a, ae), (b, be), (sil, se)):
+            frac = abs(exp * 1e6 - math.floor(exp * 1e6) - 0.5)
+            assert frac > 1e-4, (vec_id, exp)
+            assert got == round(exp, 6), (vec_id, got, exp)
+        assert 0.0 <= sil <= 1.0 + 1e-9  # a <= b for converged kmeans
+        signs.add(sil)
+    assert max(signs) - min(signs) > 0.05, "degenerate silhouette spread"
