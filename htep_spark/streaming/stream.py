@@ -606,3 +606,118 @@ def merge_windowed_topk(summaries: DataFrame, k: int = 10) -> DataFrame:
             "rank",
         )
     )
+
+
+JSD_STREAM_OTHER = "~other"  # tail bucket (sorts after [a-z0-9]+ tokens)
+
+
+def stream_windowed_jsd(
+    tokens: DataFrame,
+    ref_tokens,
+    window_duration: str = "10 minutes",
+    watermark: str = "5 minutes",
+) -> DataFrame:
+    """Streaming per-window unigram histogram over a FIXED reference
+    support (the batch `js_divergence` discipline: top-K reference tokens
+    plus one OTHER tail bucket) — the feed half of a windowed
+    distribution-drift monitor. A pure watermarked tumbling-window
+    aggregation: no custom state operator, and the state store holds at
+    most |ref_tokens| + 1 rows PER OPEN WINDOW regardless of stream rate
+    or vocabulary (the fixed-support property; same bound class as
+    `stream_windowed_count_min`). Emits (window, term, cnt) rows in
+    append mode at watermark close; `merge_windowed_jsd` is the batch
+    finalize that turns sink rows into per-window JSD scores."""
+    support = [str(t) for t in ref_tokens]
+    term = F.when(F.col("token").isin(support), F.col("token")).otherwise(
+        F.lit(JSD_STREAM_OTHER)
+    )
+    return (
+        tokens.select(term.alias("term"), "ts")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("win"), "term")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "term",
+            "cnt",
+        )
+    )
+
+
+def merge_windowed_jsd(summaries: DataFrame, ref_counts: dict) -> DataFrame:
+    """Per-window Jensen-Shannon divergence finalize over a
+    `stream_windowed_jsd` sink table, against a reference unigram
+    distribution (``ref_counts``: term -> count over the SAME support,
+    including the OTHER bucket). Pure batch post-step: the per-window
+    support grid keeps zero-count terms (the p = 0 branch), and the KL
+    sums run as pinned-order folds over the term-sorted list — the exact
+    arithmetic shape of the hash-verified batch `js_divergence`, so the
+    batch oracle validates this math."""
+    spark = summaries.sparkSession
+    ref = F.broadcast(
+        spark.createDataFrame(
+            sorted(ref_counts.items()), "term string, rc long"
+        )
+    )
+    qtot = float(sum(ref_counts.values()))
+    # rename the aggregated keys before re-joining the sink table — the
+    # grid is summaries⋈summaries-derived and Spark rejects the ambiguous
+    # self-join attributes otherwise
+    wins = (
+        summaries.groupBy("window_start", "window_end")
+        .agg(F.sum("cnt").alias("wtot"))
+        .withColumnsRenamed({"window_start": "ws", "window_end": "we"})
+    )
+    grid = (
+        wins.crossJoin(ref.withColumnRenamed("term", "rterm"))
+        .join(
+            summaries,
+            (F.col("ws") == F.col("window_start"))
+            & (F.col("we") == F.col("window_end"))
+            & (F.col("rterm") == F.col("term")),
+            "left",
+        )
+        .select(
+            F.col("ws").alias("window_start"),
+            F.col("we").alias("window_end"),
+            "wtot",
+            F.col("rterm").alias("term"),
+            F.coalesce("cnt", F.lit(0)).cast("long").alias("c"),
+            "rc",
+        )
+    )
+    lst = F.sort_array(
+        F.collect_list(F.struct(F.col("term"), F.col("c"), F.col("rc")))
+    )
+    folded = grid.groupBy("window_start", "window_end", "wtot").agg(
+        lst.alias("l"),
+        F.sum(F.when(F.col("c") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_present"),
+    )
+
+    def kl(which):
+        def term_val(x):
+            p = x["c"] / F.col("wtot")
+            q = x["rc"] / F.lit(qtot)
+            m = (p + q) / F.lit(2.0)
+            if which == "p":
+                return F.when(x["c"] > 0, p * F.log(p / m)).otherwise(
+                    F.lit(0.0)
+                )
+            return F.when(x["rc"] > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+
+        return F.aggregate(
+            F.col("l"), F.lit(0.0), lambda a, x: a + term_val(x)
+        )
+
+    return folded.select(
+        "window_start",
+        "window_end",
+        F.col("wtot").cast("long").alias("n_tokens"),
+        "n_present",
+        F.round(kl("p"), 6).alias("kl_p_m"),
+        F.round(kl("q"), 6).alias("kl_q_m"),
+        F.round((kl("p") + kl("q")) / F.lit(2.0), 6).alias("jsd"),
+    )

@@ -2461,3 +2461,103 @@ def test_stream_windowed_topk(spark, tmp_path):
         for (w, t), c in truth.items():
             if w == ws and shard_of[t] == shard and c > shard_len / 6:
                 assert t in present, (t, c, shard_len)
+
+
+def test_stream_windowed_jsd(spark, tmp_path):
+    """Streaming windowed JSD: the per-window histograms emitted by the
+    stream, finalized with merge_windowed_jsd against a fixed reference,
+    must equal a pure-Python JSD computed over the same windows — and the
+    planted drift must show: window A is sampled ref-like (low JSD),
+    window B is skewed toward one token (high JSD). Zero-count support
+    terms (p = 0) and the OTHER bucket must both be exercised."""
+    import datetime as dt
+    import math
+
+    import pandas as pd
+
+    from htep_spark.streaming.stream import (
+        JSD_STREAM_OTHER,
+        merge_windowed_jsd,
+        stream_windowed_jsd,
+    )
+
+    support = ["alpha", "beta", "gamma", "delta"]
+    ref_counts = {"alpha": 40, "beta": 30, "gamma": 20, "delta": 10,
+                  JSD_STREAM_OTHER: 20}
+    base = dt.datetime(2024, 7, 1)
+    rows = []
+    # window A (minute 0-10): ref-like mix incl. out-of-support tokens
+    mix_a = (["alpha"] * 4 + ["beta"] * 3 + ["gamma"] * 2 + ["delta"]
+             + ["misc1", "misc2"])
+    for i in range(240):
+        rows.append((mix_a[i % len(mix_a)], base + dt.timedelta(seconds=i * 2)))
+    # window B (minute 10-20): heavy alpha skew, delta never occurs (p=0)
+    mix_b = ["alpha"] * 9 + ["beta"]
+    for i in range(240):
+        rows.append(
+            (mix_b[i % len(mix_b)],
+             base + dt.timedelta(minutes=10, seconds=i * 2))
+        )
+    # window C exists only to push the watermark past A and B
+    for i in range(30):
+        rows.append(("alpha", base + dt.timedelta(minutes=25, seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["token", "ts"])
+    src = str(tmp_path / "jsd_src")
+    spark.createDataFrame(pdf, "token string, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("token string, ts timestamp").parquet(src)
+    out = stream_windowed_jsd(
+        stream, support, window_duration="10 minutes", watermark="0 seconds"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("jsd_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.sql("select * from jsd_stream")
+    got = {
+        (r["window_start"], r["window_end"]): dict()
+        for r in sink.collect()
+    }
+    for r in sink.collect():
+        got[(r["window_start"], r["window_end"])][r["term"]] = r["cnt"]
+    assert len(got) >= 2, "windows A and B must have closed"
+    fin = {
+        (r["window_start"]): r
+        for r in merge_windowed_jsd(sink, ref_counts).collect()
+    }
+    qtot = sum(ref_counts.values())
+    win = dt.timedelta(minutes=10)
+    truth: dict = {}
+    for tok, ts in rows:
+        wstart = base + ((ts - base) // win) * win
+        term = tok if tok in support else JSD_STREAM_OTHER
+        truth.setdefault(wstart, {})
+        truth[wstart][term] = truth[wstart].get(term, 0) + 1
+    for (ws, _we), counts in got.items():
+        assert counts == truth[ws], (ws, counts, truth[ws])
+        wtot = sum(counts.values())
+        klp = klq = 0.0
+        for term in sorted(ref_counts):
+            c = counts.get(term, 0)
+            p, qq = c / wtot, ref_counts[term] / qtot
+            m = (p + qq) / 2.0
+            if c > 0:
+                klp += p * math.log(p / m)
+            if qq > 0:
+                klq += qq * math.log(qq / m)
+        jsd = (klp + klq) / 2.0
+        r = fin[ws]
+        assert r["jsd"] == round(jsd, 6), (ws, r["jsd"], jsd)
+        assert r["n_tokens"] == wtot
+        assert r["n_present"] == sum(1 for t in ref_counts if counts.get(t, 0) > 0)
+    wa, wb = base, base + dt.timedelta(minutes=10)
+    assert wa in fin and wb in fin
+    # planted drift: the skewed window diverges far more than the ref-like
+    assert fin[wb]["jsd"] > 4 * fin[wa]["jsd"], (fin[wa]["jsd"], fin[wb]["jsd"])
+    # branch proofs: OTHER carries mass in A; delta is a p=0 term in B
+    assert truth[wa][JSD_STREAM_OTHER] > 0
+    assert "delta" not in truth[wb] and fin[wb]["n_present"] < len(ref_counts)
