@@ -294,6 +294,11 @@ DRIVER_CAP_OVERFLOW = (
     # ClusteringEvaluator measure) over the shared Lloyd chain — cluster
     # eval completing the train/cluster/eval ML quadrant
     "silhouette",
+    # round-6 new, born-overflow: interpolated Kneser-Ney bigram LM —
+    # absolute discounting + continuation probabilities (the KenLM
+    # smoothing), planted held-out suffix fires discount-only, pure-
+    # continuation and floor branches; lm_heldout split/fold discipline
+    "lm_kneser_ney",
 )
 
 

@@ -236,6 +236,17 @@ def main() -> None:
         "ks_drift",
         "mojibake_fix",
         "crawl_frontier",
+        "robots_filter",
+        "template_lines",
+        "zipf_fit",
+        "hits",
+        "js_divergence",
+        "nfc_normalize",
+        "lpa_communities",
+        "logreg_quality",
+        "auc_eval",
+        "kmeans_embed",
+        "silhouette",
     ):
         if name not in QUERIES:
             continue

@@ -9126,6 +9126,207 @@ FROM per p JOIN cmean c USING (cid) CROSS JOIN gmean g
 """
 
 
+# --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM (`lm_kneser_ney`): the canonical LM
+# smoothing (Kneser & Ney 1995; Chen & Goodman 1999 §2.7) — the method
+# KenLM implements and CCNet-style perplexity filters actually run,
+# upgrading the add-k family (`lm_score`/`lm_heldout`) with absolute
+# discounting and CONTINUATION probabilities: P(w2|w1) =
+# max(c(w1w2)-D,0)/c(w1) + D·N1+(w1·)/c(w1) · Pcont(w2), where
+# Pcont(w2) = N1+(·w2)/N1+(··) — novel-continuation mass, not raw
+# frequency. Same md5 train/held-out split discipline as `lm_heldout`
+# (new salt). Held-out docs carry a planted 3-token suffix
+# (" knua join knub") so all three rare branches provably fire: unseen
+# w2 under a seen context (discount mass only → numeric floor), unseen
+# CONTEXT with a seen w2 (pure-continuation back-off, positive p), and
+# unseen context with unseen w2 (floor again).
+#
+# Scale shape: the lm_heldout discipline verbatim — zero-exchange
+# hash split, token-linear bigram derivation via a PARTITIONED lead
+# window, train tables re-aggregated from the bigram count table (ctx /
+# forward- and backward-type counts — never a second corpus pass), LEFT
+# joins carry the back-off semantics, per-doc position-pinned fold. The
+# one driver action is the bigram-type-count scalar (bounded |V|², the
+# train-vocab precedent).
+# --------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75  # the standard absolute discount (Chen & Goodman)
+KN_FLOOR = 1e-10  # numeric floor for zero-continuation events
+KN_SALT = "kn"
+
+
+def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).withColumn(
+        "is_train",
+        _md5_bucket_spark(
+            F.concat_ws("|", F.lit(KN_SALT), F.col("doc_id")), 2
+        )
+        == 0,
+    ).withColumn(
+        "ctext",
+        F.when(F.col("is_train"), F.col("text")).otherwise(
+            F.concat(F.col("text"), F.lit(" knua join knub"))
+        ),
+    )
+    toks = docs.select(
+        "doc_id",
+        "is_train",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.lower(F.col("ctext")), F.lit(_TOKEN_PATTERN), 0
+            )
+        ).alias("pos", "w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("w").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "is_train", "pos", F.col("w").alias("w1"), "w2")
+    )
+    big = (
+        bigrams.filter("is_train")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    ctx = big.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cw1"),
+        F.count("*").cast("long").alias("n1f"),
+    )
+    bwd = big.groupBy("w2").agg(F.count("*").cast("long").alias("n1b"))
+    tt = float(big.count())  # bigram-type scalar (bounded |V|^2)
+    d = KN_DISCOUNT
+    held = bigrams.filter(~F.col("is_train"))
+    pcont = F.coalesce("n1b", F.lit(0)).cast("double") / F.lit(tt)
+    cw1d = F.col("cw1").cast("double")
+    p_seen = (
+        F.greatest(
+            F.coalesce("cb", F.lit(0)).cast("double") - F.lit(d), F.lit(0.0)
+        )
+        / cw1d
+        + F.lit(d) * F.col("n1f").cast("double") / cw1d * pcont
+    )
+    scored = (
+        held.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .join(bwd, "w2", "left")
+        .withColumn(
+            "p_raw", F.when(F.col("cw1").isNotNull(), p_seen).otherwise(pcont)
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.col("cw1").isNull().cast("long").alias("is_backoff"),
+            (F.col("p_raw") <= 0).cast("long").alias("is_floor"),
+            F.log(F.greatest(F.col("p_raw"), F.lit(KN_FLOOR))).alias("logp"),
+        )
+    )
+    per_doc = (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "logp"))).alias("ps"),
+            F.sum("is_backoff").cast("long").alias("n_backoff"),
+            F.sum("is_floor").cast("long").alias("n_floor"),
+        )
+        .select(
+            "doc_id",
+            F.round(
+                F.aggregate(
+                    F.col("ps"), F.lit(0.0), lambda acc, x: acc + x["logp"]
+                )
+                / F.size("ps"),
+                6,
+            ).alias("mean_logp"),
+            F.size("ps").cast("long").alias("n_bigrams"),
+            "n_backoff",
+            "n_floor",
+        )
+    )
+    return (
+        docs.filter(~F.col("is_train"))
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "mean_logp",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("n_backoff", F.lit(0)).cast("long").alias("n_backoff"),
+            F.coalesce("n_floor", F.lit(0)).cast("long").alias("n_floor"),
+        )
+    )
+
+
+def _sql_lm_kneser_ney() -> str:
+    split = _md5_bucket_sql(
+        f"'{KN_SALT}' || '|' || CAST(doc_id AS VARCHAR)", 2
+    )
+    d = KN_DISCOUNT
+    return f"""
+WITH docs AS (
+  SELECT doc_id, ({split} = 0) AS is_train,
+         CASE WHEN {split} = 0 THEN text
+              ELSE text || ' knua join knub' END AS ctext
+  FROM documents
+), toks AS (
+  SELECT doc_id, is_train, i - 1 AS pos, t[i] AS w
+  FROM (
+    SELECT doc_id, is_train, t, unnest(range(1, len(t)+1)) AS i
+    FROM (SELECT doc_id, is_train,
+                 regexp_extract_all(lower(ctext), '{_TOKEN_PATTERN}') AS t
+          FROM docs)
+  )
+), bigrams AS (
+  SELECT doc_id, is_train, pos, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+  QUALIFY w2 IS NOT NULL
+), big AS MATERIALIZED (
+  SELECT w1, w2, count(*) AS cb FROM bigrams WHERE is_train GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(sum(cb) AS BIGINT) AS cw1,
+         CAST(count(*) AS BIGINT) AS n1f
+  FROM big GROUP BY w1
+), bwd AS (
+  SELECT w2, CAST(count(*) AS BIGINT) AS n1b FROM big GROUP BY w2
+), tt AS (
+  SELECT CAST(count(*) AS DOUBLE) AS t FROM big
+), scored AS (
+  SELECT b.doc_id, b.pos,
+         CAST(CASE WHEN b.cw1 IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS is_backoff,
+         CAST(CASE WHEN p_raw <= 0 THEN 1 ELSE 0 END AS BIGINT) AS is_floor,
+         ln(greatest(p_raw, {KN_FLOOR})) AS logp
+  FROM (
+    SELECT b.doc_id, b.pos, c.cw1,
+           CASE WHEN c.cw1 IS NOT NULL
+                THEN greatest(CAST(coalesce(g.cb, 0) AS DOUBLE) - {d}, 0.0)
+                       / CAST(c.cw1 AS DOUBLE)
+                     + {d} * CAST(c.n1f AS DOUBLE) / CAST(c.cw1 AS DOUBLE)
+                       * (CAST(coalesce(w.n1b, 0) AS DOUBLE) / tt.t)
+                ELSE CAST(coalesce(w.n1b, 0) AS DOUBLE) / tt.t END AS p_raw
+    FROM bigrams b
+    LEFT JOIN big g ON g.w1 = b.w1 AND g.w2 = b.w2
+    LEFT JOIN ctx c ON c.w1 = b.w1
+    LEFT JOIN bwd w ON w.w2 = b.w2
+    CROSS JOIN tt
+    WHERE NOT b.is_train
+  ) b
+), per_doc AS (
+  SELECT doc_id,
+         round(list_sum(list(logp ORDER BY pos)) / count(*), 6) AS mean_logp,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(is_backoff) AS BIGINT) AS n_backoff,
+         CAST(sum(is_floor) AS BIGINT) AS n_floor
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, p.mean_logp,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       coalesce(p.n_backoff, 0) AS n_backoff,
+       coalesce(p.n_floor, 0) AS n_floor
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
+WHERE NOT d.is_train
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -9229,4 +9430,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "auc_eval": (q_auc_eval, _sql_auc_eval()),
     "kmeans_embed": (q_kmeans_embed, _sql_kmeans_embed()),
     "silhouette": (q_silhouette, _sql_silhouette()),
+    "lm_kneser_ney": (q_lm_kneser_ney, _sql_lm_kneser_ney()),
 }

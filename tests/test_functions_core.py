@@ -2400,3 +2400,94 @@ def test_silhouette_pure_python_replay_and_margins():
         assert 0.0 <= sil <= 1.0 + 1e-9  # a <= b for converged kmeans
         signs.add(sil)
     assert max(signs) - min(signs) > 0.05, "degenerate silhouette spread"
+
+
+def test_lm_kneser_ney_pure_python_replay_and_branches():
+    """Kneser-Ney LM (`lm_kneser_ney`): a pure-Python interpolated-KN
+    replay — same split, discount, continuation counts, floor — must
+    match the DuckDB oracle at sf0.001 to 6dp; every held-out doc fires
+    exactly one pure-continuation back-off (knua->join) and two floors
+    ((last, knua), (join, knub)); the back-off bigram must score a
+    POSITIVE probability (continuation mass of the common 'join');
+    every rounded mean_logp clears its 6dp boundary."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        KN_DISCOUNT,
+        KN_FLOOR,
+        KN_SALT,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+
+    def is_train(d):
+        h = int(hashlib.md5(f"{KN_SALT}|{d}".encode()).hexdigest()[:15], 16)
+        return h % 2 == 0
+
+    doc_bigrams: dict = {}
+    big: Counter = Counter()
+    for d, t in raw:
+        text = t if is_train(d) else t + " knua join knub"
+        toks = re.findall("[a-z0-9]+", text.lower())
+        bgs = list(zip(toks, toks[1:]))
+        doc_bigrams[d] = bgs
+        if is_train(d):
+            big.update(bgs)
+    ctx: dict = defaultdict(lambda: [0, 0])  # w1 -> [cw1, n1f]
+    bwd: Counter = Counter()
+    for (w1, w2), c in big.items():
+        ctx[w1][0] += c
+        ctx[w1][1] += 1
+        bwd[w2] += 1
+    tt = float(len(big))
+    D = KN_DISCOUNT
+    rows = con.execute(QUERIES["lm_kneser_ney"][1]).fetchall()
+    held_ids = [d for d, _t in raw if not is_train(d)]
+    assert len(rows) == len(held_ids)
+    for doc_id, mean_logp, n_bigrams, n_backoff, n_floor in rows:
+        assert not is_train(doc_id)
+        bgs = doc_bigrams[doc_id]
+        assert n_bigrams == len(bgs)
+        logps, nb, nf = [], 0, 0
+        for w1, w2 in bgs:
+            pcont = bwd.get(w2, 0) / tt
+            if w1 in ctx:
+                cw1, n1f = ctx[w1]
+                p = (
+                    max(big.get((w1, w2), 0) - D, 0.0) / cw1
+                    + D * n1f / cw1 * pcont
+                )
+            else:
+                p = pcont
+                nb += 1
+                if w2 == "join":
+                    assert p > 0  # pure-continuation mass of a common token
+            if p <= 0:
+                nf += 1
+            logps.append(math.log(max(p, KN_FLOOR)))
+        exp = sum(logps) / len(logps)
+        frac = abs(exp * 1e6 - math.floor(exp * 1e6) - 0.5)
+        assert frac > 1e-4, (doc_id, exp)
+        assert mean_logp == round(exp, 6), (doc_id, mean_logp, exp)
+        assert (n_backoff, n_floor) == (nb, nf) == (1, 2), (doc_id, nb, nf)
+    # KN probability sanity on a seen context: sums to ~1 over the vocab
+    some_w1 = next(w1 for (w1, _w2) in big)
+    cw1, n1f = ctx[some_w1]
+    vocab = set(bwd) | {w2 for _w1, w2 in big}
+    total_p = sum(
+        max(big.get((some_w1, w2), 0) - D, 0.0) / cw1
+        + D * n1f / cw1 * (bwd.get(w2, 0) / tt)
+        for w2 in vocab
+    )
+    assert abs(total_p - 1.0) < 0.02, total_p
