@@ -1210,3 +1210,173 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * h // height).clip(0, h - 1)
     xs = (np.arange(width) * w // width).clip(0, w - 1)
     return img[ys][:, xs]
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — the acTL/fcTL/fdAT extension (W3C PNG 3rd ed.
+# §4.2 / the original Mozilla spec). The default image (IDAT) doubles as
+# frame 0 here, so every APNG this writer emits is ALSO a valid still PNG
+# for `decode_png` (backward compatibility is the format's design goal).
+# Sub-rectangle frames with x/y offsets, dispose_op 0-2 (none /
+# background / previous) and blend_op 0-1 (source / over) are supported
+# both directions; fcTL/fdAT share one strictly-increasing sequence
+# counter, validated on decode.
+# ---------------------------------------------------------------------------
+
+
+def encode_apng(
+    frames,
+    offsets=None,
+    dispose_ops=None,
+    blend_ops=None,
+    delay=(1, 24),
+) -> bytes:
+    """Animated-PNG writer. ``frames[0]`` must cover the full canvas (it
+    is the default image); later frames may be sub-rectangles placed at
+    ``offsets[i]`` with per-frame ``dispose_ops``/``blend_ops``."""
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    fr = []
+    for f in frames:
+        a = np.ascontiguousarray(f, dtype=np.uint8)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        fr.append(a)
+    h, w, c = fr[0].shape
+    if any(f.shape[2] != c for f in fr):
+        raise ValueError("APNG frames must share channel count")
+    offsets = offsets or [(0, 0)] * len(fr)
+    dispose_ops = dispose_ops or [0] * len(fr)
+    blend_ops = blend_ops or [0] * len(fr)
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    out = [_PNG_SIG, _png_chunk(b"IHDR", ihdr)]
+    out.append(_png_chunk(b"acTL", struct.pack(">II", len(fr), 0)))
+    seq = 0
+
+    def fctl(i):
+        nonlocal seq
+        fh, fw = fr[i].shape[:2]
+        x, y = offsets[i]
+        if x + fw > w or y + fh > h:
+            raise ValueError("APNG frame exceeds canvas")
+        data = struct.pack(
+            ">IIIIIHHBB",
+            seq, fw, fh, x, y, delay[0], delay[1],
+            dispose_ops[i], blend_ops[i],
+        )
+        seq += 1
+        return _png_chunk(b"fcTL", data)
+
+    out.append(fctl(0))
+    raw0 = b"".join(b"\x00" + fr[0][y].tobytes() for y in range(h))
+    out.append(_png_chunk(b"IDAT", zlib.compress(raw0, 6)))
+    for i in range(1, len(fr)):
+        out.append(fctl(i))
+        fh = fr[i].shape[0]
+        raw = b"".join(b"\x00" + fr[i][y].tobytes() for y in range(fh))
+        out.append(
+            _png_chunk(
+                b"fdAT", struct.pack(">I", seq) + zlib.compress(raw, 6)
+            )
+        )
+        seq += 1
+    out.append(_png_chunk(b"IEND", b""))
+    return b"".join(out)
+
+
+@_strict_decoder("APNG")
+def decode_png_frames(payload: bytes):
+    """Composited frame sequence of a PNG: a 1-frame list for still PNGs,
+    the full dispose/blend-composited animation for APNGs (the
+    `decode_gif` contract). Sequence numbers are validated; dispose_op
+    3+ / blend_op 2+ raise."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr = 8, None
+    actl = None
+    ctrl = []  # (fcTL fields)
+    data_for = []  # per-fcTL concatenated raw zlib streams
+    expected_seq = 0
+    idat_seen = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        crc_bytes = payload[pos + 8 + length : pos + 12 + length]
+        if len(data) != length or len(crc_bytes) != 4:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", crc_bytes)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"acTL":
+            actl = struct.unpack(">II", data)
+        elif tag == b"fcTL":
+            f = struct.unpack(">IIIIIHHBB", data)
+            if f[0] != expected_seq:
+                raise ValueError("APNG sequence number mismatch")
+            expected_seq += 1
+            ctrl.append(f)
+            data_for.append(b"")
+        elif tag == b"IDAT":
+            idat_seen = True
+            if ctrl:
+                data_for[-1] += data
+        elif tag == b"fdAT":
+            (s,) = struct.unpack(">I", data[:4])
+            if s != expected_seq:
+                raise ValueError("APNG sequence number mismatch")
+            expected_seq += 1
+            if not ctrl:
+                raise ValueError("APNG fdAT before any fcTL")
+            data_for[-1] += data[4:]
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if actl is None or not ctrl:
+        return [decode_png(payload)]
+    if not idat_seen:
+        raise ValueError("APNG missing default image")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    _check_dims(w, h, "APNG")
+    if depth != 8 or interlace != 0:
+        raise ValueError("unsupported APNG (depth/interlace)")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported APNG color type {color_type}")
+    if actl[0] != len(ctrl):
+        raise ValueError("APNG acTL frame count mismatch")
+    canvas = np.zeros((h, w, channels), dtype=np.uint8)
+    frames = []
+    for f, blob in zip(ctrl, data_for):
+        _seq, fw, fh, x, y, _dn, _dd, dispose, blend = f
+        if x + fw > w or y + fh > h:
+            raise ValueError("APNG frame exceeds canvas")
+        if dispose > 2 or blend > 1:
+            raise ValueError(
+                f"unsupported APNG dispose/blend ({dispose}/{blend})"
+            )
+        raw = zlib.decompress(blob)
+        sub = _png_unfilter(raw, fh, fw * channels, channels)
+        if sub is None:
+            raise ValueError("APNG frame data length mismatch")
+        sub = sub.reshape(fh, fw, channels)
+        prev = canvas[y : y + fh, x : x + fw].copy()
+        if blend == 1 and channels == 4:
+            # OVER: out = src*a + dst*(1-a), alpha-composited per pixel
+            a = sub[:, :, 3:4].astype(np.uint16)
+            dst = canvas[y : y + fh, x : x + fw].astype(np.uint16)
+            srcp = sub.astype(np.uint16)
+            comp = (srcp * a + dst * (255 - a) + 127) // 255
+            canvas[y : y + fh, x : x + fw] = comp.astype(np.uint8)
+        else:
+            # blend 0 (source), or OVER on alpha-less images (= source)
+            canvas[y : y + fh, x : x + fw] = sub
+        frames.append(canvas.copy())
+        if dispose == 1:
+            canvas[y : y + fh, x : x + fw] = 0
+        elif dispose == 2:
+            canvas[y : y + fh, x : x + fw] = prev
+    return frames

@@ -108,6 +108,11 @@ def _real_decode(payload: bytes, kind: str) -> dict:
             # multi-page TIFF: n_frames = pages of the next-IFD chain
             pages = codecs.decode_tiff_pages(payload)
             img, n_frames = pages[0], len(pages)
+        elif fmt == "png":
+            # APNG-aware: a still PNG is a 1-frame list, an acTL
+            # animation composites its dispose/blend sequence
+            frames = codecs.decode_png_frames(payload)
+            img, n_frames = frames[0], len(frames)
         else:
             img, n_frames = codecs.decode_image(payload), 1
         return {
@@ -315,7 +320,21 @@ def resize_media(
                         base["payload"] = bytearray(
                             codecs.encode_tiff_pages(pages)
                         )
-                    elif fmt in ("png", "jpeg", "bmp", "ppm"):
+                    elif fmt == "png":
+                        # APNG: every composited frame resizes and the
+                        # animation re-encodes (full-canvas frames, blend
+                        # source — the no-silent-collapse contract); a
+                        # still PNG takes the single-image path unchanged
+                        frames = [
+                            codecs.resize_nearest(f, width, height)
+                            for f in codecs.decode_png_frames(payload)
+                        ]
+                        base["payload"] = bytearray(
+                            codecs.encode_png(frames[0])
+                            if len(frames) == 1
+                            else codecs.encode_apng(frames)
+                        )
+                    elif fmt in ("jpeg", "bmp", "ppm"):
                         img = codecs.decode_image(payload)
                         out = codecs.resize_nearest(img, width, height)
                         base["payload"] = bytearray(codecs.encode_image(out, fmt))
@@ -522,15 +541,18 @@ def sample_frames(
                                 "error": f"{type(exc).__name__}: {exc}",
                             }
                         )
-                elif fmt in ("gif", "tiff"):
+                elif fmt in ("gif", "tiff", "png"):
                     # GIF: composited animation frames; TIFF: the pages of
-                    # the next-IFD chain (TIFF 6.0 multi-image files) —
-                    # same strided sampling over the decoded sequence
+                    # the next-IFD chain (TIFF 6.0 multi-image files);
+                    # PNG: the APNG composited sequence (1 frame if still)
+                    # — same strided sampling over the decoded sequence
                     try:
                         frames = (
                             codecs.decode_gif(payload)
                             if fmt == "gif"
                             else codecs.decode_tiff_pages(payload)
+                            if fmt == "tiff"
+                            else codecs.decode_png_frames(payload)
                         )
                         idxs = list(range(0, len(frames), every_n))[:max_frames]
                         for idx in idxs:

@@ -2561,3 +2561,108 @@ def test_stream_windowed_jsd(spark, tmp_path):
     # branch proofs: OTHER carries mass in A; delta is a p=0 term in B
     assert truth[wa][JSD_STREAM_OTHER] > 0
     assert "delta" not in truth[wb] and fin[wb]["n_present"] < len(ref_counts)
+
+
+def test_apng_codec_roundtrip():
+    """APNG codec: sub-rectangle frames with dispose 0/1/2 and blend 0/1
+    composite exactly like a reference simulation; the default image
+    keeps the file a valid still PNG for decode_png; sequence-number
+    corruption and oversize frames raise ValueError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from htep_spark.functions import codecs
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (16, 20, 4), np.uint8)
+    f1 = rng.integers(0, 256, (6, 8, 4), np.uint8)
+    f2 = rng.integers(0, 256, (5, 7, 4), np.uint8)
+    pay = codecs.encode_apng(
+        [base, f1, f2],
+        offsets=[(0, 0), (3, 2), (9, 8)],
+        dispose_ops=[0, 1, 2],
+        blend_ops=[0, 0, 1],
+    )
+    frames = codecs.decode_png_frames(pay)
+    assert len(frames) == 3
+    assert np.array_equal(frames[0], base)
+    exp1 = base.copy()
+    exp1[2:8, 3:11] = f1
+    assert np.array_equal(frames[1], exp1)
+    # dispose 1 cleared f1's region to zero, then f2 blends OVER
+    canvas = base.copy()
+    canvas[2:8, 3:11] = 0
+    dst = canvas[8:13, 9:16].astype(np.uint16)
+    a = f2[:, :, 3:4].astype(np.uint16)
+    comp = (f2.astype(np.uint16) * a + dst * (255 - a) + 127) // 255
+    exp2 = canvas.copy()
+    exp2[8:13, 9:16] = comp.astype(np.uint8)
+    assert np.array_equal(frames[2], exp2)
+    # still-PNG compatibility: default image == frame 0
+    assert np.array_equal(codecs.decode_png(pay), base)
+    assert len(codecs.decode_png_frames(codecs.encode_png(base))) == 1
+    # corrupt the fcTL sequence number of frame 2 (rebuild chunk CRC)
+    import struct as _struct
+    import zlib as _zlib
+
+    idx = pay.index(b"fcTL", pay.index(b"fcTL") + 4) - 4
+    (ln,) = _struct.unpack(">I", pay[idx : idx + 4])
+    body = bytearray(pay[idx + 8 : idx + 8 + ln])
+    body[:4] = _struct.pack(">I", 99)
+    crc = _zlib.crc32(b"fcTL" + bytes(body)) & 0xFFFFFFFF
+    bad = (
+        pay[: idx + 8] + bytes(body) + _struct.pack(">I", crc)
+        + pay[idx + 8 + ln + 4 :]
+    )
+    with _pytest.raises(ValueError, match="sequence"):
+        codecs.decode_png_frames(bad)
+    with _pytest.raises(ValueError, match="exceeds canvas"):
+        codecs.encode_apng([base, f1], offsets=[(0, 0), (15, 14)])
+
+
+def test_apng_through_spark_media_operators(spark):
+    """APNG flows through the media operators with the GIF/TIFF
+    no-silent-collapse contract: decode_media reports the animation's
+    frame count, resize_media resizes every composited frame, and
+    sample_frames strides over the composited sequence."""
+    import numpy as np
+
+    from htep_spark.functions import codecs
+    from htep_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        resize_media,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(31)
+    canvas = [rng.integers(0, 256, (10, 12, 3), np.uint8) for _ in range(4)]
+    payload = codecs.encode_apng(canvas)
+    media = spark.createDataFrame(
+        [("m-apng", "image", bytearray(payload), "image/png")], MEDIA_SCHEMA
+    )
+    meta = decode_media(media).collect()[0]
+    assert meta["n_frames"] == 4 and meta["error"] is None
+    assert meta["format"] == "png"
+    rz = resize_media(media, 24, 20).collect()[0]
+    assert rz["error"] is None
+    rframes = codecs.decode_png_frames(bytes(rz["payload"]))
+    assert len(rframes) == 4
+    for got, src in zip(rframes, canvas):
+        assert np.array_equal(got, codecs.resize_nearest(src, 24, 20))
+    vmedia = spark.createDataFrame(
+        [("m-apng", "video", bytearray(payload), "image/png")], MEDIA_SCHEMA
+    )
+    frames = sample_frames(vmedia, every_n=2, max_frames=3).collect()
+    assert sorted(f["frame_idx"] for f in frames) == [0, 2]
+    for f in frames:
+        got = codecs.decode_ppm(bytes(f["frame_payload"]))
+        assert np.array_equal(got, canvas[f["frame_idx"]])
+    # a still PNG keeps its single-image behavior end to end
+    still = spark.createDataFrame(
+        [("m-png", "image", bytearray(codecs.encode_png(canvas[0])),
+          "image/png")],
+        MEDIA_SCHEMA,
+    )
+    smeta = decode_media(still).collect()[0]
+    assert smeta["n_frames"] == 1 and smeta["error"] is None
