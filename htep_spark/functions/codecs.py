@@ -378,7 +378,30 @@ def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
 
 @_strict_decoder("WAV")
 def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
-    """PCM WAV bytes → (int16 samples shaped (n, channels), sample_rate)."""
+    """WAV bytes → (int16 samples shaped (n, channels), sample_rate).
+    PCM (format 1) decodes via the stdlib wave path; IMA ADPCM (format
+    0x0011, mono) decompresses through the spec reconstruction — both
+    arrive here through the same RIFF sniff, so every audio operator
+    transparently accepts either encoding."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt_tag, ba, rate, n_samples, data = 12, None, 0, 0, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt_tag, _ch, rate = struct.unpack("<HHI", body[:8])
+            ba = struct.unpack("<H", body[12:14])[0]
+        elif tag == b"fact":
+            (n_samples,) = struct.unpack("<I", body[:4])
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)
+    if fmt_tag == 0x11:
+        if data is None or n_samples is None:
+            raise ValueError("IMA ADPCM WAV missing data/fact chunk")
+        return _ima_decode(data, ba, n_samples).reshape(-1, 1), rate
     with wave.open(io.BytesIO(payload), "rb") as wf:
         if wf.getsampwidth() != 2:
             raise ValueError(f"unsupported WAV sample width {wf.getsampwidth()}")
@@ -1380,3 +1403,111 @@ def decode_png_frames(payload: bytes):
         elif dispose == 2:
             canvas[y : y + fh, x : x + fw] = prev
     return frames
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAV format tag 0x0011, DVI4) — the classic 4:1 telephony /
+# game-audio compressor (IMA Digital Audio Focus Group 1992; RFC 3551
+# DVI4). Block-aligned mono streams: each block opens with a 4-byte
+# header (int16 predictor = the block's first sample, uint8 step index,
+# reserved) followed by packed 4-bit deltas, low nibble first. The
+# decoder is the spec's fixed-point reconstruction exactly, so
+# encode -> decode is deterministic bit-for-bit (pytest replays it
+# against an independent reference simulation).
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+_IMA_BLOCK_ALIGN = 256  # mono: 1 + 2*(256-4) = 505 samples per block
+
+
+def _ima_step(pred: int, index: int, nibble: int):
+    step = _IMA_STEPS[index]
+    delta = step >> 3
+    if nibble & 4:
+        delta += step
+    if nibble & 2:
+        delta += step >> 1
+    if nibble & 1:
+        delta += step >> 2
+    pred = pred - delta if nibble & 8 else pred + delta
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX[nibble & 7]))
+    return pred, index
+
+
+def encode_wav_ima(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """Mono int16 samples → IMA-ADPCM WAV (format 0x0011)."""
+    s = np.asarray(samples, dtype=np.int16).reshape(-1)
+    if s.size == 0:
+        raise ValueError("IMA ADPCM needs at least one sample")
+    ba = _IMA_BLOCK_ALIGN
+    spb = 1 + 2 * (ba - 4)
+    blocks = []
+    index = 0
+    for b0 in range(0, s.size, spb):
+        blk = s[b0 : b0 + spb]
+        pred = int(blk[0])
+        out = bytearray(struct.pack("<hBB", pred, index, 0))
+        nibbles = []
+        for x in blk[1:]:
+            step = _IMA_STEPS[index]
+            diff = int(x) - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            pred, index = _ima_step(pred, index, nib)
+            nibbles.append(nib)
+        nibbles += [0] * (2 * (ba - 4) - len(nibbles))  # pad final block
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+        blocks.append(bytes(out))
+    data = b"".join(blocks)
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, rate, rate * ba // spb, ba, 4, 2, spb,
+    )
+    fact = struct.pack("<I", s.size)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _ima_decode(data: bytes, ba: int, n_samples: int) -> np.ndarray:
+    out = []
+    for b0 in range(0, len(data), ba):
+        blk = data[b0 : b0 + ba]
+        if len(blk) < 4:
+            raise ValueError("IMA ADPCM truncated block header")
+        pred, index, _res = struct.unpack("<hBB", blk[:4])
+        if index > 88:
+            raise ValueError(f"IMA ADPCM step index {index} out of range")
+        out.append(pred)
+        for byte in blk[4:]:
+            for nib in (byte & 0xF, byte >> 4):
+                pred, index = _ima_step(pred, index, nib)
+                out.append(pred)
+    if n_samples > len(out):
+        raise ValueError("IMA ADPCM sample count exceeds data")
+    return np.asarray(out[:n_samples], dtype=np.int16)
