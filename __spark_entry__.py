@@ -299,6 +299,13 @@ DRIVER_CAP_OVERFLOW = (
     # smoothing), planted held-out suffix fires discount-only, pure-
     # continuation and floor branches; lm_heldout split/fold discipline
     "lm_kneser_ney",
+    # round-6 new, born-overflow: the classic warehouse OLAP shapes over
+    # the previously-untouched relational star — Q1-shape filtered agg
+    # and Q5-shape fact-fact join + broadcast dim chain, exact DECIMAL
+    # money math (no reduce-order surface), plan-gated broadcasts +
+    # pushed-down date pruning
+    "tpch_pricing",
+    "tpch_regional_revenue",
 )
 
 

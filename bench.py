@@ -247,6 +247,9 @@ def main() -> None:
         "auc_eval",
         "kmeans_embed",
         "silhouette",
+        "lm_kneser_ney",
+        "tpch_pricing",
+        "tpch_regional_revenue",
     ):
         if name not in QUERIES:
             continue

@@ -7272,6 +7272,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n"))
                 ).alias("r"),
             )
+            # pin each round (the hits discipline): ranks is referenced by
+            # contrib, dang AND the next update — triple-referenced lineage
+            # re-executes ~3^K times otherwise (measured: 25.7s -> ~2s at
+            # sf0.1 in the round-6 bench)
+            .localCheckpoint(eager=True)
         )
     return (
         ranks.join(F.broadcast(outw), ranks["node"] == outw["src"], "left")
@@ -9327,6 +9332,174 @@ WHERE NOT d.is_train
 """
 
 
+# --------------------------------------------------------------------------
+# Classic warehouse OLAP shapes (`tpch_pricing`, `tpch_regional_revenue`):
+# the relational half of the testdata (region/nation/customer/supplier/
+# orders/lineitem — the TPC-H star) was previously untouched; these two
+# queries certify the bread-and-butter shapes a 100 TB warehouse runs all
+# day. `tpch_pricing` is the Q1 shape (scan-heavy filtered aggregation
+# with map-side partial aggs); `tpch_regional_revenue` is the Q5 shape
+# (fact-fact equi-join lineitem⋈orders with pushed-down date pruning,
+# then a chain of BROADCAST dimension joins customer/supplier/nation/
+# region with the c_nationkey = s_nationkey locality predicate). A plan
+# gate asserts the dims actually broadcast, the date filter reaches the
+# orders scan as a PushedFilter, and ReadSchema pruning holds.
+#
+# Cross-engine determinism: money math runs in bounded DECIMALs —
+# doubles cast to DECIMAL(12,2)/(4,2) at the scan, products stay within
+# exact precision ((12,2)x(5,2)x(5,2) -> scale 6 << 38), sums are exact
+# integer arithmetic in BOTH engines, and doubles only appear casting
+# the exact sums at the output boundary. No reduce-order surface at all.
+# --------------------------------------------------------------------------
+
+TPCH_PRICING_CUTOFF = "1998-09-01"
+TPCH_REVENUE_REGION = "ASIA"
+TPCH_REVENUE_LO, TPCH_REVENUE_HI = "1996-01-01", "1998-01-01"
+
+
+def _tpch(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_tpch_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tpch(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit(TPCH_PRICING_CUTOFF).cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    one = F.lit(1).cast("decimal(3,2)")
+    agg = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).alias("sq"),
+            F.sum(price).alias("sb"),
+            F.sum(price * (one - disc)).alias("sd"),
+            F.sum(price * (one - disc) * (one + tax)).alias("sc"),
+            F.sum(disc).alias("sdisc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+    n = F.col("count_order").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("sq").cast("double"), 2).alias("sum_qty"),
+        F.round(F.col("sb").cast("double"), 2).alias("sum_base_price"),
+        F.round(F.col("sd").cast("double"), 2).alias("sum_disc_price"),
+        F.round(F.col("sc").cast("double"), 2).alias("sum_charge"),
+        F.round(F.col("sq").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.col("sb").cast("double") / n, 6).alias("avg_price"),
+        F.round(F.col("sdisc").cast("double") / n, 6).alias("avg_disc"),
+        "count_order",
+    )
+
+
+def _sql_tpch_pricing() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       round(CAST(sq AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sb AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sd AS DOUBLE), 2) AS sum_disc_price,
+       round(CAST(sc AS DOUBLE), 2) AS sum_charge,
+       round(CAST(sq AS DOUBLE) / CAST(count_order AS DOUBLE), 6)
+         AS avg_qty,
+       round(CAST(sb AS DOUBLE) / CAST(count_order AS DOUBLE), 6)
+         AS avg_price,
+       round(CAST(sdisc AS DOUBLE) / CAST(count_order AS DOUBLE), 6)
+         AS avg_disc,
+       count_order
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sb,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS sd,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+             * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+           AS sc,
+         sum(CAST(l_discount AS DECIMAL(4,2))) AS sdisc,
+         CAST(count(*) AS BIGINT) AS count_order
+  FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '{TPCH_PRICING_CUTOFF} 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+"""
+
+
+def q_tpch_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tpch(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (
+                F.lit(1).cast("decimal(3,2)")
+                - F.col("l_discount").cast("decimal(4,2)")
+            )
+        ).alias("rev"),
+    )
+    orders = _tpch(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(TPCH_REVENUE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(TPCH_REVENUE_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cust = _tpch(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _tpch(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _tpch(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    reg = _tpch(spark, sf_dir, "region").filter(
+        F.col("r_name") == TPCH_REVENUE_REGION
+    ).select("r_regionkey")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.sum("rev").alias("srev"),
+            F.count("*").cast("long").alias("n_lineitems"),
+        )
+        .select(
+            "n_name",
+            F.round(F.col("srev").cast("double"), 2).alias("revenue"),
+            "n_lineitems",
+        )
+    )
+
+
+def _sql_tpch_regional_revenue() -> str:
+    return f"""
+SELECT n_name,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2))
+                         - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '{TPCH_REVENUE_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{TPCH_REVENUE_HI} 00:00:00'
+  AND r_name = '{TPCH_REVENUE_REGION}'
+GROUP BY n_name
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -9431,4 +9604,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "kmeans_embed": (q_kmeans_embed, _sql_kmeans_embed()),
     "silhouette": (q_silhouette, _sql_silhouette()),
     "lm_kneser_ney": (q_lm_kneser_ney, _sql_lm_kneser_ney()),
+    "tpch_pricing": (q_tpch_pricing, _sql_tpch_pricing()),
+    "tpch_regional_revenue": (q_tpch_regional_revenue, _sql_tpch_regional_revenue()),
 }

@@ -360,3 +360,55 @@ def test_hits_iterations_never_rescan_corpus(spark):
     assert "FileScan" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
+
+
+def test_tpch_regional_revenue_plan_shape(spark):
+    """The Q5-shape plan must be the one you'd want at 100 TB: every
+    dimension (customer/supplier/nation/region) joins as a
+    BroadcastHashJoin, the fact-fact lineitem⋈orders join is NOT a
+    cartesian product, the o_orderdate range filter reaches the orders
+    scan as a pushed filter, and the lineitem scan's ReadSchema is
+    pruned to the four referenced columns."""
+    from htep_spark.driver_queries import q_tpch_regional_revenue
+
+    plan = (
+        q_tpch_regional_revenue(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    # date range pushed down to the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in plan, plan
+    # lineitem scan pruned: never reads l_comment-class baggage like
+    # l_tax/l_returnflag for this query
+    import re
+
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    }, cols
+
+
+def test_tpch_pricing_plan_shape(spark):
+    """The Q1-shape plan: shipdate filter pushed to the scan, partial
+    (map-side) aggregation before the exchange, no Python stage."""
+    from htep_spark.driver_queries import q_tpch_pricing
+
+    plan = (
+        q_tpch_pricing(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan, plan
+    # partial (map-side) + final aggregate pair — the combine happens
+    # before the exchange (WholeStageCodegen spans only materialize in
+    # the post-execution AQE final plan, so they are not asserted here)
+    assert "partial_sum" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "EvalPython" not in plan, plan
