@@ -1446,7 +1446,12 @@ def _ima_step(pred: int, index: int, nibble: int):
 
 def encode_wav_ima(samples: np.ndarray, rate: int = 16000) -> bytes:
     """Mono int16 samples → IMA-ADPCM WAV (format 0x0011)."""
-    s = np.asarray(samples, dtype=np.int16).reshape(-1)
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 2 and s.shape[1] != 1:
+        # flattening stereo would interleave channels into one nonsense
+        # mono stream — refuse loudly instead
+        raise ValueError("IMA ADPCM writer is mono-only")
+    s = s.reshape(-1)
     if s.size == 0:
         raise ValueError("IMA ADPCM needs at least one sample")
     ba = _IMA_BLOCK_ALIGN

@@ -2766,3 +2766,6 @@ def test_ima_adpcm_codec_and_media_flow(spark):
     blk[2] = 99
     with _pytest.raises(ValueError, match="out of range"):
         codecs._ima_decode(bytes(blk), 16, 5)
+    # stereo input refused (flattening would interleave channels)
+    with _pytest.raises(ValueError, match="mono-only"):
+        codecs.encode_wav_ima(np.zeros((100, 2), dtype=np.int16))
