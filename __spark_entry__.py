@@ -306,6 +306,10 @@ DRIVER_CAP_OVERFLOW = (
     # pushed-down date pruning
     "tpch_pricing",
     "tpch_regional_revenue",
+    # round-6 new, born-overflow: differentially-private aggregate
+    # release — bounded-contribution clipping, seeded inverse-CDF
+    # Laplace mechanism, sequential-composition epsilon accounting
+    "dp_release",
 )
 
 

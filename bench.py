@@ -250,6 +250,7 @@ def main() -> None:
         "lm_kneser_ney",
         "tpch_pricing",
         "tpch_regional_revenue",
+        "dp_release",
     ):
         if name not in QUERIES:
             continue

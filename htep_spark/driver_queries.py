@@ -9500,6 +9500,118 @@ GROUP BY n_name
 """
 
 
+# --------------------------------------------------------------------------
+# Differentially-private aggregate release (`dp_release`): the mechanics
+# every privacy-conscious data pipeline runs before publishing per-group
+# statistics (Dwork et al. 2006) — bounded-contribution clipping, the
+# Laplace mechanism via inverse-CDF sampling, and sequential-composition
+# epsilon accounting across the two released statistics (per-source doc
+# count, sensitivity 1, and per-source token sum clipped at DP_CLIP per
+# doc, sensitivity DP_CLIP). The "randomness" is a SEEDED md5 uniform
+# (u = (h % 2^20 + 0.5) / 2^20 — never exactly 0.5, and the discrete
+# grid bounds |noise| <= b*ln(2^20) so no infinite tail), which makes
+# the released values deterministic and cross-engine hash-checkable;
+# a production release would swap in a CSPRNG, everything else is the
+# real mechanism.
+#
+# Scale shape: one token-linear projection (clip is per-doc, exact
+# integers), one map-side-combinable per-source agg, noise applied as a
+# scalar expression on the |sources|-row result. The clip branch is
+# provably non-vacuous (n_clipped rides along).
+# --------------------------------------------------------------------------
+
+DP_CLIP = 64  # per-doc token-contribution bound (sensitivity of the sum)
+DP_EPS_COUNT = 0.5
+DP_EPS_SUM = 0.5
+_DP_GRID = 1048576  # 2^20 uniform grid
+
+
+def _dp_lap_spark(salt: str, b: float):
+    u = (
+        _md5_bucket_spark(
+            F.concat(F.lit(salt + "|"), F.col("source")), _DP_GRID
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_DP_GRID))
+    s = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return -F.lit(b) * s * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+
+
+def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ntok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    ).cast("long")
+    per = (
+        _docs(spark, sf_dir)
+        .select(
+            "source",
+            ntok.alias("ntok"),
+            F.least(ntok, F.lit(DP_CLIP)).alias("ctok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("ctok").cast("long").alias("clip_sum"),
+            F.sum((F.col("ntok") > DP_CLIP).cast("long"))
+            .cast("long")
+            .alias("n_clipped"),
+        )
+    )
+    b1 = 1.0 / DP_EPS_COUNT
+    b2 = DP_CLIP / DP_EPS_SUM
+    return per.select(
+        "source",
+        "n_docs",
+        "clip_sum",
+        "n_clipped",
+        F.round(
+            F.col("n_docs").cast("double") + _dp_lap_spark("dpc", b1), 6
+        ).alias("noisy_count"),
+        F.round(
+            F.col("clip_sum").cast("double") + _dp_lap_spark("dps", b2), 6
+        ).alias("noisy_token_sum"),
+        F.lit(float(b1)).alias("b_count"),
+        F.lit(float(b2)).alias("b_sum"),
+        F.lit(float(DP_EPS_COUNT + DP_EPS_SUM)).alias("eps_total"),
+    )
+
+
+def _sql_dp_lap(salt: str, b: float) -> str:
+    h = _md5_bucket_sql(f"'{salt}' || '|' || source", _DP_GRID)
+    u = f"((CAST({h} AS DOUBLE) + 0.5) / {float(_DP_GRID)})"
+    s = f"(CASE WHEN {u} >= 0.5 THEN 1.0 ELSE -1.0 END)"
+    return f"(-{b} * {s} * ln(1.0 - 2.0 * abs({u} - 0.5)))"
+
+
+def _sql_dp_release() -> str:
+    b1 = 1.0 / DP_EPS_COUNT
+    b2 = DP_CLIP / DP_EPS_SUM
+    return f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(least(ntok, {DP_CLIP})) AS BIGINT) AS clip_sum,
+         CAST(sum(CASE WHEN ntok > {DP_CLIP} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clipped
+  FROM (
+    SELECT source,
+           CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+                AS BIGINT) AS ntok
+    FROM documents
+  ) GROUP BY source
+)
+SELECT source, n_docs, clip_sum, n_clipped,
+       round(CAST(n_docs AS DOUBLE) + {_sql_dp_lap("dpc", b1)}, 6)
+         AS noisy_count,
+       round(CAST(clip_sum AS DOUBLE) + {_sql_dp_lap("dps", b2)}, 6)
+         AS noisy_token_sum,
+       {float(b1)} AS b_count,
+       {float(b2)} AS b_sum,
+       {float(DP_EPS_COUNT + DP_EPS_SUM)} AS eps_total
+FROM per
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -9606,4 +9718,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "lm_kneser_ney": (q_lm_kneser_ney, _sql_lm_kneser_ney()),
     "tpch_pricing": (q_tpch_pricing, _sql_tpch_pricing()),
     "tpch_regional_revenue": (q_tpch_regional_revenue, _sql_tpch_regional_revenue()),
+    "dp_release": (q_dp_release, _sql_dp_release()),
 }

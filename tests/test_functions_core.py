@@ -2491,3 +2491,76 @@ def test_lm_kneser_ney_pure_python_replay_and_branches():
         for w2 in vocab
     )
     assert abs(total_p - 1.0) < 0.02, total_p
+
+
+def test_dp_release_pure_python_replay_and_mechanism():
+    """DP release (`dp_release`): a pure-Python replay of the clipped
+    aggregates and the seeded inverse-CDF Laplace mechanism must match
+    the DuckDB oracle at sf0.001 to 6dp; the clip branch is non-vacuous
+    in both directions (some docs clipped, some not); both noise signs
+    occur across sources; |noise| respects the discrete-grid bound
+    b*ln(2^20); epsilon accounting is the sequential composition of the
+    two releases; every rounded value clears its boundary."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        DP_CLIP,
+        DP_EPS_COUNT,
+        DP_EPS_SUM,
+        QUERIES,
+        _DP_GRID,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, text FROM documents").fetchall()
+    agg: dict = {}
+    any_clipped = any_unclipped = 0
+    for source, text in raw:
+        ntok = len(re.findall("[a-z0-9]+", text.lower()))
+        a = agg.setdefault(source, [0, 0, 0])
+        a[0] += 1
+        a[1] += min(ntok, DP_CLIP)
+        a[2] += 1 if ntok > DP_CLIP else 0
+        if ntok > DP_CLIP:
+            any_clipped += 1
+        else:
+            any_unclipped += 1
+    assert any_clipped > 0 and any_unclipped > 0, "clip branch vacuous"
+
+    def lap(salt, source, b):
+        h = int(
+            hashlib.md5(f"{salt}|{source}".encode()).hexdigest()[:15], 16
+        )
+        u = (h % _DP_GRID + 0.5) / _DP_GRID
+        s = 1.0 if u >= 0.5 else -1.0
+        return -b * s * math.log(1.0 - 2.0 * abs(u - 0.5))
+
+    b1, b2 = 1.0 / DP_EPS_COUNT, DP_CLIP / DP_EPS_SUM
+    rows = con.execute(QUERIES["dp_release"][1]).fetchall()
+    assert len(rows) == len(agg)
+    signs = set()
+    for (
+        source, n_docs, clip_sum, n_clipped, noisy_count, noisy_sum,
+        bc, bs, eps,
+    ) in rows:
+        n, cs, nc = agg[source]
+        assert (n_docs, clip_sum, n_clipped) == (n, cs, nc)
+        l1, l2 = lap("dpc", source, b1), lap("dps", source, b2)
+        for got, exp in ((noisy_count, n + l1), (noisy_sum, cs + l2)):
+            frac = abs(exp * 1e6 - math.floor(exp * 1e6) - 0.5)
+            assert frac > 1e-4, (source, exp)
+            assert got == round(exp, 6), (source, got, exp)
+        assert abs(l1) <= b1 * math.log(_DP_GRID) + 1e-9
+        assert abs(l2) <= b2 * math.log(_DP_GRID) + 1e-9
+        signs.add(l1 > 0)
+        assert (bc, bs) == (b1, b2)
+        assert eps == DP_EPS_COUNT + DP_EPS_SUM
+    assert signs == {True, False}, "noise never changed sign"
