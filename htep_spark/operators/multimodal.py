@@ -28,11 +28,13 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
     DoubleType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -611,4 +613,123 @@ def sample_frames(
 
     return df.select("media_id", "kind", "payload").mapInPandas(
         run, schema=FRAME_SCHEMA
+    )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("dhash", LongType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over image payloads — the standard
+    near-duplicate signature for image corpora (dHash: downscale to 9x8
+    integer luma, emit the 64 horizontal-gradient sign bits; Krawetz
+    2013). Robust to re-encoding and mild brightness shifts because only
+    gradient SIGNS survive into the hash — the property that lets one
+    signature group a PNG master with its JPEG derivative. Arrow-batched
+    ``mapInPandas`` (the decode is the unavoidable Python step); errors
+    surface per item like every media stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, kind, raw in zip(
+                batch["media_id"].values,
+                batch["kind"].values,
+                batch["payload"].values,
+            ):
+                if kind != "image":
+                    continue
+                base = {
+                    "media_id": media_id,
+                    "dhash": None,
+                    "width": None,
+                    "height": None,
+                    "error": None,
+                }
+                try:
+                    img = codecs.decode_image(bytes(raw or b""))
+                    if img.ndim == 2:
+                        img = img[:, :, None]
+                    h, w = img.shape[:2]
+                    if img.shape[2] >= 3:
+                        px = img[:, :, :3].astype(np.int64)
+                        gray = (
+                            px[:, :, 0] * 299
+                            + px[:, :, 1] * 587
+                            + px[:, :, 2] * 114
+                        ) // 1000
+                    else:
+                        gray = img[:, :, 0].astype(np.int64)
+                    small = codecs.resize_nearest(
+                        gray.astype(np.uint8), 9, 8
+                    ).astype(np.int64)
+                    bits = (small[:, :-1] > small[:, 1:]).reshape(-1)
+                    val = 0
+                    for b in bits:
+                        val = (val << 1) | int(b)
+                    # two's-complement into a signed 64-bit long
+                    if val >= 1 << 63:
+                        val -= 1 << 64
+                    base.update(
+                        {"dhash": val, "width": int(w), "height": int(h)}
+                    )
+                except ValueError as exc:
+                    base["error"] = f"{type(exc).__name__}: {exc}"
+                rows.append(base)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DHASH_SCHEMA.fields]
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=DHASH_SCHEMA
+    )
+
+
+def media_near_dup(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-duplicate image pairs from `image_dhash` output — the
+    simhash discipline verbatim: 8 bands of 8 bits; Hamming distance
+    <= 7 guarantees (pigeonhole) at least one band matches exactly, so
+    candidate generation is a band equi-join (never all-pairs) and the
+    exact `bit_count(xor)` filter runs JVM-side on candidates only."""
+    if max_hamming > 7:
+        raise ValueError("8x8 banding only guarantees hamming <= 7")
+    h = hashes.filter(F.col("dhash").isNotNull()).select("media_id", "dhash")
+    bands = h.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("dhash"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("b"),
+    ).select("media_id", "dhash", "b.band_idx", "b.band_val")
+    left = bands.withColumnsRenamed({"media_id": "id_a", "dhash": "h_a"})
+    right = bands.withColumnsRenamed({"media_id": "id_b", "dhash": "h_b"})
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

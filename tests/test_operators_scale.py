@@ -2769,3 +2769,76 @@ def test_ima_adpcm_codec_and_media_flow(spark):
     # stereo input refused (flattening would interleave channels)
     with _pytest.raises(ValueError, match="mono-only"):
         codecs.encode_wav_ima(np.zeros((100, 2), dtype=np.int16))
+
+
+def test_image_dhash_near_dup(spark):
+    """Perceptual image dedup: a PNG master, its JPEG re-encode and a
+    +4-brightness variant must land within Hamming 7 of each other and
+    group as near-dup pairs via the 8x8-band join; unrelated images must
+    NOT pair; the banding is provably candidate-generating (pair count
+    from bands == brute-force pairs under the threshold); a corrupt
+    payload surfaces as an error row."""
+    import numpy as np
+
+    from htep_spark.functions import codecs
+    from htep_spark.functions.jpeg import encode_jpeg
+    from htep_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_dhash,
+        media_near_dup,
+    )
+
+    rng = np.random.default_rng(41)
+    # smooth gradient-rich base (pure noise would be JPEG-fragile)
+    yy, xx = np.mgrid[0:32, 0:48]
+    base = np.stack(
+        [
+            (xx * 5 + yy * 2) % 256,
+            (xx * 3 + 40) % 256,
+            (yy * 6 + 10) % 256,
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 48, 3), np.uint8)
+    bright = np.clip(base.astype(np.int16) + 4, 0, 255).astype(np.uint8)
+    rows = [
+        ("png-master", "image", bytearray(codecs.encode_png(base)), "image/png"),
+        ("jpeg-copy", "image", bytearray(encode_jpeg(base)), "image/jpeg"),
+        ("bright-var", "image", bytearray(codecs.encode_png(bright)), "image/png"),
+        ("unrelated", "image", bytearray(codecs.encode_png(other)), "image/png"),
+        ("corrupt", "image", bytearray(b"\x89PNG\r\n\x1a\njunk"), "image/png"),
+        ("audio-row", "audio", bytearray(b""), "audio/wav"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    hashes = image_dhash(media)
+    got = {r["media_id"]: r for r in hashes.collect()}
+    assert set(got) == {
+        "png-master", "jpeg-copy", "bright-var", "unrelated", "corrupt"
+    }
+    assert got["corrupt"]["error"] is not None
+    assert got["corrupt"]["dhash"] is None
+    for mid in ("png-master", "jpeg-copy", "bright-var", "unrelated"):
+        assert got[mid]["error"] is None
+        assert got[mid]["width"] == 48 and got[mid]["height"] == 32
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in media_near_dup(hashes).collect()
+    }
+    trio = {"png-master", "jpeg-copy", "bright-var"}
+    exp_pairs = {tuple(sorted(p)) for p in
+                 [("png-master", "jpeg-copy"), ("png-master", "bright-var"),
+                  ("jpeg-copy", "bright-var")]}
+    # brute-force check: banding found exactly the <=7-hamming pairs
+    import itertools
+
+    vals = {m: got[m]["dhash"] for m in got if got[m]["dhash"] is not None}
+    brute = {
+        tuple(sorted((a, b))): bin((va ^ vb) & ((1 << 64) - 1)).count("1")
+        for (a, va), (b, vb) in itertools.combinations(vals.items(), 2)
+        if bin((va ^ vb) & ((1 << 64) - 1)).count("1") <= 7
+    }
+    assert set(pairs) == set(brute), (pairs, brute)
+    assert exp_pairs <= set(pairs), pairs
+    for (a, b), d in pairs.items():
+        assert {a, b} <= trio, "unrelated image paired"
+        assert d == brute[(a, b)]
