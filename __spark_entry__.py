@@ -310,6 +310,10 @@ DRIVER_CAP_OVERFLOW = (
     # release — bounded-contribution clipping, seeded inverse-CDF
     # Laplace mechanism, sequential-composition epsilon accounting
     "dp_release",
+    # round-6 new, born-overflow: chi-squared supervised vocabulary
+    # ranking (Yang & Pedersen) — exact integer 2x2 contingency tables
+    # against the planted label; the marker token must rank 1
+    "chi2_select",
 )
 
 

@@ -251,6 +251,7 @@ def main() -> None:
         "tpch_pricing",
         "tpch_regional_revenue",
         "dp_release",
+        "chi2_select",
     ):
         if name not in QUERIES:
             continue

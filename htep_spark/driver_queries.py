@@ -9612,6 +9612,135 @@ FROM per
 """
 
 
+# --------------------------------------------------------------------------
+# Chi-squared feature selection (`chi2_select`): the classic supervised
+# vocabulary ranking (Yang & Pedersen 1997) behind fastText-era quality
+# classifiers — per token, the 2x2 document-presence contingency table
+# against the planted label (the `logreg_quality` rule: doc_id % 3 == 0
+# carries 'posmark' tokens), chi2 = N(AD-BC)^2 / ((A+B)(C+D)(A+C)(B+D)).
+# The planted marker must rank first by construction (ground-truth
+# recovery); natural tokens sit near zero (present in ~every doc of both
+# classes). chi2 is bit-identical across engines (one division of exact
+# integer products), and the ranking runs over the 6dp-ROUNDED value
+# with a token tie-break — `exact_global_rank` Spark-side, a plain
+# window in the single-node oracle.
+#
+# Scale shape: one token-linear distinct-(doc, token) projection, one
+# map-side-combinable per-token agg to the vocab-sized table, class
+# totals re-aggregated and broadcast, ranking range-partitioned. At
+# 100 TB this is the cheapest supervised signal there is.
+# --------------------------------------------------------------------------
+
+
+def q_chi2_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    y = (F.col("doc_id") % 3 == 0).cast("long")
+    npos = F.when(
+        F.col("doc_id") % 3 == 0, 1 + (F.floor(F.col("doc_id") / 3) % 2)
+    ).otherwise(0)
+    ctext = F.concat(
+        F.col("text"),
+        F.when(npos > 0, F.lit(" posmark")).otherwise(F.lit("")),
+    )
+    pres = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            y.alias("y"),
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.lower(ctext), F.lit(_TOKEN_PATTERN), 0
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+    tok = pres.groupBy("token").agg(
+        F.sum("y").cast("long").alias("a"),
+        F.sum(1 - F.col("y")).cast("long").alias("b"),
+    )
+    totals = (
+        _docs(spark, sf_dir)
+        .select(y.alias("y"))
+        .agg(
+            F.sum("y").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+        )
+    )
+    t = tok.crossJoin(F.broadcast(totals)).select(
+        "token",
+        "a",
+        "b",
+        (F.col("n_pos") - F.col("a")).alias("c"),
+        (F.col("n_neg") - F.col("b")).alias("d"),
+        (F.col("n_pos") + F.col("n_neg")).alias("n"),
+    )
+    det = F.col("a") * F.col("d") - F.col("b") * F.col("c")
+    chi2 = (
+        (F.col("n") * det * det).cast("double")
+        / (
+            (F.col("a") + F.col("b"))
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+        ).cast("double")
+    )
+    scored = t.withColumn("chi2", F.round(chi2, 6)).withColumn(
+        "neg_chi2", -F.col("chi2")
+    )
+    ranked = exact_global_rank(scored, "neg_chi2", ("token",))
+    return ranked.select(
+        "token",
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("d").cast("long").alias("d"),
+        "chi2",
+        F.col("global_rank").cast("long").alias("rank"),
+    )
+
+
+def _sql_chi2_select() -> str:
+    return f"""
+WITH lab AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+         text || CASE WHEN doc_id % 3 = 0 THEN ' posmark' ELSE '' END
+           AS ctext
+  FROM documents
+), pres AS (
+  SELECT doc_id, y,
+         unnest(list_distinct(
+           regexp_extract_all(lower(ctext), '{_TOKEN_PATTERN}'))) AS token
+  FROM lab
+), tok AS (
+  SELECT token,
+         CAST(sum(y) AS BIGINT) AS a,
+         CAST(sum(1 - y) AS BIGINT) AS b
+  FROM pres GROUP BY token
+), totals AS (
+  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(1 - y) AS BIGINT) AS n_neg
+  FROM lab
+), t AS (
+  SELECT token, a, b,
+         n_pos - a AS c, n_neg - b AS d, n_pos + n_neg AS n
+  FROM tok CROSS JOIN totals
+), scored AS (
+  SELECT token, a, b, c, d,
+         round(CAST(n * (a * d - b * c) * (a * d - b * c) AS DOUBLE)
+               / CAST((a + b) * (c + d) * (a + c) * (b + d) AS DOUBLE), 6)
+           AS chi2
+  FROM t
+)
+SELECT token, a, b, c, d, chi2,
+       CAST(row_number() OVER (ORDER BY chi2 DESC, token) AS BIGINT) AS rank
+FROM scored
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -9719,4 +9848,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "tpch_pricing": (q_tpch_pricing, _sql_tpch_pricing()),
     "tpch_regional_revenue": (q_tpch_regional_revenue, _sql_tpch_regional_revenue()),
     "dp_release": (q_dp_release, _sql_dp_release()),
+    "chi2_select": (q_chi2_select, _sql_chi2_select()),
 }

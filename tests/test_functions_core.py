@@ -2564,3 +2564,62 @@ def test_dp_release_pure_python_replay_and_mechanism():
         assert (bc, bs) == (b1, b2)
         assert eps == DP_EPS_COUNT + DP_EPS_SUM
     assert signs == {True, False}, "noise never changed sign"
+
+
+def test_chi2_select_ground_truth_and_replay():
+    """Chi-squared selection (`chi2_select`): a pure-Python replay of the
+    2x2 contingency tables must match the DuckDB oracle at sf0.001; the
+    planted 'posmark' token must rank 1 with a chi2 equal to N (perfect
+    class separation on presence); natural tokens must sit far below;
+    contingency rows must be internally consistent (a+c = n_pos,
+    b+d = n_neg); every rounded chi2 clears its boundary."""
+    import math
+    import re
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    pres: dict = defaultdict(lambda: [0, 0])
+    n_pos = n_neg = 0
+    for d, t in raw:
+        y = 1 if d % 3 == 0 else 0
+        n_pos += y
+        n_neg += 1 - y
+        toks = set(re.findall("[a-z0-9]+", t.lower()))
+        if y:
+            toks.add("posmark")
+        for tk in toks:
+            pres[tk][0 if y else 1] += 1
+    n = n_pos + n_neg
+    exp = {}
+    for tk, (a, b) in pres.items():
+        c, dd = n_pos - a, n_neg - b
+        det = a * dd - b * c
+        chi2 = (n * det * det) / ((a + b) * (c + dd) * (a + c) * (b + dd))
+        exp[tk] = (a, b, c, dd, chi2)
+    order = sorted(exp.items(), key=lambda kv: (-round(kv[1][4], 6), kv[0]))
+    exp_rank = {tk: i + 1 for i, (tk, _v) in enumerate(order)}
+    rows = con.execute(QUERIES["chi2_select"][1]).fetchall()
+    assert len(rows) == len(exp)
+    for token, a, b, c, d, chi2, rank in rows:
+        ea, eb, ec, ed, echi = exp[token]
+        assert (a, b, c, d) == (ea, eb, ec, ed), token
+        assert a + c == n_pos and b + d == n_neg
+        frac = abs(echi * 1e6 - math.floor(echi * 1e6) - 0.5)
+        assert frac > 1e-4, (token, echi)
+        assert chi2 == round(echi, 6), (token, chi2, echi)
+        assert rank == exp_rank[token], (token, rank)
+        if token == "posmark":
+            # perfect presence separation: A = n_pos, B = 0 -> chi2 = N
+            assert rank == 1 and (a, b) == (n_pos, 0)
+            assert chi2 == float(n)
+        else:
+            assert chi2 < n / 4, (token, chi2)
