@@ -314,6 +314,10 @@ DRIVER_CAP_OVERFLOW = (
     # ranking (Yang & Pedersen) — exact integer 2x2 contingency tables
     # against the planted label; the marker token must rank 1
     "chi2_select",
+    # round-6 new, born-overflow: split-conformal prediction sets over
+    # the shared logreg scorer — exact-rank threshold, abstain/ambiguous
+    # set sizes, finite-sample coverage theorem pytest
+    "conformal",
 )
 
 

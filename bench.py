@@ -252,6 +252,7 @@ def main() -> None:
         "tpch_regional_revenue",
         "dp_release",
         "chi2_select",
+        "conformal",
     ):
         if name not in QUERIES:
             continue

@@ -8423,7 +8423,10 @@ LOGREG_LR = 1.0
 LOGREG_L2 = 0.01
 
 
-def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _logreg_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared trained-scorer frame (doc_id, y, z1..z3, a0..a3, p) —
+    reused by `logreg_quality` (training surface) and `conformal`
+    (calibration surface)."""
     y = (F.col("doc_id") % 3 == 0).cast("long")
     npos = F.when(
         F.col("doc_id") % 3 == 0, 1 + (F.floor(F.col("doc_id") / 3) % 2)
@@ -8548,6 +8551,11 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    return scored
+
+
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _logreg_scored(spark, sf_dir)
     return scored.select(
         "doc_id",
         "y",
@@ -8566,7 +8574,9 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_logreg_quality() -> str:
+def _sql_logreg_chain() -> str:
+    """Shared CTE chain ending in the raw `scores` frame — reused by
+    `logreg_quality` and `conformal`."""
     lr, l2 = LOGREG_LR, LOGREG_L2
     iters = []
     for i in range(1, LOGREG_ITERS + 1):
@@ -8590,8 +8600,7 @@ def _sql_logreg_quality() -> str:
 )"""
         )
     chain = ", ".join(iters)
-    return f"""
-WITH feats AS MATERIALIZED (
+    return f"""feats AS MATERIALIZED (
   SELECT doc_id,
          CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
          ln(1.0 + CAST(CASE WHEN doc_id % 3 = 0
@@ -8627,21 +8636,25 @@ WITH feats AS MATERIALIZED (
   FROM feats CROSS JOIN mu CROSS JOIN sd
 ), w0 AS (
   SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2, 0.0 AS a3
-), {chain}
-SELECT z.doc_id, z.y,
+), {chain}, scores AS MATERIALIZED (
+  SELECT z.doc_id, z.y, z.z1, z.z2, z.z3, a0, a1, a2, a3,
+         1.0 / (1.0 + exp(-(a0 + a1 * z1 + a2 * z2 + a3 * z3))) AS p
+  FROM z CROSS JOIN w{LOGREG_ITERS}
+)"""
+
+
+def _sql_logreg_quality() -> str:
+    return f"""
+WITH {_sql_logreg_chain()}
+SELECT doc_id, y,
        round(z1, 6) AS z1, round(z2, 6) AS z2, round(z3, 6) AS z3,
-       round(1.0 / (1.0 + exp(-(a0 + a1 * z1 + a2 * z2 + a3 * z3))), 6)
-         AS score,
-       CAST(CASE WHEN 1.0 / (1.0 + exp(-(a0 + a1 * z1 + a2 * z2
-                                         + a3 * z3))) > 0.5
-                 THEN 1 ELSE 0 END AS BIGINT) AS pred,
-       CAST(CASE WHEN (1.0 / (1.0 + exp(-(a0 + a1 * z1 + a2 * z2
-                                          + a3 * z3))) > 0.5)
-                      = (z.y = 1)
-                 THEN 1 ELSE 0 END AS BIGINT) AS correct,
+       round(p, 6) AS score,
+       CAST(CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       CAST(CASE WHEN (p > 0.5) = (y = 1) THEN 1 ELSE 0 END AS BIGINT)
+         AS correct,
        round(a0, 6) AS w0, round(a1, 6) AS w1,
        round(a2, 6) AS w2, round(a3, 6) AS w3
-FROM z CROSS JOIN w{LOGREG_ITERS}
+FROM scores
 """
 
 
@@ -9741,6 +9754,116 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# Split-conformal prediction (`conformal`): distribution-free prediction
+# sets with finite-sample coverage (Vovk et al. 2005; Angelopoulos &
+# Bates 2023) over the `logreg_quality` scorer — the modern way a
+# production classifier reports calibrated uncertainty. An md5
+# calibration/test split; nonconformity = score of the true class's
+# complement (1-p for positives, p for negatives); threshold = the
+# ceil((n_cal+1)(1-alpha))-th smallest calibration nonconformity (exact
+# rank selection — no quantile interpolation ambiguity); each test doc
+# gets the prediction set {y : nonconf_y <= t}, its size (0/1/2 — the
+# abstain and ambiguous branches), and the coverage indicator whose mean
+# the theorem lower-bounds by 1 - alpha.
+#
+# Scale shape: composes the shared trained-scorer chain (`_logreg_scored`
+# / `_sql_logreg_chain` — the web_funnel discipline), then one
+# projection, `exact_global_rank` over the calibration half (range-
+# partitioned), a 1-row threshold broadcast, and a per-test-row scalar
+# evaluation. Nonconformity is ranked on its 6dp-rounded value with a
+# doc_id tie-break so the selected rank is engine-invariant (the margin
+# pytest guarantees the rounding is clear of boundaries).
+# --------------------------------------------------------------------------
+
+CONFORMAL_ALPHA = 0.1
+CONFORMAL_SALT = "conf"
+
+
+def q_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    scored = _logreg_scored(spark, sf_dir).select(
+        "doc_id",
+        "y",
+        "p",
+        _md5_bucket_spark(
+            F.concat_ws("|", F.lit(CONFORMAL_SALT), F.col("doc_id")), 2
+        ).alias("half"),
+    )
+    nonconf = F.when(
+        F.col("y") == 1, F.lit(1.0) - F.col("p")
+    ).otherwise(F.col("p"))
+    frame = scored.withColumn("nc", F.round(nonconf, 6))
+    cal = frame.filter(F.col("half") == 0)
+    ranked = exact_global_rank(cal, "nc", ("doc_id",))
+    # k = ceil((n_cal + 1) * (1 - alpha)); global_count rides as a literal
+    k = F.ceil(
+        (F.col("global_count") + 1) * F.lit(1.0 - CONFORMAL_ALPHA)
+    ).cast("long")
+    thr = (
+        ranked.filter(F.col("global_rank") == k)
+        .select(
+            F.col("nc").alias("t"),
+            F.col("global_count").cast("long").alias("n_cal"),
+        )
+    )
+    test = frame.filter(F.col("half") == 1)
+    in_pos = (F.round(F.lit(1.0) - F.col("p"), 6) <= F.col("t")).cast("long")
+    in_neg = (F.round(F.col("p"), 6) <= F.col("t")).cast("long")
+    return test.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "y",
+        F.round("p", 6).alias("score"),
+        F.col("nc").alias("nonconf"),
+        in_pos.alias("in_set_pos"),
+        in_neg.alias("in_set_neg"),
+        (in_pos + in_neg).cast("long").alias("set_size"),
+        (F.col("nc") <= F.col("t")).cast("long").alias("covered"),
+        F.col("t").alias("threshold"),
+        "n_cal",
+    )
+
+
+def _sql_conformal() -> str:
+    split = _md5_bucket_sql(
+        f"'{CONFORMAL_SALT}' || '|' || CAST(doc_id AS VARCHAR)", 2
+    )
+    a = CONFORMAL_ALPHA
+    return f"""
+WITH {_sql_logreg_chain()}, halves AS (
+  SELECT doc_id, y, p, {split} AS half,
+         round(CASE WHEN y = 1 THEN 1.0 - p ELSE p END, 6) AS nc
+  FROM scores
+), cal AS (
+  SELECT nc, doc_id,
+         row_number() OVER (ORDER BY nc, doc_id) AS rnk,
+         count(*) OVER () AS n_cal
+  FROM halves WHERE half = 0
+), thr AS (
+  SELECT nc AS t, CAST(n_cal AS BIGINT) AS n_cal
+  FROM cal
+  WHERE rnk = CAST(ceil((n_cal + 1) * (1.0 - {a})) AS BIGINT)
+)
+SELECT h.doc_id, h.y,
+       round(h.p, 6) AS score,
+       h.nc AS nonconf,
+       CAST(CASE WHEN round(1.0 - h.p, 6) <= thr.t THEN 1 ELSE 0 END
+            AS BIGINT) AS in_set_pos,
+       CAST(CASE WHEN round(h.p, 6) <= thr.t THEN 1 ELSE 0 END AS BIGINT)
+         AS in_set_neg,
+       CAST(CASE WHEN round(1.0 - h.p, 6) <= thr.t THEN 1 ELSE 0 END
+            + CASE WHEN round(h.p, 6) <= thr.t THEN 1 ELSE 0 END AS BIGINT)
+         AS set_size,
+       CAST(CASE WHEN h.nc <= thr.t THEN 1 ELSE 0 END AS BIGINT)
+         AS covered,
+       thr.t AS threshold,
+       thr.n_cal
+FROM halves h CROSS JOIN thr
+WHERE h.half = 1
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -9849,4 +9972,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "tpch_regional_revenue": (q_tpch_regional_revenue, _sql_tpch_regional_revenue()),
     "dp_release": (q_dp_release, _sql_dp_release()),
     "chi2_select": (q_chi2_select, _sql_chi2_select()),
+    "conformal": (q_conformal, _sql_conformal()),
 }

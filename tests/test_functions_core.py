@@ -2623,3 +2623,111 @@ def test_chi2_select_ground_truth_and_replay():
             assert chi2 == float(n)
         else:
             assert chi2 < n / 4, (token, chi2)
+
+
+def test_conformal_pure_python_replay_and_coverage():
+    """Split conformal (`conformal`): a pure-Python replay — the full GD
+    scorer, md5 calibration split, exact-rank threshold — must match the
+    DuckDB oracle at sf0.001; realized coverage must sit near the 1-alpha
+    guarantee (the marginal theorem allows small one-split dips); the
+    abstain branch (set_size 0) must fire; set_size 2 is structurally
+    absent exactly when the threshold < 0.5 (sharp classifier) — assert
+    that implication rather than its vacuous absence."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        CONFORMAL_ALPHA,
+        CONFORMAL_SALT,
+        LOGREG_ITERS,
+        LOGREG_L2,
+        LOGREG_LR,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    ids, Y, Xr = [], [], []
+    for d, t in raw:
+        y = 1 if d % 3 == 0 else 0
+        npos = (1 + (d // 3) % 2) if y else 0
+        toks = re.findall("[a-z0-9]+", t.lower())
+        ids.append(d)
+        Y.append(y)
+        Xr.append(
+            [
+                math.log(1.0 + npos),
+                math.log(1.0 + len(toks) + npos),
+                math.log(1.0 + len(set(toks)) + (1 if npos else 0)),
+            ]
+        )
+    n = float(len(Xr))
+    mu = [sum(r[j] for r in Xr) / n for j in range(3)]
+    sd = [
+        math.sqrt(sum((r[j] - mu[j]) ** 2 for r in Xr) / n) for j in range(3)
+    ]
+    Z = [[(r[j] - mu[j]) / sd[j] for j in range(3)] for r in Xr]
+    w = [0.0] * 4
+    for _ in range(LOGREG_ITERS):
+        g = [0.0] * 4
+        for z, y in zip(Z, Y):
+            pp = 1.0 / (
+                1.0 + math.exp(-(w[0] + w[1] * z[0] + w[2] * z[1] + w[3] * z[2]))
+            )
+            g[0] += pp - y
+            for j in range(3):
+                g[j + 1] += (pp - y) * z[j]
+        w = [wj - LOGREG_LR * (gj / n + LOGREG_L2 * wj) for wj, gj in zip(w, g)]
+    P = {
+        d: 1.0
+        / (1.0 + math.exp(-(w[0] + w[1] * z[0] + w[2] * z[1] + w[3] * z[2])))
+        for d, z in zip(ids, Z)
+    }
+
+    def half(d):
+        h = int(
+            hashlib.md5(f"{CONFORMAL_SALT}|{d}".encode()).hexdigest()[:15], 16
+        )
+        return h % 2
+
+    nc = {
+        d: round(1.0 - P[d] if y == 1 else P[d], 6)
+        for d, y in zip(ids, Y)
+    }
+    cal = sorted((nc[d], d) for d in ids if half(d) == 0)
+    k = math.ceil((len(cal) + 1) * (1.0 - CONFORMAL_ALPHA))
+    t = cal[k - 1][0]
+    rows = con.execute(QUERIES["conformal"][1]).fetchall()
+    test_ids = [d for d in ids if half(d) == 1]
+    assert len(rows) == len(test_ids)
+    covered = 0
+    sizes = set()
+    for doc_id, y, score, nonconf, ip, ineg, size, cov, thr, n_cal in rows:
+        assert half(doc_id) == 1
+        assert thr == t and n_cal == len(cal)
+        assert score == round(P[doc_id], 6)
+        assert nonconf == nc[doc_id]
+        eip = 1 if round(1.0 - P[doc_id], 6) <= t else 0
+        ein = 1 if round(P[doc_id], 6) <= t else 0
+        assert (ip, ineg, size) == (eip, ein, eip + ein)
+        assert cov == (1 if nc[doc_id] <= t else 0)
+        covered += cov
+        sizes.add(size)
+    cov_rate = covered / len(rows)
+    assert cov_rate >= 1.0 - CONFORMAL_ALPHA - 0.05, cov_rate
+    assert 0 in sizes and 1 in sizes, sizes
+    # size-2 sets require t >= 0.5; with this sharp scorer t < 0.5, so
+    # their absence is the theorem, not a vacuous branch
+    if t < 0.5:
+        assert 2 not in sizes
+    else:
+        assert 2 in sizes
