@@ -733,3 +733,100 @@ def media_near_dup(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("diff", DoubleType(), True),
+        StructField("is_cut", IntegerType(), True),
+        StructField("scene_id", IntegerType(), True),
+        StructField("error", StringType(), True),
+    ]
+)
+
+
+def scene_cuts(df: DataFrame, threshold: float = 12.0) -> DataFrame:
+    """Shot-boundary detection over video payloads — the keyframe /
+    scene-segmentation pass a video curation pipeline runs before
+    frame-sampling (the classic mean-absolute-frame-difference detector;
+    a cut opens a new scene when the per-pixel MAD against the previous
+    frame exceeds ``threshold``). Accepts every multi-frame container
+    the demux family handles (RAWV, animated GIF, multi-page TIFF,
+    APNG); emits one row per frame with its difference score, cut flag
+    and running scene id — so `sample_frames` callers can sample
+    per-scene instead of blindly striding. Corrupt payloads surface as
+    per-item error rows (the sample_frames contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, kind, raw in zip(
+                batch["media_id"].values,
+                batch["kind"].values,
+                batch["payload"].values,
+            ):
+                if kind != "video":
+                    continue
+                payload = bytes(raw or b"")
+                fmt = codecs.sniff_format(payload)
+                try:
+                    if fmt == "rawv":
+                        frames = codecs.decode_rawv(payload)
+                    elif fmt == "gif":
+                        frames = codecs.decode_gif(payload)
+                    elif fmt == "tiff":
+                        frames = codecs.decode_tiff_pages(payload)
+                    elif fmt == "png":
+                        frames = codecs.decode_png_frames(payload)
+                    else:
+                        raise ValueError(
+                            f"no frame source for format '{fmt}'"
+                        )
+                    scene = 0
+                    prev = None
+                    for i, f in enumerate(frames):
+                        if prev is None:
+                            d, cut = 0.0, 0
+                        else:
+                            if f.shape != prev.shape:
+                                raise ValueError(
+                                    "frame geometry changed mid-stream"
+                                )
+                            d = float(
+                                np.abs(
+                                    f.astype(np.int16) - prev.astype(np.int16)
+                                ).mean()
+                            )
+                            cut = 1 if d > threshold else 0
+                            scene += cut
+                        rows.append(
+                            {
+                                "media_id": media_id,
+                                "frame_idx": i,
+                                "diff": round(d, 6),
+                                "is_cut": cut,
+                                "scene_id": scene,
+                                "error": None,
+                            }
+                        )
+                        prev = f
+                except ValueError as exc:
+                    rows.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": None,
+                            "diff": None,
+                            "is_cut": None,
+                            "scene_id": None,
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SCENE_SCHEMA.fields]
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=SCENE_SCHEMA
+    )

@@ -2842,3 +2842,55 @@ def test_image_dhash_near_dup(spark):
     for (a, b), d in pairs.items():
         assert {a, b} <= trio, "unrelated image paired"
         assert d == brute[(a, b)]
+
+
+def test_scene_cuts_rawv_and_apng(spark):
+    """Scene-cut detection: planted scene boundaries (big frame jumps)
+    are detected exactly — through RAWV and through an APNG animation —
+    with within-scene jitter staying below threshold; scene ids are the
+    running cut count; a corrupt payload yields one error row."""
+    import numpy as np
+
+    from htep_spark.functions import codecs
+    from htep_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        scene_cuts,
+    )
+
+    rng = np.random.default_rng(51)
+
+    def scene_frames(base_val, n):
+        out = []
+        for _ in range(n):
+            f = np.full((12, 16, 3), base_val, np.uint8)
+            jitter = rng.integers(0, 3, (12, 16, 3), np.uint8)
+            out.append(np.clip(f.astype(np.int16) + jitter, 0, 255).astype(np.uint8))
+        return out
+
+    frames = scene_frames(30, 4) + scene_frames(140, 3) + scene_frames(220, 5)
+    exp_cut_idx = {4, 7}
+    rows = [
+        ("v-rawv", "video", bytearray(codecs.encode_rawv(frames)), "video/raw"),
+        ("v-apng", "video", bytearray(codecs.encode_apng(frames)), "image/png"),
+        ("v-bad", "video", bytearray(b"RAWVjunk"), "video/raw"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = scene_cuts(media).collect()
+    by_id: dict = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for mid in ("v-rawv", "v-apng"):
+        rs = sorted(by_id[mid], key=lambda r: r["frame_idx"])
+        assert len(rs) == len(frames)
+        cuts = {r["frame_idx"] for r in rs if r["is_cut"] == 1}
+        assert cuts == exp_cut_idx, (mid, cuts)
+        # scene id = running cut count; 3 scenes of sizes 4/3/5
+        scenes: dict = {}
+        for r in rs:
+            scenes.setdefault(r["scene_id"], []).append(r["frame_idx"])
+        assert {k: len(v) for k, v in scenes.items()} == {0: 4, 1: 3, 2: 5}
+        for r in rs:
+            if r["frame_idx"] not in exp_cut_idx and r["frame_idx"] > 0:
+                assert r["diff"] <= 12.0, r
+    bad = by_id["v-bad"]
+    assert len(bad) == 1 and bad[0]["error"] is not None
