@@ -318,6 +318,10 @@ DRIVER_CAP_OVERFLOW = (
     # the shared logreg scorer — exact-rank threshold, abstain/ambiguous
     # set sizes, finite-sample coverage theorem pytest
     "conformal",
+    # round-6 new, born-overflow: Poisson bootstrap CI — all B replicates
+    # in ONE pass via per-row Poisson(1) weights (exact integer weighted
+    # sums, bit-identical replicate means), percentile CI at exact ranks
+    "bootstrap_ci",
 )
 
 

@@ -253,6 +253,7 @@ def main() -> None:
         "dp_release",
         "chi2_select",
         "conformal",
+        "bootstrap_ci",
     ):
         if name not in QUERIES:
             continue

@@ -23,6 +23,7 @@ vacuously empty results.
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Dict, Iterator, Optional, Tuple
 
 import pandas as pd
@@ -9864,6 +9865,153 @@ WHERE h.half = 1
 """
 
 
+# --------------------------------------------------------------------------
+# Poisson bootstrap confidence interval (`bootstrap_ci`): THE distributed
+# bootstrap (Chamandy et al., Google 2012; Kleiner et al.'s BLB is the
+# sibling) — classical resampling needs n draws per replicate and B
+# passes; the Poisson trick gives each row an independent Poisson(1)
+# weight per replicate, so ALL B replicates compute in ONE corpus pass
+# with map-side-combinable weighted sums (the explode-by-replicate is
+# in-task; the exchange carries B rows per partition). Weights come from
+# seeded md5 uniforms through the exact Poisson(1) inverse CDF (literal
+# cumulative constants, capped at 8 — P(W>8) < 1.1e-6). Statistic: mean
+# per-doc token count; CI = percentile method at exact ranks over the B
+# replicate means.
+#
+# Cross-engine determinism: token counts and weights are integers, so
+# every replicate's Σwx and Σw are EXACT integer sums — the replicate
+# mean is one division of identical integers, bit-identical with no
+# reduce-order surface (the auc_eval class of guarantee).
+# --------------------------------------------------------------------------
+
+BOOT_B = 64  # replicates
+BOOT_ALPHA = 0.05
+# Poisson(1) CDF: P(W <= k) for k = 0..7; u >= last -> w = 8
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+    0.9999897508033253,
+]
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ntok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    ).cast("long")
+    rows = _docs(spark, sf_dir).select("doc_id", ntok.alias("x"))
+    rep = rows.select(
+        "doc_id",
+        "x",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        _md5_bucket_spark(
+            F.concat_ws(
+                "|", F.lit("boot"), F.col("b"), F.col("doc_id")
+            ),
+            _DP_GRID,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(_DP_GRID))
+    w = F.lit(8)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(w)
+    reps = (
+        rep.withColumn("w", w.cast("long"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .select(
+            "b",
+            "swx",
+            "sw",
+            (F.col("swx").cast("double") / F.col("sw").cast("double")).alias(
+                "mean_b"
+            ),
+        )
+    )
+    lo_k = math.ceil(BOOT_ALPHA / 2 * BOOT_B)
+    hi_k = math.ceil((1 - BOOT_ALPHA / 2) * BOOT_B)
+    ordered = reps.select(
+        F.sort_array(F.collect_list(F.struct("mean_b", "b"))).alias("ms")
+    ).select(
+        F.element_at("ms", lo_k)["mean_b"].alias("ci_lo"),
+        F.element_at("ms", hi_k)["mean_b"].alias("ci_hi"),
+    )
+    point = rows.agg(
+        (F.sum("x").cast("double") / F.count("*").cast("double")).alias(
+            "point"
+        ),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        reps.crossJoin(F.broadcast(ordered))
+        .crossJoin(F.broadcast(point))
+        .select(
+            F.col("b").cast("long").alias("b"),
+            "swx",
+            "sw",
+            F.round("mean_b", 6).alias("mean_b"),
+            F.round("point", 6).alias("point"),
+            F.round("ci_lo", 6).alias("ci_lo"),
+            F.round("ci_hi", 6).alias("ci_hi"),
+            "n",
+        )
+    )
+
+
+def _sql_bootstrap_ci() -> str:
+    h = _md5_bucket_sql(
+        "'boot' || '|' || CAST(b AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)",
+        _DP_GRID,
+    )
+    u = f"((CAST({h} AS DOUBLE) + 0.5) / {float(_DP_GRID)})"
+    w = "8"
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        w = f"CASE WHEN {u} < {_POIS_CDF[k]!r} THEN {k} ELSE {w} END"
+    lo_k = math.ceil(BOOT_ALPHA / 2 * BOOT_B)
+    hi_k = math.ceil((1 - BOOT_ALPHA / 2) * BOOT_B)
+    return f"""
+WITH rows_ AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              AS BIGINT) AS x
+  FROM documents
+), rep AS (
+  SELECT doc_id, x, b, CAST({w} AS BIGINT) AS w
+  FROM rows_ CROSS JOIN (SELECT unnest(range({BOOT_B})) AS b)
+), reps AS MATERIALIZED (
+  SELECT b,
+         CAST(sum(w * x) AS BIGINT) AS swx,
+         CAST(sum(w) AS BIGINT) AS sw,
+         CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_b
+  FROM rep GROUP BY b
+), ci AS (
+  SELECT (list(mean_b ORDER BY mean_b, b))[{lo_k}] AS ci_lo,
+         (list(mean_b ORDER BY mean_b, b))[{hi_k}] AS ci_hi
+  FROM reps
+), pt AS (
+  SELECT CAST(sum(x) AS DOUBLE) / count(*) AS point,
+         CAST(count(*) AS BIGINT) AS n
+  FROM rows_
+)
+SELECT CAST(reps.b AS BIGINT) AS b, reps.swx, reps.sw,
+       round(reps.mean_b, 6) AS mean_b,
+       round(pt.point, 6) AS point,
+       round(ci.ci_lo, 6) AS ci_lo,
+       round(ci.ci_hi, 6) AS ci_hi,
+       pt.n
+FROM reps CROSS JOIN ci CROSS JOIN pt
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -9973,4 +10121,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "dp_release": (q_dp_release, _sql_dp_release()),
     "chi2_select": (q_chi2_select, _sql_chi2_select()),
     "conformal": (q_conformal, _sql_conformal()),
+    "bootstrap_ci": (q_bootstrap_ci, _sql_bootstrap_ci()),
 }

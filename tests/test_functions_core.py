@@ -2731,3 +2731,82 @@ def test_conformal_pure_python_replay_and_coverage():
         assert 2 not in sizes
     else:
         assert 2 in sizes
+
+
+def test_bootstrap_ci_pure_python_replay_and_statistics():
+    """Poisson bootstrap (`bootstrap_ci`): a pure-Python replay of the
+    seeded Poisson(1) weights and replicate means must match the DuckDB
+    oracle at sf0.001 exactly (integer weighted sums); the CI must
+    contain the point estimate; the CI width must agree with the CLT
+    prediction 2*z*sd/sqrt(n) within 2x either way (the bootstrap is
+    estimating exactly that); weights must realize values {0,1,2,3+}
+    (the inverse-CDF branches are non-vacuous); replicate weight totals
+    must concentrate near n."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        BOOT_ALPHA,
+        BOOT_B,
+        QUERIES,
+        _DP_GRID,
+        _POIS_CDF,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    xs = {
+        d: len(re.findall("[a-z0-9]+", t.lower())) for d, t in raw
+    }
+
+    def weight(b, d):
+        h = int(
+            hashlib.md5(f"boot|{b}|{d}".encode()).hexdigest()[:15], 16
+        )
+        u = (h % _DP_GRID + 0.5) / _DP_GRID
+        for k, c in enumerate(_POIS_CDF):
+            if u < c:
+                return k
+        return 8
+
+    seen_w = set()
+    exp = {}
+    for b in range(BOOT_B):
+        swx = sw = 0
+        for d, x in xs.items():
+            w = weight(b, d)
+            seen_w.add(min(w, 3))
+            swx += w * x
+            sw += w
+        exp[b] = (swx, sw, swx / sw)
+    assert seen_w == {0, 1, 2, 3}, seen_w
+    means = sorted(
+        (m, b) for b, (_s, _w, m) in exp.items()
+    )
+    lo = means[math.ceil(BOOT_ALPHA / 2 * BOOT_B) - 1][0]
+    hi = means[math.ceil((1 - BOOT_ALPHA / 2) * BOOT_B) - 1][0]
+    n = len(xs)
+    point = sum(xs.values()) / n
+    rows = con.execute(QUERIES["bootstrap_ci"][1]).fetchall()
+    assert len(rows) == BOOT_B
+    for b, swx, sw, mean_b, pt, ci_lo, ci_hi, nn in rows:
+        es, ew, em = exp[b]
+        assert (swx, sw) == (es, ew), b
+        assert mean_b == round(em, 6)
+        assert pt == round(point, 6) and nn == n
+        assert ci_lo == round(lo, 6) and ci_hi == round(hi, 6)
+        # Poisson(1) totals concentrate: sd = sqrt(n) -> 5 sigma band
+        assert abs(sw - n) < 5 * math.sqrt(n), (b, sw)
+    assert lo <= point <= hi
+    mu = point
+    sd = math.sqrt(sum((x - mu) ** 2 for x in xs.values()) / n)
+    clt_half = 1.959963984540054 * sd / math.sqrt(n)
+    boot_half = (hi - lo) / 2
+    assert clt_half / 2 < boot_half < clt_half * 2, (boot_half, clt_half)
