@@ -322,6 +322,11 @@ DRIVER_CAP_OVERFLOW = (
     # in ONE pass via per-row Poisson(1) weights (exact integer weighted
     # sums, bit-identical replicate means), percentile CI at exact ranks
     "bootstrap_ci",
+    # round-6 new, born-overflow: A/B + CUPED variance reduction (Deng
+    # et al. WSDM'13) — planted lift, Welch t raw vs adjusted, theta from
+    # pooled pre-treatment covariate; one pass of exact integer moment
+    # sums, bit-identical statistics
+    "cuped_ab",
 )
 
 

@@ -254,6 +254,7 @@ def main() -> None:
         "chi2_select",
         "conformal",
         "bootstrap_ci",
+        "cuped_ab",
     ):
         if name not in QUERIES:
             continue

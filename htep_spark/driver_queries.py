@@ -10012,6 +10012,221 @@ FROM reps CROSS JOIN ci CROSS JOIN pt
 """
 
 
+# --------------------------------------------------------------------------
+# A/B test with CUPED variance reduction (`cuped_ab`): the modern
+# experimentation stack in one operator (Deng et al. 2013, WSDM) — an md5
+# arm assignment, a planted +CUPED_EFFECT treatment lift on the metric
+# (per-doc token count), Welch's t on the raw difference, then the CUPED
+# adjustment Y - theta*(X - mean(X)) with theta = cov(X,Y)/var(X) over a
+# PRE-TREATMENT covariate (per-doc char count — strongly correlated with
+# tokens, which is precisely when CUPED shines). The adjusted per-arm
+# variance is Var(Y) - 2*theta*Cov + theta^2*Var(X), so the whole
+# analysis derives from one pass of per-arm moment sums — no second scan,
+# no per-doc adjusted column materialized.
+#
+# Cross-engine determinism: the metric and covariate are integers, so
+# every moment sum (Σy, Σy², Σx, Σx², Σxy per arm) is EXACT; floats
+# appear only in the final closed-form statistics — identical ops on
+# identical integers, bit-for-bit (the auc_eval class).
+# --------------------------------------------------------------------------
+
+CUPED_EFFECT = 5  # planted treatment lift in tokens
+
+
+def q_cuped_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arm = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("ab"), F.col("doc_id")), 2
+    )
+    ntok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    ).cast("long")
+    rows = _docs(spark, sf_dir).select(
+        arm.alias("arm"),
+        (ntok + F.when(arm == 1, CUPED_EFFECT).otherwise(0)).alias("y"),
+        F.col("n_chars").cast("long").alias("x"),
+    )
+    per = rows.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("double").alias("tn"),
+        F.sum("sy").cast("double").alias("tsy"),
+        F.sum("sx").cast("double").alias("tsx"),
+        F.sum("sxx").cast("double").alias("tsxx"),
+        F.sum("sxy").cast("double").alias("tsxy"),
+    ).select(
+        "tn",
+        (F.col("tsx") / F.col("tn")).alias("mx"),
+        (
+            (F.col("tsxy") - F.col("tsx") * F.col("tsy") / F.col("tn"))
+            / (F.col("tsxx") - F.col("tsx") * F.col("tsx") / F.col("tn"))
+        ).alias("theta"),
+    )
+    nd = F.col("n").cast("double")
+    my = F.col("sy").cast("double") / nd
+    mx_arm = F.col("sx").cast("double") / nd
+    vy = (F.col("syy").cast("double") - nd * my * my) / (nd - F.lit(1.0))
+    vx = (F.col("sxx").cast("double") - nd * mx_arm * mx_arm) / (
+        nd - F.lit(1.0)
+    )
+    cxy = (F.col("sxy").cast("double") - nd * mx_arm * my) / (nd - F.lit(1.0))
+    stats = per.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        my.alias("mean_y"),
+        mx_arm.alias("mean_x"),
+        vy.alias("var_y"),
+        (my - F.col("theta") * (mx_arm - F.col("mx"))).alias("mean_adj"),
+        (
+            vy
+            - F.lit(2.0) * F.col("theta") * cxy
+            + F.col("theta") * F.col("theta") * vx
+        ).alias("var_adj"),
+        "theta",
+    )
+    # two-arm closed form: pivot the 2-row frame via conditional aggs
+    piv = stats.agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("mean_y"))).alias("m1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("mean_y"))).alias("m0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("mean_adj"))).alias("a1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("mean_adj"))).alias("a0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("var_y") / F.col("n"))).alias(
+            "se1"
+        ),
+        F.sum(F.when(F.col("arm") == 0, F.col("var_y") / F.col("n"))).alias(
+            "se0"
+        ),
+        F.sum(
+            F.when(F.col("arm") == 1, F.col("var_adj") / F.col("n"))
+        ).alias("sa1"),
+        F.sum(
+            F.when(F.col("arm") == 0, F.col("var_adj") / F.col("n"))
+        ).alias("sa0"),
+    ).select(
+        (F.col("m1") - F.col("m0")).alias("diff_raw"),
+        ((F.col("m1") - F.col("m0")) / F.sqrt(F.col("se1") + F.col("se0"))).alias(
+            "t_raw"
+        ),
+        (F.col("a1") - F.col("a0")).alias("diff_adj"),
+        ((F.col("a1") - F.col("a0")) / F.sqrt(F.col("sa1") + F.col("sa0"))).alias(
+            "t_adj"
+        ),
+        ((F.col("sa1") + F.col("sa0")) / (F.col("se1") + F.col("se0"))).alias(
+            "var_ratio"
+        ),
+    )
+    return stats.crossJoin(F.broadcast(piv)).select(
+        F.col("arm").cast("long").alias("arm"),
+        "n",
+        F.round("mean_y", 6).alias("mean_y"),
+        F.round("mean_x", 6).alias("mean_x"),
+        F.round("var_y", 6).alias("var_y"),
+        F.round("mean_adj", 6).alias("mean_adj"),
+        F.round("var_adj", 6).alias("var_adj"),
+        F.round("theta", 6).alias("theta"),
+        F.round("diff_raw", 6).alias("diff_raw"),
+        F.round("t_raw", 6).alias("t_raw"),
+        F.round("diff_adj", 6).alias("diff_adj"),
+        F.round("t_adj", 6).alias("t_adj"),
+        F.round("var_ratio", 6).alias("var_ratio"),
+    )
+
+
+def _sql_cuped_ab() -> str:
+    arm = _md5_bucket_sql("'ab' || '|' || CAST(doc_id AS VARCHAR)", 2)
+    return f"""
+WITH rows_ AS (
+  SELECT {arm} AS arm,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              + CASE WHEN {arm} = 1 THEN {CUPED_EFFECT} ELSE 0 END
+              AS BIGINT) AS y,
+         CAST(n_chars AS BIGINT) AS x
+  FROM documents
+), per AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM rows_ GROUP BY arm
+), tot AS (
+  SELECT CAST(sum(n) AS DOUBLE) AS tn,
+         CAST(sum(sx) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS mx,
+         (CAST(sum(sxy) AS DOUBLE)
+            - CAST(sum(sx) AS DOUBLE) * CAST(sum(sy) AS DOUBLE)
+              / CAST(sum(n) AS DOUBLE))
+         / (CAST(sum(sxx) AS DOUBLE)
+            - CAST(sum(sx) AS DOUBLE) * CAST(sum(sx) AS DOUBLE)
+              / CAST(sum(n) AS DOUBLE)) AS theta
+  FROM per
+), stats AS (
+  SELECT arm, n,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+         CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+         (CAST(syy AS DOUBLE) - CAST(n AS DOUBLE)
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(n AS DOUBLE) - 1.0) AS var_y,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+           - theta * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - mx)
+           AS mean_adj,
+         (CAST(syy AS DOUBLE) - CAST(n AS DOUBLE)
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(n AS DOUBLE) - 1.0)
+         - 2.0 * theta
+           * ((CAST(sxy AS DOUBLE) - CAST(n AS DOUBLE)
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+              / (CAST(n AS DOUBLE) - 1.0))
+         + theta * theta
+           * ((CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE)
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+              / (CAST(n AS DOUBLE) - 1.0)) AS var_adj,
+         theta
+  FROM per CROSS JOIN tot
+), piv AS (
+  SELECT sum(CASE WHEN arm = 1 THEN mean_y END)
+           - sum(CASE WHEN arm = 0 THEN mean_y END) AS diff_raw,
+         (sum(CASE WHEN arm = 1 THEN mean_y END)
+            - sum(CASE WHEN arm = 0 THEN mean_y END))
+           / sqrt(sum(CASE WHEN arm = 1 THEN var_y / n END)
+                  + sum(CASE WHEN arm = 0 THEN var_y / n END)) AS t_raw,
+         sum(CASE WHEN arm = 1 THEN mean_adj END)
+           - sum(CASE WHEN arm = 0 THEN mean_adj END) AS diff_adj,
+         (sum(CASE WHEN arm = 1 THEN mean_adj END)
+            - sum(CASE WHEN arm = 0 THEN mean_adj END))
+           / sqrt(sum(CASE WHEN arm = 1 THEN var_adj / n END)
+                  + sum(CASE WHEN arm = 0 THEN var_adj / n END)) AS t_adj,
+         (sum(CASE WHEN arm = 1 THEN var_adj / n END)
+            + sum(CASE WHEN arm = 0 THEN var_adj / n END))
+           / (sum(CASE WHEN arm = 1 THEN var_y / n END)
+              + sum(CASE WHEN arm = 0 THEN var_y / n END)) AS var_ratio
+  FROM stats
+)
+SELECT CAST(s.arm AS BIGINT) AS arm, s.n,
+       round(s.mean_y, 6) AS mean_y,
+       round(s.mean_x, 6) AS mean_x,
+       round(s.var_y, 6) AS var_y,
+       round(s.mean_adj, 6) AS mean_adj,
+       round(s.var_adj, 6) AS var_adj,
+       round(s.theta, 6) AS theta,
+       round(p.diff_raw, 6) AS diff_raw,
+       round(p.t_raw, 6) AS t_raw,
+       round(p.diff_adj, 6) AS diff_adj,
+       round(p.t_adj, 6) AS t_adj,
+       round(p.var_ratio, 6) AS var_ratio
+FROM stats s CROSS JOIN piv p
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -10122,4 +10337,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "chi2_select": (q_chi2_select, _sql_chi2_select()),
     "conformal": (q_conformal, _sql_conformal()),
     "bootstrap_ci": (q_bootstrap_ci, _sql_bootstrap_ci()),
+    "cuped_ab": (q_cuped_ab, _sql_cuped_ab()),
 }

@@ -2810,3 +2810,100 @@ def test_bootstrap_ci_pure_python_replay_and_statistics():
     clt_half = 1.959963984540054 * sd / math.sqrt(n)
     boot_half = (hi - lo) / 2
     assert clt_half / 2 < boot_half < clt_half * 2, (boot_half, clt_half)
+
+
+def test_cuped_ab_pure_python_replay_and_theorems():
+    """CUPED A/B (`cuped_ab`): a pure-Python replay of the moment-sum
+    pipeline must match the DuckDB oracle at sf0.001; the adjusted
+    estimate must sit closer to the planted +5 lift than the raw one OR
+    within 1 token of it; the variance ratio must equal 1 - rho^2 of the
+    pooled covariate-metric correlation (the CUPED theorem, within the
+    two-arm approximation); t_adj must dwarf t_raw; every rounded value
+    clears its 6dp boundary."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    from htep_spark.driver_queries import CUPED_EFFECT, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute(
+        "SELECT doc_id, text, n_chars FROM documents"
+    ).fetchall()
+    arms: dict = {0: [], 1: []}
+    for d, t, nch in raw:
+        h = int(hashlib.md5(f"ab|{d}".encode()).hexdigest()[:15], 16)
+        arm = h % 2
+        y = len(re.findall("[a-z0-9]+", t.lower())) + (
+            CUPED_EFFECT if arm == 1 else 0
+        )
+        arms[arm].append((y, nch))
+    sums = {}
+    for a, rows_ in arms.items():
+        n = len(rows_)
+        sy = sum(y for y, _x in rows_)
+        syy = sum(y * y for y, _x in rows_)
+        sx = sum(x for _y, x in rows_)
+        sxx = sum(x * x for _y, x in rows_)
+        sxy = sum(x * y for y, x in rows_)
+        sums[a] = (n, sy, syy, sx, sxx, sxy)
+    tn = sum(s[0] for s in sums.values())
+    tsy = sum(s[1] for s in sums.values())
+    tsx = sum(s[3] for s in sums.values())
+    tsxx = sum(s[4] for s in sums.values())
+    tsxy = sum(s[5] for s in sums.values())
+    mx = tsx / tn
+    theta = (tsxy - tsx * tsy / tn) / (tsxx - tsx * tsx / tn)
+    stats = {}
+    for a, (n, sy, syy, sx, sxx, sxy) in sums.items():
+        my, mxa = sy / n, sx / n
+        vy = (syy - n * (sy / n) * (sy / n)) / (n - 1.0)
+        vx = (sxx - n * (sx / n) * (sx / n)) / (n - 1.0)
+        cxy = (sxy - n * (sx / n) * (sy / n)) / (n - 1.0)
+        madj = my - theta * (mxa - mx)
+        vadj = vy - 2.0 * theta * cxy + theta * theta * vx
+        stats[a] = (n, my, mxa, vy, madj, vadj)
+    d_raw = stats[1][1] - stats[0][1]
+    t_raw = d_raw / math.sqrt(
+        stats[1][3] / stats[1][0] + stats[0][3] / stats[0][0]
+    )
+    d_adj = stats[1][4] - stats[0][4]
+    t_adj = d_adj / math.sqrt(
+        stats[1][5] / stats[1][0] + stats[0][5] / stats[0][0]
+    )
+    vr = (
+        stats[1][5] / stats[1][0] + stats[0][5] / stats[0][0]
+    ) / (stats[1][3] / stats[1][0] + stats[0][3] / stats[0][0])
+    rows = con.execute(QUERIES["cuped_ab"][1]).fetchall()
+    assert len(rows) == 2
+    for (
+        arm, n, mean_y, mean_x, var_y, mean_adj, var_adj, th,
+        diff_raw, tr, diff_adj, ta, var_ratio,
+    ) in rows:
+        en, emy, emx, evy, ema, eva = stats[arm]
+        for got, exp in (
+            (mean_y, emy), (mean_x, emx), (var_y, evy),
+            (mean_adj, ema), (var_adj, eva), (th, theta),
+            (diff_raw, d_raw), (tr, t_raw), (diff_adj, d_adj),
+            (ta, t_adj), (var_ratio, vr),
+        ):
+            frac = abs(exp * 1e6 - math.floor(exp * 1e6) - 0.5)
+            assert frac > 1e-4, (arm, exp)
+            assert got == round(exp, 6), (arm, got, exp)
+        assert n == en
+    # theorems: adjusted estimate near the planted lift, massive
+    # variance reduction on a near-perfectly-correlated covariate,
+    # var_ratio ~ 1 - rho^2 pooled
+    assert abs(d_adj - CUPED_EFFECT) < 1.0, d_adj
+    assert t_adj > 4 * abs(t_raw), (t_adj, t_raw)
+    rho2 = (tsxy - tsx * tsy / tn) ** 2 / (
+        (tsxx - tsx * tsx / tn) * (sum(s[2] for s in sums.values())
+                                   - tsy * tsy / tn)
+    )
+    assert abs(vr - (1 - rho2)) < 0.05, (vr, 1 - rho2)
