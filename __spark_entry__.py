@@ -327,6 +327,10 @@ DRIVER_CAP_OVERFLOW = (
     # pooled pre-treatment covariate; one pass of exact integer moment
     # sums, bit-identical statistics
     "cuped_ab",
+    # round-6 new, born-overflow: Holt double-exponential smoothing over
+    # the dense hourly event series — bounded-series pinned-order fold
+    # vs ordered recursive CTE, fitted values + SSE + h-step fan
+    "holt_forecast",
 )
 
 

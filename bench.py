@@ -255,6 +255,7 @@ def main() -> None:
         "conformal",
         "bootstrap_ci",
         "cuped_ab",
+        "holt_forecast",
     ):
         if name not in QUERIES:
             continue

@@ -10227,6 +10227,179 @@ FROM stats s CROSS JOIN piv p
 """
 
 
+# --------------------------------------------------------------------------
+# Holt's linear-trend forecast (`holt_forecast`): the classic
+# double-exponential smoother (Holt 1957; Hyndman & Athanasopoulos
+# fpp3 §8.2) — the capacity-planning forecast an event pipeline runs over
+# its hourly volume series. The series is the DENSE hourly grid between
+# the first and last event (missing hours zero-filled — both engines
+# generate the identical grid), smoothed with l_t = α·y_t +
+# (1-α)(l_{t-1}+b_{t-1}), b_t = β(l_t - l_{t-1}) + (1-β)b_{t-1}; one-
+# step-ahead fitted values, in-sample SSE, and an h-step forecast fan
+# l_T + h·b_T ride along every row.
+#
+# Scale shape: one map-side-combinable hourly count agg; the recursion
+# runs over the BOUNDED series (|hours| rows — qdigest's bounded-
+# histogram class, collected as one sorted array), never over events.
+# Cross-engine determinism: the smoother is a pinned-order fold
+# (char_entropy discipline) mirrored by an ordered recursive CTE — both
+# execute the identical per-step formulas in the identical order, so
+# states agree to the last ulp; margin pytest.
+# --------------------------------------------------------------------------
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+HOLT_H = 6  # forecast horizon (hours)
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    ser = (
+        grid.join(cnt, "h", "left")
+        .select(
+            "h", F.coalesce("c", F.lit(0)).cast("double").alias("y")
+        )
+    )
+    arr_df = ser.agg(
+        F.sort_array(F.collect_list(F.struct("h", "y"))).alias("a")
+    )
+    a, b_ = float(HOLT_ALPHA), float(HOLT_BETA)
+    y1 = F.element_at("a", 1)["y"]
+    y2 = F.element_at("a", 2)["y"]
+    acc0 = F.named_struct(
+        F.lit("l"), y1,
+        F.lit("b"), y2 - y1,
+        F.lit("fits"), F.array().cast("array<double>"),
+        F.lit("sse"), F.lit(0.0),
+    )
+    new_l = (
+        lambda acc, x: F.lit(a) * x["y"]
+        + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+    )
+    folded = arr_df.select(
+        "a",
+        F.aggregate(
+            F.slice(F.col("a"), 2, F.size("a") - 1),
+            acc0,
+            lambda acc, x: F.named_struct(
+                F.lit("l"), new_l(acc, x),
+                F.lit("b"),
+                F.lit(b_) * (new_l(acc, x) - acc["l"])
+                + F.lit(1.0 - b_) * acc["b"],
+                F.lit("fits"),
+                F.concat(acc["fits"], F.array(acc["l"] + acc["b"])),
+                F.lit("sse"),
+                acc["sse"]
+                + (x["y"] - (acc["l"] + acc["b"]))
+                * (x["y"] - (acc["l"] + acc["b"])),
+            ),
+        ).alias("st"),
+    )
+    rows = folded.select(
+        F.posexplode("a").alias("i0", "e"),
+        F.col("st.l").alias("lf"),
+        F.col("st.b").alias("bf"),
+        F.col("st.fits").alias("fits"),
+        F.col("st.sse").alias("sse"),
+    ).select(
+        (F.col("i0") + 1).cast("long").alias("t"),
+        F.unix_timestamp(F.col("e.h")).alias("epoch"),
+        F.col("e.y").cast("long").alias("y"),
+        # t = 1 has no one-step-ahead prediction (i0 = 0 would be an
+        # invalid 0 index anyway — Spark arrays are 1-based)
+        F.round(
+            F.when(
+                F.col("i0") >= 1, F.element_at("fits", F.col("i0"))
+            ),
+            6,
+        ).alias("fitted"),
+        F.round(
+            F.when(
+                F.col("i0") >= 1,
+                F.col("e.y") - F.element_at("fits", F.col("i0")),
+            ),
+            6,
+        ).alias("resid"),
+        F.round("lf", 6).alias("level_fin"),
+        F.round("bf", 6).alias("trend_fin"),
+        F.round("sse", 6).alias("sse"),
+        *[
+            F.round(
+                F.col("lf") + F.lit(float(h)) * F.col("bf"), 6
+            ).alias(f"fc{h}")
+            for h in range(1, HOLT_H + 1)
+        ],
+    )
+    return rows
+
+
+def _sql_holt_forecast() -> str:
+    a, b_ = float(HOLT_ALPHA), float(HOLT_BETA)
+    fcs = ",\n       ".join(
+        f"round(f.l + {float(h)} * f.b, 6) AS fc{h}"
+        for h in range(1, HOLT_H + 1)
+    )
+    nl = f"({a} * s.y + {1.0 - a} * (hw.l + hw.b))"
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), cnt AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1
+), ser AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY g.h) AS i, g.h,
+         CAST(coalesce(c.c, 0) AS DOUBLE) AS y
+  FROM grid g LEFT JOIN cnt c ON c.h = g.h
+), nn AS (
+  SELECT CAST(max(i) AS BIGINT) AS n FROM ser
+), hw AS (
+  SELECT CAST(1 AS BIGINT) AS i,
+         (SELECT y FROM ser WHERE i = 1) AS l,
+         (SELECT y FROM ser WHERE i = 2)
+           - (SELECT y FROM ser WHERE i = 1) AS b,
+         CAST(NULL AS DOUBLE) AS fit,
+         CAST(0.0 AS DOUBLE) AS sse
+  UNION ALL
+  SELECT s.i,
+         {nl} AS l,
+         {b_} * ({nl} - hw.l) + {1.0 - b_} * hw.b AS b,
+         hw.l + hw.b AS fit,
+         hw.sse + (s.y - (hw.l + hw.b)) * (s.y - (hw.l + hw.b)) AS sse
+  FROM hw JOIN ser s ON s.i = hw.i + 1
+), fin AS (
+  SELECT hw.l, hw.b, hw.sse FROM hw CROSS JOIN nn WHERE hw.i = nn.n
+)
+SELECT CAST(s.i AS BIGINT) AS t,
+       CAST(epoch(s.h) AS BIGINT) AS epoch,
+       CAST(s.y AS BIGINT) AS y,
+       round(hw.fit, 6) AS fitted,
+       round(s.y - hw.fit, 6) AS resid,
+       round(f.l, 6) AS level_fin,
+       round(f.b, 6) AS trend_fin,
+       round(f.sse, 6) AS sse,
+       {fcs}
+FROM ser s
+JOIN hw ON hw.i = s.i
+CROSS JOIN fin f
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -10338,4 +10511,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "conformal": (q_conformal, _sql_conformal()),
     "bootstrap_ci": (q_bootstrap_ci, _sql_bootstrap_ci()),
     "cuped_ab": (q_cuped_ab, _sql_cuped_ab()),
+    "holt_forecast": (q_holt_forecast, _sql_holt_forecast()),
 }

@@ -2907,3 +2907,78 @@ def test_cuped_ab_pure_python_replay_and_theorems():
                                    - tsy * tsy / tn)
     )
     assert abs(vr - (1 - rho2)) < 0.05, (vr, 1 - rho2)
+
+
+def test_holt_forecast_pure_python_replay_and_branches():
+    """Holt forecast (`holt_forecast`): a pure-Python double-exponential
+    replay over the same dense hourly grid must match the DuckDB oracle
+    at sf0.001 to 6dp (states, fitted values, SSE, forecast fan); the
+    zero-fill branch fires (sf0.001 has missing hours); forecasts are
+    exactly linear in the horizon; t=1 has NULL fitted/resid."""
+    import datetime as dt
+    import math
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        HOLT_H,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    ts = [r[0] for r in con.execute("SELECT ts FROM events").fetchall()]
+    floor = lambda t: t.replace(minute=0, second=0, microsecond=0)
+    h0, h1 = floor(min(ts)), floor(max(ts))
+    grid = []
+    h = h0
+    while h <= h1:
+        grid.append(h)
+        h += dt.timedelta(hours=1)
+    from collections import Counter
+
+    cnt = Counter(floor(t) for t in ts)
+    ys = [float(cnt.get(h, 0)) for h in grid]
+    assert sum(1 for y in ys if y == 0) > 0, "zero-fill branch vacuous"
+    a, b_ = HOLT_ALPHA, HOLT_BETA
+    l, b = ys[0], ys[1] - ys[0]
+    fits = [None]
+    sse = 0.0
+    for y in ys[1:]:
+        fit = l + b
+        fits.append(fit)
+        sse += (y - fit) * (y - fit)
+        nl = a * y + (1 - a) * (l + b)
+        b = b_ * (nl - l) + (1 - b_) * b
+        l = nl
+    rows = con.execute(QUERIES["holt_forecast"][1]).fetchall()
+    assert len(rows) == len(grid)
+    for row in rows:
+        t_idx, epoch, y, fitted, resid, lf, bf, got_sse = row[:8]
+        fcs = row[8:]
+        i = t_idx - 1
+        assert y == int(ys[i])
+        assert epoch == int(grid[i].replace(tzinfo=dt.timezone.utc).timestamp())
+        if i == 0:
+            assert fitted is None and resid is None
+        else:
+            # no margin sweep here: the smoother is pure +/-/* rational
+            # arithmetic executed in pinned order, so both engines (and
+            # this replay) hold bit-identical doubles — equality of the
+            # rounded values is the whole contract, even when a state
+            # lands near a .5e-6 boundary (observed at t=7)
+            for got, exp in ((fitted, fits[i]), (resid, ys[i] - fits[i])):
+                assert got == round(exp, 6), (i, got, exp)
+        for got, exp in ((lf, l), (bf, b), (got_sse, sse)):
+            assert got == round(exp, 6), (got, exp)
+        assert len(fcs) == HOLT_H
+        for hh, fc in enumerate(fcs, start=1):
+            assert fc == round(l + float(hh) * b, 6)
+        # linear fan: second differences vanish
+        for j in range(2, HOLT_H):
+            assert abs((fcs[j] - fcs[j - 1]) - (fcs[1] - fcs[0])) < 1e-5
