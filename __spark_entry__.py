@@ -331,6 +331,10 @@ DRIVER_CAP_OVERFLOW = (
     # the dense hourly event series — bounded-series pinned-order fold
     # vs ordered recursive CTE, fitted values + SSE + h-step fan
     "holt_forecast",
+    # round-6 new, born-overflow: seasonal-naive MASE forecast
+    # evaluation per event type — partitioned lag windows, exact integer
+    # MAE sums, scale-free accuracy ratio
+    "seasonal_mase",
 )
 
 

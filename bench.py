@@ -256,6 +256,7 @@ def main() -> None:
         "bootstrap_ci",
         "cuped_ab",
         "holt_forecast",
+        "seasonal_mase",
     ):
         if name not in QUERIES:
             continue

@@ -10400,6 +10400,147 @@ CROSS JOIN fin f
 """
 
 
+# --------------------------------------------------------------------------
+# Seasonal-naive MASE evaluation (`seasonal_mase`): the scale-free
+# forecast-accuracy metric (Hyndman & Koehler 2006) every monitoring
+# stack reports — per event type, the dense hourly series splits into
+# train and a MASE_TEST_H-hour holdout; the seasonal-naive forecast
+# y_{t-24} is scored on the holdout, scaled by the same forecaster's
+# in-train MAE (MASE < 1 = beats the naive seasonal repeat). Completes
+# the time-series pair: `holt_forecast` fits, this evaluates.
+#
+# Scale shape: dense grid = hour-sequence × distinct types (both tiny,
+# broadcast); counts one map-side agg; lags via windows PARTITIONED by
+# event type (never single-partition); absolute errors are integers so
+# the MAE sums are exact — MASE is one division of exact integers per
+# type (bit-identical, the auc_eval class).
+# --------------------------------------------------------------------------
+
+MASE_SEASON = 24  # hours
+MASE_TEST_H = 48  # holdout length (hours)
+
+
+def q_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias(
+            "h"
+        )
+    )
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    ser = (
+        grid.crossJoin(F.broadcast(types))
+        .join(cnt, ["h", "event_type"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("c", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = (
+        ser.withColumn("y_lag", F.lag("y", MASE_SEASON).over(w))
+        .withColumn("idx", F.row_number().over(w))
+        .withColumn("n_tot", F.count("*").over(Window.partitionBy("event_type")))
+    )
+    flagged = lagged.filter(F.col("y_lag").isNotNull()).select(
+        "event_type",
+        (F.col("idx") > F.col("n_tot") - MASE_TEST_H).cast("long").alias(
+            "is_test"
+        ),
+        F.abs(F.col("y") - F.col("y_lag")).alias("ae"),
+    )
+    per = flagged.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_test") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("is_test") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.sum(F.when(F.col("is_test") == 0, F.col("ae")).otherwise(0))
+        .cast("long")
+        .alias("sae_train"),
+        F.sum(F.when(F.col("is_test") == 1, F.col("ae")).otherwise(0))
+        .cast("long")
+        .alias("sae_test"),
+    )
+    mae_tr = F.col("sae_train").cast("double") / F.col("n_train").cast(
+        "double"
+    )
+    mae_te = F.col("sae_test").cast("double") / F.col("n_test").cast("double")
+    return per.select(
+        "event_type",
+        "n_train",
+        "n_test",
+        "sae_train",
+        "sae_test",
+        F.round(mae_tr, 6).alias("mae_naive_train"),
+        F.round(mae_te, 6).alias("mae_test"),
+        F.round(mae_te / mae_tr, 6).alias("mase"),
+    )
+
+
+def _sql_seasonal_mase() -> str:
+    m, th = MASE_SEASON, MASE_TEST_H
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), cnt AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT t.event_type, g.h, CAST(coalesce(c.c, 0) AS BIGINT) AS y
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN cnt c ON c.h = g.h AND c.event_type = t.event_type
+), lagged AS (
+  SELECT event_type, y,
+         lag(y, {m}) OVER (PARTITION BY event_type ORDER BY h) AS y_lag,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS idx,
+         count(*) OVER (PARTITION BY event_type) AS n_tot
+  FROM ser
+), flagged AS (
+  SELECT event_type,
+         CAST(CASE WHEN idx > n_tot - {th} THEN 1 ELSE 0 END AS BIGINT)
+           AS is_test,
+         abs(y - y_lag) AS ae
+  FROM lagged WHERE y_lag IS NOT NULL
+), per AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN is_test = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(sum(CASE WHEN is_test = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test,
+         CAST(sum(CASE WHEN is_test = 0 THEN ae ELSE 0 END) AS BIGINT)
+           AS sae_train,
+         CAST(sum(CASE WHEN is_test = 1 THEN ae ELSE 0 END) AS BIGINT)
+           AS sae_test
+  FROM flagged GROUP BY event_type
+)
+SELECT event_type, n_train, n_test, sae_train, sae_test,
+       round(CAST(sae_train AS DOUBLE) / CAST(n_train AS DOUBLE), 6)
+         AS mae_naive_train,
+       round(CAST(sae_test AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+         AS mae_test,
+       round((CAST(sae_test AS DOUBLE) / CAST(n_test AS DOUBLE))
+             / (CAST(sae_train AS DOUBLE) / CAST(n_train AS DOUBLE)), 6)
+         AS mase
+FROM per
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -10512,4 +10653,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "bootstrap_ci": (q_bootstrap_ci, _sql_bootstrap_ci()),
     "cuped_ab": (q_cuped_ab, _sql_cuped_ab()),
     "holt_forecast": (q_holt_forecast, _sql_holt_forecast()),
+    "seasonal_mase": (q_seasonal_mase, _sql_seasonal_mase()),
 }

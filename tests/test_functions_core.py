@@ -2982,3 +2982,69 @@ def test_holt_forecast_pure_python_replay_and_branches():
         # linear fan: second differences vanish
         for j in range(2, HOLT_H):
             assert abs((fcs[j] - fcs[j - 1]) - (fcs[1] - fcs[0])) < 1e-5
+
+
+def test_seasonal_mase_pure_python_replay():
+    """Seasonal MASE (`seasonal_mase`): a pure-Python replay of the
+    dense per-type grid, 24h seasonal-naive errors and the train/test
+    split must match the DuckDB oracle at sf0.001; every type's counts
+    are consistent (n_train + n_test = hours - season); MASE is the
+    exact ratio of the integer MAE sums; zero-filled hours exist."""
+    import datetime as dt
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        MASE_SEASON,
+        MASE_TEST_H,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute("SELECT event_type, ts FROM events").fetchall()
+    floor = lambda t: t.replace(minute=0, second=0, microsecond=0)
+    all_ts = [t for _e, t in raw]
+    h0, h1 = floor(min(all_ts)), floor(max(all_ts))
+    grid = []
+    h = h0
+    while h <= h1:
+        grid.append(h)
+        h += dt.timedelta(hours=1)
+    types = sorted({e for e, _t in raw})
+    cnt = Counter((e, floor(t)) for e, t in raw)
+    rows = con.execute(QUERIES["seasonal_mase"][1]).fetchall()
+    assert {r[0] for r in rows} == set(types)
+    zero_seen = False
+    for event_type, n_train, n_test, sae_tr, sae_te, mtr, mte, mase in rows:
+        ys = [cnt.get((event_type, h), 0) for h in grid]
+        zero_seen = zero_seen or any(y == 0 for y in ys)
+        aes = [
+            abs(ys[i] - ys[i - MASE_SEASON])
+            for i in range(MASE_SEASON, len(ys))
+        ]
+        n = len(ys)
+        test_from = n - MASE_TEST_H  # 0-based idx >= this -> test
+        tr = [
+            ae
+            for i, ae in zip(range(MASE_SEASON, n), aes)
+            if i < test_from
+        ]
+        te = [
+            ae
+            for i, ae in zip(range(MASE_SEASON, n), aes)
+            if i >= test_from
+        ]
+        assert (n_train, n_test) == (len(tr), len(te))
+        assert n_train + n_test == len(grid) - MASE_SEASON
+        assert (sae_tr, sae_te) == (sum(tr), sum(te))
+        emtr = sum(tr) / len(tr)
+        emte = sum(te) / len(te)
+        assert mtr == round(emtr, 6) and mte == round(emte, 6)
+        assert mase == round(emte / emtr, 6)
+        assert mase > 0
+    assert zero_seen, "zero-fill branch vacuous"
