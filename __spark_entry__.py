@@ -335,6 +335,10 @@ DRIVER_CAP_OVERFLOW = (
     # evaluation per event type — partitioned lag windows, exact integer
     # MAE sums, scale-free accuracy ratio
     "seasonal_mase",
+    # round-6 new, born-overflow: BLEU-4 (Papineni et al.) — clipped
+    # modified n-gram precisions, brevity penalty, per-doc AND pooled
+    # corpus scores; planted verbatim/deletion/substitution branches
+    "bleu_eval",
 )
 
 

@@ -257,6 +257,7 @@ def main() -> None:
         "cuped_ab",
         "holt_forecast",
         "seasonal_mase",
+        "bleu_eval",
     ):
         if name not in QUERIES:
             continue

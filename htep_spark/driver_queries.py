@@ -10541,6 +10541,274 @@ FROM per
 """
 
 
+# --------------------------------------------------------------------------
+# BLEU-4 evaluation (`bleu_eval`): the MT-standard n-gram metric
+# (Papineni et al. 2002) — modified n-gram precision with reference
+# clipping, geometric mean over n = 1..4, and the brevity penalty; both
+# the per-document score (zero if any p_n = 0, the unsmoothed rule) and
+# the CORPUS score (numerators/denominators pooled before the ratio —
+# the aggregation the paper actually defines, robust to per-doc zeros).
+# Candidates are deterministic corruptions of the reference: docs with
+# doc_id % 5 == 0 stay verbatim (the BLEU = 1 branch); others drop every
+# 7th token and substitute every 11th — so deletion (brevity) and
+# substitution (precision) effects are both planted.
+#
+# Scale shape: token-linear — per n, one map-side (doc, gram) count for
+# each side, an equi-join on the SAME keys (co-partitioned), per-doc
+# clipped sums, and a 1-row corpus aggregate broadcast back. exp/ln
+# agree to <= 1 ulp (margin pytest, the js_divergence class).
+# --------------------------------------------------------------------------
+
+BLEU_MAX_N = 4
+
+
+def q_bleu_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ref = token_barrier(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0),
+        keep_cols=("doc_id",),
+    ).withColumnRenamed("t", "r")
+    corrupt = F.col("doc_id") % 5 != 0
+    cand = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("r") - 1),
+            lambda i: F.when(corrupt & (i % 7 == 6), F.lit(None))
+            .when(
+                corrupt & (i % 11 == 10),
+                F.concat(F.lit("xerr"), (i % 3).cast("string")),
+            )
+            .otherwise(F.element_at("r", i + 1)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    base = ref.select("doc_id", "r", cand.alias("c")).localCheckpoint(
+        eager=True
+    )
+
+    def grams(col, n):
+        return F.when(
+            F.size(col) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(col) - n),
+                lambda j: F.concat_ws(" ", F.slice(col, j + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    parts = []
+    for n in range(1, BLEU_MAX_N + 1):
+        cc = (
+            base.select(
+                "doc_id", F.explode(grams(F.col("c"), n)).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cc"))
+        )
+        rc = (
+            base.select(
+                "doc_id", F.explode(grams(F.col("r"), n)).alias("g")
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("rc"))
+        )
+        per = (
+            cc.join(rc, ["doc_id", "g"], "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum(
+                    F.least(F.col("cc"), F.coalesce("rc", F.lit(0)))
+                )
+                .cast("long")
+                .alias("m"),
+                F.sum("cc").cast("long").alias("c"),
+            )
+            .withColumn("n", F.lit(n))
+        )
+        parts.append(per)
+    alln = parts[0]
+    for p in parts[1:]:
+        alln = alln.unionByName(p)
+    piv = alln.groupBy("doc_id").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("n") == n, F.col("m"))), F.lit(0))
+            .cast("long")
+            .alias(f"m{n}")
+            for n in range(1, BLEU_MAX_N + 1)
+        ],
+        *[
+            F.coalesce(F.sum(F.when(F.col("n") == n, F.col("c"))), F.lit(0))
+            .cast("long")
+            .alias(f"c{n}")
+            for n in range(1, BLEU_MAX_N + 1)
+        ],
+    )
+    lens = base.select(
+        "doc_id",
+        F.size("c").cast("long").alias("cand_len"),
+        F.size("r").cast("long").alias("ref_len"),
+    )
+    per_doc = lens.join(piv, "doc_id")
+    bp_doc = F.when(
+        F.col("cand_len") >= F.col("ref_len"), F.lit(1.0)
+    ).otherwise(
+        F.exp(
+            F.lit(1.0)
+            - F.col("ref_len").cast("double")
+            / F.col("cand_len").cast("double")
+        )
+    )
+    logsum_doc = sum(
+        F.log(
+            F.col(f"m{n}").cast("double") / F.col(f"c{n}").cast("double")
+        )
+        for n in range(1, BLEU_MAX_N + 1)
+    )
+    any_zero = None
+    for n in range(1, BLEU_MAX_N + 1):
+        cond = F.col(f"m{n}") == 0
+        any_zero = cond if any_zero is None else (any_zero | cond)
+    bleu_doc = F.when(any_zero, F.lit(0.0)).otherwise(
+        bp_doc * F.exp(logsum_doc / F.lit(float(BLEU_MAX_N)))
+    )
+    corpus = per_doc.agg(
+        F.sum("cand_len").cast("double").alias("tc"),
+        F.sum("ref_len").cast("double").alias("tr"),
+        *[
+            F.sum(f"m{n}").cast("double").alias(f"tm{n}")
+            for n in range(1, BLEU_MAX_N + 1)
+        ],
+        *[
+            F.sum(f"c{n}").cast("double").alias(f"tc{n}")
+            for n in range(1, BLEU_MAX_N + 1)
+        ],
+    )
+    bp_corp = F.when(F.col("tc") >= F.col("tr"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.col("tr") / F.col("tc"))
+    )
+    logsum_corp = sum(
+        F.log(F.col(f"tm{n}") / F.col(f"tc{n}"))
+        for n in range(1, BLEU_MAX_N + 1)
+    )
+    corp = corpus.select(
+        *[
+            F.round(F.col(f"tm{n}") / F.col(f"tc{n}"), 6).alias(f"p{n}")
+            for n in range(1, BLEU_MAX_N + 1)
+        ],
+        F.round(bp_corp, 6).alias("bp_corpus"),
+        F.round(
+            bp_corp * F.exp(logsum_corp / F.lit(float(BLEU_MAX_N))), 6
+        ).alias("bleu_corpus"),
+    )
+    return per_doc.crossJoin(F.broadcast(corp)).select(
+        "doc_id",
+        "cand_len",
+        "ref_len",
+        *[F.col(f"m{n}") for n in range(1, BLEU_MAX_N + 1)],
+        *[F.col(f"c{n}") for n in range(1, BLEU_MAX_N + 1)],
+        F.round(bleu_doc, 6).alias("bleu_doc"),
+        *[F.col(f"p{n}") for n in range(1, BLEU_MAX_N + 1)],
+        "bp_corpus",
+        "bleu_corpus",
+    )
+
+
+def _sql_bleu_eval() -> str:
+    mn = BLEU_MAX_N
+    gram_parts = []
+    for n in range(1, mn + 1):
+        gram_parts.append(
+            f"""cc{n} AS (
+  SELECT doc_id, g, count(*) AS cc FROM (
+    SELECT doc_id,
+           array_to_string(c[j + 1 : j + {n}], ' ') AS g
+    FROM base, unnest(range(len(c) - {n} + 1)) AS u(j)
+    WHERE len(c) >= {n}) GROUP BY doc_id, g
+), rc{n} AS (
+  SELECT doc_id, g, count(*) AS rc FROM (
+    SELECT doc_id,
+           array_to_string(r[j + 1 : j + {n}], ' ') AS g
+    FROM base, unnest(range(len(r) - {n} + 1)) AS u(j)
+    WHERE len(r) >= {n}) GROUP BY doc_id, g
+), per{n} AS (
+  SELECT c.doc_id,
+         CAST(sum(least(c.cc, coalesce(r.rc, 0))) AS BIGINT) AS m,
+         CAST(sum(c.cc) AS BIGINT) AS c
+  FROM cc{n} c LEFT JOIN rc{n} r ON r.doc_id = c.doc_id AND r.g = c.g
+  GROUP BY c.doc_id
+)"""
+        )
+    grams_sql = ", ".join(gram_parts)
+    mcols = ", ".join(
+        f"coalesce(p{n}.m, 0) AS m{n}, coalesce(p{n}.c, 0) AS c{n}"
+        for n in range(1, mn + 1)
+    )
+    joins = " ".join(
+        f"LEFT JOIN per{n} p{n} ON p{n}.doc_id = l.doc_id"
+        for n in range(1, mn + 1)
+    )
+    logsum_doc = " + ".join(
+        f"ln(CAST(m{n} AS DOUBLE) / CAST(c{n} AS DOUBLE))"
+        for n in range(1, mn + 1)
+    )
+    zero = " OR ".join(f"m{n} = 0" for n in range(1, mn + 1))
+    tcols = ", ".join(
+        f"CAST(sum(m{n}) AS DOUBLE) AS tm{n},"
+        f" CAST(sum(c{n}) AS DOUBLE) AS tc{n}"
+        for n in range(1, mn + 1)
+    )
+    logsum_corp = " + ".join(f"ln(tm{n} / tc{n})" for n in range(1, mn + 1))
+    pcols = ", ".join(
+        f"round(tm{n} / tc{n}, 6) AS p{n}" for n in range(1, mn + 1)
+    )
+    out_p = ", ".join(f"corp.p{n}" for n in range(1, mn + 1))
+    out_m = ", ".join(f"d.m{n}" for n in range(1, mn + 1))
+    out_c = ", ".join(f"d.c{n}" for n in range(1, mn + 1))
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS r
+  FROM documents
+), base AS MATERIALIZED (
+  SELECT doc_id, r,
+         list_filter(list_transform(range(len(r)),
+           i -> CASE WHEN doc_id % 5 <> 0 AND i % 7 = 6 THEN NULL
+                     WHEN doc_id % 5 <> 0 AND i % 11 = 10
+                       THEN 'xerr' || CAST(i % 3 AS VARCHAR)
+                     ELSE r[i + 1] END),
+           x -> x IS NOT NULL) AS c
+  FROM toked
+), {grams_sql}, per_doc AS MATERIALIZED (
+  SELECT l.doc_id,
+         CAST(len(l.c) AS BIGINT) AS cand_len,
+         CAST(len(l.r) AS BIGINT) AS ref_len,
+         {mcols}
+  FROM base l {joins}
+), corp0 AS (
+  SELECT CAST(sum(cand_len) AS DOUBLE) AS tc,
+         CAST(sum(ref_len) AS DOUBLE) AS tr,
+         {tcols}
+  FROM per_doc
+), corp AS (
+  SELECT {pcols},
+         round(CASE WHEN tc >= tr THEN 1.0
+                    ELSE exp(1.0 - tr / tc) END, 6) AS bp_corpus,
+         round((CASE WHEN tc >= tr THEN 1.0
+                     ELSE exp(1.0 - tr / tc) END)
+               * exp(({logsum_corp}) / {float(mn)}), 6) AS bleu_corpus
+  FROM corp0
+)
+SELECT d.doc_id, d.cand_len, d.ref_len, {out_m}, {out_c},
+       round(CASE WHEN {zero} THEN 0.0
+                  ELSE (CASE WHEN cand_len >= ref_len THEN 1.0
+                             ELSE exp(1.0 - CAST(ref_len AS DOUBLE)
+                                      / CAST(cand_len AS DOUBLE)) END)
+                       * exp(({logsum_doc}) / {float(mn)}) END, 6)
+         AS bleu_doc,
+       {out_p}, corp.bp_corpus, corp.bleu_corpus
+FROM per_doc d CROSS JOIN corp
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -10654,4 +10922,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "cuped_ab": (q_cuped_ab, _sql_cuped_ab()),
     "holt_forecast": (q_holt_forecast, _sql_holt_forecast()),
     "seasonal_mase": (q_seasonal_mase, _sql_seasonal_mase()),
+    "bleu_eval": (q_bleu_eval, _sql_bleu_eval()),
 }

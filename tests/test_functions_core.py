@@ -3048,3 +3048,104 @@ def test_seasonal_mase_pure_python_replay():
         assert mase == round(emte / emtr, 6)
         assert mase > 0
     assert zero_seen, "zero-fill branch vacuous"
+
+
+def test_bleu_eval_pure_python_replay_and_branches():
+    """BLEU (`bleu_eval`): an independent pure-Python BLEU-4 — clipping,
+    geometric mean, brevity penalty, per-doc zero rule, pooled corpus
+    aggregation — must match the DuckDB oracle at sf0.001 to 6dp;
+    verbatim docs score exactly 1.0, corrupted docs strictly less with
+    p1 > p2 > p3 > p4 in the pooled precisions; the brevity penalty is
+    active (< 1, deletions shorten candidates); margins on the
+    transcendental-path values."""
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import BLEU_MAX_N, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    per = {}
+    T = {f"tm{n}": 0 for n in range(1, BLEU_MAX_N + 1)}
+    T.update({f"tc{n}": 0 for n in range(1, BLEU_MAX_N + 1)})
+    tc = tr = 0
+    for d, t in raw:
+        r = re.findall("[a-z0-9]+", t.lower())
+        if d % 5 == 0:
+            c = list(r)
+        else:
+            c = []
+            for i, tok in enumerate(r):
+                if i % 7 == 6:
+                    continue
+                c.append(f"xerr{i % 3}" if i % 11 == 10 else tok)
+        ms, cs = [], []
+        for n in range(1, BLEU_MAX_N + 1):
+            cg = Counter(
+                " ".join(c[j : j + n]) for j in range(len(c) - n + 1)
+            )
+            rg = Counter(
+                " ".join(r[j : j + n]) for j in range(len(r) - n + 1)
+            )
+            m = sum(min(cnt, rg.get(g, 0)) for g, cnt in cg.items())
+            ms.append(m)
+            cs.append(sum(cg.values()))
+            T[f"tm{n}"] += m
+            T[f"tc{n}"] += sum(cg.values())
+        tc += len(c)
+        tr += len(r)
+        if any(m == 0 for m in ms):
+            bleu = 0.0
+        else:
+            bp = (
+                1.0
+                if len(c) >= len(r)
+                else math.exp(1.0 - len(r) / len(c))
+            )
+            bleu = bp * math.exp(
+                sum(math.log(m / cc) for m, cc in zip(ms, cs)) / BLEU_MAX_N
+            )
+        per[d] = (len(c), len(r), ms, cs, bleu)
+    bp_c = 1.0 if tc >= tr else math.exp(1.0 - tr / tc)
+    bleu_c = bp_c * math.exp(
+        sum(
+            math.log(T[f"tm{n}"] / T[f"tc{n}"])
+            for n in range(1, BLEU_MAX_N + 1)
+        )
+        / BLEU_MAX_N
+    )
+    ps = [T[f"tm{n}"] / T[f"tc{n}"] for n in range(1, BLEU_MAX_N + 1)]
+    assert ps[0] > ps[1] > ps[2] > ps[3]
+    assert bp_c < 1.0
+    rows = con.execute(QUERIES["bleu_eval"][1]).fetchall()
+    assert len(rows) == len(per)
+    for row in rows:
+        d, cand_len, ref_len = row[0], row[1], row[2]
+        ms = row[3 : 3 + BLEU_MAX_N]
+        cs = row[3 + BLEU_MAX_N : 3 + 2 * BLEU_MAX_N]
+        bleu_doc = row[3 + 2 * BLEU_MAX_N]
+        pvals = row[4 + 2 * BLEU_MAX_N : 4 + 3 * BLEU_MAX_N]
+        bp_corpus, bleu_corpus = row[-2], row[-1]
+        ecl, erl, ems, ecs, ebleu = per[d]
+        assert (cand_len, ref_len) == (ecl, erl)
+        assert list(ms) == ems and list(cs) == ecs
+        for got, exp in [
+            (bleu_doc, ebleu),
+            (bp_corpus, bp_c),
+            (bleu_corpus, bleu_c),
+        ] + list(zip(pvals, ps)):
+            if exp not in (0.0, 1.0):
+                frac = abs(exp * 1e6 - math.floor(exp * 1e6) - 0.5)
+                assert frac > 1e-4, (d, exp)
+            assert got == round(exp, 6), (d, got, exp)
+        if d % 5 == 0:
+            assert bleu_doc == 1.0
+        else:
+            assert bleu_doc < 1.0
