@@ -339,6 +339,10 @@ DRIVER_CAP_OVERFLOW = (
     # modified n-gram precisions, brevity penalty, per-doc AND pooled
     # corpus scores; planted verbatim/deletion/substitution branches
     "bleu_eval",
+    # round-6 new, born-overflow: tie-aware Spearman rank correlation —
+    # average ranks as exact halves (no dense window), bit-identical
+    # moment sums; planted monotone and independent pairs
+    "spearman_corr",
 )
 
 

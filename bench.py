@@ -258,6 +258,7 @@ def main() -> None:
         "holt_forecast",
         "seasonal_mase",
         "bleu_eval",
+        "spearman_corr",
     ):
         if name not in QUERIES:
             continue

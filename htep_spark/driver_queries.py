@@ -10809,6 +10809,131 @@ FROM per_doc d CROSS JOIN corp
 """
 
 
+# --------------------------------------------------------------------------
+# Spearman rank correlation (`spearman_corr`): the robust monotone-
+# association statistic data-quality audits report alongside Pearson —
+# tie-AWARE (average ranks per tied value group, the Kendall/Spearman
+# textbook rule), computed as Pearson over the rank vectors. Two planted
+# pairs prove both branches: (n_chars, tokens) is near-perfectly
+# monotone (rho ~ 1), (md5-noise, tokens) is independent (rho ~ 0).
+#
+# Exactness: average ranks are exact halves (the auc_eval trick — per-
+# value groups + `exact_global_cumsum`, no dense per-row window), so
+# every moment sum is a sum of exactly-representable quarters far below
+# 2^53 — BOTH engines compute bit-identical rho with no reduce-order
+# surface. Ties are real on every variable (integer-valued columns).
+# --------------------------------------------------------------------------
+
+SPEARMAN_PAIRS = ("chars_tokens", "noise_tokens")
+
+
+def _spearman_ranks(df: DataFrame, col: str) -> DataFrame:
+    """Tie-averaged ranks for ``col``: per-value groups, cum_before via
+    exact_global_cumsum, avg rank = cum_before + (cnt + 1)/2."""
+    from .operators.ranking import exact_global_cumsum
+
+    g = df.groupBy(col).agg(F.count("*").alias("cnt"))
+    c = exact_global_cumsum(g, col, "cnt")
+    ranks = c.select(
+        col,
+        (
+            F.col("cum_before").cast("double")
+            + (F.col("cnt").cast("double") + F.lit(1.0)) / F.lit(2.0)
+        ).alias(f"r_{col}"),
+    )
+    return df.join(ranks, col)
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ntok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    ).cast("long")
+    noise = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("sp"), F.col("doc_id")), 1000
+    )
+    rows = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("xc"),
+        noise.alias("xn"),
+        ntok.alias("y"),
+    )
+    ranked = _spearman_ranks(
+        _spearman_ranks(_spearman_ranks(rows, "xc"), "xn"), "y"
+    )
+    out = []
+    for pair, xr in (("chars_tokens", "r_xc"), ("noise_tokens", "r_xn")):
+        m = ranked.agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(xr).alias("sx"),
+            F.sum("r_y").alias("sy"),
+            F.sum(F.col(xr) * F.col(xr)).alias("sxx"),
+            F.sum(F.col("r_y") * F.col("r_y")).alias("syy"),
+            F.sum(F.col(xr) * F.col("r_y")).alias("sxy"),
+        ).select(
+            F.lit(pair).alias("pair"),
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+                / F.sqrt(
+                    (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                    * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+                ),
+                6,
+            ).alias("rho"),
+        )
+        out.append(m)
+    return out[0].unionByName(out[1])
+
+
+def _sql_spearman_corr() -> str:
+    noise = _md5_bucket_sql("'sp' || '|' || CAST(doc_id AS VARCHAR)", 1000)
+
+    def ranked(col):
+        return f"""(
+  SELECT v.*, g.r_{col}
+  FROM v JOIN (
+    SELECT {col},
+           CAST(coalesce(sum(cnt) OVER (ORDER BY {col}
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS DOUBLE)
+             + (CAST(cnt AS DOUBLE) + 1.0) / 2.0 AS r_{col}
+    FROM (SELECT {col}, count(*) AS cnt FROM v GROUP BY {col})) g
+  USING ({col}))"""
+
+    corr = (
+        "(sxy - sx * sy / n) / sqrt((sxx - sx * sx / n)"
+        " * (syy - sy * sy / n))"
+    )
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(n_chars AS BIGINT) AS xc,
+         {noise} AS xn,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              AS BIGINT) AS y
+  FROM documents
+), rk AS MATERIALIZED (
+  SELECT a.doc_id, a.r_xc, b.r_xn, c.r_y
+  FROM {ranked("xc")} a
+  JOIN {ranked("xn")} b USING (doc_id)
+  JOIN {ranked("y")} c USING (doc_id)
+), pairs AS (
+  SELECT 'chars_tokens' AS pair, CAST(count(*) AS DOUBLE) AS n,
+         sum(r_xc) AS sx, sum(r_y) AS sy,
+         sum(r_xc * r_xc) AS sxx, sum(r_y * r_y) AS syy,
+         sum(r_xc * r_y) AS sxy
+  FROM rk
+  UNION ALL
+  SELECT 'noise_tokens', CAST(count(*) AS DOUBLE),
+         sum(r_xn), sum(r_y), sum(r_xn * r_xn), sum(r_y * r_y),
+         sum(r_xn * r_y)
+  FROM rk
+)
+SELECT pair, CAST(n AS BIGINT) AS n, round({corr}, 6) AS rho
+FROM pairs
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -10923,4 +11048,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "holt_forecast": (q_holt_forecast, _sql_holt_forecast()),
     "seasonal_mase": (q_seasonal_mase, _sql_seasonal_mase()),
     "bleu_eval": (q_bleu_eval, _sql_bleu_eval()),
+    "spearman_corr": (q_spearman_corr, _sql_spearman_corr()),
 }

@@ -3149,3 +3149,69 @@ def test_bleu_eval_pure_python_replay_and_branches():
             assert bleu_doc == 1.0
         else:
             assert bleu_doc < 1.0
+
+
+def test_spearman_corr_pure_python_replay_and_branches():
+    """Spearman (`spearman_corr`): a pure-Python tie-averaged-rank
+    replay (scipy-free) must match the DuckDB oracle at sf0.001 EXACTLY
+    (all arithmetic is sums of exact halves); the monotone pair reads
+    rho > 0.95, the noise pair |rho| < 0.15; ties genuinely exist on
+    every ranked variable (the average-rank branch is non-vacuous)."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute(
+        "SELECT doc_id, n_chars, text FROM documents"
+    ).fetchall()
+    data = []
+    for d, nch, t in raw:
+        h = int(hashlib.md5(f"sp|{d}".encode()).hexdigest()[:15], 16)
+        data.append(
+            (nch, h % 1000, len(re.findall("[a-z0-9]+", t.lower())))
+        )
+
+    def avg_ranks(vals):
+        cnt = Counter(vals)
+        cum, start = {}, 0
+        for v in sorted(cnt):
+            cum[v] = start + (cnt[v] + 1) / 2.0
+            start += cnt[v]
+        return [cum[v] for v in vals], max(cnt.values())
+
+    rxc, tie_xc = avg_ranks([r[0] for r in data])
+    rxn, tie_xn = avg_ranks([r[1] for r in data])
+    ry, tie_y = avg_ranks([r[2] for r in data])
+    assert min(tie_xc, tie_xn, tie_y) >= 2, "tie branch vacuous"
+
+    def pearson(xs, ys):
+        n = float(len(xs))
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        return (sxy - sx * sy / n) / math.sqrt(
+            (sxx - sx * sx / n) * (syy - sy * sy / n)
+        )
+
+    exp = {
+        "chars_tokens": pearson(rxc, ry),
+        "noise_tokens": pearson(rxn, ry),
+    }
+    rows = con.execute(QUERIES["spearman_corr"][1]).fetchall()
+    assert {r[0] for r in rows} == set(exp)
+    for pair, n, rho in rows:
+        assert n == len(data)
+        assert rho == round(exp[pair], 6), (pair, rho, exp[pair])
+    assert exp["chars_tokens"] > 0.95
+    assert abs(exp["noise_tokens"]) < 0.15
