@@ -343,6 +343,9 @@ DRIVER_CAP_OVERFLOW = (
     # average ranks as exact halves (no dense window), bit-identical
     # moment sums; planted monotone and independent pairs
     "spearman_corr",
+    # round-6 new, born-overflow: Gini/Lorenz vocabulary concentration —
+    # exact integer rank/mass sums, bit-identical; complements zipf_fit
+    "gini_lorenz",
 )
 
 

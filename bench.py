@@ -259,6 +259,7 @@ def main() -> None:
         "seasonal_mase",
         "bleu_eval",
         "spearman_corr",
+        "gini_lorenz",
     ):
         if name not in QUERIES:
             continue

@@ -10934,6 +10934,114 @@ FROM pairs
 """
 
 
+# --------------------------------------------------------------------------
+# Gini / Lorenz vocabulary concentration (`gini_lorenz`): the inequality
+# audit for corpus token mass — how much of the corpus a few head tokens
+# carry (the Lorenz curve Zipf-style corpora bend hard; complements
+# `zipf_fit`'s slope with the standard concentration scalar). Terms rank
+# ascending by count (token tie-break); cum_share is each prefix's
+# fraction of total mass; Gini = 2·Σ(rank·c) / (n·Σc) − (n+1)/n, the
+# exact discrete formula.
+#
+# Exactness: ranks and counts are integers, Σ(rank·c) and Σc are exact
+# integer aggregates, so Gini and every cum_share are single divisions
+# of identical integers — bit-identical both engines (the auc_eval
+# class). Ranking via `exact_global_rank`, prefix sums via
+# `exact_global_cumsum` — range-partitioned, no single-partition window.
+# --------------------------------------------------------------------------
+
+
+def q_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_cumsum, exact_global_rank
+
+    freq = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    ranked = exact_global_rank(freq, "c", ("token",))
+    cum = exact_global_cumsum(
+        ranked.select("token", "c", F.col("global_rank").alias("rank"),
+                      F.col("global_count").alias("n")),
+        "rank",
+        "c",
+    )
+    tot = cum.agg(
+        F.sum("c").cast("long").alias("tc"),
+        F.sum(F.col("rank") * F.col("c")).cast("long").alias("trc"),
+        F.first("n").cast("double").alias("nd"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("trc").cast("double")
+        / (F.col("nd") * F.col("tc").cast("double"))
+        - (F.col("nd") + F.lit(1.0)) / F.col("nd")
+    )
+    g = tot.select(
+        "tc", F.round(gini, 6).alias("gini")
+    )
+    return cum.crossJoin(F.broadcast(g)).select(
+        "token",
+        "c",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(
+            (F.col("cum_before") + F.col("c")).cast("double")
+            / F.col("tc").cast("double"),
+            6,
+        ).alias("cum_share"),
+        F.round(
+            F.col("rank").cast("double") / F.col("n").cast("double"), 6
+        ).alias("pop_share"),
+        "gini",
+    )
+
+
+def _sql_gini_lorenz() -> str:
+    return f"""
+WITH freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+             AS token
+    FROM documents) GROUP BY token
+), ranked AS (
+  SELECT token, c,
+         CAST(row_number() OVER (ORDER BY c, token) AS BIGINT) AS rank,
+         CAST(count(*) OVER () AS BIGINT) AS n
+  FROM freq
+), cum AS (
+  SELECT token, c, rank, n,
+         CAST(coalesce(sum(c) OVER (ORDER BY rank
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM ranked
+), tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS tc,
+         CAST(sum(rank * c) AS BIGINT) AS trc,
+         CAST(first(n) AS DOUBLE) AS nd
+  FROM cum
+), g AS (
+  SELECT tc,
+         round(2.0 * CAST(trc AS DOUBLE) / (nd * CAST(tc AS DOUBLE))
+               - (nd + 1.0) / nd, 6) AS gini
+  FROM tot
+)
+SELECT cum.token, cum.c, cum.rank, cum.n AS vocab_size,
+       round(CAST(cum.cum_before + cum.c AS DOUBLE)
+             / CAST(g.tc AS DOUBLE), 6) AS cum_share,
+       round(CAST(cum.rank AS DOUBLE) / CAST(cum.n AS DOUBLE), 6)
+         AS pop_share,
+       g.gini
+FROM cum CROSS JOIN g
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -11049,4 +11157,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "seasonal_mase": (q_seasonal_mase, _sql_seasonal_mase()),
     "bleu_eval": (q_bleu_eval, _sql_bleu_eval()),
     "spearman_corr": (q_spearman_corr, _sql_spearman_corr()),
+    "gini_lorenz": (q_gini_lorenz, _sql_gini_lorenz()),
 }

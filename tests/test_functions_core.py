@@ -3215,3 +3215,54 @@ def test_spearman_corr_pure_python_replay_and_branches():
         assert rho == round(exp[pair], 6), (pair, rho, exp[pair])
     assert exp["chars_tokens"] > 0.95
     assert abs(exp["noise_tokens"]) < 0.15
+
+
+def test_gini_lorenz_pure_python_replay_and_theorems():
+    """Gini/Lorenz (`gini_lorenz`): a pure-Python replay of the discrete
+    Gini formula and Lorenz prefix shares must match the DuckDB oracle
+    at sf0.001 EXACTLY (all-integer sums); Gini in [0, 1); the Lorenz
+    curve is convex-below-diagonal (cum_share <= pop_share at every
+    rank, with strict inequality somewhere unless uniform); the final
+    cum_share is exactly 1."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT text FROM documents").fetchall()
+    cnt: Counter = Counter()
+    for (t,) in raw:
+        cnt.update(re.findall("[a-z0-9]+", t.lower()))
+    ordered = sorted(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(ordered)
+    tc = sum(c for _t, c in ordered)
+    trc = sum((i + 1) * c for i, (_t, c) in enumerate(ordered))
+    gini = 2.0 * trc / (n * tc) - (n + 1.0) / n
+    rows = con.execute(QUERIES["gini_lorenz"][1]).fetchall()
+    assert len(rows) == n
+    strict = False
+    cum = 0
+    exp_by_rank = {}
+    for i, (tok, c) in enumerate(ordered):
+        cum += c
+        exp_by_rank[i + 1] = (tok, c, cum)
+    for token, c, rank, vocab, cum_share, pop_share, g in rows:
+        et, ec, ecum = exp_by_rank[rank]
+        assert (token, c) == (et, ec)
+        assert vocab == n
+        assert cum_share == round(ecum / tc, 6)
+        assert pop_share == round(rank / n, 6)
+        assert g == round(gini, 6)
+        assert cum_share <= pop_share + 1e-9
+        strict = strict or cum_share < pop_share - 1e-9
+        if rank == n:
+            assert cum_share == 1.0
+    assert 0.0 <= gini < 1.0
+    assert strict, "Lorenz curve degenerate (perfectly uniform corpus)"
