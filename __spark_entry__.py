@@ -346,6 +346,11 @@ DRIVER_CAP_OVERFLOW = (
     # round-6 new, born-overflow: Gini/Lorenz vocabulary concentration —
     # exact integer rank/mass sums, bit-identical; complements zipf_fit
     "gini_lorenz",
+    # round-6 new, born-overflow: rank-biased overlap of the two corpus
+    # halves' top-k token rankings (Webber et al. 2010) — X_d via one
+    # cumulative count over max-rank, exact integers + literal geometric
+    # weights
+    "rbo_topk",
 )
 
 

@@ -260,6 +260,7 @@ def main() -> None:
         "bleu_eval",
         "spearman_corr",
         "gini_lorenz",
+        "rbo_topk",
     ):
         if name not in QUERIES:
             continue

@@ -11042,6 +11042,149 @@ FROM cum CROSS JOIN g
 """
 
 
+# --------------------------------------------------------------------------
+# Rank-biased overlap of top-k rankings (`rbo_topk`): the ranking-
+# stability monitor (Webber, Moffat & Zobel 2010) search and curation
+# stacks use to compare two top-k lists with top-weighted emphasis —
+# here the top-RBO_K token rankings of the two md5 corpus halves (the
+# ks_drift split applied to the RANKING surface rather than the
+# distribution). RBO@k = (1-p)·Σ_{d=1..k} p^{d-1}·X_d/d where X_d is
+# the overlap of the two depth-d prefixes; a matched token with ranks
+# (ra, rb) enters every depth d >= max(ra, rb), so X_d is one
+# cumulative count over max-rank — no per-depth set intersection.
+# Set-level Jaccard@k rides along.
+#
+# Scale shape: per-half token counts (map-side), `exact_global_rank`
+# per half, the k-row head tables joined on token, X_d via
+# `exact_global_cumsum` over the bounded depth table; the depth rows
+# and the 1-row RBO total are summary-sized. X_d and Jaccard are exact
+# integers; the geometric weights are literal powers (<= 1 ulp, margin
+# pytest).
+# --------------------------------------------------------------------------
+
+RBO_K = 20
+RBO_P = 0.9
+
+
+def q_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_cumsum, exact_global_rank
+
+    half = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("ks"), F.col("doc_id")), 2
+    )
+    toks = _docs(spark, sf_dir).select(
+        half.alias("b"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+        ).alias("token"),
+    )
+    freq = toks.groupBy("b", "token").agg(F.count("*").alias("c"))
+
+    def head(b):
+        r = exact_global_rank(
+            freq.filter(F.col("b") == b).withColumn("neg", -F.col("c")),
+            "neg",
+            ("token",),
+        )
+        return r.filter(F.col("global_rank") <= RBO_K).select(
+            "token", F.col("global_rank").alias(f"r{b}")
+        )
+    matched = head(0).join(head(1), "token").select(
+        "token", "r0", "r1", F.greatest("r0", "r1").alias("m")
+    )
+    n_match = matched.agg(F.count("*").cast("long").alias("nm"))
+    depth = spark.range(1, RBO_K + 1).select(F.col("id").alias("d"))
+    per_m = matched.groupBy("m").agg(F.count("*").alias("cm"))
+    xd = (
+        depth.join(per_m, depth["d"] == per_m["m"], "left")
+        .select("d", F.coalesce("cm", F.lit(0)).alias("cm"))
+    )
+    xcum = exact_global_cumsum(xd, "d", "cm").select(
+        "d", (F.col("cum_before") + F.col("cm")).cast("long").alias("x_d")
+    )
+    contrib = (
+        F.lit(1.0 - RBO_P)
+        * F.pow(F.lit(RBO_P), F.col("d").cast("double") - F.lit(1.0))
+        * F.col("x_d").cast("double")
+        / F.col("d").cast("double")
+    )
+    terms = xcum.withColumn("contrib", contrib)
+    rbo = terms.agg(
+        F.sort_array(F.collect_list(F.struct("d", "contrib"))).alias("l")
+    ).select(
+        F.aggregate(
+            F.col("l"), F.lit(0.0), lambda a, x: a + x["contrib"]
+        ).alias("rbo")
+    )
+    return (
+        terms.crossJoin(F.broadcast(rbo))
+        .crossJoin(F.broadcast(n_match))
+        .select(
+            F.col("d").cast("long").alias("d"),
+            "x_d",
+            F.round("contrib", 6).alias("contrib"),
+            F.round("rbo", 6).alias("rbo"),
+            F.round(
+                F.col("nm").cast("double")
+                / (F.lit(2.0 * RBO_K) - F.col("nm").cast("double")),
+                6,
+            ).alias("jaccard"),
+            F.col("nm").cast("long").alias("n_matched"),
+        )
+    )
+
+
+def _sql_rbo_topk() -> str:
+    b = _md5_bucket_sql("'ks' || '|' || CAST(doc_id AS VARCHAR)", 2)
+    k, p = RBO_K, RBO_P
+    return f"""
+WITH toks AS (
+  SELECT {b} AS b,
+         unnest(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+           AS token
+  FROM documents
+), freq AS MATERIALIZED (
+  SELECT b, token, CAST(count(*) AS BIGINT) AS c
+  FROM toks GROUP BY b, token
+), h0 AS (
+  SELECT token, rnk AS r0 FROM (
+    SELECT token, CAST(row_number() OVER (ORDER BY c DESC, token)
+                       AS BIGINT) AS rnk
+    FROM freq WHERE b = 0) WHERE rnk <= {k}
+), h1 AS (
+  SELECT token, rnk AS r1 FROM (
+    SELECT token, CAST(row_number() OVER (ORDER BY c DESC, token)
+                       AS BIGINT) AS rnk
+    FROM freq WHERE b = 1) WHERE rnk <= {k}
+), matched AS MATERIALIZED (
+  SELECT h0.token, r0, r1, greatest(r0, r1) AS m FROM h0 JOIN h1 USING (token)
+), nm AS (
+  SELECT CAST(count(*) AS BIGINT) AS nm FROM matched
+), depth AS (
+  SELECT CAST(unnest(range(1, {k} + 1)) AS BIGINT) AS d
+), xd AS (
+  SELECT d.d,
+         CAST(coalesce((SELECT count(*) FROM matched WHERE m <= d.d), 0)
+              AS BIGINT) AS x_d
+  FROM depth d
+), terms AS MATERIALIZED (
+  SELECT d, x_d,
+         {1.0 - p} * pow({p}, CAST(d AS DOUBLE) - 1.0)
+           * CAST(x_d AS DOUBLE) / CAST(d AS DOUBLE) AS contrib
+  FROM xd
+), rbo AS (
+  SELECT list_sum(list(contrib ORDER BY d)) AS rbo FROM terms
+)
+SELECT t.d, t.x_d,
+       round(t.contrib, 6) AS contrib,
+       round(rbo.rbo, 6) AS rbo,
+       round(CAST(nm.nm AS DOUBLE) / ({2.0 * k} - CAST(nm.nm AS DOUBLE)), 6)
+         AS jaccard,
+       nm.nm AS n_matched
+FROM terms t CROSS JOIN rbo CROSS JOIN nm
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -11158,4 +11301,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "bleu_eval": (q_bleu_eval, _sql_bleu_eval()),
     "spearman_corr": (q_spearman_corr, _sql_spearman_corr()),
     "gini_lorenz": (q_gini_lorenz, _sql_gini_lorenz()),
+    "rbo_topk": (q_rbo_topk, _sql_rbo_topk()),
 }

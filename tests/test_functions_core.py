@@ -3266,3 +3266,65 @@ def test_gini_lorenz_pure_python_replay_and_theorems():
             assert cum_share == 1.0
     assert 0.0 <= gini < 1.0
     assert strict, "Lorenz curve degenerate (perfectly uniform corpus)"
+
+
+def test_rbo_topk_pure_python_replay_and_properties():
+    """RBO (`rbo_topk`): a brute-force prefix-overlap replay — actual
+    depth-d set intersections, not the max-rank cumsum trick — must
+    match the DuckDB oracle at sf0.001 (the trick's correctness proof);
+    RBO in [0, 1]; X_d is monotone with X_k = n_matched; on this
+    near-uniform corpus set-Jaccard exceeds top-weighted RBO (the
+    rank-instability signal RBO exists to catch); margins on the
+    geometric-weight path."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES, RBO_K, RBO_P
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    halves = {0: Counter(), 1: Counter()}
+    for d, t in raw:
+        h = int(hashlib.md5(f"ks|{d}".encode()).hexdigest()[:15], 16) % 2
+        halves[h].update(re.findall("[a-z0-9]+", t.lower()))
+    tops = {
+        b: [
+            tok
+            for tok, _c in sorted(
+                halves[b].items(), key=lambda kv: (-kv[1], kv[0])
+            )[:RBO_K]
+        ]
+        for b in (0, 1)
+    }
+    xs, rbo = {}, 0.0
+    for d in range(1, RBO_K + 1):
+        x = len(set(tops[0][:d]) & set(tops[1][:d]))
+        xs[d] = x
+        rbo += (1 - RBO_P) * RBO_P ** (d - 1) * x / d
+    nm = len(set(tops[0]) & set(tops[1]))
+    jac = nm / (2 * RBO_K - nm)
+    rows = con.execute(QUERIES["rbo_topk"][1]).fetchall()
+    assert len(rows) == RBO_K
+    prev = 0
+    for d, x_d, contrib, got_rbo, got_jac, got_nm in sorted(rows):
+        assert x_d == xs[d], (d, x_d, xs[d])
+        assert x_d >= prev
+        prev = x_d
+        exp_c = (1 - RBO_P) * RBO_P ** (d - 1) * xs[d] / d
+        for got, exp in ((contrib, exp_c), (got_rbo, rbo), (got_jac, jac)):
+            if exp != 0.0:
+                frac = abs(exp * 1e6 - math.floor(exp * 1e6) - 0.5)
+                assert frac > 1e-4, (d, exp)
+            assert got == round(exp, 6), (d, got, exp)
+        assert got_nm == nm
+    assert xs[RBO_K] == nm
+    assert 0.0 <= rbo <= 1.0
+    assert jac > rbo, (jac, rbo)  # rank instability under set stability
