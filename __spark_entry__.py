@@ -351,6 +351,10 @@ DRIVER_CAP_OVERFLOW = (
     # cumulative count over max-rank, exact integers + literal geometric
     # weights
     "rbo_topk",
+    # round-6 new, born-overflow: Population Stability Index — expected-
+    # side decile bins, add-half smoothing, the industry 0.1/0.25
+    # verdict bands; planted shifted scope fires the 'shifted' verdict
+    "psi_drift",
 )
 
 

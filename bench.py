@@ -261,6 +261,7 @@ def main() -> None:
         "spearman_corr",
         "gini_lorenz",
         "rbo_topk",
+        "psi_drift",
     ):
         if name not in QUERIES:
             continue

@@ -11185,6 +11185,257 @@ FROM terms t CROSS JOIN rbo CROSS JOIN nm
 """
 
 
+# --------------------------------------------------------------------------
+# Population Stability Index (`psi_drift`): the model-risk-management
+# drift standard (credit scoring's metric of record, with the industry
+# verdict bands: < 0.1 stable, < 0.25 moderate, else shifted) — PSI =
+# Σ (p̃_i − q̃_i)·ln(p̃_i/q̃_i) over the EXPECTED side's decile bins.
+# Complements `ks_drift` (sup-norm) and `js_divergence` (categorical):
+# PSI is the binned symmetric-KL practitioners actually gate deploys on.
+# Two scopes prove both verdicts: 'same' compares the md5 halves of the
+# token-count distribution (statistically identical → stable) and
+# 'shifted' adds PSI_SHIFT tokens to half B (→ shifted). Decile edges
+# come from half A via exact rank selection (the token_quantiles
+# machinery); bins are assignment-by-edge-count; zero bins take add-half
+# smoothing ((cnt + 0.5)/(n + 5) over 10 bins — deterministic, both
+# engines).
+#
+# Scale shape: one corpus pass to per-(scope, half) values; edges via
+# `exact_global_rank` (9 rows per scope, broadcast); binning = one
+# broadcast join + map-side sum of indicators; everything downstream of
+# the (scope, bin, half) count table is summary-sized; PSI folds in
+# pinned bin order (ln to <= 1 ulp, margin pytest).
+# --------------------------------------------------------------------------
+
+PSI_BINS = 10
+PSI_SHIFT = 8  # planted half-B shift in the 'shifted' scope
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    half = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("ks"), F.col("doc_id")), 2
+    )
+    ntok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    ).cast("long")
+    base = _docs(spark, sf_dir).select(half.alias("b"), ntok.alias("v0"))
+    vals = None
+    for scope in ("same", "shifted"):
+        v = F.col("v0") + (
+            F.when(
+                (F.lit(scope) == "shifted") & (F.col("b") == 1), PSI_SHIFT
+            ).otherwise(0)
+        )
+        part = base.select(
+            F.lit(scope).alias("scope"), "b", v.alias("v")
+        )
+        vals = part if vals is None else vals.unionByName(part)
+    vals = vals.localCheckpoint(eager=True)
+    # decile edges from the expected (half-0) side, per scope
+    a = vals.filter(F.col("b") == 0)
+    ranked = None
+    for scope in ("same", "shifted"):
+        r = exact_global_rank(
+            a.filter(F.col("scope") == scope), "v", ("v",)
+        ).select("scope", "v", "global_rank", "global_count")
+        ranked = r if ranked is None else ranked.unionByName(r)
+    edges = (
+        ranked.filter(
+            F.expr(
+                " OR ".join(
+                    f"global_rank = CAST(ceil({i} * global_count /"
+                    f" {PSI_BINS}.0) AS BIGINT)"
+                    for i in range(1, PSI_BINS)
+                )
+            )
+        )
+        .select("scope", F.col("v").alias("e"))
+        .distinct()
+    )
+    # bin map over the DISTINCT value domain (bounded), then one join
+    # back onto the corpus rows — bin = #edges strictly below v
+    dom = vals.select("scope", "v").distinct()
+    domb = (
+        dom.join(F.broadcast(edges), "scope")
+        .groupBy("scope", "v")
+        .agg(F.sum((F.col("v") > F.col("e")).cast("long")).alias("bin"))
+    )
+    cnts = (
+        vals.join(F.broadcast(domb), ["scope", "v"])
+        .groupBy("scope", "bin", "b")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    grid = (
+        spark.range(PSI_BINS)
+        .select(F.col("id").alias("bin"))
+        .crossJoin(
+            spark.createDataFrame(
+                [("same",), ("shifted",)], "scope string"
+            )
+        )
+    )
+    wide = (
+        grid.join(
+            cnts.filter(F.col("b") == 0).select(
+                "scope", "bin", F.col("cnt").alias("ca")
+            ),
+            ["scope", "bin"],
+            "left",
+        )
+        .join(
+            cnts.filter(F.col("b") == 1).select(
+                "scope", "bin", F.col("cnt").alias("cb")
+            ),
+            ["scope", "bin"],
+            "left",
+        )
+        .select(
+            "scope",
+            "bin",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    tots = wide.groupBy("scope").agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+    )
+    lst = F.sort_array(F.collect_list(F.struct("bin", "ca", "cb")))
+    folded = (
+        wide.join(tots, "scope")
+        .groupBy("scope", "na", "nb")
+        .agg(lst.alias("l"))
+        .select(
+            "scope",
+            "na",
+            "nb",
+            "l",
+            F.aggregate(
+                F.col("l"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + (
+                    (x["ca"].cast("double") + F.lit(0.5))
+                    / (F.col("na") + F.lit(5.0))
+                    - (x["cb"].cast("double") + F.lit(0.5))
+                    / (F.col("nb") + F.lit(5.0))
+                )
+                * F.log(
+                    (
+                        (x["ca"].cast("double") + F.lit(0.5))
+                        / (F.col("na") + F.lit(5.0))
+                    )
+                    / (
+                        (x["cb"].cast("double") + F.lit(0.5))
+                        / (F.col("nb") + F.lit(5.0))
+                    )
+                ),
+            ).alias("psi"),
+        )
+    )
+    verdict = (
+        F.when(F.col("psi") < 0.1, F.lit("stable"))
+        .when(F.col("psi") < 0.25, F.lit("moderate"))
+        .otherwise(F.lit("shifted"))
+    )
+    return folded.select(
+        "scope", F.posexplode("l").alias("_i", "e"), "na", "nb", "psi"
+    ).select(
+        "scope",
+        F.col("e.bin").cast("long").alias("bin"),
+        F.col("e.ca").cast("long").alias("cnt_a"),
+        F.col("e.cb").cast("long").alias("cnt_b"),
+        F.round(
+            (F.col("e.ca").cast("double") + F.lit(0.5))
+            / (F.col("na") + F.lit(5.0)),
+            6,
+        ).alias("p"),
+        F.round(
+            (F.col("e.cb").cast("double") + F.lit(0.5))
+            / (F.col("nb") + F.lit(5.0)),
+            6,
+        ).alias("q"),
+        F.round("psi", 6).alias("psi"),
+        verdict.alias("verdict"),
+    )
+
+
+def _sql_psi_drift() -> str:
+    b = _md5_bucket_sql("'ks' || '|' || CAST(doc_id AS VARCHAR)", 2)
+    nb = PSI_BINS
+    rank_cond = " OR ".join(
+        f"rnk = CAST(ceil({i} * n / {nb}.0) AS BIGINT)"
+        for i in range(1, nb)
+    )
+    return f"""
+WITH base AS (
+  SELECT {b} AS b,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              AS BIGINT) AS v0
+  FROM documents
+), vals AS MATERIALIZED (
+  SELECT scope, b,
+         v0 + CASE WHEN scope = 'shifted' AND b = 1
+                   THEN {PSI_SHIFT} ELSE 0 END AS v
+  FROM base CROSS JOIN (SELECT unnest(['same', 'shifted']) AS scope)
+), ranked AS (
+  SELECT scope, v,
+         CAST(row_number() OVER (PARTITION BY scope ORDER BY v, v)
+              AS BIGINT) AS rnk,
+         CAST(count(*) OVER (PARTITION BY scope) AS BIGINT) AS n
+  FROM vals WHERE b = 0
+), edges AS MATERIALIZED (
+  SELECT DISTINCT scope, v AS e FROM ranked WHERE {rank_cond}
+), dom AS (
+  SELECT DISTINCT scope, v FROM vals
+), domb AS MATERIALIZED (
+  SELECT d.scope, d.v,
+         CAST(sum(CASE WHEN d.v > e.e THEN 1 ELSE 0 END) AS BIGINT) AS bin
+  FROM dom d JOIN edges e ON e.scope = d.scope
+  GROUP BY d.scope, d.v
+), cnts AS (
+  SELECT v.scope, m.bin, v.b, CAST(count(*) AS BIGINT) AS cnt
+  FROM vals v JOIN domb m ON m.scope = v.scope AND m.v = v.v
+  GROUP BY v.scope, m.bin, v.b
+), grid AS (
+  SELECT s.scope, CAST(g.bin AS BIGINT) AS bin
+  FROM (SELECT unnest(['same', 'shifted']) AS scope) s
+  CROSS JOIN (SELECT unnest(range({nb})) AS bin) g
+), wide AS MATERIALIZED (
+  SELECT g.scope, g.bin,
+         CAST(coalesce(a.cnt, 0) AS BIGINT) AS ca,
+         CAST(coalesce(bb.cnt, 0) AS BIGINT) AS cb
+  FROM grid g
+  LEFT JOIN cnts a ON a.scope = g.scope AND a.bin = g.bin AND a.b = 0
+  LEFT JOIN cnts bb ON bb.scope = g.scope AND bb.bin = g.bin AND bb.b = 1
+), tots AS (
+  SELECT scope, CAST(sum(ca) AS DOUBLE) AS na,
+         CAST(sum(cb) AS DOUBLE) AS nb
+  FROM wide GROUP BY scope
+), psi AS (
+  SELECT w.scope, t.na, t.nb,
+         list_sum(list(
+           ((CAST(w.ca AS DOUBLE) + 0.5) / (t.na + 5.0)
+            - (CAST(w.cb AS DOUBLE) + 0.5) / (t.nb + 5.0))
+           * ln(((CAST(w.ca AS DOUBLE) + 0.5) / (t.na + 5.0))
+                / ((CAST(w.cb AS DOUBLE) + 0.5) / (t.nb + 5.0)))
+           ORDER BY w.bin)) AS psi
+  FROM wide w JOIN tots t USING (scope)
+  GROUP BY w.scope, t.na, t.nb
+)
+SELECT w.scope, w.bin, w.ca AS cnt_a, w.cb AS cnt_b,
+       round((CAST(w.ca AS DOUBLE) + 0.5) / (p.na + 5.0), 6) AS p,
+       round((CAST(w.cb AS DOUBLE) + 0.5) / (p.nb + 5.0), 6) AS q,
+       round(p.psi, 6) AS psi,
+       CASE WHEN p.psi < 0.1 THEN 'stable'
+            WHEN p.psi < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS verdict
+FROM wide w JOIN psi p USING (scope)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -11302,4 +11553,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "spearman_corr": (q_spearman_corr, _sql_spearman_corr()),
     "gini_lorenz": (q_gini_lorenz, _sql_gini_lorenz()),
     "rbo_topk": (q_rbo_topk, _sql_rbo_topk()),
+    "psi_drift": (q_psi_drift, _sql_psi_drift()),
 }

@@ -3328,3 +3328,76 @@ def test_rbo_topk_pure_python_replay_and_properties():
     assert xs[RBO_K] == nm
     assert 0.0 <= rbo <= 1.0
     assert jac > rbo, (jac, rbo)  # rank instability under set stability
+
+
+def test_psi_drift_pure_python_replay_and_verdicts():
+    """PSI (`psi_drift`): a pure-Python replay — expected-side decile
+    edges by exact rank, edge-count binning, add-half smoothing, the
+    banded verdict — must match the DuckDB oracle at sf0.001; the
+    planted shift must dominate the natural half-vs-half noise
+    (psi_shifted > 0.25 > fires 'shifted'); bin counts sum to the half
+    sizes; each scope's verdict equals its band; margins on the ln
+    path."""
+    import hashlib
+    import math
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        PSI_BINS,
+        PSI_SHIFT,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    halves = {0: [], 1: []}
+    for d, t in raw:
+        h = int(hashlib.md5(f"ks|{d}".encode()).hexdigest()[:15], 16) % 2
+        halves[h].append(len(re.findall("[a-z0-9]+", t.lower())))
+    exp = {}
+    for scope in ("same", "shifted"):
+        va = sorted(halves[0])
+        vb = [
+            v + (PSI_SHIFT if scope == "shifted" else 0) for v in halves[1]
+        ]
+        n0 = len(va)
+        edges = sorted(
+            {va[math.ceil(i * n0 / PSI_BINS) - 1] for i in range(1, PSI_BINS)}
+        )
+        binof = lambda v: sum(1 for e in edges if v > e)
+        ca = Counter(binof(v) for v in va)
+        cb = Counter(binof(v) for v in vb)
+        na, nbn = float(len(va)), float(len(vb))
+        psi = 0.0
+        for i in range(PSI_BINS):
+            p = (ca.get(i, 0) + 0.5) / (na + 5.0)
+            q = (cb.get(i, 0) + 0.5) / (nbn + 5.0)
+            psi += (p - q) * math.log(p / q)
+        verdict = (
+            "stable" if psi < 0.1 else "moderate" if psi < 0.25 else "shifted"
+        )
+        exp[scope] = (ca, cb, na, nbn, psi, verdict)
+    rows = con.execute(QUERIES["psi_drift"][1]).fetchall()
+    assert len(rows) == 2 * PSI_BINS
+    for scope, bin_, cnt_a, cnt_b, p, q, psi, verdict in rows:
+        ca, cb, na, nbn, epsi, ever = exp[scope]
+        assert cnt_a == ca.get(bin_, 0) and cnt_b == cb.get(bin_, 0)
+        ep = (cnt_a + 0.5) / (na + 5.0)
+        eq = (cnt_b + 0.5) / (nbn + 5.0)
+        assert p == round(ep, 6) and q == round(eq, 6)
+        frac = abs(epsi * 1e6 - math.floor(epsi * 1e6) - 0.5)
+        assert frac > 1e-4, (scope, epsi)
+        assert psi == round(epsi, 6), (scope, psi, epsi)
+        assert verdict == ever
+    for scope, (ca, cb, na, nbn, psi, verdict) in exp.items():
+        assert sum(ca.values()) == na and sum(cb.values()) == nbn
+    assert exp["shifted"][4] > 0.25, exp["shifted"][4]
+    assert exp["shifted"][5] == "shifted"
+    assert exp["same"][4] < exp["shifted"][4]
