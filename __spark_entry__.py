@@ -355,6 +355,10 @@ DRIVER_CAP_OVERFLOW = (
     # side decile bins, add-half smoothing, the industry 0.1/0.25
     # verdict bands; planted shifted scope fires the 'shifted' verdict
     "psi_drift",
+    # round-6 new, born-overflow: OLAP CUBE rollup — all four (source,
+    # lang) granularities in one pass with SQL-standard GROUPING bitmask
+    # parity (Spark df.cube/grouping_id vs DuckDB GROUP BY CUBE/GROUPING)
+    "doc_cube",
 )
 
 

@@ -11436,6 +11436,70 @@ FROM wide w JOIN psi p USING (scope)
 """
 
 
+# --------------------------------------------------------------------------
+# OLAP CUBE rollup (`doc_cube`): the multi-granularity aggregation surface
+# every BI/warehouse layer sits on — one pass emits ALL four granularities
+# of (source, lang) — per-pair, per-source, per-lang, grand total — with
+# the SQL-standard GROUPING() bitmask distinguishing real keys from
+# aggregated-away placeholders (Spark `df.cube` + `grouping_id` vs DuckDB
+# `GROUP BY CUBE` + `GROUPING`; first listed column = most significant
+# bit, both engines follow the standard). Measures are exact integers
+# (count / sum / min / max of n_chars) plus one derived double (avg,
+# 6dp). NULL group keys are coalesced to '(all)' AFTER the grouping id is
+# computed, so a hypothetical real-NULL key could never collide with a
+# placeholder.
+#
+# Scale shape: CUBE over G grouping sets is ONE scan with map-side
+# combinable partial aggs expanded G-fold before the single exchange —
+# at 100 TB this is strictly cheaper than G separate groupBy passes and
+# never materializes the fact table twice. Output is |sources| x |langs|
+# sized — summary-scale.
+# --------------------------------------------------------------------------
+
+
+def q_doc_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.cube("source", "lang")
+        .agg(
+            F.grouping_id("source", "lang").cast("long").alias("gid"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source_g"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang_g"),
+            "gid",
+            "n_docs",
+            "chars",
+            "min_chars",
+            "max_chars",
+            F.round(
+                F.col("chars").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("avg_chars"),
+        )
+    )
+
+
+def _sql_doc_cube() -> str:
+    return """
+SELECT coalesce(source, '(all)') AS source_g,
+       coalesce(lang, '(all)') AS lang_g,
+       CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS avg_chars
+FROM documents
+GROUP BY CUBE(source, lang)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -11554,4 +11618,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "gini_lorenz": (q_gini_lorenz, _sql_gini_lorenz()),
     "rbo_topk": (q_rbo_topk, _sql_rbo_topk()),
     "psi_drift": (q_psi_drift, _sql_psi_drift()),
+    "doc_cube": (q_doc_cube, _sql_doc_cube()),
 }

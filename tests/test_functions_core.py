@@ -3401,3 +3401,51 @@ def test_psi_drift_pure_python_replay_and_verdicts():
     assert exp["shifted"][4] > 0.25, exp["shifted"][4]
     assert exp["shifted"][5] == "shifted"
     assert exp["same"][4] < exp["shifted"][4]
+
+
+def test_doc_cube_pure_python_replay_and_grouping_ids():
+    """OLAP CUBE (`doc_cube`): a pure-Python replay — all four grouping
+    sets rebuilt by brute force — must match the DuckDB oracle at
+    sf0.001; the GROUPING bitmask must follow the SQL standard (first
+    listed column = MSB); per-set totals must reconcile with the grand
+    total (the CUBE consistency theorem); margins on the one rounded
+    double (avg)."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, lang, n_chars FROM documents").fetchall()
+    # brute-force the four grouping sets: gid 0 = (source, lang),
+    # 1 = source only (lang aggregated), 2 = lang only, 3 = grand total
+    groups = defaultdict(list)
+    for s, l, n in raw:
+        groups[(s, l, 0)].append(n)
+        groups[(s, "(all)", 1)].append(n)
+        groups[("(all)", l, 2)].append(n)
+        groups[("(all)", "(all)", 3)].append(n)
+    rows = con.execute(QUERIES["doc_cube"][1]).fetchall()
+    assert len(rows) == len(groups)
+    n_total = len(raw)
+    seen_gids = set()
+    for source_g, lang_g, gid, n_docs, chars, mn, mx, avg in rows:
+        vals = groups[(source_g, lang_g, gid)]
+        assert n_docs == len(vals)
+        assert chars == sum(vals)
+        assert mn == min(vals) and mx == max(vals)
+        exp_avg = sum(vals) / len(vals)
+        frac = abs(exp_avg * 1e6 - math.floor(exp_avg * 1e6) - 0.5)
+        assert frac > 1e-4, (source_g, lang_g, exp_avg)
+        assert avg == round(exp_avg, 6)
+        seen_gids.add(gid)
+    assert seen_gids == {0, 1, 2, 3}
+    # CUBE consistency: every grouping set's doc counts sum to the total
+    for g in (0, 1, 2, 3):
+        assert sum(r[3] for r in rows if r[2] == g) == n_total
