@@ -359,6 +359,10 @@ DRIVER_CAP_OVERFLOW = (
     # lang) granularities in one pass with SQL-standard GROUPING bitmask
     # parity (Spark df.cube/grouping_id vs DuckDB GROUP BY CUBE/GROUPING)
     "doc_cube",
+    # round-6 new, born-overflow: cohort retention matrix — acquisition-day
+    # cohorts x day-offset active shares over sparse purchase days, exact
+    # integer epoch-day arithmetic (the product-analytics triangle)
+    "cohort_retention",
 )
 
 

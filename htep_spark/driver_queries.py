@@ -11500,6 +11500,89 @@ GROUP BY CUBE(source, lang)
 """
 
 
+# --------------------------------------------------------------------------
+# Cohort retention matrix (`cohort_retention`): THE product-analytics
+# table — users grouped by their acquisition day (first RET_EVENT), then
+# for each day-offset the share of the cohort still active. Day index is
+# exact integer epoch-microseconds // 86_400_000_000 (timezone-free, the
+# event_funnel discipline — no date-formatting surface); activity =
+# distinct (user, day) pairs of the same event type, so the matrix is the
+# classic triangle (purchase days are sparse: ~1/3 of user-days fire at
+# sf0.001, cohorts split over 5 acquisition days). retention(c, 0) = 1 by
+# construction (the min day has an event), which is what makes the
+# offset-0 row the cohort-size denominator.
+#
+# Scale shape: one filtered scan → per-user min (map-side combinable) +
+# distinct (user, day) (one exchange each); the user-sized cohort join
+# co-partitions on user_id under AQE (never broadcast — |users| grows
+# with the corpus); the per-cohort denominator frame is |cohorts|-sized
+# and broadcast. Output is |cohorts| x RET_MAX_OFFSET — summary-scale.
+# --------------------------------------------------------------------------
+
+RET_EVENT = "purchase"
+RET_MAX_OFFSET = 14  # matrix width cap (events span ~30 days at any SF)
+_DAY_US = 86_400_000_000
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        f" div {_DAY_US}"
+    )
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == RET_EVENT)
+        .select("user_id", day.alias("d"))
+    )
+    act = ev.distinct()
+    coh = ev.groupBy("user_id").agg(F.min("d").alias("cd"))
+    m = (
+        act.join(coh, "user_id")
+        .select("cd", (F.col("d") - F.col("cd")).alias("off"), "user_id")
+        .filter(F.col("off") <= RET_MAX_OFFSET)
+        .groupBy("cd", "off")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    base = m.filter(F.col("off") == 0).select(
+        "cd", F.col("n_active").alias("n_cohort")
+    )
+    return m.join(F.broadcast(base), "cd").select(
+        F.col("cd").cast("long").alias("cohort_day"),
+        F.col("off").cast("long").alias("day_offset"),
+        "n_active",
+        "n_cohort",
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+def _sql_cohort_retention() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS d
+  FROM events WHERE event_type = {_sql_quote(RET_EVENT)}
+), act AS (
+  SELECT DISTINCT user_id, d FROM ev
+), coh AS (
+  SELECT user_id, min(d) AS cd FROM ev GROUP BY user_id
+), m AS MATERIALIZED (
+  SELECT c.cd, a.d - c.cd AS off, CAST(count(*) AS BIGINT) AS n_active
+  FROM act a JOIN coh c USING (user_id)
+  WHERE a.d - c.cd <= {RET_MAX_OFFSET}
+  GROUP BY c.cd, a.d - c.cd
+)
+SELECT CAST(m.cd AS BIGINT) AS cohort_day,
+       CAST(m.off AS BIGINT) AS day_offset,
+       m.n_active,
+       b.n_active AS n_cohort,
+       round(CAST(m.n_active AS DOUBLE) / CAST(b.n_active AS DOUBLE), 6)
+         AS retention
+FROM m JOIN (SELECT cd, n_active FROM m WHERE off = 0) b USING (cd)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -11619,4 +11702,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "rbo_topk": (q_rbo_topk, _sql_rbo_topk()),
     "psi_drift": (q_psi_drift, _sql_psi_drift()),
     "doc_cube": (q_doc_cube, _sql_doc_cube()),
+    "cohort_retention": (q_cohort_retention, _sql_cohort_retention()),
 }

@@ -3449,3 +3449,59 @@ def test_doc_cube_pure_python_replay_and_grouping_ids():
     # CUBE consistency: every grouping set's doc counts sum to the total
     for g in (0, 1, 2, 3):
         assert sum(r[3] for r in rows if r[2] == g) == n_total
+
+
+def test_cohort_retention_pure_python_replay_and_triangle():
+    """Cohort retention (`cohort_retention`): a pure-Python replay —
+    per-user first purchase day, distinct active days, offset-bucketed
+    cohort shares — must match the DuckDB oracle at sf0.001; offset-0
+    retention is exactly 1.0 for every cohort (the denominator theorem);
+    cohorts must be non-trivial (>1 acquisition day) and activity sparse
+    (some retention < 1); margins on the rounded share."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        QUERIES,
+        RET_EVENT,
+        RET_MAX_OFFSET,
+        _DAY_US,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT user_id, epoch_us(ts) FROM events WHERE event_type = ?",
+        [RET_EVENT],
+    ).fetchall()
+    days = defaultdict(set)
+    for u, us in raw:
+        days[u].add(us // _DAY_US)
+    exp = defaultdict(set)  # (cohort_day, offset) -> users
+    for u, ds in days.items():
+        cd = min(ds)
+        for d in ds:
+            if d - cd <= RET_MAX_OFFSET:
+                exp[(cd, d - cd)].add(u)
+    rows = con.execute(QUERIES["cohort_retention"][1]).fetchall()
+    assert len(rows) == len(exp)
+    cohorts = {cd for cd, off in exp if off == 0}
+    assert len(cohorts) > 1, "degenerate single-cohort corpus"
+    saw_partial = False
+    for cd, off, n_active, n_cohort, retention in rows:
+        assert n_active == len(exp[(cd, off)])
+        assert n_cohort == len(exp[(cd, 0)])
+        e = n_active / n_cohort
+        frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+        assert frac > 1e-4, (cd, off, e)
+        assert retention == round(e, 6)
+        if off == 0:
+            assert retention == 1.0
+        assert exp[(cd, off)] <= exp[(cd, 0)]  # actives are cohort members
+        saw_partial = saw_partial or retention < 1.0
+    assert saw_partial, "retention matrix degenerate (all 1.0)"
