@@ -363,6 +363,11 @@ DRIVER_CAP_OVERFLOW = (
     # cohorts x day-offset active shares over sparse purchase days, exact
     # integer epoch-day arithmetic (the product-analytics triangle)
     "cohort_retention",
+    # round-6 new, born-overflow: K-minimum-values sketch — the set-algebra
+    # sketch (union sketch = K smallest of the sketches' union; Jaccard
+    # from union-sketch membership) giving |A∪B| / |A∩B| estimates HLL
+    # can't; exact counts ride along for the error bound
+    "kmv_intersect",
 )
 
 

@@ -11583,6 +11583,197 @@ FROM m JOIN (SELECT cd, n_active FROM m WHERE off = 0) b USING (cd)
 """
 
 
+# --------------------------------------------------------------------------
+# K-minimum-values sketch + set-operation estimates (`kmv_intersect`):
+# the distinct-count sketch family's SET-ALGEBRA member (Beyer et al.
+# 2007) — the capability HLL lacks: because a KMV sketch is literally the
+# K smallest hash values of the set, the K smallest of two sketches'
+# union IS the union's sketch, and the fraction of union-sketch values
+# present in both sides estimates Jaccard — giving |A∪B| and |A∩B|
+# estimates from two fixed-size summaries. Sets = the md5 doc-halves'
+# distinct 3-token shingle sets (~16k members per half at sf0.001 with
+# heavy natural overlap — the raw 31-token vocabulary is smaller than K
+# and would degenerate the sketch, probed); hash = the shared 60-bit md5
+# prefix (M = 2^60); estimator |S| ≈ (K−1)·M/h_K.
+# Exact distinct/union/intersection counts ride along so the sketch
+# error is visible in the output (and bound in pytest).
+#
+# Scale shape: one corpus pass to distinct (half, hash) — at 100 TB the
+# sketch build is a map-side-combinable "keep K smallest" agg (here the
+# audited exact_global_rank takes that role, range-partitioned, no
+# single-partition window); everything downstream operates on <= 2K-row
+# frames, broadcast. The exact columns are the one full groupBy — they
+# are the validation surface the sketch replaces at scale (same role as
+# n_exact in approx_distinct / hll_merge).
+# --------------------------------------------------------------------------
+
+KMV_K = 64
+KMV_SHINGLE_N = 3
+_KMV_M = float(1 << 60)  # hash space size (md5_prefix60 is 60-bit)
+
+
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import md5_prefix60_spark
+    from .operators.ranking import exact_global_rank
+
+    n = KMV_SHINGLE_N
+    toks_expr = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0
+    )
+    docs = token_barrier(
+        _docs(spark, sf_dir), toks_expr, keep_cols=("doc_id",), alias="toks"
+    )
+    half = _md5_bucket_spark(F.concat_ws("|", F.lit("ks"), F.col("doc_id")), 2)
+    shingle_arr = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.array_join(F.slice("toks", i + 1, n), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(half.alias("b"), F.explode(shingle_arr).alias("token"))
+    hashed = (
+        sh.select("b", md5_prefix60_spark(F.col("token")).alias("u"))
+        .distinct()
+    )
+    sk = {}
+    for b in (0, 1):
+        r = exact_global_rank(hashed.filter(F.col("b") == b), "u", ("u",))
+        sk[b] = r.filter(F.col("global_rank") <= KMV_K).select("u")
+    est = {
+        b: sk[b].agg(
+            (
+                F.lit(KMV_K - 1.0)
+                * F.lit(_KMV_M)
+                / F.max("u").cast("double")
+            ).alias(f"est_{n}")
+        )
+        for b, n in ((0, "a"), (1, "b"))
+    }
+    uni = exact_global_rank(
+        sk[0].unionByName(sk[1]).distinct(), "u", ("u",)
+    ).filter(F.col("global_rank") <= KMV_K)
+    usk = (
+        uni.join(sk[0].select("u", F.lit(1).alias("ia")), "u", "left")
+        .join(sk[1].select("u", F.lit(1).alias("ib")), "u", "left")
+        .select(
+            F.col("global_rank").cast("long").alias("rank"),
+            "u",
+            F.coalesce("ia", F.lit(0)).cast("long").alias("in_a"),
+            F.coalesce("ib", F.lit(0)).cast("long").alias("in_b"),
+        )
+    )
+    usum = usk.agg(
+        (
+            F.lit(KMV_K - 1.0) * F.lit(_KMV_M) / F.max("u").cast("double")
+        ).alias("est_union"),
+        (
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.lit(float(KMV_K))
+        ).alias("jaccard_k"),
+    )
+    ex = hashed.groupBy("u").agg(
+        F.max((F.col("b") == 0).cast("int")).alias("a"),
+        F.max((F.col("b") == 1).cast("int")).alias("bb"),
+    )
+    exact = ex.agg(
+        F.sum("a").cast("long").alias("exact_a"),
+        F.sum("bb").cast("long").alias("exact_b"),
+        F.count("*").cast("long").alias("exact_union"),
+        F.sum(F.col("a") * F.col("bb")).cast("long").alias("exact_inter"),
+    )
+    return (
+        usk.crossJoin(F.broadcast(est[0]))
+        .crossJoin(F.broadcast(est[1]))
+        .crossJoin(F.broadcast(usum))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "rank",
+            "u",
+            "in_a",
+            "in_b",
+            F.round("est_a", 6).alias("est_a"),
+            F.round("est_b", 6).alias("est_b"),
+            F.round("est_union", 6).alias("est_union"),
+            F.round("jaccard_k", 6).alias("jaccard_k"),
+            F.round(F.col("jaccard_k") * F.col("est_union"), 6).alias(
+                "est_inter"
+            ),
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+        )
+    )
+
+
+def _sql_kmv_intersect() -> str:
+    from .functions.hashing import md5_prefix60_sql
+
+    b = _md5_bucket_sql("'ks' || '|' || CAST(doc_id AS VARCHAR)", 2)
+    h = md5_prefix60_sql("token")
+    k, m, n = KMV_K, _KMV_M, KMV_SHINGLE_N
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS t
+  FROM documents
+), toks AS (
+  SELECT {b} AS b,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(t) - {n} + 1, 0) + 1),
+             i -> array_to_string(t[i : i + {n} - 1], ' ')))) AS token
+  FROM t
+), hashed AS MATERIALIZED (
+  SELECT DISTINCT b, {h} AS u FROM toks
+), s0 AS MATERIALIZED (
+  SELECT u FROM (
+    SELECT u, row_number() OVER (ORDER BY u) AS rk
+    FROM (SELECT DISTINCT u FROM hashed WHERE b = 0)) WHERE rk <= {k}
+), s1 AS MATERIALIZED (
+  SELECT u FROM (
+    SELECT u, row_number() OVER (ORDER BY u) AS rk
+    FROM (SELECT DISTINCT u FROM hashed WHERE b = 1)) WHERE rk <= {k}
+), uni AS MATERIALIZED (
+  SELECT u, rk FROM (
+    SELECT u, row_number() OVER (ORDER BY u) AS rk
+    FROM (SELECT u FROM s0 UNION SELECT u FROM s1)) WHERE rk <= {k}
+), usk AS MATERIALIZED (
+  SELECT CAST(uni.rk AS BIGINT) AS rank, uni.u,
+         CAST(CASE WHEN a.u IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_a,
+         CAST(CASE WHEN bb.u IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_b
+  FROM uni LEFT JOIN s0 a ON a.u = uni.u LEFT JOIN s1 bb ON bb.u = uni.u
+), summ AS (
+  SELECT ({k} - 1.0) * {m} / CAST(max(u) AS DOUBLE) AS est_union,
+         CAST(sum(in_a * in_b) AS DOUBLE) / {float(k)} AS jaccard_k
+  FROM usk
+), ea AS (
+  SELECT ({k} - 1.0) * {m} / CAST(max(u) AS DOUBLE) AS est_a FROM s0
+), eb AS (
+  SELECT ({k} - 1.0) * {m} / CAST(max(u) AS DOUBLE) AS est_b FROM s1
+), ex AS (
+  SELECT u, max(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS bb
+  FROM hashed GROUP BY u
+), exact AS (
+  SELECT CAST(sum(a) AS BIGINT) AS exact_a,
+         CAST(sum(bb) AS BIGINT) AS exact_b,
+         CAST(count(*) AS BIGINT) AS exact_union,
+         CAST(sum(a * bb) AS BIGINT) AS exact_inter
+  FROM ex
+)
+SELECT usk.rank, usk.u, usk.in_a, usk.in_b,
+       round(ea.est_a, 6) AS est_a,
+       round(eb.est_b, 6) AS est_b,
+       round(summ.est_union, 6) AS est_union,
+       round(summ.jaccard_k, 6) AS jaccard_k,
+       round(summ.jaccard_k * summ.est_union, 6) AS est_inter,
+       exact.exact_a, exact.exact_b, exact.exact_union, exact.exact_inter
+FROM usk CROSS JOIN summ CROSS JOIN ea CROSS JOIN eb CROSS JOIN exact
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -11703,4 +11894,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "psi_drift": (q_psi_drift, _sql_psi_drift()),
     "doc_cube": (q_doc_cube, _sql_doc_cube()),
     "cohort_retention": (q_cohort_retention, _sql_cohort_retention()),
+    "kmv_intersect": (q_kmv_intersect, _sql_kmv_intersect()),
 }

@@ -3505,3 +3505,80 @@ def test_cohort_retention_pure_python_replay_and_triangle():
         assert exp[(cd, off)] <= exp[(cd, 0)]  # actives are cohort members
         saw_partial = saw_partial or retention < 1.0
     assert saw_partial, "retention matrix degenerate (all 1.0)"
+
+
+def test_kmv_intersect_pure_python_replay_and_error_bounds():
+    """KMV sketch (`kmv_intersect`): a pure-Python replay — per-half K
+    smallest 60-bit md5 hashes, union-sketch membership Jaccard, the
+    (K-1)M/h_K estimator — must match the DuckDB oracle at sf0.001; the
+    union-sketch theorem holds (K smallest of sketch-union == K smallest
+    of true union); estimates land within 5 standard errors of exact
+    (sigma ~ |S|/sqrt(K-2)); margins on every rounded double."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    from htep_spark.driver_queries import KMV_K, KMV_SHINGLE_N, _KMV_M, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    vocab = {0: set(), 1: set()}
+    for d, t in raw:
+        h = int(hashlib.md5(f"ks|{d}".encode()).hexdigest()[:15], 16) % 2
+        toks = re.findall("[a-z0-9]+", t.lower())
+        vocab[h].update(
+            " ".join(toks[i : i + KMV_SHINGLE_N])
+            for i in range(len(toks) - KMV_SHINGLE_N + 1)
+        )
+    hs = {
+        b: sorted(
+            int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for tok in vocab[b]
+        )
+        for b in (0, 1)
+    }
+    sk = {b: hs[b][:KMV_K] for b in (0, 1)}
+    # union-sketch theorem: K smallest of sketch union == K smallest of
+    # the true union's hash multiset (deduped)
+    union_from_sketches = sorted(set(sk[0]) | set(sk[1]))[:KMV_K]
+    true_union = sorted(set(hs[0]) | set(hs[1]))[:KMV_K]
+    assert union_from_sketches == true_union
+    est = {b: (KMV_K - 1.0) * _KMV_M / sk[b][-1] for b in (0, 1)}
+    est_u = (KMV_K - 1.0) * _KMV_M / union_from_sketches[-1]
+    n_both = sum(
+        1 for u in union_from_sketches if u in set(sk[0]) and u in set(sk[1])
+    )
+    jacc = n_both / KMV_K
+    exact_a, exact_b = len(set(hs[0])), len(set(hs[1]))
+    exact_union = len(set(hs[0]) | set(hs[1]))
+    exact_inter = len(set(hs[0]) & set(hs[1]))
+    # error bounds: KMV relative std err ~ 1/sqrt(K-2)
+    se = 1.0 / math.sqrt(KMV_K - 2)
+    assert abs(est[0] - exact_a) < 5 * se * exact_a
+    assert abs(est[1] - exact_b) < 5 * se * exact_b
+    assert abs(est_u - exact_union) < 5 * se * exact_union
+    assert exact_inter > 0 and exact_inter < min(exact_a, exact_b)
+    rows = con.execute(QUERIES["kmv_intersect"][1]).fetchall()
+    assert len(rows) == KMV_K
+    for (rank, u, in_a, in_b, ea, eb, eu, jk, ei,
+         xa, xb, xu, xi) in rows:
+        assert u == union_from_sketches[rank - 1]
+        assert in_a == (1 if u in set(sk[0]) else 0)
+        assert in_b == (1 if u in set(sk[1]) else 0)
+        for got, exp in (
+            (ea, est[0]),
+            (eb, est[1]),
+            (eu, est_u),
+            (jk, jacc),
+            (ei, jacc * est_u),
+        ):
+            frac = abs(exp * 1e6 - math.floor(exp * 1e6) - 0.5)
+            assert frac > 1e-4, exp
+            assert got == round(exp, 6)
+        assert (xa, xb, xu, xi) == (exact_a, exact_b, exact_union, exact_inter)
