@@ -368,6 +368,11 @@ DRIVER_CAP_OVERFLOW = (
     # from union-sketch membership) giving |A∪B| / |A∩B| estimates HLL
     # can't; exact counts ride along for the error bound
     "kmv_intersect",
+    # round-6 new, born-overflow: CUSUM changepoint detection (Page 1954)
+    # over the dense hourly series — the 2·n0-scaled recurrence keeps the
+    # whole operator in exact BIGINT (zero rounding surface); planted
+    # post-t0 doubling fires the alarm branch, raw scope stays quiet
+    "cusum_changepoint",
 )
 
 

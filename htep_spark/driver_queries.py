@@ -11774,6 +11774,199 @@ FROM usk CROSS JOIN summ CROSS JOIN ea CROSS JOIN eb CROSS JOIN exact
 """
 
 
+# --------------------------------------------------------------------------
+# CUSUM changepoint detection (`cusum_changepoint`): Page's 1954
+# cumulative-sum control chart — the sequential mean-shift detector SRE /
+# data-quality monitors run over ingestion rates — on the dense hourly
+# event-count series. S_t = max(0, S_{t-1} + (x_t − μ0 − k)) with
+# allowance k = μ0/2 and alarm threshold h = CUSUM_H_MULT·μ0, where μ0 is
+# the first-third baseline mean. EVERYTHING is exact BIGINT: scaling the
+# recurrence by 2·n0 turns (x_t − μ0 − μ0/2) into 2·n0·x_t − 3·sum0 and
+# the threshold into 2·CUSUM_H_MULT·sum0 — no float enters the operator,
+# so the fold is bit-identical across engines with no rounding surface
+# at all (the exact-reduction design rule from PLANS.md). Two scopes:
+# 'same' (raw series, no alarm) and 'shifted' (counts double after
+# t0 = 2n/3 — the planted changepoint), so both verdict branches fire.
+#
+# Scale shape: one corpus pass to hourly counts (map-side combinable);
+# the series is |hours|-sized (bounded, summary-scale) — the pinned-order
+# fold and the recursive-CTE twin both run over that summary, never the
+# corpus. first_alarm_t is a per-scope min over the alarm flags (no
+# window function).
+# --------------------------------------------------------------------------
+
+CUSUM_H_MULT = 12  # alarm threshold in baseline-means (h = 12·μ0)
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    ser = grid.join(cnt, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).cast("long").alias("x")
+    )
+    arr = (
+        ser.agg(F.sort_array(F.collect_list(F.struct("h", "x"))).alias("a"))
+        .select(
+            "a",
+            F.expr("cast(size(a) div 3 as bigint)").alias("n0"),
+            F.expr("cast((2 * size(a)) div 3 as bigint)").alias("t0"),
+            F.expr(
+                "aggregate(slice(a, 1, size(a) div 3),"
+                " cast(0 as bigint), (acc, e) -> acc + e.x)"
+            ).alias("sum0"),
+        )
+    )
+    scopes = None
+    for scope in ("same", "shifted"):
+        eff = F.transform(
+            F.col("a"),
+            lambda e, i: F.struct(
+                e["h"].alias("h"),
+                F.when(
+                    (F.lit(scope) == "shifted")
+                    & ((i + 1).cast("long") > F.col("t0")),
+                    2 * e["x"],
+                )
+                .otherwise(e["x"])
+                .alias("y"),
+            ),
+        )
+        part = arr.select(
+            F.lit(scope).alias("scope"), eff.alias("a"), "n0", "t0", "sum0"
+        )
+        scopes = part if scopes is None else scopes.unionByName(part)
+    new_s = lambda acc, e: F.greatest(  # noqa: E731
+        F.lit(0).cast("long"),
+        acc["s"] + 2 * F.col("n0") * e["y"] - 3 * F.col("sum0"),
+    )
+    folded = scopes.select(
+        "scope",
+        "a",
+        "n0",
+        "t0",
+        "sum0",
+        F.aggregate(
+            F.col("a"),
+            F.named_struct(
+                F.lit("s"),
+                F.lit(0).cast("long"),
+                F.lit("ss"),
+                F.array().cast("array<bigint>"),
+            ),
+            lambda acc, e: F.named_struct(
+                F.lit("s"),
+                new_s(acc, e),
+                F.lit("ss"),
+                F.concat(acc["ss"], F.array(new_s(acc, e))),
+            ),
+        )["ss"].alias("ss"),
+    )
+    thresh = 2 * CUSUM_H_MULT * F.col("sum0")
+    rows = folded.select(
+        "scope",
+        F.posexplode("a").alias("i0", "e"),
+        "n0",
+        "t0",
+        "sum0",
+        "ss",
+    ).select(
+        "scope",
+        (F.col("i0") + 1).cast("long").alias("t"),
+        F.unix_timestamp(F.col("e.h")).alias("epoch"),
+        F.col("e.y").cast("long").alias("y"),
+        (2 * F.col("n0") * F.col("e.y") - 3 * F.col("sum0")).alias("resid"),
+        F.element_at("ss", F.col("i0") + 1).alias("s"),
+        thresh.cast("long").alias("threshold"),
+        (F.element_at("ss", F.col("i0") + 1) > thresh)
+        .cast("long")
+        .alias("alarm"),
+        F.col("t0").alias("shift_t0"),
+    )
+    fa = rows.groupBy("scope").agg(
+        F.min(F.when(F.col("alarm") == 1, F.col("t"))).alias("first_alarm_t")
+    )
+    return rows.join(F.broadcast(fa), "scope").select(
+        "scope",
+        "t",
+        "epoch",
+        "y",
+        "resid",
+        "s",
+        "threshold",
+        "alarm",
+        "shift_t0",
+        F.col("first_alarm_t").cast("long").alias("first_alarm_t"),
+    )
+
+
+def _sql_cusum_changepoint() -> str:
+    h = CUSUM_H_MULT
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), cnt AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1
+), ser AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY g.h) AS t, g.h,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN cnt c ON c.h = g.h
+), nn AS (
+  SELECT CAST(max(t) // 3 AS BIGINT) AS n0,
+         CAST((2 * max(t)) // 3 AS BIGINT) AS t0
+  FROM ser
+), base AS (
+  SELECT CAST(sum(s.x) AS BIGINT) AS sum0 FROM ser s, nn WHERE s.t <= nn.n0
+), eff AS MATERIALIZED (
+  SELECT sc.scope, s.t, s.h,
+         CASE WHEN sc.scope = 'shifted' AND s.t > nn.t0
+              THEN 2 * s.x ELSE s.x END AS y
+  FROM ser s
+  CROSS JOIN nn
+  CROSS JOIN (SELECT unnest(['same', 'shifted']) AS scope) sc
+), cu AS (
+  SELECT e.scope, e.t,
+         greatest(0, 2 * nn.n0 * e.y - 3 * b.sum0) AS s
+  FROM eff e, nn, base b WHERE e.t = 1
+  UNION ALL
+  SELECT e.scope, e.t,
+         greatest(0, cu.s + 2 * nn.n0 * e.y - 3 * b.sum0) AS s
+  FROM cu JOIN eff e ON e.scope = cu.scope AND e.t = cu.t + 1, nn, base b
+), rows_ AS MATERIALIZED (
+  SELECT e.scope, CAST(e.t AS BIGINT) AS t,
+         CAST(epoch(e.h) AS BIGINT) AS epoch,
+         CAST(e.y AS BIGINT) AS y,
+         CAST(2 * nn.n0 * e.y - 3 * b.sum0 AS BIGINT) AS resid,
+         CAST(cu.s AS BIGINT) AS s,
+         CAST(2 * {h} * b.sum0 AS BIGINT) AS threshold,
+         CAST(CASE WHEN cu.s > 2 * {h} * b.sum0 THEN 1 ELSE 0 END
+              AS BIGINT) AS alarm,
+         nn.t0 AS shift_t0
+  FROM eff e
+  JOIN cu ON cu.scope = e.scope AND cu.t = e.t, nn, base b
+), fa AS (
+  SELECT scope, CAST(min(CASE WHEN alarm = 1 THEN t END) AS BIGINT)
+           AS first_alarm_t
+  FROM rows_ GROUP BY scope
+)
+SELECT r.*, fa.first_alarm_t
+FROM rows_ r JOIN fa USING (scope)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -11895,4 +12088,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "doc_cube": (q_doc_cube, _sql_doc_cube()),
     "cohort_retention": (q_cohort_retention, _sql_cohort_retention()),
     "kmv_intersect": (q_kmv_intersect, _sql_kmv_intersect()),
+    "cusum_changepoint": (q_cusum_changepoint, _sql_cusum_changepoint()),
 }

@@ -3582,3 +3582,59 @@ def test_kmv_intersect_pure_python_replay_and_error_bounds():
             assert frac > 1e-4, exp
             assert got == round(exp, 6)
         assert (xa, xb, xu, xi) == (exact_a, exact_b, exact_union, exact_inter)
+
+
+def test_cusum_changepoint_pure_python_replay_and_alarms():
+    """CUSUM (`cusum_changepoint`): a pure-Python replay — dense hourly
+    grid, first-third baseline, the 2·n0-scaled integer recurrence —
+    must match the DuckDB oracle at sf0.001 EXACTLY (the operator is
+    all-BIGINT: zero rounding surface); the planted post-t0 doubling
+    must alarm and the raw scope must not; the first alarm must come
+    after the changepoint; S is 0-floored everywhere."""
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import CUSUM_H_MULT, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    hrs = con.execute(
+        "SELECT epoch_us(date_trunc('hour', ts)) FROM events"
+    ).fetchall()
+    c = Counter(h for (h,) in hrs)
+    h0, h1 = min(c), max(c)
+    grid = list(range(h0, h1 + 1, 3_600_000_000))
+    xs = [c.get(h, 0) for h in grid]
+    n = len(xs)
+    n0, t0 = n // 3, (2 * n) // 3
+    sum0 = sum(xs[:n0])
+    exp = {}
+    for scope in ("same", "shifted"):
+        ys = [
+            (2 * x if scope == "shifted" and t > t0 else x)
+            for t, x in enumerate(xs, 1)
+        ]
+        s, ss = 0, []
+        for y in ys:
+            s = max(0, s + 2 * n0 * y - 3 * sum0)
+            ss.append(s)
+        thr = 2 * CUSUM_H_MULT * sum0
+        alarms = [t for t, sv in enumerate(ss, 1) if sv > thr]
+        exp[scope] = (ys, ss, thr, alarms[0] if alarms else None)
+    assert exp["same"][3] is None, "raw scope false-alarmed"
+    assert exp["shifted"][3] is not None and exp["shifted"][3] > t0
+    rows = con.execute(QUERIES["cusum_changepoint"][1]).fetchall()
+    assert len(rows) == 2 * n
+    for scope, t, epoch, y, resid, s, thr, alarm, sh_t0, fa in rows:
+        ys, ss, ethr, efa = exp[scope]
+        assert y == ys[t - 1]
+        assert resid == 2 * n0 * ys[t - 1] - 3 * sum0
+        assert s == ss[t - 1] and s >= 0
+        assert thr == ethr
+        assert alarm == (1 if ss[t - 1] > ethr else 0)
+        assert sh_t0 == t0 and fa == efa
+        assert epoch == grid[t - 1] // 1_000_000
