@@ -373,6 +373,10 @@ DRIVER_CAP_OVERFLOW = (
     # whole operator in exact BIGINT (zero rounding surface); planted
     # post-t0 doubling fires the alarm branch, raw scope stays quiet
     "cusum_changepoint",
+    # round-6 new, born-overflow: NDCG@k graded ranking evaluation — the
+    # retrieval-metric face of the eval quadrant; model scorer must
+    # dominate the random scorer (pinned-order log2 gain folds)
+    "ndcg_eval",
 )
 
 

@@ -11967,6 +11967,181 @@ FROM rows_ r JOIN fa USING (scope)
 """
 
 
+# --------------------------------------------------------------------------
+# NDCG ranking evaluation (`ndcg_eval`): the graded retrieval metric
+# (Järvelin & Kekäläinen 2002) — completes the evaluation quadrant's
+# RANKING face (auc_eval scores binary discrimination, rbo_topk compares
+# two rankings; NDCG scores one ranking against graded ground truth, the
+# search/recsys standard). Queries = sources, items = their docs,
+# relevance = md5-derived grade 0..3, and two scorers: 'model'
+# (rel·NDCG_W + hash-noise — informative but imperfect: the noise range
+# overlaps adjacent grades) and 'random' (noise only). DCG@K with the
+# 2^rel−1 gain, IDCG over the full group, NDCG = DCG/IDCG; the model
+# scope must dominate the random scope (pytest).
+#
+# Scale shape: ranks are row_number windows PARTITIONED by
+# (scope, source) — bounded 25-doc groups, never single-partition; the
+# log2 gains fold in pinned rank order per group (list_sum ORDER BY twin
+# in DuckDB), per-scope means ride a broadcast 1-row agg per scope.
+# --------------------------------------------------------------------------
+
+NDCG_K = 10
+NDCG_W = 800  # model-score grade weight vs U(0, 1000) hash noise
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rel = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("rel"), F.col("doc_id")), 4
+    )
+    noise = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("sc"), F.col("doc_id")), 1000
+    )
+    base = _docs(spark, sf_dir).select(
+        "source", "doc_id", rel.alias("rel"), noise.alias("u")
+    )
+    df = None
+    for scope in ("model", "random"):
+        score = (
+            F.col("rel") * NDCG_W + F.col("u")
+            if scope == "model"
+            else F.col("u")
+        )
+        part = base.select(
+            F.lit(scope).alias("scope"),
+            "source",
+            "doc_id",
+            "rel",
+            score.cast("long").alias("score"),
+        )
+        df = part if df is None else df.unionByName(part)
+    w = Window.partitionBy("scope", "source").orderBy(
+        F.desc("score"), "doc_id"
+    )
+    wi = Window.partitionBy("scope", "source").orderBy(
+        F.desc("rel"), "doc_id"
+    )
+    ranked = df.select(
+        "scope",
+        "source",
+        "rel",
+        F.row_number().over(w).alias("r"),
+        F.row_number().over(wi).alias("ri"),
+    )
+
+    def _fold(rank_col: str):
+        lst = F.sort_array(F.collect_list(F.struct(rank_col, "rel")))
+        return F.aggregate(
+            lst,
+            F.lit(0.0),
+            lambda acc, e: acc
+            + (F.pow(F.lit(2.0), e["rel"].cast("double")) - F.lit(1.0))
+            / F.log2(e[rank_col].cast("double") + F.lit(1.0)),
+        )
+
+    dcg = (
+        ranked.filter(F.col("r") <= NDCG_K)
+        .groupBy("scope", "source")
+        .agg(_fold("r").alias("dcg"))
+    )
+    idcg = (
+        ranked.filter(F.col("ri") <= NDCG_K)
+        .groupBy("scope", "source")
+        .agg(_fold("ri").alias("idcg"), F.count("*").alias("k_used"))
+    )
+    n_items = df.groupBy("scope", "source").agg(
+        F.count("*").cast("long").alias("n_items")
+    )
+    per = (
+        dcg.join(idcg, ["scope", "source"])
+        .join(n_items, ["scope", "source"])
+        .select(
+            "scope",
+            "source",
+            "n_items",
+            "dcg",
+            "idcg",
+            F.when(
+                F.col("idcg") > 0, F.col("dcg") / F.col("idcg")
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )
+    mean = per.groupBy("scope").agg(
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("source", "ndcg"))),
+                F.lit(0.0),
+                lambda acc, e: acc + e["ndcg"],
+            )
+            / F.count("*").cast("double")
+        ).alias("mean_ndcg")
+    )
+    return per.join(F.broadcast(mean), "scope").select(
+        "scope",
+        "source",
+        "n_items",
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round("ndcg", 6).alias("ndcg"),
+        F.round("mean_ndcg", 6).alias("mean_ndcg"),
+    )
+
+
+def _sql_ndcg_eval() -> str:
+    rel = _md5_bucket_sql("'rel' || '|' || CAST(doc_id AS VARCHAR)", 4)
+    noise = _md5_bucket_sql("'sc' || '|' || CAST(doc_id AS VARCHAR)", 1000)
+    k = NDCG_K
+    return f"""
+WITH base AS (
+  SELECT source, doc_id, {rel} AS rel, {noise} AS u FROM documents
+), scored AS (
+  SELECT sc.scope, b.source, b.doc_id, b.rel,
+         CAST(CASE WHEN sc.scope = 'model'
+                   THEN b.rel * {NDCG_W} + b.u ELSE b.u END
+              AS BIGINT) AS score
+  FROM base b CROSS JOIN (SELECT unnest(['model', 'random']) AS scope) sc
+), ranked AS MATERIALIZED (
+  SELECT scope, source, rel,
+         row_number() OVER (PARTITION BY scope, source
+                            ORDER BY score DESC, doc_id) AS r,
+         row_number() OVER (PARTITION BY scope, source
+                            ORDER BY rel DESC, doc_id) AS ri
+  FROM scored
+), dcg AS (
+  SELECT scope, source,
+         list_sum(list((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                       / log2(CAST(r AS DOUBLE) + 1.0) ORDER BY r)) AS dcg
+  FROM ranked WHERE r <= {k} GROUP BY scope, source
+), idcg AS (
+  SELECT scope, source,
+         list_sum(list((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+                       / log2(CAST(ri AS DOUBLE) + 1.0) ORDER BY ri))
+           AS idcg
+  FROM ranked WHERE ri <= {k} GROUP BY scope, source
+), n_items AS (
+  SELECT scope, source, CAST(count(*) AS BIGINT) AS n_items
+  FROM scored GROUP BY scope, source
+), per AS MATERIALIZED (
+  SELECT d.scope, d.source, n.n_items, d.dcg, i.idcg,
+         CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END AS ndcg
+  FROM dcg d
+  JOIN idcg i ON i.scope = d.scope AND i.source = d.source
+  JOIN n_items n ON n.scope = d.scope AND n.source = d.source
+), mean AS (
+  SELECT scope,
+         list_sum(list(ndcg ORDER BY source)) / count(*) AS mean_ndcg
+  FROM per GROUP BY scope
+)
+SELECT p.scope, p.source, p.n_items,
+       round(p.dcg, 6) AS dcg,
+       round(p.idcg, 6) AS idcg,
+       round(p.ndcg, 6) AS ndcg,
+       round(m.mean_ndcg, 6) AS mean_ndcg
+FROM per p JOIN mean m USING (scope)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -12089,4 +12264,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "cohort_retention": (q_cohort_retention, _sql_cohort_retention()),
     "kmv_intersect": (q_kmv_intersect, _sql_kmv_intersect()),
     "cusum_changepoint": (q_cusum_changepoint, _sql_cusum_changepoint()),
+    "ndcg_eval": (q_ndcg_eval, _sql_ndcg_eval()),
 }

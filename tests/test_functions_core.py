@@ -3638,3 +3638,75 @@ def test_cusum_changepoint_pure_python_replay_and_alarms():
         assert alarm == (1 if ss[t - 1] > ethr else 0)
         assert sh_t0 == t0 and fa == efa
         assert epoch == grid[t - 1] // 1_000_000
+
+
+def test_ndcg_eval_pure_python_replay_and_model_dominance():
+    """NDCG (`ndcg_eval`): a pure-Python replay — md5 grades/noise, both
+    scorers, DCG@K with the 2^rel-1 gain, full-group IDCG — must match
+    the DuckDB oracle at sf0.001; NDCG in (0, 1]; the informative scorer
+    must beat the random scorer on the per-scope mean; ideal ranking of
+    a group yields NDCG exactly 1 iff DCG == IDCG; margins on every
+    rounded double."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import NDCG_K, NDCG_W, QUERIES
+
+    def h(s, mod):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % mod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, doc_id FROM documents").fetchall()
+    groups = defaultdict(list)
+    for src, d in raw:
+        rel, u = h(f"rel|{d}", 4), h(f"sc|{d}", 1000)
+        groups[src].append((d, rel, u))
+    exp = {}
+    for scope in ("model", "random"):
+        for src, items in groups.items():
+            scored = [
+                (rel * NDCG_W + u if scope == "model" else u, d, rel)
+                for d, rel, u in items
+            ]
+            by_score = sorted(scored, key=lambda x: (-x[0], x[1]))
+            by_rel = sorted(scored, key=lambda x: (-x[2], x[1]))
+            dcg = sum(
+                (2.0 ** rel - 1.0) / math.log2(i + 2.0)
+                for i, (_s, _d, rel) in enumerate(by_score[:NDCG_K])
+            )
+            idcg = sum(
+                (2.0 ** rel - 1.0) / math.log2(i + 2.0)
+                for i, (_s, _d, rel) in enumerate(by_rel[:NDCG_K])
+            )
+            ndcg = dcg / idcg if idcg > 0 else 0.0
+            exp[(scope, src)] = (len(items), dcg, idcg, ndcg)
+    means = {
+        scope: sum(
+            v[3] for (s, _src), v in exp.items() if s == scope
+        ) / sum(1 for (s, _src) in exp if s == scope)
+        for scope in ("model", "random")
+    }
+    assert means["model"] > means["random"] + 0.05, means
+    rows = con.execute(QUERIES["ndcg_eval"][1]).fetchall()
+    assert len(rows) == len(exp)
+    for scope, src, n_items, dcg, idcg, ndcg, mean_ndcg in rows:
+        en, ed, ei, end = exp[(scope, src)]
+        assert n_items == en
+        for got, e in (
+            (dcg, ed),
+            (idcg, ei),
+            (ndcg, end),
+            (mean_ndcg, means[scope]),
+        ):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4, (scope, src, e)
+            assert got == round(e, 6), (scope, src, got, e)
+        assert 0.0 < ndcg <= 1.0
+        assert (ndcg == 1.0) == (round(ed, 9) == round(ei, 9))
