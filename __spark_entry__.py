@@ -377,6 +377,10 @@ DRIVER_CAP_OVERFLOW = (
     # retrieval-metric face of the eval quadrant; model scorer must
     # dominate the random scorer (pinned-order log2 gain folds)
     "ndcg_eval",
+    # round-6 new, born-overflow: Cohen's kappa inter-annotator agreement
+    # over the oracled C1 classifier vs an md5-perturbed second rater —
+    # exact BIGINT (N·Σdiag − Σrow·col)/(N² − Σrow·col), one 6dp division
+    "cohen_kappa",
 )
 
 

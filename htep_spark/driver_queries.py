@@ -12142,6 +12142,178 @@ FROM per p JOIN mean m USING (scope)
 """
 
 
+# --------------------------------------------------------------------------
+# Cohen's kappa inter-annotator agreement (`cohen_kappa`): the
+# chance-corrected agreement coefficient (Cohen 1960) every labeling /
+# LLM-judge pipeline reports before trusting its annotations. Rater A =
+# the oracled C1 document-type classifier; rater B = A with an
+# md5-planted disagreement: 1-in-KAPPA_DISAGREE_MOD docs get a uniformly
+# chosen DIFFERENT label (shift 1..6 around DOCUMENT_TYPE_ORDER), so
+# agreement is structurally ~80% and kappa is strictly below po but
+# above 0. EXACT integer arithmetic end to end: kappa =
+# (N·Σdiag − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k) — BIGINT
+# numerators/denominators, one final division per emitted double (po,
+# pe, kappa at 6dp; the auc_eval exactness class).
+#
+# Scale shape: the label pass rides the already-audited classify plan
+# (broadcast keyword theta-join + map-side combine); the confusion
+# matrix is |labels|²-sized, marginals a full outer join of two tiny
+# aggs, scalars on broadcast 1-row frames.
+# --------------------------------------------------------------------------
+
+KAPPA_DISAGREE_MOD = 5  # 1-in-5 docs get a planted different rater-B label
+# the label universe must include the classifier's total=0 FALLBACK label:
+# array_position/list_position diverge on a missing label (0 vs NULL)
+KAPPA_TYPES = list(DOCUMENT_TYPE_ORDER) + ["general_medical"]
+
+
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = KAPPA_TYPES
+    k = len(types)
+    cls = q_classify(spark, sf_dir).select(
+        "doc_id", F.col("document_type").alias("label_a")
+    )
+    arr = F.array(*[F.lit(t) for t in types])
+    disagree = (
+        _md5_bucket_spark(
+            F.concat_ws("|", F.lit("rater"), F.col("doc_id")),
+            KAPPA_DISAGREE_MOD,
+        )
+        == 0
+    )
+    shift = (
+        _md5_bucket_spark(
+            F.concat_ws("|", F.lit("shift"), F.col("doc_id")), k - 1
+        )
+        + 1
+    )
+    pos = F.array_position(arr, F.col("label_a"))
+    label_b = F.when(
+        disagree,
+        F.element_at(
+            arr, (F.pmod(pos - 1 + shift, F.lit(k)) + 1).cast("int")
+        ),
+    ).otherwise(F.col("label_a"))
+    conf = (
+        cls.select("label_a", label_b.alias("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    rowm = conf.groupBy("label_a").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    colm = conf.groupBy("label_b").agg(
+        F.sum("n").cast("long").alias("col_n")
+    )
+    margins = (
+        rowm.select(F.col("label_a").alias("lbl"), "row_n")
+        .join(colm.select(F.col("label_b").alias("lbl"), "col_n"), "lbl", "full")
+        .select(
+            "lbl",
+            F.coalesce("row_n", F.lit(0)).cast("long").alias("row_n"),
+            F.coalesce("col_n", F.lit(0)).cast("long").alias("col_n"),
+        )
+    )
+    scalars = conf.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(
+            F.when(F.col("label_a") == F.col("label_b"), F.col("n")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_agree"),
+    ).crossJoin(
+        F.broadcast(
+            margins.agg(
+                F.sum(F.col("row_n") * F.col("col_n"))
+                .cast("long")
+                .alias("pe_num")
+            )
+        )
+    )
+    kappa = (
+        (F.col("n_total") * F.col("n_agree") - F.col("pe_num")).cast("double")
+        / (F.col("n_total") * F.col("n_total") - F.col("pe_num")).cast(
+            "double"
+        )
+    )
+    return (
+        conf.join(F.broadcast(rowm), "label_a")
+        .join(F.broadcast(colm), "label_b")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "label_a",
+            "label_b",
+            "n",
+            "row_n",
+            "col_n",
+            "n_total",
+            "n_agree",
+            F.round(
+                F.col("n_agree").cast("double")
+                / F.col("n_total").cast("double"),
+                6,
+            ).alias("po"),
+            F.round(
+                F.col("pe_num").cast("double")
+                / (F.col("n_total") * F.col("n_total")).cast("double"),
+                6,
+            ).alias("pe"),
+            F.round(kappa, 6).alias("kappa"),
+        )
+    )
+
+
+def _sql_cohen_kappa() -> str:
+    types = KAPPA_TYPES
+    k = len(types)
+    arr = "[" + ", ".join(_sql_quote(t) for t in types) + "]"
+    dis = _md5_bucket_sql("'rater' || '|' || CAST(doc_id AS VARCHAR)",
+                          KAPPA_DISAGREE_MOD)
+    shift = _md5_bucket_sql("'shift' || '|' || CAST(doc_id AS VARCHAR)", k - 1)
+    return f"""
+WITH cls AS ({SQL_CLASSIFY}),
+pairs AS (
+  SELECT document_type AS label_a,
+         CASE WHEN {dis} = 0
+              THEN {arr}[CAST(
+                (list_position({arr}, document_type) - 1 + {shift} + 1) % {k}
+                AS INTEGER) + 1]
+              ELSE document_type END AS label_b
+  FROM cls
+), conf AS MATERIALIZED (
+  SELECT label_a, label_b, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY label_a, label_b
+), rowm AS (
+  SELECT label_a, CAST(sum(n) AS BIGINT) AS row_n FROM conf GROUP BY label_a
+), colm AS (
+  SELECT label_b, CAST(sum(n) AS BIGINT) AS col_n FROM conf GROUP BY label_b
+), margins AS (
+  SELECT coalesce(r.label_a, c.label_b) AS lbl,
+         CAST(coalesce(r.row_n, 0) AS BIGINT) AS row_n,
+         CAST(coalesce(c.col_n, 0) AS BIGINT) AS col_n
+  FROM rowm r FULL OUTER JOIN colm c ON c.label_b = r.label_a
+), scalars AS (
+  SELECT (SELECT CAST(sum(n) AS BIGINT) FROM conf) AS n_total,
+         (SELECT CAST(coalesce(sum(CASE WHEN label_a = label_b THEN n END),
+                               0) AS BIGINT) FROM conf) AS n_agree,
+         (SELECT CAST(sum(row_n * col_n) AS BIGINT) FROM margins) AS pe_num
+)
+SELECT c.label_a, c.label_b, c.n, r.row_n, m.col_n,
+       s.n_total, s.n_agree,
+       round(CAST(s.n_agree AS DOUBLE) / CAST(s.n_total AS DOUBLE), 6) AS po,
+       round(CAST(s.pe_num AS DOUBLE)
+             / CAST(s.n_total * s.n_total AS DOUBLE), 6) AS pe,
+       round(CAST(s.n_total * s.n_agree - s.pe_num AS DOUBLE)
+             / CAST(s.n_total * s.n_total - s.pe_num AS DOUBLE), 6) AS kappa
+FROM conf c
+JOIN rowm r USING (label_a)
+JOIN colm m USING (label_b)
+CROSS JOIN scalars s
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -12265,4 +12437,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "kmv_intersect": (q_kmv_intersect, _sql_kmv_intersect()),
     "cusum_changepoint": (q_cusum_changepoint, _sql_cusum_changepoint()),
     "ndcg_eval": (q_ndcg_eval, _sql_ndcg_eval()),
+    "cohen_kappa": (q_cohen_kappa, _sql_cohen_kappa()),
 }

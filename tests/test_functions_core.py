@@ -3710,3 +3710,72 @@ def test_ndcg_eval_pure_python_replay_and_model_dominance():
             assert got == round(e, 6), (scope, src, got, e)
         assert 0.0 < ndcg <= 1.0
         assert (ndcg == 1.0) == (round(ed, 9) == round(ei, 9))
+
+
+def test_cohen_kappa_pure_python_replay_and_bounds():
+    """Cohen's kappa (`cohen_kappa`): a pure-Python replay — rater A from
+    the classify oracle, rater B via the md5 shift rule, exact-integer
+    kappa — must match the DuckDB oracle at sf0.001; every planted
+    disagreement lands on a DIFFERENT label; 0 < kappa < po < 1 (chance
+    correction strictly shrinks agreement); confusion marginals
+    reconcile; margins on the three rounded doubles."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.dictionaries import DOCUMENT_TYPE_ORDER
+    from htep_spark.driver_queries import (
+        KAPPA_DISAGREE_MOD,
+        KAPPA_TYPES,
+        QUERIES,
+        SQL_CLASSIFY,
+    )
+
+    def h(s, mod):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % mod
+
+    types = KAPPA_TYPES
+    assert set(types) > set(DOCUMENT_TYPE_ORDER)
+    k = len(types)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    labels = con.execute(
+        f"SELECT doc_id, document_type FROM ({SQL_CLASSIFY})"
+    ).fetchall()
+    conf = Counter()
+    for d, la in labels:
+        if h(f"rater|{d}", KAPPA_DISAGREE_MOD) == 0:
+            shift = h(f"shift|{d}", k - 1) + 1
+            lb = types[(types.index(la) - 1 + shift + 1) % k]
+            assert lb != la  # shift in 1..k-1 can never be identity
+        else:
+            lb = la
+        conf[(la, lb)] += 1
+    n_total = sum(conf.values())
+    n_agree = sum(v for (a, b), v in conf.items() if a == b)
+    rowm = Counter()
+    colm = Counter()
+    for (a, b), v in conf.items():
+        rowm[a] += v
+        colm[b] += v
+    pe_num = sum(rowm[l] * colm[l] for l in set(rowm) | set(colm))
+    kappa = (n_total * n_agree - pe_num) / (n_total * n_total - pe_num)
+    po = n_agree / n_total
+    pe = pe_num / n_total**2
+    assert 0.0 < kappa < po < 1.0
+    assert n_agree < n_total  # the planted disagreements fired
+    rows = con.execute(QUERIES["cohen_kappa"][1]).fetchall()
+    assert len(rows) == len(conf)
+    for la, lb, n, rn, cn, nt, na, gpo, gpe, gk in rows:
+        assert n == conf[(la, lb)]
+        assert rn == rowm[la] and cn == colm[lb]
+        assert (nt, na) == (n_total, n_agree)
+        for got, e in ((gpo, po), (gpe, pe), (gk, kappa)):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4, e
+            assert got == round(e, 6)
