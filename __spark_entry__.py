@@ -381,6 +381,14 @@ DRIVER_CAP_OVERFLOW = (
     # over the oracled C1 classifier vs an md5-perturbed second rater —
     # exact BIGINT (N·Σdiag − Σrow·col)/(N² − Σrow·col), one 6dp division
     "cohen_kappa",
+    # round-6 new, born-overflow: TPC-H Q3 shape — opposing date pruning on
+    # both facts, broadcast segment dim, exact-DECIMAL top-N via
+    # TakeOrderedAndProject (never a single-partition window)
+    "tpch_shipping",
+    # round-6 new, born-overflow: TPC-H Q18 shape — HAVING-threshold
+    # semi-join of the fact table back onto itself (large-volume orders),
+    # exact DECIMAL quantity sums so the threshold boundary can't drift
+    "tpch_big_orders",
 )
 
 

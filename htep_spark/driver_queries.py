@@ -12314,6 +12314,161 @@ CROSS JOIN scalars s
 """
 
 
+# --------------------------------------------------------------------------
+# TPC-H Q3 shape (`tpch_shipping`): the unshipped-orders shipping-
+# priority query — the warehouse's three-way fact join with OPPOSING
+# date predicates (orders placed before the cutoff, lineitems shipped
+# after it) and a global top-N by exact DECIMAL revenue. Completes the
+# star-schema trio: Q1 (tpch_pricing) scans, Q5 (tpch_regional_revenue)
+# joins the dim chain, Q3 adds selective fact-fact pruning + top-N.
+#
+# Scale shape: both date filters push to the parquet scans; the
+# customer-segment dim broadcasts; the fact-fact join shuffles on
+# orderkey (AQE); the top-N is orderBy+limit → TakeOrderedAndProject
+# (distributed per-partition heads merged on the driver — never a
+# single-partition window). DECIMAL revenue makes the ordering exact, so
+# the N-th boundary cannot drift between engines; orderkey tie-break.
+# --------------------------------------------------------------------------
+
+TPCH_SHIP_SEGMENT = "BUILDING"
+TPCH_SHIP_CUTOFF = "1998-07-01"
+TPCH_SHIP_TOPN = 10
+
+
+def q_tpch_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _tpch(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == TPCH_SHIP_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        _tpch(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") < F.lit(TPCH_SHIP_CUTOFF).cast("timestamp")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        _tpch(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_shipdate") > F.lit(TPCH_SHIP_CUTOFF).cast("timestamp")
+        )
+        .select(
+            "l_orderkey",
+            (
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (
+                    F.lit(1).cast("decimal(3,2)")
+                    - F.col("l_discount").cast("decimal(4,2)")
+                )
+            ).alias("rev"),
+        )
+    )
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev").alias("srev"))
+    )
+    return (
+        agg.orderBy(F.desc("srev"), "l_orderkey")
+        .limit(TPCH_SHIP_TOPN)
+        .select(
+            "l_orderkey",
+            F.round(F.col("srev").cast("double"), 2).alias("revenue"),
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority",
+        )
+    )
+
+
+def _sql_tpch_shipping() -> str:
+    return f"""
+SELECT l_orderkey,
+       round(CAST(srev AS DOUBLE), 2) AS revenue,
+       CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch,
+       o_orderpriority
+FROM (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(3,2))
+                - CAST(l.l_discount AS DECIMAL(4,2)))) AS srev
+  FROM customer c
+  JOIN orders o ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE c.c_mktsegment = {_sql_quote(TPCH_SHIP_SEGMENT)}
+    AND o.o_orderdate < TIMESTAMP '{TPCH_SHIP_CUTOFF} 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '{TPCH_SHIP_CUTOFF} 00:00:00'
+  GROUP BY 1, 2, 3
+)
+ORDER BY srev DESC, l_orderkey
+LIMIT {TPCH_SHIP_TOPN}
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape (`tpch_big_orders`): the large-volume-customer query —
+# a HAVING-threshold semi-join back onto the same fact table (orders
+# whose total quantity exceeds the threshold, with their customer).
+# The shape Q1/Q3/Q5 don't cover: a grouped predicate on the fact
+# becomes the driving filter of a second pass over itself.
+#
+# Scale shape: the qualifying-order set is one map-side-combinable
+# groupBy + filter (summary-sized — the >threshold tail); it joins back
+# to lineitem/orders as an equi-join Spark plans as a broadcast once AQE
+# sees the tiny side, exactly how a warehouse executes Q18. DECIMAL
+# quantity sums are exact, so the threshold boundary cannot drift.
+# --------------------------------------------------------------------------
+
+TPCH_BIGORDER_QTY = 250
+
+
+def q_tpch_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _tpch(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("decimal(12,2)").alias("qty")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("total_qty"))
+        .filter(F.col("total_qty") > TPCH_BIGORDER_QTY)
+    )
+    orders = _tpch(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _tpch(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            F.round(F.col("o_totalprice").cast("double"), 2).alias(
+                "o_totalprice"
+            ),
+            F.round(F.col("total_qty").cast("double"), 2).alias("total_qty"),
+        )
+    )
+
+
+def _sql_tpch_big_orders() -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > {TPCH_BIGORDER_QTY}
+)
+SELECT c.c_name, c.c_custkey, b.l_orderkey AS o_orderkey,
+       CAST(epoch(o.o_orderdate) AS BIGINT) AS orderdate_epoch,
+       round(CAST(o.o_totalprice AS DOUBLE), 2) AS o_totalprice,
+       round(CAST(b.total_qty AS DOUBLE), 2) AS total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -12438,4 +12593,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "cusum_changepoint": (q_cusum_changepoint, _sql_cusum_changepoint()),
     "ndcg_eval": (q_ndcg_eval, _sql_ndcg_eval()),
     "cohen_kappa": (q_cohen_kappa, _sql_cohen_kappa()),
+    "tpch_shipping": (q_tpch_shipping, _sql_tpch_shipping()),
+    "tpch_big_orders": (q_tpch_big_orders, _sql_tpch_big_orders()),
 }

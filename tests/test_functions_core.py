@@ -3779,3 +3779,82 @@ def test_cohen_kappa_pure_python_replay_and_bounds():
             frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
             assert frac > 1e-4, e
             assert got == round(e, 6)
+
+
+def test_tpch_shipping_and_big_orders_pure_python_replay():
+    """TPC-H Q3/Q18 shapes: pure-Python replays over raw tuples — the
+    three-way join + opposing date filters + exact-revenue top-N, and
+    the HAVING-threshold self-semi-join — must match the DuckDB oracles
+    at sf0.001; the top-N boundary is checked to be strict (no revenue
+    tie straddles the cut); every big order genuinely exceeds the
+    threshold."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        QUERIES,
+        TPCH_BIGORDER_QTY,
+        TPCH_SHIP_CUTOFF,
+        TPCH_SHIP_SEGMENT,
+        TPCH_SHIP_TOPN,
+    )
+
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    segs = dict(
+        con.execute("SELECT c_custkey, c_mktsegment FROM customer").fetchall()
+    )
+    orders = {
+        ok: (ck, od, op, tp)
+        for ok, ck, od, op, tp in con.execute(
+            "SELECT o_orderkey, o_custkey, epoch(o_orderdate), "
+            "o_orderpriority, o_totalprice FROM orders"
+        ).fetchall()
+    }
+    lis = con.execute(
+        "SELECT l_orderkey, l_extendedprice, l_discount, l_quantity, "
+        "epoch(l_shipdate) FROM lineitem"
+    ).fetchall()
+    cutoff = con.execute(
+        f"SELECT epoch(TIMESTAMP '{TPCH_SHIP_CUTOFF} 00:00:00')"
+    ).fetchone()[0]
+    # --- Q3 replay (exact Decimal revenue) ---
+    rev = defaultdict(Decimal)
+    for ok, price, disc, _q, ship in lis:
+        if ok not in orders or ship <= cutoff:
+            continue
+        ck, od, op, _tp = orders[ok]
+        if od >= cutoff or segs.get(ck) != TPCH_SHIP_SEGMENT:
+            continue
+        p = Decimal(str(price)).quantize(Decimal("0.01"))
+        d = Decimal(str(disc)).quantize(Decimal("0.01"))
+        rev[ok] += p * (1 - d)
+    ranked = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    top = ranked[:TPCH_SHIP_TOPN]
+    if len(ranked) > TPCH_SHIP_TOPN:
+        assert top[-1][1] != ranked[TPCH_SHIP_TOPN][1], "tie straddles cut"
+    rows = con.execute(QUERIES["tpch_shipping"][1]).fetchall()
+    assert len(rows) == min(TPCH_SHIP_TOPN, len(ranked))
+    got = {r[0]: r for r in rows}
+    for ok, r in top:
+        _ck, od, op, _tp = orders[ok]
+        assert got[ok][1] == float(round(r, 2))
+        assert got[ok][2] == od and got[ok][3] == op
+    # --- Q18 replay ---
+    qty = defaultdict(Decimal)
+    for ok, _p, _d, q, _s in lis:
+        qty[ok] += Decimal(str(q)).quantize(Decimal("0.01"))
+    big = {ok: s for ok, s in qty.items() if s > TPCH_BIGORDER_QTY}
+    rows = con.execute(QUERIES["tpch_big_orders"][1]).fetchall()
+    assert len(rows) == len(big) > 0
+    for _cn, ck, ok, od, tp, tq in rows:
+        assert ok in big and tq == float(round(big[ok], 2)) > TPCH_BIGORDER_QTY
+        eck, eod, _eop, etp = orders[ok]
+        assert (ck, od) == (eck, eod)
+        assert tp == round(etp, 2)

@@ -412,3 +412,49 @@ def test_tpch_pricing_plan_shape(spark):
     assert "partial_sum" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_tpch_shipping_plan_shape(spark):
+    """The Q3-shape plan: both opposing date filters pushed to their
+    scans (orders < cutoff, lineitem > cutoff), the segment dim a
+    BroadcastHashJoin, the top-N a TakeOrderedAndProject (never a
+    single-partition window/sort), no cartesian, no Python."""
+    from htep_spark.driver_queries import q_tpch_shipping
+
+    plan = (
+        q_tpch_shipping(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan, plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan, plan
+
+
+def test_tpch_big_orders_plan_shape(spark):
+    """The Q18-shape plan: the qualifying-order set is a partial
+    (map-side) aggregation before its exchange; the customer dim
+    broadcasts; no cartesian, no Python, and the lineitem ReadSchema is
+    pruned to exactly (l_orderkey, l_quantity)."""
+    import re
+
+    from htep_spark.driver_queries import q_tpch_big_orders
+
+    plan = (
+        q_tpch_big_orders(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_sum" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
