@@ -389,6 +389,11 @@ DRIVER_CAP_OVERFLOW = (
     # semi-join of the fact table back onto itself (large-volume orders),
     # exact DECIMAL quantity sums so the threshold boundary can't drift
     "tpch_big_orders",
+    # round-6 new, born-overflow: trailing-window z-score point-anomaly
+    # monitor (frame excludes the scored point); BIGINT window sums keep
+    # the variance numerator integer; planted 6x+50 spike fires, raw
+    # series stays quiet at Z=6
+    "rolling_anomaly",
 )
 
 

@@ -12469,6 +12469,168 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 
+# --------------------------------------------------------------------------
+# Rolling-window anomaly detection (`rolling_anomaly`): the trailing
+# z-score monitor every ingestion/ops dashboard runs — for each hour,
+# mean/std over the PREVIOUS ANOM_W hours (ROWS BETWEEN W PRECEDING AND
+# 1 PRECEDING — the frame never includes the scored point, so a spike
+# cannot mask itself) and the standardized residual z = (x − μ)/σ.
+# Complements `cusum_changepoint` (persistent level shifts) with the
+# point-anomaly face. Two scopes: 'same' (raw series — must stay quiet
+# at Z=ANOM_Z) and 'spiked' (one planted hour at t0 = 3n/4 gets
+# x' = 6x + 50 — multiplicative+floor, so the spike scales with any SF's
+# rate and always clears the threshold).
+#
+# Exactness: the window aggregates are BIGINT sums (cnt, Σx, Σx²); the
+# variance numerator cnt·Σx² − (Σx)² stays integer, so only the final
+# σ/z doubles exist (identical expression order both engines, 6dp).
+#
+# Scale shape: one map-side hourly count agg; the window runs over the
+# BOUNDED dense series (|hours| rows — the holt/qdigest summary class),
+# partitioned by scope, never over raw events.
+# --------------------------------------------------------------------------
+
+ANOM_W = 48  # trailing window (hours)
+ANOM_Z = 6.0  # anomaly threshold (probed quiet on the raw series)
+ANOM_SPIKE_MULT = 6
+ANOM_SPIKE_ADD = 50
+
+
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    ser = grid.join(cnt, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).cast("long").alias("x")
+    )
+    n1 = ser.agg(F.count("*").alias("n"))
+    base = ser.crossJoin(F.broadcast(n1)).select(
+        "h",
+        "x",
+        F.expr("cast((3 * n) div 4 as bigint)").alias("t0"),
+    )
+    scoped = None
+    for scope in ("same", "spiked"):
+        part = base.select(F.lit(scope).alias("scope"), "h", "x", "t0")
+        scoped = part if scoped is None else scoped.unionByName(part)
+    wq = Window.partitionBy("scope").orderBy("h")
+    idx = scoped.select(
+        "scope",
+        "h",
+        "t0",
+        F.row_number().over(wq).cast("long").alias("t"),
+        "x",
+    ).select(
+        "scope",
+        "h",
+        "t",
+        "t0",
+        F.when(
+            (F.col("scope") == "spiked") & (F.col("t") == F.col("t0")),
+            ANOM_SPIKE_MULT * F.col("x") + ANOM_SPIKE_ADD,
+        )
+        .otherwise(F.col("x"))
+        .alias("y"),
+    )
+    fr = (
+        Window.partitionBy("scope")
+        .orderBy("t")
+        .rowsBetween(-ANOM_W, -1)
+    )
+    stats = idx.select(
+        "scope",
+        "t",
+        "t0",
+        F.unix_timestamp("h").alias("epoch"),
+        "y",
+        F.count("y").over(fr).cast("long").alias("wc"),
+        F.sum("y").over(fr).cast("long").alias("ws"),
+        F.sum(F.col("y") * F.col("y")).over(fr).cast("long").alias("wss"),
+    ).filter(F.col("t") > ANOM_W)
+    mean = F.col("ws").cast("double") / F.col("wc").cast("double")
+    varn = (
+        F.col("wc") * F.col("wss") - F.col("ws") * F.col("ws")
+    ).cast("double") / (F.col("wc") * (F.col("wc") - 1)).cast("double")
+    z = (F.col("y").cast("double") - mean) / F.sqrt(varn)
+    return stats.select(
+        "scope",
+        "t",
+        "epoch",
+        "y",
+        "wc",
+        "ws",
+        "wss",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(varn), 6).alias("std"),
+        F.round(z, 6).alias("z"),
+        (z > ANOM_Z).cast("long").alias("anomaly"),
+        F.col("t0").alias("spike_t0"),
+    )
+
+
+def _sql_rolling_anomaly() -> str:
+    w, zt = ANOM_W, ANOM_Z
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), cnt AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1
+), ser AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY g.h) AS t, g.h,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN cnt c ON c.h = g.h
+), nn AS (
+  SELECT CAST((3 * max(t)) // 4 AS BIGINT) AS t0 FROM ser
+), eff AS (
+  SELECT sc.scope, s.t, s.h, nn.t0,
+         CASE WHEN sc.scope = 'spiked' AND s.t = nn.t0
+              THEN {ANOM_SPIKE_MULT} * s.x + {ANOM_SPIKE_ADD}
+              ELSE s.x END AS y
+  FROM ser s
+  CROSS JOIN nn
+  CROSS JOIN (SELECT unnest(['same', 'spiked']) AS scope) sc
+), stats AS MATERIALIZED (
+  SELECT scope, CAST(t AS BIGINT) AS t, t0,
+         CAST(epoch(h) AS BIGINT) AS epoch,
+         CAST(y AS BIGINT) AS y,
+         CAST(count(y) OVER win AS BIGINT) AS wc,
+         CAST(sum(y) OVER win AS BIGINT) AS ws,
+         CAST(sum(y * y) OVER win AS BIGINT) AS wss
+  FROM eff
+  WINDOW win AS (PARTITION BY scope ORDER BY t
+                 ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING)
+)
+SELECT scope, t, epoch, y, wc, ws, wss,
+       round(CAST(ws AS DOUBLE) / CAST(wc AS DOUBLE), 6) AS mean,
+       round(sqrt(CAST(wc * wss - ws * ws AS DOUBLE)
+                  / CAST(wc * (wc - 1) AS DOUBLE)), 6) AS std,
+       round((CAST(y AS DOUBLE) - CAST(ws AS DOUBLE) / CAST(wc AS DOUBLE))
+             / sqrt(CAST(wc * wss - ws * ws AS DOUBLE)
+                    / CAST(wc * (wc - 1) AS DOUBLE)), 6) AS z,
+       CAST(CASE WHEN (CAST(y AS DOUBLE)
+                       - CAST(ws AS DOUBLE) / CAST(wc AS DOUBLE))
+                      / sqrt(CAST(wc * wss - ws * ws AS DOUBLE)
+                             / CAST(wc * (wc - 1) AS DOUBLE)) > {zt}
+                 THEN 1 ELSE 0 END AS BIGINT) AS anomaly,
+       t0 AS spike_t0
+FROM stats
+WHERE t > {w}
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -12595,4 +12757,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "cohen_kappa": (q_cohen_kappa, _sql_cohen_kappa()),
     "tpch_shipping": (q_tpch_shipping, _sql_tpch_shipping()),
     "tpch_big_orders": (q_tpch_big_orders, _sql_tpch_big_orders()),
+    "rolling_anomaly": (q_rolling_anomaly, _sql_rolling_anomaly()),
 }

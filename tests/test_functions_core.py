@@ -3858,3 +3858,72 @@ def test_tpch_shipping_and_big_orders_pure_python_replay():
         eck, eod, _eop, etp = orders[ok]
         assert (ck, od) == (eck, eod)
         assert tp == round(etp, 2)
+
+
+def test_rolling_anomaly_pure_python_replay_and_branches():
+    """Rolling z-score (`rolling_anomaly`): a pure-Python replay — dense
+    hourly grid, trailing-48h integer window sums, the planted 6x+50
+    spike — must match the DuckDB oracle at sf0.001; the spiked scope
+    flags EXACTLY the planted hour; the raw scope stays quiet; the
+    window never contains the scored point (the spike's own z uses
+    pre-spike statistics); z margins clear the threshold and the 6dp
+    boundary."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        ANOM_SPIKE_ADD,
+        ANOM_SPIKE_MULT,
+        ANOM_W,
+        ANOM_Z,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    hrs = con.execute(
+        "SELECT epoch_us(date_trunc('hour', ts)) FROM events"
+    ).fetchall()
+    c = Counter(h for (h,) in hrs)
+    grid = list(range(min(c), max(c) + 1, 3_600_000_000))
+    xs = [c.get(h, 0) for h in grid]
+    n = len(xs)
+    t0 = (3 * n) // 4
+    exp = {}
+    for scope in ("same", "spiked"):
+        ys = list(xs)
+        if scope == "spiked":
+            ys[t0 - 1] = ANOM_SPIKE_MULT * ys[t0 - 1] + ANOM_SPIKE_ADD
+        for t in range(ANOM_W + 1, n + 1):
+            win = ys[t - 1 - ANOM_W : t - 1]
+            wc, ws, wss = len(win), sum(win), sum(v * v for v in win)
+            mean = ws / wc
+            var = (wc * wss - ws * ws) / (wc * (wc - 1))
+            z = (ys[t - 1] - mean) / math.sqrt(var)
+            exp[(scope, t)] = (ys[t - 1], wc, ws, wss, mean, var, z)
+    rows = con.execute(QUERIES["rolling_anomaly"][1]).fetchall()
+    assert len(rows) == 2 * (n - ANOM_W)
+    flagged = {"same": [], "spiked": []}
+    for scope, t, epoch, y, wc, ws, wss, mean, std, z, anom, sp_t0 in rows:
+        ey, ewc, ews, ewss, emean, evar, ez = exp[(scope, t)]
+        assert (y, wc, ws, wss) == (ey, ewc, ews, ewss)
+        for got, e in ((mean, emean), (std, math.sqrt(evar)), (z, ez)):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4, (scope, t, e)
+            assert got == round(e, 6)
+        assert abs(ez - ANOM_Z) > 0.01  # threshold margin
+        assert anom == (1 if ez > ANOM_Z else 0)
+        assert sp_t0 == t0
+        assert epoch == grid[t - 1] // 1_000_000
+        if anom:
+            flagged[scope].append(t)
+    assert flagged["same"] == [], flagged
+    assert flagged["spiked"] == [t0], flagged
+    # the spike's own window is pre-spike: its mean equals the same-scope
+    # mean at t0
+    assert exp[("spiked", t0)][4] == exp[("same", t0)][4]
