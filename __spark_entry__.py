@@ -394,6 +394,10 @@ DRIVER_CAP_OVERFLOW = (
     # the variance numerator integer; planted 6x+50 spike fires, raw
     # series stays quiet at Z=6
     "rolling_anomaly",
+    # round-6 new, born-overflow: Expected Calibration Error + Brier over
+    # the shared logreg scorer — 6dp fixed-point integerization makes the
+    # binned metric BIGINT-exact (one division per emitted double)
+    "ece_calibration",
 )
 
 

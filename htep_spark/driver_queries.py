@@ -12631,6 +12631,149 @@ WHERE t > {w}
 """
 
 
+# --------------------------------------------------------------------------
+# Expected Calibration Error (`ece_calibration`): the reliability-diagram
+# metric (Naeini et al. 2015; Guo et al. 2017) — does a probabilistic
+# scorer's confidence MEAN what it says? Completes the probabilistic-
+# model eval face over the shared logreg chain: auc_eval scores
+# discrimination, conformal wraps set coverage, ECE audits calibration.
+# The trick that makes a binned metric cross-engine-safe: the score is
+# first scaled to an EXACT integer sp = round(p·1e6) (the same 6dp
+# boundary the whole repo rounds at; margin pytest keeps every p·1e6 off
+# the .5 line and sp off bin edges), after which bins (sp div 100000,
+# capped), per-bin counts, the ECE numerator Σ|1e6·n_pos_b − Σsp_b| and
+# the Brier numerator Σ(sp − 1e6·y)² are ALL BIGINT — one division per
+# emitted double (the exact-reduction rule).
+#
+# Scale shape: the scorer chain is the audited logreg plan (features
+# pinned once, one agg per GD round); calibration adds one map-side
+# groupBy to a 10-row frame + a broadcast 1-row total.
+# --------------------------------------------------------------------------
+
+ECE_BINS = 10
+_ECE_SCALE = 1_000_000  # 6dp fixed-point; bin width = 100000
+
+
+def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _logreg_scored(spark, sf_dir).select(
+        "y", F.round(F.col("p") * _ECE_SCALE, 0).cast("long").alias("sp")
+    )
+    width = _ECE_SCALE // ECE_BINS
+    rows = scored.select(
+        "y",
+        "sp",
+        F.least(
+            F.expr(f"sp div {width}"), F.lit(ECE_BINS - 1).cast("long")
+        ).alias("bin"),
+    )
+    per = rows.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("sp").cast("long").alias("ssp"),
+        F.sum(
+            (F.col("sp") - _ECE_SCALE * F.col("y"))
+            * (F.col("sp") - _ECE_SCALE * F.col("y"))
+        )
+        .cast("long")
+        .alias("sq"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(F.abs(_ECE_SCALE * F.col("n_pos") - F.col("ssp")))
+        .cast("long")
+        .alias("ece_num"),
+        F.sum("sq").cast("long").alias("brier_num"),
+    )
+    grid = spark.range(ECE_BINS).select(F.col("id").cast("long").alias("bin"))
+    filled = grid.join(per, "bin", "left").select(
+        "bin",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.coalesce("n_pos", F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce("ssp", F.lit(0)).cast("long").alias("ssp"),
+    )
+    conf = F.when(
+        F.col("n") > 0,
+        F.col("ssp").cast("double")
+        / (F.col("n") * _ECE_SCALE).cast("double"),
+    ).otherwise(F.lit(0.0))
+    acc = F.when(
+        F.col("n") > 0,
+        F.col("n_pos").cast("double") / F.col("n").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return filled.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "ssp",
+        F.round(conf, 6).alias("avg_conf"),
+        F.round(acc, 6).alias("acc"),
+        F.round(F.abs(acc - conf), 6).alias("gap"),
+        F.round(
+            F.col("ece_num").cast("double")
+            / (F.col("nn") * _ECE_SCALE).cast("double"),
+            6,
+        ).alias("ece"),
+        F.round(
+            F.col("brier_num").cast("double")
+            / (
+                F.col("nn").cast("double")
+                * F.lit(float(_ECE_SCALE) * float(_ECE_SCALE))
+            ),
+            6,
+        ).alias("brier"),
+    )
+
+
+def _sql_ece_calibration() -> str:
+    s, nb = _ECE_SCALE, ECE_BINS
+    width = s // nb
+    return f"""
+WITH {_sql_logreg_chain()}, spt AS (
+  SELECT y, CAST(round(p * {s}) AS BIGINT) AS sp FROM scores
+), binned AS (
+  SELECT y, sp, least(sp // {width}, {nb - 1}) AS bin FROM spt
+), per AS MATERIALIZED (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(sp) AS BIGINT) AS ssp,
+         CAST(sum((sp - {s} * y) * (sp - {s} * y)) AS BIGINT) AS sq
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(abs({s} * n_pos - ssp)) AS BIGINT) AS ece_num,
+         CAST(sum(sq) AS BIGINT) AS brier_num
+  FROM per
+), grid AS (
+  SELECT CAST(unnest(range({nb})) AS BIGINT) AS bin
+), filled AS (
+  SELECT g.bin,
+         CAST(coalesce(p.n, 0) AS BIGINT) AS n,
+         CAST(coalesce(p.n_pos, 0) AS BIGINT) AS n_pos,
+         CAST(coalesce(p.ssp, 0) AS BIGINT) AS ssp
+  FROM grid g LEFT JOIN per p ON p.bin = g.bin
+)
+SELECT f.bin, f.n, f.n_pos, f.ssp,
+       round(CASE WHEN f.n > 0
+                  THEN CAST(f.ssp AS DOUBLE) / CAST(f.n * {s} AS DOUBLE)
+                  ELSE 0.0 END, 6) AS avg_conf,
+       round(CASE WHEN f.n > 0
+                  THEN CAST(f.n_pos AS DOUBLE) / CAST(f.n AS DOUBLE)
+                  ELSE 0.0 END, 6) AS acc,
+       round(abs(CASE WHEN f.n > 0
+                      THEN CAST(f.n_pos AS DOUBLE) / CAST(f.n AS DOUBLE)
+                      ELSE 0.0 END
+                 - CASE WHEN f.n > 0
+                        THEN CAST(f.ssp AS DOUBLE)
+                             / CAST(f.n * {s} AS DOUBLE)
+                        ELSE 0.0 END), 6) AS gap,
+       round(CAST(t.ece_num AS DOUBLE) / CAST(t.nn * {s} AS DOUBLE), 6)
+         AS ece,
+       round(CAST(t.brier_num AS DOUBLE)
+             / (CAST(t.nn AS DOUBLE) * {float(s) * float(s)}), 6) AS brier
+FROM filled f CROSS JOIN tot t
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -12758,4 +12901,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "tpch_shipping": (q_tpch_shipping, _sql_tpch_shipping()),
     "tpch_big_orders": (q_tpch_big_orders, _sql_tpch_big_orders()),
     "rolling_anomaly": (q_rolling_anomaly, _sql_rolling_anomaly()),
+    "ece_calibration": (q_ece_calibration, _sql_ece_calibration()),
 }

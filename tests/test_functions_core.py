@@ -3927,3 +3927,70 @@ def test_rolling_anomaly_pure_python_replay_and_branches():
     # the spike's own window is pre-spike: its mean equals the same-scope
     # mean at t0
     assert exp[("spiked", t0)][4] == exp[("same", t0)][4]
+
+
+def test_ece_calibration_pure_python_replay_and_margins():
+    """ECE (`ece_calibration`): a pure-Python replay — the 6dp
+    fixed-point integerization, capped deciles, BIGINT ECE/Brier
+    numerators — must match the DuckDB oracle at sf0.001; every p·1e6
+    sits clear of the .5 rounding line AND every sp clear of a bin
+    edge (the two discretization hazards); bin counts reconcile; ECE
+    and Brier land in [0, 1]."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        ECE_BINS,
+        QUERIES,
+        _ECE_SCALE,
+        _sql_logreg_chain,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    scored = con.execute(
+        f"WITH {_sql_logreg_chain()} SELECT y, p FROM scores"
+    ).fetchall()
+    width = _ECE_SCALE // ECE_BINS
+    bins = defaultdict(lambda: [0, 0, 0, 0])  # n, n_pos, ssp, sq
+    for y, p in scored:
+        raw = p * _ECE_SCALE
+        assert abs(raw - math.floor(raw) - 0.5) > 1e-6, raw  # off .5 line
+        sp = round(raw)
+        assert sp % width != 0 or sp == 0, sp  # off bin edges
+        b = min(sp // width, ECE_BINS - 1)
+        cell = bins[b]
+        cell[0] += 1
+        cell[1] += y
+        cell[2] += sp
+        cell[3] += (sp - _ECE_SCALE * y) ** 2
+    nn = sum(c[0] for c in bins.values())
+    ece_num = sum(abs(_ECE_SCALE * c[1] - c[2]) for c in bins.values())
+    brier_num = sum(c[3] for c in bins.values())
+    ece = ece_num / (nn * _ECE_SCALE)
+    brier = brier_num / (nn * _ECE_SCALE**2)
+    assert 0.0 <= ece <= 1.0 and 0.0 <= brier <= 1.0
+    assert len(scored) == nn
+    rows = con.execute(QUERIES["ece_calibration"][1]).fetchall()
+    assert len(rows) == ECE_BINS
+    assert sum(r[1] for r in rows) == nn
+    for b, n, n_pos, ssp, avg_conf, acc, gap, gece, gbrier in rows:
+        en, ep, es, _sq = bins.get(b, [0, 0, 0, 0])
+        assert (n, n_pos, ssp) == (en, ep, es)
+        ec = es / (en * _ECE_SCALE) if en else 0.0
+        ea = ep / en if en else 0.0
+        for got, e in (
+            (avg_conf, ec),
+            (acc, ea),
+            (gap, abs(ea - ec)),
+            (gece, ece),
+            (gbrier, brier),
+        ):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4, (b, e)
+            assert got == round(e, 6), (b, got, e)
