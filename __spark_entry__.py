@@ -398,6 +398,10 @@ DRIVER_CAP_OVERFLOW = (
     # the shared logreg scorer — 6dp fixed-point integerization makes the
     # binned metric BIGINT-exact (one division per emitted double)
     "ece_calibration",
+    # round-6 new, born-overflow: triangle counting + clustering
+    # coefficients over the pinned host graph — ordered edge-iterator
+    # a<b<c join (each triangle once), BIGINT counts, lcc/transitivity
+    "triangle_count",
 )
 
 

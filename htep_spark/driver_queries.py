@@ -12774,6 +12774,160 @@ FROM filled f CROSS JOIN tot t
 """
 
 
+# --------------------------------------------------------------------------
+# Triangle counting + clustering coefficients (`triangle_count`): the
+# graph-structure primitive the spectral family (pagerank/hits/lpa)
+# doesn't touch — community density. Over the SAME pinned host graph,
+# undirected (canonical a<b edges): triangles enumerate once each via
+# the ordered edge-iterator join a<b<c (the Cohen 2009 / GraphX shape),
+# per-node counts by exploding each triangle to its three corners,
+# local clustering coefficient 2·tri/(deg·(deg−1)), and global
+# transitivity 3·△/#wedges with wedges = Σ deg(deg−1)/2 — all counts
+# BIGINT-exact, coefficients one division each (6dp).
+#
+# Scale shape: the canonical-edge table derives from one corpus scan and
+# is pinned; the two-hop join shuffles on edge endpoints (at real scale
+# the standard mitigation — iterate each triangle from its LOWEST-DEGREE
+# vertex — drops straight into the same plan by replacing the id
+# ordering with a (degree, id) ordering; the id ordering is kept here
+# because the 24-node universe makes skew moot and DuckDB mirrors it
+# verbatim).
+# --------------------------------------------------------------------------
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    s = (src_num % PR_N_NODES).alias("src")
+    t = ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst")
+    raw = docs.select(s, t).filter(F.col("src") != F.col("dst"))
+    und = (
+        raw.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    tri = (
+        und.alias("e1")
+        .join(und.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            und.alias("e3"),
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tri_n = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("tri"))
+    )
+    tot = tri.agg(F.count("*").cast("long").alias("n_tri"))
+    wedges = deg.agg(
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).cast("long").alias("wedges")
+    )
+    lcc = F.when(
+        F.col("deg") >= 2,
+        (2 * F.col("tri")).cast("double")
+        / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        nodes.join(deg, "node")
+        .join(tri_n, "node", "left")
+        .select(
+            "node", "deg", F.coalesce("tri", F.lit(0)).cast("long").alias("tri")
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "node",
+            "deg",
+            "tri",
+            F.round(lcc, 6).alias("lcc"),
+            "n_tri",
+            "wedges",
+            F.round(
+                F.when(
+                    F.col("wedges") > 0,
+                    (3 * F.col("n_tri")).cast("double")
+                    / F.col("wedges").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("transitivity"),
+        )
+    )
+
+
+def _sql_triangle_count() -> str:
+    n = PR_N_NODES
+    return f"""
+WITH raw AS (
+  SELECT CAST(substr(source, 4, 10) AS BIGINT) % {n} AS src,
+         (CAST(substr(source, 4, 10) AS BIGINT) * 7 + doc_id * 13 + 3)
+           % {n} AS dst
+  FROM documents
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+), deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+), tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+), tri_n AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  GROUP BY node
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_tri FROM tri
+), wedges AS (
+  SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS wedges FROM deg
+)
+SELECT nodes.node, d.deg,
+       CAST(coalesce(tn.tri, 0) AS BIGINT) AS tri,
+       round(CASE WHEN d.deg >= 2
+                  THEN CAST(2 * coalesce(tn.tri, 0) AS DOUBLE)
+                       / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS lcc,
+       tot.n_tri, w.wedges,
+       round(CASE WHEN w.wedges > 0
+                  THEN CAST(3 * tot.n_tri AS DOUBLE)
+                       / CAST(w.wedges AS DOUBLE)
+                  ELSE 0.0 END, 6) AS transitivity
+FROM nodes
+JOIN deg d USING (node)
+LEFT JOIN tri_n tn USING (node)
+CROSS JOIN tot CROSS JOIN wedges w
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -12902,4 +13056,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "tpch_big_orders": (q_tpch_big_orders, _sql_tpch_big_orders()),
     "rolling_anomaly": (q_rolling_anomaly, _sql_rolling_anomaly()),
     "ece_calibration": (q_ece_calibration, _sql_ece_calibration()),
+    "triangle_count": (q_triangle_count, _sql_triangle_count()),
 }

@@ -3994,3 +3994,66 @@ def test_ece_calibration_pure_python_replay_and_margins():
             frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
             assert frac > 1e-4, (b, e)
             assert got == round(e, 6), (b, got, e)
+
+
+def test_triangle_count_pure_python_replay_and_identities():
+    """Triangles (`triangle_count`): a brute-force pure-Python replay —
+    undirected canonical edges, all-(a<b<c) enumeration, per-corner
+    counts, lcc, transitivity — must match the DuckDB oracle at
+    sf0.001; the handshake identities hold (Σ per-node tri = 3·△;
+    wedges ≥ 3·△; transitivity in (0, 1]); the graph is non-trivial
+    (△ > 0 and at least one node with lcc < 1)."""
+    import math
+    from collections import Counter
+    from itertools import combinations
+
+    import duckdb
+
+    from htep_spark.driver_queries import PR_N_NODES, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, doc_id FROM documents").fetchall()
+    edges = set()
+    for src, d in raw:
+        a = int(src[3:]) % PR_N_NODES
+        b = (int(src[3:]) * 7 + d * 13 + 3) % PR_N_NODES
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    nodes = sorted({x for e in edges for x in e})
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    tris = [
+        (a, b, c)
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges
+    ]
+    tri_n = Counter()
+    for a, b, c in tris:
+        tri_n[a] += 1
+        tri_n[b] += 1
+        tri_n[c] += 1
+    n_tri = len(tris)
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    trans = 3 * n_tri / wedges if wedges else 0.0
+    assert n_tri > 0 and wedges >= 3 * n_tri
+    assert sum(tri_n.values()) == 3 * n_tri
+    assert 0.0 < trans <= 1.0
+    rows = con.execute(QUERIES["triangle_count"][1]).fetchall()
+    assert len(rows) == len(nodes)
+    saw_open = False
+    for node, d, tri, lcc, got_ntri, got_wedges, got_trans in rows:
+        assert d == deg[node] and tri == tri_n.get(node, 0)
+        elcc = 2 * tri / (d * (d - 1)) if d >= 2 else 0.0
+        for got, e in ((lcc, elcc), (got_trans, trans)):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4, (node, e)
+            assert got == round(e, 6)
+        assert (got_ntri, got_wedges) == (n_tri, wedges)
+        saw_open = saw_open or (d >= 2 and lcc < 1.0)
+    assert saw_open, "degenerate complete graph"
