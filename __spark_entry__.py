@@ -402,6 +402,11 @@ DRIVER_CAP_OVERFLOW = (
     # coefficients over the pinned host graph — ordered edge-iterator
     # a<b<c join (each triangle once), BIGINT counts, lcc/transitivity
     "triangle_count",
+    # round-6 new, born-overflow: ROUGE-L — real token-LCS row-DP kernel
+    # (Arrow mapInPandas) hash-checked against the planted data's provable
+    # closed form (candidate = subsequence + unmatchable xerr tokens →
+    # LCS = #kept); β=1 F folds to integer ratios
+    "rouge_l",
 )
 
 

@@ -12928,6 +12928,168 @@ CROSS JOIN tot CROSS JOIN wedges w
 """
 
 
+# --------------------------------------------------------------------------
+# ROUGE-L summarization evaluation (`rouge_l`): the LCS-based recall
+# metric (Lin 2004) — the summarization/compression face of the eval
+# family (bleu_eval covers clipped n-gram precision). References are the
+# first ROUGE_MAX_TOK tokens; candidates apply the SAME deterministic
+# perturbation rule as bleu_eval (doc_id%5==0 verbatim, else delete
+# i%7==6, substitute i%11==10 with an 'xerrN' token) TO THE TRUNCATED
+# reference. β=1 LCS-F simplifies to integer ratios: P = LCS/|c|,
+# R = LCS/|r|, F = 2·LCS/(|c|+|r|) — one division each, pooled corpus
+# scores from summed BIGINTs.
+#
+# The Spark side runs the REAL token-LCS dynamic program (vectorized
+# row-DP in an Arrow-batched mapInPandas kernel — the operator a user
+# would point at arbitrary candidate/reference pairs). The DuckDB oracle
+# uses the planted data's closed form: the candidate is an
+# order-preserving subsequence of the reference plus unmatchable 'xerr'
+# tokens (no corpus token starts with 'xerr' — asserted in pytest), so
+# every non-xerr candidate token is matchable via the identity alignment
+# and none other is: LCS = |{c_i : c_i not like 'xerr%'}|. The
+# hash-equality of real DP vs closed form IS the theorem checked on
+# data; the pytest re-proves it with a textbook DP.
+#
+# Scale shape: truncation bounds the DP at ROUGE_MAX_TOK² cells per doc;
+# the kernel is one Arrow projection behind the token barrier (zero
+# shuffles beyond it); pooled scores are one map-side-combinable agg.
+# --------------------------------------------------------------------------
+
+ROUGE_MAX_TOK = 64
+
+
+def _lcs_len(a, b) -> int:
+    """Textbook O(|a|·|b|) LCS length, row-vectorized (numpy)."""
+    import numpy as np
+
+    if len(a) == 0 or len(b) == 0:
+        return 0
+    bb = np.array(b, dtype=object)
+    prev = np.zeros(len(b) + 1, dtype=np.int64)
+    for x in a:
+        eq = bb == x
+        v = np.maximum(prev[1:], np.where(eq, prev[:-1] + 1, 0))
+        cur = np.empty_like(prev)
+        cur[0] = 0
+        cur[1:] = np.maximum.accumulate(v)
+        prev = cur
+    return int(prev[-1])
+
+
+def q_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    toked = token_barrier(
+        docs,
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0),
+        keep_cols=("doc_id",),
+    )
+    r = F.slice(F.col("t"), 1, ROUGE_MAX_TOK)
+    ref = toked.select("doc_id", r.alias("r"))
+    corrupt = F.col("doc_id") % 5 != 0
+    cand = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("r") - 1),
+            lambda i: F.when(corrupt & (i % 7 == 6), F.lit(None))
+            .when(
+                corrupt & (i % 11 == 10),
+                F.concat(F.lit("xerr"), (i % 3).cast("string")),
+            )
+            .otherwise(F.element_at("r", i + 1)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    base = ref.select("doc_id", "r", cand.alias("c"))
+
+    def kernel(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lcs": [
+                        _lcs_len(list(c), list(r_))
+                        for c, r_ in zip(pdf["c"], pdf["r"])
+                    ],
+                    "cand_len": [len(c) for c in pdf["c"]],
+                    "ref_len": [len(r_) for r_ in pdf["r"]],
+                }
+            )
+            yield out
+
+    per = base.mapInPandas(
+        kernel, "doc_id long, lcs long, cand_len long, ref_len long"
+    )
+    pooled = per.agg(
+        F.sum("lcs").cast("long").alias("tl"),
+        F.sum("cand_len").cast("long").alias("tc"),
+        F.sum("ref_len").cast("long").alias("tr"),
+    )
+    return per.crossJoin(F.broadcast(pooled)).select(
+        "doc_id",
+        "lcs",
+        "cand_len",
+        "ref_len",
+        F.round(
+            F.col("lcs").cast("double") / F.col("cand_len").cast("double"), 6
+        ).alias("p"),
+        F.round(
+            F.col("lcs").cast("double") / F.col("ref_len").cast("double"), 6
+        ).alias("r"),
+        F.round(
+            (2 * F.col("lcs")).cast("double")
+            / (F.col("cand_len") + F.col("ref_len")).cast("double"),
+            6,
+        ).alias("f"),
+        F.round(
+            (2 * F.col("tl")).cast("double")
+            / (F.col("tc") + F.col("tr")).cast("double"),
+            6,
+        ).alias("f_corpus"),
+    )
+
+
+def _sql_rouge_l() -> str:
+    m = ROUGE_MAX_TOK
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')[1 : {m}] AS r
+  FROM documents
+), base AS MATERIALIZED (
+  SELECT doc_id, r,
+         list_filter(list_transform(range(len(r)),
+           i -> CASE WHEN doc_id % 5 <> 0 AND i % 7 = 6 THEN NULL
+                     WHEN doc_id % 5 <> 0 AND i % 11 = 10
+                       THEN 'xerr' || CAST(i % 3 AS VARCHAR)
+                     ELSE r[i + 1] END),
+           x -> x IS NOT NULL) AS c
+  FROM toked
+), per AS MATERIALIZED (
+  -- closed form (see operator header): the candidate is an order-
+  -- preserving subsequence of r plus unmatchable xerr tokens, so
+  -- LCS(c, r) = #non-xerr candidate tokens
+  SELECT doc_id,
+         CAST(len(list_filter(c, x -> x NOT LIKE 'xerr%')) AS BIGINT)
+           AS lcs,
+         CAST(len(c) AS BIGINT) AS cand_len,
+         CAST(len(r) AS BIGINT) AS ref_len
+  FROM base
+), pooled AS (
+  SELECT CAST(sum(lcs) AS BIGINT) AS tl,
+         CAST(sum(cand_len) AS BIGINT) AS tc,
+         CAST(sum(ref_len) AS BIGINT) AS tr
+  FROM per
+)
+SELECT p.doc_id, p.lcs, p.cand_len, p.ref_len,
+       round(CAST(p.lcs AS DOUBLE) / CAST(p.cand_len AS DOUBLE), 6) AS p,
+       round(CAST(p.lcs AS DOUBLE) / CAST(p.ref_len AS DOUBLE), 6) AS r,
+       round(CAST(2 * p.lcs AS DOUBLE)
+             / CAST(p.cand_len + p.ref_len AS DOUBLE), 6) AS f,
+       round(CAST(2 * po.tl AS DOUBLE)
+             / CAST(po.tc + po.tr AS DOUBLE), 6) AS f_corpus
+FROM per p CROSS JOIN pooled po
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -13057,4 +13219,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "rolling_anomaly": (q_rolling_anomaly, _sql_rolling_anomaly()),
     "ece_calibration": (q_ece_calibration, _sql_ece_calibration()),
     "triangle_count": (q_triangle_count, _sql_triangle_count()),
+    "rouge_l": (q_rouge_l, _sql_rouge_l()),
 }

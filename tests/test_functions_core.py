@@ -4057,3 +4057,75 @@ def test_triangle_count_pure_python_replay_and_identities():
         assert (got_ntri, got_wedges) == (n_tri, wedges)
         saw_open = saw_open or (d >= 2 and lcc < 1.0)
     assert saw_open, "degenerate complete graph"
+
+
+def test_rouge_l_closed_form_theorem_and_replay():
+    """ROUGE-L (`rouge_l`): the oracle's closed form (LCS = #non-xerr
+    candidate tokens) must equal a TEXTBOOK LCS DP for every doc at
+    sf0.001 — the theorem that lets DuckDB skip the DP; the repo's
+    vectorized `_lcs_len` must equal the textbook DP too (it is the
+    Spark kernel); no corpus token starts with 'xerr' (the
+    unmatchability precondition); the DuckDB rows reproduce the
+    integer-ratio P/R/F; verbatim docs score exactly 1."""
+    import math
+    import re
+
+    import duckdb
+
+    from htep_spark.driver_queries import ROUGE_MAX_TOK, QUERIES, _lcs_len
+
+    def lcs_ref(a, b):
+        m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = (
+                    m[i - 1][j - 1] + 1
+                    if a[i - 1] == b[j - 1]
+                    else max(m[i - 1][j], m[i][j - 1])
+                )
+        return m[-1][-1]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    exp = {}
+    for d, txt in raw:
+        r = re.findall("[a-z0-9]+", txt.lower())[:ROUGE_MAX_TOK]
+        assert not any(t.startswith("xerr") for t in r)
+        if d % 5 == 0:
+            c = list(r)
+        else:
+            c = [
+                (f"xerr{i % 3}" if i % 11 == 10 else r[i])
+                for i in range(len(r))
+                if i % 7 != 6
+            ]
+        kept = sum(1 for t in c if not t.startswith("xerr"))
+        dp = lcs_ref(c, r)
+        assert dp == kept, (d, dp, kept)  # the closed-form theorem
+        assert _lcs_len(c, r) == dp  # the Spark kernel == textbook DP
+        exp[d] = (kept, len(c), len(r))
+    tl = sum(v[0] for v in exp.values())
+    tc = sum(v[1] for v in exp.values())
+    tr = sum(v[2] for v in exp.values())
+    rows = con.execute(QUERIES["rouge_l"][1]).fetchall()
+    assert len(rows) == len(exp)
+    for d, lcs, cl, rl, p, r_, f, fc in rows:
+        el, ec, er = exp[d]
+        assert (lcs, cl, rl) == (el, ec, er)
+        for got, e in (
+            (p, el / ec),
+            (r_, el / er),
+            (f, 2 * el / (ec + er)),
+            (fc, 2 * tl / (tc + tr)),
+        ):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4, (d, e)
+            assert got == round(e, 6)
+        if d % 5 == 0:
+            assert (p, r_, f) == (1.0, 1.0, 1.0)
+        else:
+            assert f < 1.0
