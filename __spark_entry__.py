@@ -407,6 +407,11 @@ DRIVER_CAP_OVERFLOW = (
     # closed form (candidate = subsequence + unmatchable xerr tokens →
     # LCS = #kept); β=1 F folds to integer ratios
     "rouge_l",
+    # round-6 new, born-overflow: Deequ-style per-column data-quality
+    # profile over documents AND events — completeness, exact cardinality,
+    # the primary-key audit, exact integer means, deterministic argmin top
+    # values; one aggregate pass per table
+    "data_profile",
 )
 
 

@@ -262,6 +262,18 @@ def main() -> None:
         "gini_lorenz",
         "rbo_topk",
         "psi_drift",
+        "doc_cube",
+        "cohort_retention",
+        "kmv_intersect",
+        "cusum_changepoint",
+        "ndcg_eval",
+        "cohen_kappa",
+        "tpch_shipping",
+        "tpch_big_orders",
+        "rolling_anomaly",
+        "ece_calibration",
+        "triangle_count",
+        "rouge_l",
     ):
         if name not in QUERIES:
             continue

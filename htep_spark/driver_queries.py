@@ -13090,6 +13090,180 @@ FROM per p CROSS JOIN pooled po
 """
 
 
+# --------------------------------------------------------------------------
+# Data-quality profile (`data_profile`): the Deequ/dbt-tests capability —
+# per-column completeness (null counts), cardinality (exact distinct),
+# the primary-key audit (uniq = distinct==n AND no nulls), numeric
+# min/max, exact integer means, and deterministic top values for
+# bounded-domain string columns ((count DESC, value ASC) argmin so ties
+# cannot drift). Profiles BOTH the documents and events tables in one
+# operator — the pre-flight audit every ingestion run gates on.
+# Column kinds: 'int' (exact mean = Σ/n of BIGINTs), 'dbl' (min/max
+# only — a double mean would have a reduce-order surface), 'top'
+# (bounded string domain), 'skip' (text — counts only).
+#
+# Scale shape: one aggregate pass per table carries every scalar stat
+# (count_distinct included — Catalyst plans the multi-distinct via
+# expand, still a single logical pass); top values are per-column
+# groupBys over bounded domains; output is |columns|-sized.
+# --------------------------------------------------------------------------
+
+_PROFILE_SPEC = (
+    (
+        "documents",
+        (
+            ("doc_id", "int"),
+            ("text", "skip"),
+            ("lang", "top"),
+            ("source", "top"),
+            ("n_chars", "int"),
+        ),
+    ),
+    (
+        "events",
+        (
+            ("event_id", "int"),
+            ("user_id", "int"),
+            ("event_type", "top"),
+            ("value", "dbl"),
+            ("props", "top"),
+        ),
+    ),
+)
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for table, cols in _PROFILE_SPEC:
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+        for c, kind in cols:
+            aggs.append(
+                F.sum(F.col(c).isNull().cast("long"))
+                .cast("long")
+                .alias(f"null_{c}")
+            )
+            aggs.append(
+                F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}")
+            )
+            if kind in ("int", "dbl"):
+                aggs.append(F.min(c).cast("double").alias(f"mn_{c}"))
+                aggs.append(F.max(c).cast("double").alias(f"mx_{c}"))
+            if kind == "int":
+                aggs.append(F.sum(c).cast("long").alias(f"sum_{c}"))
+        stats = df.agg(*aggs).localCheckpoint(eager=True)
+        for c, kind in cols:
+            num_null = F.lit(None).cast("double")
+            row = stats.select(
+                F.lit(table).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                F.col("n"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                (
+                    (F.col(f"nd_{c}") == F.col("n"))
+                    & (F.col(f"null_{c}") == 0)
+                )
+                .cast("long")
+                .alias("uniq"),
+                (
+                    F.round(F.col(f"mn_{c}"), 6)
+                    if kind in ("int", "dbl")
+                    else num_null
+                ).alias("min_num"),
+                (
+                    F.round(F.col(f"mx_{c}"), 6)
+                    if kind in ("int", "dbl")
+                    else num_null
+                ).alias("max_num"),
+                (
+                    F.round(
+                        F.col(f"sum_{c}").cast("double")
+                        / F.col("n").cast("double"),
+                        6,
+                    )
+                    if kind == "int"
+                    else num_null
+                ).alias("mean_num"),
+            )
+            if kind == "top":
+                top = (
+                    df.groupBy(F.col(c).cast("string").alias("v"))
+                    .agg(F.count("*").cast("long").alias("cnt"))
+                    .agg(
+                        F.min(
+                            F.struct(
+                                (-F.col("cnt")).alias("negc"),
+                                F.col("v").alias("v"),
+                            )
+                        ).alias("s")
+                    )
+                    .select(
+                        F.col("s.v").alias("top_value"),
+                        (-F.col("s.negc")).cast("long").alias("top_count"),
+                    )
+                )
+                row = row.crossJoin(F.broadcast(top))
+            else:
+                row = row.select(
+                    "*",
+                    F.lit(None).cast("string").alias("top_value"),
+                    F.lit(None).cast("long").alias("top_count"),
+                )
+            frames.append(row)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _sql_data_profile() -> str:
+    selects = []
+    for table, cols in _PROFILE_SPEC:
+        for c, kind in cols:
+            if kind in ("int", "dbl"):
+                mn = f"round(CAST(min({c}) AS DOUBLE), 6)"
+                mx = f"round(CAST(max({c}) AS DOUBLE), 6)"
+            else:
+                mn = mx = "CAST(NULL AS DOUBLE)"
+            mean = (
+                f"round(CAST(sum({c}) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)"
+                if kind == "int"
+                else "CAST(NULL AS DOUBLE)"
+            )
+            if kind == "top":
+                top_v = (
+                    f"(SELECT v FROM (SELECT CAST({c} AS VARCHAR) AS v,"
+                    f" count(*) AS cnt FROM {table} GROUP BY 1"
+                    f" ORDER BY cnt DESC, v LIMIT 1))"
+                )
+                top_c = (
+                    f"(SELECT CAST(cnt AS BIGINT) FROM (SELECT"
+                    f" CAST({c} AS VARCHAR) AS v, count(*) AS cnt"
+                    f" FROM {table} GROUP BY 1 ORDER BY cnt DESC, v LIMIT 1))"
+                )
+            else:
+                top_v = "CAST(NULL AS VARCHAR)"
+                top_c = "CAST(NULL AS BIGINT)"
+            selects.append(
+                f"""SELECT '{table}' AS table_name, '{c}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(CASE WHEN count(DISTINCT {c}) = count(*)
+                  AND sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS uniq,
+       {mn} AS min_num,
+       {mx} AS max_num,
+       {mean} AS mean_num,
+       {top_v} AS top_value,
+       {top_c} AS top_count
+FROM {table}"""
+            )
+    return "\nUNION ALL\n".join(selects)
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -13220,4 +13394,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "ece_calibration": (q_ece_calibration, _sql_ece_calibration()),
     "triangle_count": (q_triangle_count, _sql_triangle_count()),
     "rouge_l": (q_rouge_l, _sql_rouge_l()),
+    "data_profile": (q_data_profile, _sql_data_profile()),
 }

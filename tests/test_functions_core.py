@@ -4129,3 +4129,77 @@ def test_rouge_l_closed_form_theorem_and_replay():
             assert (p, r_, f) == (1.0, 1.0, 1.0)
         else:
             assert f < 1.0
+
+
+def test_data_profile_pure_python_replay():
+    """Profile (`data_profile`): a pure-Python replay — per-column
+    completeness, exact distinct counts, the uniq audit, integer means,
+    (count DESC, value ASC) top values — must match the DuckDB oracle at
+    sf0.001; the id columns profile as unique, bounded-domain string
+    columns don't; every emitted numeric clears the 6dp boundary."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import _PROFILE_SPEC, QUERIES
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    exp = {}
+    for table, cols in _PROFILE_SPEC:
+        data = con.execute(
+            f"SELECT {', '.join(c for c, _k in cols)} FROM {table}"
+        ).fetchall()
+        for ci, (c, kind) in enumerate(cols):
+            vals = [r[ci] for r in data]
+            nn = sum(1 for v in vals if v is None)
+            pres = [v for v in vals if v is not None]
+            nd = len(set(pres))
+            row = {
+                "n": len(vals),
+                "n_null": nn,
+                "n_distinct": nd,
+                "uniq": 1 if (nd == len(vals) and nn == 0) else 0,
+                "min_num": None,
+                "max_num": None,
+                "mean_num": None,
+                "top_value": None,
+                "top_count": None,
+            }
+            if kind in ("int", "dbl"):
+                row["min_num"] = round(float(min(pres)), 6)
+                row["max_num"] = round(float(max(pres)), 6)
+            if kind == "int":
+                row["mean_num"] = sum(pres) / len(vals)
+            if kind == "top":
+                cnt = Counter(str(v) for v in pres)
+                tv = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                row["top_value"], row["top_count"] = tv
+            exp[(table, c)] = row
+    rows = con.execute(QUERIES["data_profile"][1]).fetchall()
+    assert len(rows) == sum(len(cols) for _t, cols in _PROFILE_SPEC)
+    for (tname, cname, n, n_null, nd, uniq, mn, mx, mean, tv, tc) in rows:
+        e = exp[(tname, cname)]
+        assert (n, n_null, nd, uniq) == (
+            e["n"], e["n_null"], e["n_distinct"], e["uniq"]
+        ), (tname, cname)
+        assert mn == e["min_num"] and mx == e["max_num"]
+        if e["mean_num"] is None:
+            assert mean is None
+        else:
+            frac = abs(
+                e["mean_num"] * 1e6 - math.floor(e["mean_num"] * 1e6) - 0.5
+            )
+            assert frac > 1e-4
+            assert mean == round(e["mean_num"], 6)
+        assert (tv, tc) == (e["top_value"], e["top_count"])
+    by = {(r[0], r[1]): r for r in rows}
+    assert by[("documents", "doc_id")][5] == 1
+    assert by[("events", "event_id")][5] == 1
+    assert by[("documents", "lang")][5] == 0
+    assert by[("events", "event_type")][5] == 0
