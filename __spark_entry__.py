@@ -412,6 +412,11 @@ DRIVER_CAP_OVERFLOW = (
     # the primary-key audit, exact integer means, deterministic argmin top
     # values; one aggregate pass per table
     "data_profile",
+    # round-6 new, born-overflow: skyline / Pareto frontier (Börzsönyi
+    # 2001) — bounded-y-domain threshold curve (one broadcast join, no
+    # corpus self-join) hash-proved against the literal quadratic
+    # NOT EXISTS definition; all-BIGINT
+    "skyline",
 )
 
 

@@ -13264,6 +13264,87 @@ FROM {table}"""
     return "\nUNION ALL\n".join(selects)
 
 
+# --------------------------------------------------------------------------
+# Skyline / Pareto frontier (`skyline`): the classic database operator
+# (Börzsönyi et al. ICDE 2001) — the set of documents not strictly
+# dominated on (x = n_chars, y = distinct-token count): a point is
+# dominated iff some other point beats it on BOTH dimensions. The
+# textbook formulation is a quadratic NOT EXISTS self-join; the
+# scale-honest plan used here exploits the bounded y-domain (≤ 31 for
+# this corpus; any discretized dimension works the same way at 100 TB):
+# per-y maxima M₀(y) = max{x : points at y} fold into the threshold
+# curve M(y) = max{x' : y' > y} over the ≤|Y|² level table, and a point
+# is dominated iff x < M(y) — one map-side agg + one broadcast join,
+# never a self-join of the corpus. All-BIGINT (zero rounding surface).
+#
+# The DuckDB oracle runs the literal quadratic NOT EXISTS definition —
+# so the hash equality PROVES the threshold-curve plan computes the
+# textbook skyline on data (the rouge_l closed-form discipline).
+# --------------------------------------------------------------------------
+
+
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0
+    )
+    p = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("x"),
+        F.size(F.array_distinct(toks)).cast("long").alias("y"),
+    )
+    per_y = p.groupBy("y").agg(F.max("x").alias("mx"))
+    thresh = (
+        per_y.alias("a")
+        .join(per_y.alias("b"), F.col("b.y") > F.col("a.y"), "left")
+        .groupBy(F.col("a.y").alias("y"))
+        .agg(F.max(F.col("b.mx")).alias("m"))
+    )
+    out = p.join(F.broadcast(thresh), "y")
+    dominated = F.when(
+        F.col("m").isNotNull() & (F.col("x") < F.col("m")), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = out.select(
+        "doc_id", "x", "y", dominated.cast("long").alias("dominated")
+    )
+    nsky = flagged.agg(
+        F.sum(1 - F.col("dominated")).cast("long").alias("n_skyline")
+    )
+    return flagged.crossJoin(F.broadcast(nsky)).select(
+        "doc_id",
+        "x",
+        "y",
+        "dominated",
+        (1 - F.col("dominated")).cast("long").alias("skyline"),
+        "n_skyline",
+    )
+
+
+def _sql_skyline() -> str:
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+         CAST(len(list_distinct(
+             regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')))
+           AS BIGINT) AS y
+  FROM documents
+), flagged AS MATERIALIZED (
+  -- the literal quadratic definition: dominated iff a strictly-better
+  -- point exists on BOTH dims (the Spark side uses the bounded-domain
+  -- threshold curve; hash equality proves the equivalence on data)
+  SELECT a.doc_id, a.x, a.y,
+         CAST(CASE WHEN EXISTS (
+             SELECT 1 FROM p b WHERE b.x > a.x AND b.y > a.y)
+           THEN 1 ELSE 0 END AS BIGINT) AS dominated
+  FROM p a
+)
+SELECT doc_id, x, y, dominated,
+       CAST(1 - dominated AS BIGINT) AS skyline,
+       (SELECT CAST(sum(1 - dominated) AS BIGINT) FROM flagged)
+         AS n_skyline
+FROM flagged
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -13395,4 +13476,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "triangle_count": (q_triangle_count, _sql_triangle_count()),
     "rouge_l": (q_rouge_l, _sql_rouge_l()),
     "data_profile": (q_data_profile, _sql_data_profile()),
+    "skyline": (q_skyline, _sql_skyline()),
 }

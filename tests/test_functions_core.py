@@ -4203,3 +4203,53 @@ def test_data_profile_pure_python_replay():
     assert by[("events", "event_id")][5] == 1
     assert by[("documents", "lang")][5] == 0
     assert by[("events", "event_type")][5] == 0
+
+
+def test_skyline_pure_python_replay_and_frontier():
+    """Skyline (`skyline`): a brute-force pure-Python dominance replay
+    must match the DuckDB oracle at sf0.001 (which itself runs the
+    literal quadratic NOT EXISTS — the Spark threshold-curve plan is
+    proved equal by the parity hash); the frontier is non-trivial
+    (1 < n_skyline < n); no skyline point strictly dominates another;
+    every dominated point has a strict dominator. All-BIGINT — no
+    rounding assertions needed."""
+    import re
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, n_chars, text FROM documents").fetchall()
+    pts = {
+        d: (nc, len(set(re.findall("[a-z0-9]+", t.lower()))))
+        for d, nc, t in raw
+    }
+    dom = {
+        d: any(
+            ox > x and oy > y for od, (ox, oy) in pts.items() if od != d
+        )
+        for d, (x, y) in pts.items()
+    }
+    n_sky = sum(1 for v in dom.values() if not v)
+    assert 1 < n_sky < len(pts)
+    rows = con.execute(QUERIES["skyline"][1]).fetchall()
+    assert len(rows) == len(pts)
+    sky_pts = []
+    for d, x, y, dominated, skyline, got_nsky in rows:
+        assert (x, y) == pts[d]
+        assert dominated == (1 if dom[d] else 0)
+        assert skyline == 1 - dominated
+        assert got_nsky == n_sky
+        if skyline:
+            sky_pts.append((x, y))
+    # antichain property: no skyline point strictly dominates another
+    assert not any(
+        a != b and a[0] > b[0] and a[1] > b[1]
+        for a in sky_pts
+        for b in sky_pts
+    )
