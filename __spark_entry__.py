@@ -417,6 +417,10 @@ DRIVER_CAP_OVERFLOW = (
     # corpus self-join) hash-proved against the literal quadratic
     # NOT EXISTS definition; all-BIGINT
     "skyline",
+    # round-6 new, born-overflow: Agrawal-Srikant association rules over
+    # per-doc distinct-token baskets — support/confidence/lift from BIGINT
+    # counts, basket-width-bounded pair join, Apriori support floor
+    "assoc_rules",
 )
 
 

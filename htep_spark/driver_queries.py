@@ -13345,6 +13345,120 @@ FROM flagged
 """
 
 
+# --------------------------------------------------------------------------
+# Association rules (`assoc_rules`): Agrawal-Srikant market-basket
+# mining — directed rules a→b over per-document distinct-token baskets
+# with the three canonical measures: support = n_ab/N, confidence =
+# n_ab/n_a, lift = N·n_ab/(n_a·n_b). Complements `pmi_bigrams`
+# (ADJACENCY association) with set-membership co-occurrence — the
+# item-affinity primitive recommenders and query-expansion mine. Rules
+# below ASSOC_MIN_COUNT co-occurrences are pruned (the Apriori support
+# floor).
+#
+# Scale shape: baskets = distinct (doc, token) (one exchange); pair
+# generation is a self-equi-join on doc_id whose blowup is bounded by
+# the ≤31-token basket width (the shingle co-occurrence discipline —
+# at real scale the support floor prunes BEFORE the join via a
+# broadcast frequent-item filter, which this corpus's bounded vocabulary
+# makes vacuous); marginals are map-side-combinable counts broadcast
+# onto the ≤|V|² rule table. All counts BIGINT; the three measures are
+# one division each (6dp).
+# --------------------------------------------------------------------------
+
+ASSOC_MIN_COUNT = 5
+
+
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0
+    )
+    items = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(toks)).alias("token"))
+        .localCheckpoint(eager=True)
+    )
+    nn = items.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    marg = items.groupBy("token").agg(F.count("*").cast("long").alias("nt"))
+    pairs = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") != F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("ant"), F.col("b.token").alias("cons")
+        )
+        .agg(F.count("*").cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= ASSOC_MIN_COUNT)
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("token").alias("ant"),
+                                    F.col("nt").alias("n_a"))),
+            "ant",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("token").alias("cons"),
+                                    F.col("nt").alias("n_b"))),
+            "cons",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "ant",
+            "cons",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_docs",
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("support"),
+            F.round(
+                F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("n_docs") * F.col("n_ab")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def _sql_assoc_rules() -> str:
+    return f"""
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT doc_id, t.token
+  FROM documents,
+       unnest(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+         AS t(token)
+), nn AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM items
+), marg AS MATERIALIZED (
+  SELECT token, CAST(count(*) AS BIGINT) AS nt FROM items GROUP BY token
+), pairs AS MATERIALIZED (
+  SELECT a.token AS ant, b.token AS cons, CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b
+    ON b.doc_id = a.doc_id AND b.token <> a.token
+  GROUP BY 1, 2
+  HAVING count(*) >= {ASSOC_MIN_COUNT}
+)
+SELECT p.ant, p.cons, p.n_ab, ma.nt AS n_a, mb.nt AS n_b, nn.n_docs,
+       round(CAST(p.n_ab AS DOUBLE) / CAST(nn.n_docs AS DOUBLE), 6)
+         AS support,
+       round(CAST(p.n_ab AS DOUBLE) / CAST(ma.nt AS DOUBLE), 6)
+         AS confidence,
+       round(CAST(nn.n_docs * p.n_ab AS DOUBLE)
+             / CAST(ma.nt * mb.nt AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN marg ma ON ma.token = p.ant
+JOIN marg mb ON mb.token = p.cons
+CROSS JOIN nn
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -13477,4 +13591,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "rouge_l": (q_rouge_l, _sql_rouge_l()),
     "data_profile": (q_data_profile, _sql_data_profile()),
     "skyline": (q_skyline, _sql_skyline()),
+    "assoc_rules": (q_assoc_rules, _sql_assoc_rules()),
 }

