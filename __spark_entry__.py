@@ -421,6 +421,10 @@ DRIVER_CAP_OVERFLOW = (
     # per-doc distinct-token baskets — support/confidence/lift from BIGINT
     # counts, basket-width-bounded pair join, Apriori support floor
     "assoc_rules",
+    # round-6 new, born-overflow: RFM customer segmentation — exact-day
+    # recency / purchase counts / BIGINT cents, quintile scores by exact
+    # global rank (zero doubles end to end)
+    "rfm_segments",
 )
 
 

@@ -13459,6 +13459,129 @@ CROSS JOIN nn
 """
 
 
+# --------------------------------------------------------------------------
+# RFM segmentation (`rfm_segments`): the classic customer-value
+# segmentation (Hughes 1994) — per user over purchase events: Recency =
+# exact integer days from last purchase to the corpus horizon, Frequency
+# = purchase count, Monetary = Σ round(value·100) in exact BIGINT cents.
+# Each dimension quintile-scores 1..5 by EXACT global rank (score =
+# ceil(5·rank/n); R ranks ascending — 5 = most recent; F and M rank
+# descending via negation — 5 = highest), and the three digits
+# concatenate into the segment label. ZERO doubles anywhere — ranks,
+# ceil-division and labels are all integer/string (the cusum exactness
+# class).
+#
+# Scale shape: one filtered scan → per-user min/max/count/sum (map-side
+# combinable); three range-partitioned exact_global_rank passes over the
+# |users| frame (the audited no-single-partition-window path); the
+# horizon rides a broadcast 1-row agg.
+# --------------------------------------------------------------------------
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    um = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == RET_EVENT)
+        .select(
+            "user_id",
+            um.alias("um"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+    )
+    per = ev.groupBy("user_id").agg(
+        F.max("um").alias("last_um"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum("cents").cast("long").alias("monetary"),
+    )
+    horizon = ev.agg(F.max("um").alias("hz"))
+    base = per.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.expr(f"cast((hz - last_um) div {_DAY_US} as bigint)").alias(
+            "recency_days"
+        ),
+        "freq",
+        "monetary",
+    )
+
+    def score(df: DataFrame, col: str, desc: bool, out: str) -> DataFrame:
+        src = df.withColumn("_k", -F.col(col) if desc else F.col(col))
+        r = exact_global_rank(src, "_k", ("user_id",))
+        return r.select(
+            "user_id",
+            F.ceil(5 * F.col("global_rank") / F.col("global_count"))
+            .cast("long")
+            .alias(out),
+        )
+
+    rs = score(base, "recency_days", False, "r_score")
+    fs = score(base, "freq", True, "f_score")
+    ms = score(base, "monetary", True, "m_score")
+    return (
+        base.join(rs, "user_id")
+        .join(fs, "user_id")
+        .join(ms, "user_id")
+        .select(
+            "user_id",
+            "recency_days",
+            "freq",
+            "monetary",
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ).alias("segment"),
+        )
+    )
+
+
+def _sql_rfm_segments() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS um,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = {_sql_quote(RET_EVENT)}
+), per AS MATERIALIZED (
+  SELECT user_id, max(um) AS last_um,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(cents) AS BIGINT) AS monetary
+  FROM ev GROUP BY user_id
+), hz AS (
+  SELECT max(um) AS hz FROM ev
+), base AS MATERIALIZED (
+  SELECT user_id,
+         CAST((hz.hz - per.last_um) // {_DAY_US} AS BIGINT)
+           AS recency_days,
+         freq, monetary
+  FROM per CROSS JOIN hz
+), scored AS (
+  SELECT user_id, recency_days, freq, monetary,
+         CAST(ceil(5.0 * row_number()
+                     OVER (ORDER BY recency_days, user_id)
+                   / count(*) OVER ()) AS BIGINT) AS r_score,
+         CAST(ceil(5.0 * row_number()
+                     OVER (ORDER BY -freq, user_id)
+                   / count(*) OVER ()) AS BIGINT) AS f_score,
+         CAST(ceil(5.0 * row_number()
+                     OVER (ORDER BY -monetary, user_id)
+                   / count(*) OVER ()) AS BIGINT) AS m_score
+  FROM base
+)
+SELECT user_id, recency_days, freq, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS segment
+FROM scored
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -13592,4 +13715,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "data_profile": (q_data_profile, _sql_data_profile()),
     "skyline": (q_skyline, _sql_skyline()),
     "assoc_rules": (q_assoc_rules, _sql_assoc_rules()),
+    "rfm_segments": (q_rfm_segments, _sql_rfm_segments()),
 }

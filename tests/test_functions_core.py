@@ -4315,3 +4315,68 @@ def test_assoc_rules_pure_python_replay_and_measures():
             assert abs(lifts[(c, a)] - v) < 1e-12
     assert any(v > 1.0 for v in lifts.values())
     assert any(v < 1.0 for v in lifts.values())
+
+
+def test_rfm_segments_pure_python_replay_and_quintiles():
+    """RFM (`rfm_segments`): a pure-Python replay — purchase-only
+    recency/frequency/cents, rank-based quintile scores with the
+    (metric, user_id) tie-break — must match the DuckDB oracle at
+    sf0.001; scores span 1..5 with balanced (±1) quintile sizes; the
+    most-recent user scores r=1's complement... i.e. the rank-1 user of
+    each dimension scores 1; segment is the digit concat; zero doubles
+    (everything integer-exact)."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import _DAY_US, QUERIES, RET_EVENT
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT user_id, epoch_us(ts), value FROM events "
+        "WHERE event_type = ?",
+        [RET_EVENT],
+    ).fetchall()
+    per = defaultdict(lambda: [0, 0, 0])  # last_um, freq, cents
+    for u, um, v in raw:
+        c = per[u]
+        c[0] = max(c[0], um)
+        c[1] += 1
+        c[2] += round(v * 100)
+    hz = max(c[0] for c in per.values())
+    base = {
+        u: ((hz - c[0]) // _DAY_US, c[1], c[2]) for u, c in per.items()
+    }
+    n = len(base)
+
+    def scores(key_idx, desc):
+        order = sorted(
+            base.items(),
+            key=lambda kv: (
+                -kv[1][key_idx] if desc else kv[1][key_idx],
+                kv[0],
+            ),
+        )
+        return {
+            u: math.ceil(5 * (i + 1) / n)
+            for i, (u, _v) in enumerate(order)
+        }
+
+    rs, fs, ms = scores(0, False), scores(1, True), scores(2, True)
+    rows = con.execute(QUERIES["rfm_segments"][1]).fetchall()
+    assert len(rows) == n
+    for u, rec, freq, mon, r_s, f_s, m_s, seg in rows:
+        er, ef, em = base[u]
+        assert (rec, freq, mon) == (er, ef, em)
+        assert (r_s, f_s, m_s) == (rs[u], fs[u], ms[u])
+        assert seg == f"{r_s}{f_s}{m_s}"
+        assert 1 <= r_s <= 5 and 1 <= f_s <= 5 and 1 <= m_s <= 5
+    for sc in (rs, fs, ms):
+        sizes = Counter(sc.values())
+        assert set(sizes) == set(range(1, 6))
+        assert max(sizes.values()) - min(sizes.values()) <= 1
