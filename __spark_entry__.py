@@ -425,6 +425,10 @@ DRIVER_CAP_OVERFLOW = (
     # recency / purchase counts / BIGINT cents, quintile scores by exact
     # global rank (zero doubles end to end)
     "rfm_segments",
+    # round-6 new, born-overflow: k-core decomposition — |V| synchronous
+    # peels with per-round pins (fixpoint PROVEN by the converged flag),
+    # onion-layer removed_round; all-integer; completes the graph quartet
+    "k_core",
 )
 
 

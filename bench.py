@@ -274,6 +274,10 @@ def main() -> None:
         "ece_calibration",
         "triangle_count",
         "rouge_l",
+        "data_profile",
+        "skyline",
+        "assoc_rules",
+        "rfm_segments",
     ):
         if name not in QUERIES:
             continue

@@ -13582,6 +13582,239 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# k-core decomposition (`k_core`): the degeneracy peel (Seidman 1983) —
+# iteratively delete nodes of degree < K until fixpoint; the surviving
+# K-core is the graph's cohesive backbone (spam-farm / community-seed
+# detection on host graphs). Completes the graph quartet: pagerank
+# (centrality), hits (dual centrality), lpa (communities),
+# triangle_count (density), k_core (cohesion). The pagerank edge rule is
+# near-REGULAR (probed: every k peels all-or-nothing), so this operator
+# synthesizes a degree-SKEWED host graph from the same corpus columns:
+# src = src_num % N, dst = (src_num·7 + doc_id·13 + 3) % (src + 1) — a
+# preferential-attachment-style rule where low-index hosts accumulate
+# degree. Two scopes prove both peel regimes at every SF (probed at
+# sf0.001/0.01/0.1): 'core' (K=6) converges in one round to a 17-node
+# core; 'cascade' (K=7) unravels over SIX onion layers to the empty
+# graph — the multi-round removal path. KC_ROUNDS = 12 synchronous
+# peels; the converged flag certifies fixpoint (size of the last two
+# rounds equal) in the output itself. ALL-integer.
+#
+# Scale shape: each peel is one endpoint-join degree count + one filter
+# over the (pinned, |hosts|-sized) alive set — the standard distributed
+# k-core; iterations never re-scan the corpus (the pagerank per-round
+# pin discipline). DuckDB unrolls the same rounds as generated CTEs
+# (the lpa_communities pattern), both scopes in one chain via a scope
+# column.
+# --------------------------------------------------------------------------
+
+KC_SCOPES = (("core", 6), ("cascade", 7))
+KC_ROUNDS = 12  # ≥ the 6-layer cascade depth; fixpoint certified in-output
+
+
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    a = (src_num % PR_N_NODES).alias("src")
+    b = ((src_num * 7 + F.col("doc_id") * 13 + 3) % (src_num % PR_N_NODES + 1)).alias("dst")
+    raw = docs.select(a, b).filter(F.col("src") != F.col("dst"))
+    und = (
+        raw.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes0 = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    scopes_df = None
+    for scope, k in KC_SCOPES:
+        part = nodes0.select(
+            F.lit(scope).alias("scope"), "node", F.lit(k).cast("long").alias("k")
+        )
+        scopes_df = part if scopes_df is None else scopes_df.unionByName(part)
+    alive = scopes_df.localCheckpoint(eager=True)
+    nodes = alive  # (scope, node, k) universe
+    removed = None
+    prev = None
+    for i in range(1, KC_ROUNDS + 1):
+        e_alive = (
+            alive.select("scope", F.col("node").alias("u"))
+            .join(und, "u")
+            .join(
+                alive.select("scope", F.col("node").alias("v")),
+                ["scope", "v"],
+            )
+        )
+        deg = (
+            e_alive.select("scope", F.col("u").alias("node"))
+            .union(e_alive.select("scope", F.col("v").alias("node")))
+            .groupBy("scope", "node")
+            .agg(F.count("*").cast("long").alias("deg"))
+        )
+        keep = (
+            alive.join(deg, ["scope", "node"], "left")
+            .filter(F.coalesce("deg", F.lit(0)) >= F.col("k"))
+            .select("scope", "node", "k")
+            .localCheckpoint(eager=True)
+        )
+        dead = alive.join(keep, ["scope", "node"], "left_anti").select(
+            "scope", "node", F.lit(i).cast("long").alias("removed_round")
+        )
+        removed = dead if removed is None else removed.unionByName(dead)
+        prev = alive
+        alive = keep
+    core_edges = (
+        alive.select("scope", F.col("node").alias("u"))
+        .join(und, "u")
+        .join(alive.select("scope", F.col("node").alias("v")), ["scope", "v"])
+    )
+    core_deg = (
+        core_edges.select("scope", F.col("u").alias("node"))
+        .union(core_edges.select("scope", F.col("v").alias("node")))
+        .groupBy("scope", "node")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )
+    ncore = alive.groupBy("scope").agg(
+        F.count("*").cast("long").alias("n_core")
+    )
+    nprev = prev.groupBy("scope").agg(
+        F.count("*").cast("long").alias("n_prev")
+    )
+    scope_all = nodes.select("scope").distinct()
+    sizes = (
+        scope_all.join(ncore, "scope", "left")
+        .join(nprev, "scope", "left")
+        .select(
+            "scope",
+            F.coalesce("n_core", F.lit(0)).cast("long").alias("n_core"),
+            F.coalesce("n_prev", F.lit(0)).cast("long").alias("n_prev"),
+        )
+    )
+    return (
+        nodes.join(removed, ["scope", "node"], "left")
+        .join(
+            alive.select("scope", "node", F.lit(1).alias("ic")),
+            ["scope", "node"],
+            "left",
+        )
+        .join(core_deg, ["scope", "node"], "left")
+        .join(F.broadcast(sizes), "scope")
+        .select(
+            "scope",
+            "node",
+            F.col("removed_round").cast("long").alias("removed_round"),
+            F.coalesce("ic", F.lit(0)).cast("long").alias("in_core"),
+            F.coalesce("core_degree", F.lit(0))
+            .cast("long")
+            .alias("core_degree"),
+            "k",
+            "n_core",
+            (F.col("n_core") == F.col("n_prev")).cast("long").alias(
+                "converged"
+            ),
+        )
+    )
+
+
+def _sql_k_core() -> str:
+    n = PR_N_NODES
+    iters = []
+    for i in range(1, KC_ROUNDS + 1):
+        p = f"a{i - 1}"
+        iters.append(
+            f"""d{i} AS (
+  SELECT scope, node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT x.scope, e.u AS node FROM und e
+    JOIN {p} x ON x.node = e.u
+    JOIN {p} y ON y.scope = x.scope AND y.node = e.v
+    UNION ALL
+    SELECT x.scope, e.v FROM und e
+    JOIN {p} x ON x.node = e.u
+    JOIN {p} y ON y.scope = x.scope AND y.node = e.v
+  ) GROUP BY scope, node
+), a{i} AS MATERIALIZED (
+  SELECT a.scope, a.node, a.k FROM {p} a
+  JOIN d{i} d ON d.scope = a.scope AND d.node = a.node
+  WHERE d.deg >= a.k
+), r{i} AS (
+  SELECT a.scope, a.node, {i} AS removed_round FROM {p} a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM a{i} s WHERE s.scope = a.scope AND s.node = a.node)
+)"""
+        )
+    chain = ", ".join(iters)
+    removed_union = "\n    UNION ALL\n    ".join(
+        f"SELECT scope, node, removed_round FROM r{i}"
+        for i in range(1, KC_ROUNDS + 1)
+    )
+    scope_rows = ", ".join(
+        f"('{sc}', {k})" for sc, k in KC_SCOPES
+    )
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT (CAST(substr(source, 4, 10) AS BIGINT) % {n}) AS src,
+         ((CAST(substr(source, 4, 10) AS BIGINT) * 7 + doc_id * 13 + 3)
+           % ((CAST(substr(source, 4, 10) AS BIGINT) % {n}) + 1)) AS dst
+  FROM documents
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+), nodes0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node FROM und UNION SELECT v FROM und
+), scopes(scope, k) AS (
+  SELECT * FROM (VALUES {scope_rows}) t(scope, k)
+), a0 AS MATERIALIZED (
+  SELECT s.scope, nd.node, CAST(s.k AS BIGINT) AS k
+  FROM nodes0 nd CROSS JOIN scopes s
+), {chain}, removed AS MATERIALIZED (
+  SELECT scope, node, CAST(min(removed_round) AS BIGINT) AS removed_round
+  FROM ({removed_union}) GROUP BY scope, node
+), core AS MATERIALIZED (
+  SELECT scope, node FROM a{KC_ROUNDS}
+), ce AS (
+  SELECT x.scope, e.u, e.v FROM und e
+  JOIN core x ON x.node = e.u
+  JOIN core y ON y.scope = x.scope AND y.node = e.v
+), core_deg AS (
+  SELECT scope, node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+    SELECT scope, u AS node FROM ce
+    UNION ALL SELECT scope, v FROM ce
+  ) GROUP BY scope, node
+), ncore AS (
+  SELECT s.scope,
+         CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_core
+  FROM scopes s LEFT JOIN (
+    SELECT scope, count(*) AS cnt FROM core GROUP BY scope) c
+    ON c.scope = s.scope
+), nprev AS (
+  SELECT s.scope,
+         CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_prev
+  FROM scopes s LEFT JOIN (
+    SELECT scope, count(*) AS cnt FROM a{KC_ROUNDS - 1} GROUP BY scope) c
+    ON c.scope = s.scope
+)
+SELECT a0.scope, a0.node, r.removed_round,
+       CAST(CASE WHEN c.node IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS in_core,
+       CAST(coalesce(cd.core_degree, 0) AS BIGINT) AS core_degree,
+       a0.k, nc.n_core,
+       CAST(CASE WHEN nc.n_core = np.n_prev THEN 1 ELSE 0 END AS BIGINT)
+         AS converged
+FROM a0
+LEFT JOIN removed r ON r.scope = a0.scope AND r.node = a0.node
+LEFT JOIN core c ON c.scope = a0.scope AND c.node = a0.node
+LEFT JOIN core_deg cd ON cd.scope = a0.scope AND cd.node = a0.node
+JOIN ncore nc ON nc.scope = a0.scope
+JOIN nprev np ON np.scope = a0.scope
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -13716,4 +13949,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "skyline": (q_skyline, _sql_skyline()),
     "assoc_rules": (q_assoc_rules, _sql_assoc_rules()),
     "rfm_segments": (q_rfm_segments, _sql_rfm_segments()),
+    "k_core": (q_k_core, _sql_k_core()),
 }

@@ -4380,3 +4380,78 @@ def test_rfm_segments_pure_python_replay_and_quintiles():
         sizes = Counter(sc.values())
         assert set(sizes) == set(range(1, 6))
         assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_k_core_pure_python_replay_and_peel_invariants():
+    """k-core (`k_core`): a pure-Python synchronous peel replay over the
+    degree-skewed host graph must match the DuckDB oracle at sf0.001 in
+    BOTH scopes; 'core' (K=6) keeps a non-trivial core, 'cascade' (K=7)
+    unravels over >= 3 onion layers to the EMPTY graph; both converge
+    within the round budget (converged == 1); core members have
+    core_degree >= K; maximality holds (any removed node has < K
+    core-neighbors); all-integer."""
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        KC_ROUNDS,
+        KC_SCOPES,
+        PR_N_NODES,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, doc_id FROM documents").fetchall()
+    edges = set()
+    for src, d in raw:
+        sn = int(src[3:])
+        a = sn % PR_N_NODES
+        b = (sn * 7 + d * 13 + 3) % (a + 1)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    nodes = {x for e in edges for x in e}
+    exp = {}
+    for scope, k in KC_SCOPES:
+        alive = set(nodes)
+        removed_round = {}
+        for i in range(1, KC_ROUNDS + 1):
+            deg = {n: 0 for n in alive}
+            for u, v in edges:
+                if u in alive and v in alive:
+                    deg[u] += 1
+                    deg[v] += 1
+            dead = {n for n in alive if deg[n] < k}
+            for n in dead:
+                removed_round[n] = i
+            alive -= dead
+        core_deg = {n: 0 for n in alive}
+        for u, v in edges:
+            if u in alive and v in alive:
+                core_deg[u] += 1
+                core_deg[v] += 1
+        assert all(d >= k for d in core_deg.values())
+        for n in nodes - alive:  # maximality
+            nb = sum(
+                1
+                for u, v in edges
+                if (u == n and v in alive) or (v == n and u in alive)
+            )
+            assert nb < k, (scope, n)
+        exp[scope] = (alive, removed_round, core_deg, k)
+    core_alive = exp["core"][0]
+    casc_rounds = set(exp["cascade"][1].values())
+    assert 0 < len(core_alive) < len(nodes)
+    assert len(exp["cascade"][0]) == 0
+    assert len(casc_rounds) >= 3, casc_rounds  # real onion layers
+    rows = con.execute(QUERIES["k_core"][1]).fetchall()
+    assert len(rows) == 2 * len(nodes)
+    for scope, node, rr, in_core, cd, k, n_core, conv in rows:
+        alive, removed_round, core_deg, ek = exp[scope]
+        assert k == ek and n_core == len(alive) and conv == 1
+        if node in alive:
+            assert (rr, in_core, cd) == (None, 1, core_deg[node])
+        else:
+            assert (rr, in_core, cd) == (removed_round[node], 0, 0)
