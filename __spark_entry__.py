@@ -429,6 +429,10 @@ DRIVER_CAP_OVERFLOW = (
     # peels with per-round pins (fixpoint PROVEN by the converged flag),
     # onion-layer removed_round; all-integer; completes the graph quartet
     "k_core",
+    # round-6 new, born-overflow: reciprocal rank fusion (Cormack 2009) —
+    # hybrid-retrieval rank merging; exact ranks, bit-identical two-term
+    # RRF sums, exact-tie-aware fused ordering
+    "rrf_fusion",
 )
 
 

@@ -13815,6 +13815,101 @@ JOIN nprev np ON np.scope = a0.scope
 """
 
 
+# --------------------------------------------------------------------------
+# Reciprocal rank fusion (`rrf_fusion`): the rank-combination standard
+# (Cormack et al. SIGIR 2009) every hybrid-retrieval stack uses to merge
+# lexical and semantic rankings — score(d) = Σ_r 1/(K + rank_r(d)),
+# K = 60. The two input rankings are deterministic quality signals over
+# the corpus (total token count and distinct-token count, both desc) —
+# correlated but different, so fusion genuinely reorders. Ranks come
+# from exact_global_rank (range-partitioned, doc_id tie-break); the RRF
+# score is a fixed-order two-term sum of identical doubles (bit-
+# identical cross-engine), and the fused rank orders by (rrf DESC,
+# doc_id) — RRF ties are EXACT ((r1, r2) permutations sum to the same
+# double), so the tie-break is well-defined on both engines.
+#
+# Scale shape: two ranking passes + one fused-rank pass, all
+# range-partitioned (never a single-partition window on Spark); the
+# joins are doc_id equi-joins that co-partition under AQE.
+# --------------------------------------------------------------------------
+
+RRF_K = 60
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0
+    )
+    base = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("ntok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("ndis"),
+    )
+
+    def rank_of(col: str, out: str) -> DataFrame:
+        src = base.withColumn("_k", -F.col(col))
+        r = exact_global_rank(src, "_k", ("doc_id",))
+        return r.select(
+            "doc_id", F.col("global_rank").cast("long").alias(out)
+        )
+
+    r1 = rank_of("ntok", "r1")
+    r2 = rank_of("ndis", "r2")
+    scored = (
+        base.join(r1, "doc_id")
+        .join(r2, "doc_id")
+        .withColumn(
+            "rrf",
+            F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r1").cast("double"))
+            + F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("r2").cast("double")),
+        )
+        .withColumn("_neg", -F.col("rrf"))
+    )
+    fused = exact_global_rank(scored, "_neg", ("doc_id",))
+    return fused.select(
+        "doc_id",
+        "ntok",
+        "ndis",
+        "r1",
+        "r2",
+        F.round("rrf", 6).alias("rrf"),
+        F.col("global_rank").cast("long").alias("fused_rank"),
+    )
+
+
+def _sql_rrf_fusion() -> str:
+    k = float(RRF_K)
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              AS BIGINT) AS ntok,
+         CAST(len(list_distinct(
+             regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')))
+           AS BIGINT) AS ndis
+  FROM documents
+), ranked AS MATERIALIZED (
+  SELECT doc_id, ntok, ndis,
+         CAST(row_number() OVER (ORDER BY ntok DESC, doc_id) AS BIGINT)
+           AS r1,
+         CAST(row_number() OVER (ORDER BY ndis DESC, doc_id) AS BIGINT)
+           AS r2
+  FROM base
+), scored AS MATERIALIZED (
+  SELECT *, 1.0 / ({k} + CAST(r1 AS DOUBLE))
+            + 1.0 / ({k} + CAST(r2 AS DOUBLE)) AS rrf
+  FROM ranked
+)
+SELECT doc_id, ntok, ndis, r1, r2,
+       round(rrf, 6) AS rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+         AS fused_rank
+FROM scored
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -13950,4 +14045,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "assoc_rules": (q_assoc_rules, _sql_assoc_rules()),
     "rfm_segments": (q_rfm_segments, _sql_rfm_segments()),
     "k_core": (q_k_core, _sql_k_core()),
+    "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
 }

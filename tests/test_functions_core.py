@@ -4455,3 +4455,61 @@ def test_k_core_pure_python_replay_and_peel_invariants():
             assert (rr, in_core, cd) == (None, 1, core_deg[node])
         else:
             assert (rr, in_core, cd) == (removed_round[node], 0, 0)
+
+
+def test_rrf_fusion_pure_python_replay_and_fusion_properties():
+    """RRF (`rrf_fusion`): a pure-Python replay — both rankings with the
+    doc_id tie-break, the two-term reciprocal sum, the fused ordering
+    with exact-tie awareness — must match the DuckDB oracle at sf0.001;
+    fusion genuinely reorders (fused_rank differs from both inputs
+    somewhere); (r1, r2) permutation ties produce identical rrf and
+    resolve by doc_id; margins on the rounded score."""
+    import math
+    import re
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES, RRF_K
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    base = {}
+    for d, t in raw:
+        toks = re.findall("[a-z0-9]+", t.lower())
+        base[d] = (len(toks), len(set(toks)))
+    r1 = {
+        d: i + 1
+        for i, d in enumerate(
+            sorted(base, key=lambda d: (-base[d][0], d))
+        )
+    }
+    r2 = {
+        d: i + 1
+        for i, d in enumerate(
+            sorted(base, key=lambda d: (-base[d][1], d))
+        )
+    }
+    rrf = {
+        d: 1.0 / (RRF_K + r1[d]) + 1.0 / (RRF_K + r2[d]) for d in base
+    }
+    fused = {
+        d: i + 1
+        for i, d in enumerate(sorted(base, key=lambda d: (-rrf[d], d)))
+    }
+    rows = con.execute(QUERIES["rrf_fusion"][1]).fetchall()
+    assert len(rows) == len(base)
+    moved = False
+    for d, ntok, ndis, gr1, gr2, grrf, gfused in rows:
+        assert (ntok, ndis) == base[d]
+        assert (gr1, gr2) == (r1[d], r2[d])
+        e = rrf[d]
+        frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+        assert frac > 1e-4, (d, e)
+        assert grrf == round(e, 6)
+        assert gfused == fused[d]
+        moved = moved or (gfused != gr1 and gfused != gr2)
+    assert moved, "fusion degenerate (never reorders)"
