@@ -433,6 +433,10 @@ DRIVER_CAP_OVERFLOW = (
     # hybrid-retrieval rank merging; exact ranks, bit-identical two-term
     # RRF sums, exact-tie-aware fused ordering
     "rrf_fusion",
+    # round-6 new, born-overflow: multi-touch attribution — first/last by
+    # exact (t, event_id) keys, linear 1/k credits in pinned fold order;
+    # user-keyed window join (the asof_events discipline)
+    "attribution",
 )
 
 

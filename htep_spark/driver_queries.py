@@ -13910,6 +13910,172 @@ FROM scored
 """
 
 
+# --------------------------------------------------------------------------
+# Multi-touch attribution (`attribution`): the martech credit-assignment
+# triple — for each purchase, the user's clicks in the trailing
+# ATTR_WINDOW get credit under three models: first-touch (earliest
+# click), last-touch (latest click at-or-before the purchase), and
+# linear (1/k to each of the k touchpoints). Channel = the click's
+# props payload (a 100-value domain). The sequential-causality shape
+# `event_funnel` (fixed step order) and `asof_events` (single nearest
+# match) don't cover: ALL touchpoints in a window share credit.
+#
+# Exactness: first/last resolve by the exact (t_click, event_id) key
+# (Spark struct-min/max == DuckDB row_number on the same key); linear
+# credits are 1/k doubles folded in pinned (conv, click) order
+# (list_sum ORDER BY twin). Counts BIGINT.
+#
+# Scale shape: the touch join is a user-keyed equi-join with the window
+# predicate applied AT the join (the asof_events discipline — time
+# bounds prune before any per-conversion work); per-conversion k is a
+# map-side-combinable count; per-channel rollups are summary-sized.
+# --------------------------------------------------------------------------
+
+ATTR_WINDOW_S = 7 * 86400
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wu = ATTR_WINDOW_S * 1_000_000
+    um = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "props", um.alias("um")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("um").alias("t_conv"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("um").alias("t_click"),
+        F.col("props").alias("channel"),
+    )
+    touch = (
+        buys.join(clicks, "user_id")
+        .filter(
+            (F.col("t_click") <= F.col("t_conv"))
+            & (F.col("t_click") > F.col("t_conv") - wu)
+        )
+        .localCheckpoint(eager=True)
+    )
+    kf = touch.groupBy("conv_id").agg(F.count("*").cast("long").alias("k"))
+    ends = touch.groupBy("conv_id").agg(
+        F.min(F.struct("t_click", "click_id", "channel")).alias("fs"),
+        F.max(F.struct("t_click", "click_id", "channel")).alias("ls"),
+    )
+    first_n = (
+        ends.select(F.col("fs.channel").alias("channel"))
+        .groupBy("channel")
+        .agg(F.count("*").cast("long").alias("first_n"))
+    )
+    last_n = (
+        ends.select(F.col("ls.channel").alias("channel"))
+        .groupBy("channel")
+        .agg(F.count("*").cast("long").alias("last_n"))
+    )
+    linear = (
+        touch.join(F.broadcast(kf), "conv_id")
+        .select(
+            "channel",
+            "conv_id",
+            "click_id",
+            (F.lit(1.0) / F.col("k").cast("double")).alias("credit"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct("conv_id", "click_id", "credit"))
+                ),
+                F.lit(0.0),
+                lambda acc, e: acc + e["credit"],
+            ).alias("linear_credit"),
+            F.count("*").cast("long").alias("touches"),
+        )
+    )
+    tot = buys.agg(
+        F.count("*").cast("long").alias("n_conversions")
+    ).crossJoin(
+        F.broadcast(
+            touch.agg(
+                F.count_distinct("conv_id").cast("long").alias("n_attributed")
+            )
+        )
+    )
+    return (
+        linear.join(first_n, "channel", "left")
+        .join(last_n, "channel", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            F.coalesce("first_n", F.lit(0)).cast("long").alias("first_n"),
+            F.coalesce("last_n", F.lit(0)).cast("long").alias("last_n"),
+            F.round("linear_credit", 6).alias("linear_credit"),
+            "touches",
+            "n_conversions",
+            "n_attributed",
+        )
+    )
+
+
+def _sql_attribution() -> str:
+    wu = ATTR_WINDOW_S * 1_000_000
+    return f"""
+WITH buys AS (
+  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS t_conv
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, event_id AS click_id, epoch_us(ts) AS t_click,
+         props AS channel
+  FROM events WHERE event_type = 'click'
+), touch AS MATERIALIZED (
+  SELECT b.conv_id, c.click_id, c.t_click, c.channel
+  FROM buys b JOIN clicks c USING (user_id)
+  WHERE c.t_click <= b.t_conv AND c.t_click > b.t_conv - {wu}
+), kf AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS k FROM touch GROUP BY conv_id
+), ordered AS (
+  SELECT conv_id, channel,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY t_click, click_id) AS rn_first,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY t_click DESC, click_id DESC)
+           AS rn_last
+  FROM touch
+), first_n AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS first_n
+  FROM ordered WHERE rn_first = 1 GROUP BY channel
+), last_n AS (
+  SELECT channel, CAST(count(*) AS BIGINT) AS last_n
+  FROM ordered WHERE rn_last = 1 GROUP BY channel
+), linear AS MATERIALIZED (
+  SELECT t.channel,
+         list_sum(list(1.0 / CAST(k.k AS DOUBLE)
+                       ORDER BY t.conv_id, t.click_id)) AS linear_credit,
+         CAST(count(*) AS BIGINT) AS touches
+  FROM touch t JOIN kf k USING (conv_id)
+  GROUP BY t.channel
+), tot AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM buys) AS n_conversions,
+         (SELECT CAST(count(DISTINCT conv_id) AS BIGINT) FROM touch)
+           AS n_attributed
+)
+SELECT l.channel,
+       CAST(coalesce(f.first_n, 0) AS BIGINT) AS first_n,
+       CAST(coalesce(ln.last_n, 0) AS BIGINT) AS last_n,
+       round(l.linear_credit, 6) AS linear_credit,
+       l.touches,
+       tot.n_conversions, tot.n_attributed
+FROM linear l
+LEFT JOIN first_n f ON f.channel = l.channel
+LEFT JOIN last_n ln ON ln.channel = l.channel
+CROSS JOIN tot
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -14046,4 +14212,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "rfm_segments": (q_rfm_segments, _sql_rfm_segments()),
     "k_core": (q_k_core, _sql_k_core()),
     "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
+    "attribution": (q_attribution, _sql_attribution()),
 }

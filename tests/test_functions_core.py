@@ -4513,3 +4513,77 @@ def test_rrf_fusion_pure_python_replay_and_fusion_properties():
         assert gfused == fused[d]
         moved = moved or (gfused != gr1 and gfused != gr2)
     assert moved, "fusion degenerate (never reorders)"
+
+
+def test_attribution_pure_python_replay_and_credit_conservation():
+    """Attribution (`attribution`): a pure-Python replay — trailing-
+    window touch join, first/last by the exact (t, event_id) key,
+    linear 1/k credits — must match the DuckDB oracle at sf0.001;
+    credit is CONSERVED (Σ first_n = Σ last_n = n_attributed and
+    Σ linear ≈ n_attributed to float tolerance); first and last
+    disagree somewhere (multi-touch paths exist); margins on the
+    rounded credit."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import ATTR_WINDOW_S, QUERIES
+
+    wu = ATTR_WINDOW_S * 1_000_000
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    ev = con.execute(
+        "SELECT user_id, event_type, event_id, props, epoch_us(ts) "
+        "FROM events"
+    ).fetchall()
+    buys = [(u, eid, t) for u, et, eid, _p, t in ev if et == "purchase"]
+    clicks = defaultdict(list)
+    for u, et, eid, p, t in ev:
+        if et == "click":
+            clicks[u].append((t, eid, p))
+    first_n = defaultdict(int)
+    last_n = defaultdict(int)
+    linear = defaultdict(list)  # channel -> [(conv, click, credit)]
+    touches = defaultdict(int)
+    n_attr = 0
+    for u, conv, tc in buys:
+        cand = [
+            (t, eid, p)
+            for t, eid, p in clicks.get(u, [])
+            if tc - wu < t <= tc
+        ]
+        if not cand:
+            continue
+        n_attr += 1
+        k = len(cand)
+        first_n[min(cand)[2]] += 1
+        last_n[max(cand)[2]] += 1
+        for t, eid, p in cand:
+            linear[p].append((conv, eid, 1.0 / k))
+            touches[p] += 1
+    lin = {
+        ch: sum(c for _conv, _eid, c in sorted(v))
+        for ch, v in linear.items()
+    }
+    rows = con.execute(QUERIES["attribution"][1]).fetchall()
+    assert len(rows) == len(lin) > 0
+    sum_first = sum_last = sum_lin = 0.0
+    for ch, fn, ln_, lc, tch, n_conv, n_at in rows:
+        assert fn == first_n.get(ch, 0)
+        assert ln_ == last_n.get(ch, 0)
+        assert tch == touches[ch]
+        e = lin[ch]
+        frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+        assert frac > 1e-4, (ch, e)
+        assert lc == round(e, 6)
+        assert n_conv == len(buys) and n_at == n_attr
+        sum_first += fn
+        sum_last += ln_
+        sum_lin += e
+    assert sum_first == sum_last == n_attr
+    assert abs(sum_lin - n_attr) < 1e-9  # linear credit conservation
+    assert first_n != last_n, "first/last never disagree (degenerate)"
