@@ -437,6 +437,10 @@ DRIVER_CAP_OVERFLOW = (
     # exact (t, event_id) keys, linear 1/k credits in pinned fold order;
     # user-keyed window join (the asof_events discipline)
     "attribution",
+    # round-6 new, born-overflow: Kaplan-Meier right-censored survival —
+    # churn-gap events vs censored-at-horizon, BIGINT risk sets, pinned-
+    # order survival product (fold vs recursive CTE)
+    "kaplan_meier",
 )
 
 

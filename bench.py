@@ -278,6 +278,9 @@ def main() -> None:
         "skyline",
         "assoc_rules",
         "rfm_segments",
+        "k_core",
+        "rrf_fusion",
+        "attribution",
     ):
         if name not in QUERIES:
             continue

@@ -14076,6 +14076,184 @@ CROSS JOIN tot
 """
 
 
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival estimator (`kaplan_meier`): the right-censored
+# time-to-event curve (Kaplan & Meier 1958) — the churn/retention-
+# duration analysis the cohort_retention matrix doesn't give (KM handles
+# CENSORING: users still active at the horizon contribute risk time
+# without biasing the curve). Subjects = users with ≥1 purchase; t0/t1 =
+# first/last purchase day; a user CHURNS iff the horizon is more than
+# KM_GAP_DAYS past their last purchase (duration t1−t0), else is
+# censored at H−t0 (probed: 3/31/256 churners at sf0.001/0.01/0.1 — both
+# branches live everywhere). S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over
+# distinct churn times; at-risk counts n_i follow the standard
+# censored-after-event tie convention (duration ≥ t_i).
+#
+# Exactness: n/d are BIGINT; each q_i = 1 − d_i/n_i is one division of
+# identical integers (bit-identical), and the survival product folds in
+# pinned time order (Spark sorted-array fold == DuckDB recursive CTE —
+# the holt discipline), so S agrees to the last ulp; 6dp margins pytest.
+#
+# Scale shape: per-user spans are one map-side-combinable agg; the
+# event-time table is bounded (≤ |days| rows, broadcast against the
+# subject frame for at-risk counts); the fold runs over that summary.
+# --------------------------------------------------------------------------
+
+KM_GAP_DAYS = 3
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        f" div {_DAY_US}"
+    )
+    per = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == RET_EVENT)
+        .select("user_id", day.alias("d"))
+        .groupBy("user_id")
+        .agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    )
+    hz = per.agg(F.max("d1").alias("h"))
+    subj = per.crossJoin(F.broadcast(hz)).select(
+        "user_id",
+        F.when(
+            F.col("h") - F.col("d1") > KM_GAP_DAYS, F.col("d1") - F.col("d0")
+        )
+        .otherwise(F.col("h") - F.col("d0"))
+        .alias("dur"),
+        (F.col("h") - F.col("d1") > KM_GAP_DAYS).cast("long").alias("ev"),
+    ).localCheckpoint(eager=True)
+    times = (
+        subj.filter(F.col("ev") == 1)
+        .select(F.col("dur").alias("t"))
+        .distinct()
+    )
+    stats = (
+        subj.crossJoin(F.broadcast(times))
+        .groupBy("t")
+        .agg(
+            F.sum((F.col("dur") >= F.col("t")).cast("long"))
+            .cast("long")
+            .alias("n_risk"),
+            F.sum(
+                ((F.col("dur") == F.col("t")) & (F.col("ev") == 1)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    folded = stats.agg(
+        F.sort_array(F.collect_list(F.struct("t", "n_risk", "d"))).alias("a")
+    ).select(
+        "a",
+        F.aggregate(
+            F.col("a"),
+            F.named_struct(
+                F.lit("s"),
+                F.lit(1.0),
+                F.lit("ss"),
+                F.array().cast("array<double>"),
+            ),
+            lambda acc, e: F.named_struct(
+                F.lit("s"),
+                acc["s"]
+                * (
+                    F.lit(1.0)
+                    - e["d"].cast("double") / e["n_risk"].cast("double")
+                ),
+                F.lit("ss"),
+                F.concat(
+                    acc["ss"],
+                    F.array(
+                        acc["s"]
+                        * (
+                            F.lit(1.0)
+                            - e["d"].cast("double")
+                            / e["n_risk"].cast("double")
+                        )
+                    ),
+                ),
+            ),
+        )["ss"].alias("ss"),
+    )
+    n_subj = subj.agg(
+        F.count("*").cast("long").alias("n_subjects"),
+        F.sum("ev").cast("long").alias("n_events"),
+    )
+    return (
+        folded.select(F.posexplode("a").alias("i0", "e"), "ss")
+        .select(
+            F.col("e.t").cast("long").alias("t"),
+            F.col("e.n_risk").alias("n_risk"),
+            F.col("e.d").alias("d"),
+            F.round(
+                F.lit(1.0)
+                - F.col("e.d").cast("double")
+                / F.col("e.n_risk").cast("double"),
+                6,
+            ).alias("q"),
+            F.round(F.element_at("ss", F.col("i0") + 1), 6).alias("s"),
+        )
+        .crossJoin(F.broadcast(n_subj))
+    )
+
+
+def _sql_kaplan_meier() -> str:
+    g = KM_GAP_DAYS
+    return f"""
+WITH RECURSIVE per AS (
+  SELECT user_id,
+         min(epoch_us(ts) // {_DAY_US}) AS d0,
+         max(epoch_us(ts) // {_DAY_US}) AS d1
+  FROM events WHERE event_type = {_sql_quote(RET_EVENT)}
+  GROUP BY user_id
+), hz AS (
+  SELECT max(d1) AS h FROM per
+), subj AS MATERIALIZED (
+  SELECT user_id,
+         CASE WHEN hz.h - d1 > {g} THEN d1 - d0 ELSE hz.h - d0 END AS dur,
+         CAST(CASE WHEN hz.h - d1 > {g} THEN 1 ELSE 0 END AS BIGINT) AS ev
+  FROM per CROSS JOIN hz
+), times AS (
+  SELECT DISTINCT dur AS t FROM subj WHERE ev = 1
+), stats AS MATERIALIZED (
+  SELECT t.t,
+         CAST(sum(CASE WHEN s.dur >= t.t THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_risk,
+         CAST(sum(CASE WHEN s.dur = t.t AND s.ev = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM times t CROSS JOIN subj s
+  GROUP BY t.t
+), ordered AS MATERIALIZED (
+  SELECT t, n_risk, d,
+         row_number() OVER (ORDER BY t) AS i,
+         count(*) OVER () AS ni
+  FROM stats
+), km AS (
+  SELECT i, t, n_risk, d,
+         1.0 * (1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS s
+  FROM ordered WHERE i = 1
+  UNION ALL
+  SELECT o.i, o.t, o.n_risk, o.d,
+         km.s * (1.0 - CAST(o.d AS DOUBLE) / CAST(o.n_risk AS DOUBLE))
+  FROM km JOIN ordered o ON o.i = km.i + 1
+), nsub AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_subjects,
+         CAST(sum(ev) AS BIGINT) AS n_events
+  FROM subj
+)
+SELECT CAST(km.t AS BIGINT) AS t, km.n_risk, km.d,
+       round(1.0 - CAST(km.d AS DOUBLE) / CAST(km.n_risk AS DOUBLE), 6)
+         AS q,
+       round(km.s, 6) AS s,
+       nsub.n_subjects, nsub.n_events
+FROM km CROSS JOIN nsub
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -14213,4 +14391,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "k_core": (q_k_core, _sql_k_core()),
     "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
     "attribution": (q_attribution, _sql_attribution()),
+    "kaplan_meier": (q_kaplan_meier, _sql_kaplan_meier()),
 }

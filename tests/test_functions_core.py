@@ -4587,3 +4587,71 @@ def test_attribution_pure_python_replay_and_credit_conservation():
     assert sum_first == sum_last == n_attr
     assert abs(sum_lin - n_attr) < 1e-9  # linear credit conservation
     assert first_n != last_n, "first/last never disagree (degenerate)"
+
+
+def test_kaplan_meier_pure_python_replay_and_km_invariants():
+    """KM (`kaplan_meier`): a pure-Python replay — purchase spans, the
+    churn-gap rule, risk sets with the censored-after-event tie
+    convention, the pinned survival product — must match the DuckDB
+    oracle at sf0.001; S is strictly decreasing across event times and
+    stays in (0, 1]; both censoring branches are live (0 < n_events <
+    n_subjects); n_risk is non-increasing in t; margins on q and s."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        _DAY_US,
+        KM_GAP_DAYS,
+        QUERIES,
+        RET_EVENT,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT user_id, epoch_us(ts) FROM events WHERE event_type = ?",
+        [RET_EVENT],
+    ).fetchall()
+    span = defaultdict(lambda: [None, None])
+    for u, um in raw:
+        d = um // _DAY_US
+        s = span[u]
+        s[0] = d if s[0] is None else min(s[0], d)
+        s[1] = d if s[1] is None else max(s[1], d)
+    h = max(s[1] for s in span.values())
+    subj = []
+    for u, (d0, d1) in span.items():
+        ev = 1 if h - d1 > KM_GAP_DAYS else 0
+        subj.append(((d1 - d0) if ev else (h - d0), ev))
+    n_subjects = len(subj)
+    n_events = sum(e for _d, e in subj)
+    assert 0 < n_events < n_subjects
+    times = sorted({d for d, e in subj if e})
+    s_prod = 1.0
+    exp = {}
+    for t in times:
+        n_risk = sum(1 for d, _e in subj if d >= t)
+        d_t = sum(1 for d, e in subj if d == t and e)
+        q = 1.0 - d_t / n_risk
+        s_prod *= q
+        exp[t] = (n_risk, d_t, q, s_prod)
+    rows = con.execute(QUERIES["kaplan_meier"][1]).fetchall()
+    assert len(rows) == len(times)
+    prev_s, prev_risk, prev_t = 1.0 + 1e-12, None, None
+    for t, n_risk, d, q, s, gns, gne in sorted(rows):
+        en, ed, eq, es = exp[t]
+        assert (n_risk, d) == (en, ed)
+        for got, e in ((q, eq), (s, es)):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4, (t, e)
+            assert got == round(e, 6)
+        assert (gns, gne) == (n_subjects, n_events)
+        assert 0.0 < es <= 1.0 and es < prev_s
+        if prev_risk is not None:
+            assert n_risk <= prev_risk and t > prev_t
+        prev_s, prev_risk, prev_t = es, n_risk, t
