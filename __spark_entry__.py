@@ -441,6 +441,11 @@ DRIVER_CAP_OVERFLOW = (
     # churn-gap events vs censored-at-horizon, BIGINT risk sets, pinned-
     # order survival product (fold vs recursive CTE)
     "kaplan_meier",
+    # round-6 new, born-overflow: Benford first-digit forensics — raw
+    # scope rejects, planted log-uniform scope conforms; digits
+    # integer-decided (cents string / literal-threshold compare, no
+    # runtime log), chi2 in pinned digit order
+    "benford_test",
 )
 
 

@@ -14254,6 +14254,182 @@ FROM km CROSS JOIN nsub
 """
 
 
+# --------------------------------------------------------------------------
+# Benford first-digit test (`benford_test`): the forensic-accounting /
+# data-fabrication screen (Benford 1938; Nigrini's audit standard) —
+# does a value column's first significant digit follow
+# P(d) = log10(1 + 1/d)? Two scopes prove both verdicts: 'raw' (first
+# digit of the events value column — synthetic near-uniform magnitudes,
+# REJECTS) and 'benford' (a planted log-uniform sample: u =
+# md5(event_id) % 1e6 / 1e6, digit decided by comparing the EXACT
+# rational u against literal log10(d) thresholds — no pow/log at
+# runtime, so the digit is integer-decided and exactly
+# Benford-distributed up to grid resolution; CONFORMS). The raw digit
+# comes from the cents-integer's decimal string (first significant
+# digit of value — no float log10 boundary). Chi² vs expected N·p_d in
+# a generated digit-order 9-term sum; verdict at the df=8, α=0.05
+# critical value 15.507.
+#
+# Scale shape: one scan → per-(scope, digit) counts (map-side
+# combinable); everything downstream is 18 rows. Digits, counts and
+# verdicts are integer-decided; chi² uses shared literal constants.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+BENFORD_T = {d: _math.log10(d) for d in range(2, 10)}
+BENFORD_CRIT = 15.507  # chi2 df=8, alpha=0.05
+_BENFORD_GRID = 1_000_000
+
+
+def q_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    raw_digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    u = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("bf"), F.col("event_id")), _BENFORD_GRID
+    ).cast("double") / F.lit(float(_BENFORD_GRID))
+    syn_digit = F.lit(9)
+    for d in range(9, 1, -1):
+        syn_digit = F.when(u < F.lit(BENFORD_T[d]), F.lit(d - 1)).otherwise(
+            syn_digit
+        )
+    uni_digit = (
+        _md5_bucket_spark(
+            F.concat_ws("|", F.lit("bu"), F.col("event_id")), 9
+        )
+        + 1
+    )
+    ev = _events(spark, sf_dir).filter(F.col("value") > 0)
+    rows = (
+        ev.select(F.lit("raw").alias("scope"), raw_digit.alias("digit"))
+        .unionByName(
+            ev.select(
+                F.lit("benford").alias("scope"),
+                syn_digit.cast("long").alias("digit"),
+            )
+        )
+        .unionByName(
+            ev.select(
+                F.lit("uniform").alias("scope"),
+                uni_digit.cast("long").alias("digit"),
+            )
+        )
+    )
+    cnt = rows.groupBy("scope", "digit").agg(
+        F.count("*").cast("long").alias("observed")
+    )
+    grid = spark.createDataFrame(
+        [(s, d) for s in ("raw", "benford", "uniform") for d in range(1, 10)],
+        "scope string, digit long",
+    )
+    filled = grid.join(cnt, ["scope", "digit"], "left").select(
+        "scope",
+        "digit",
+        F.coalesce("observed", F.lit(0)).cast("long").alias("observed"),
+    )
+    tot = filled.groupBy("scope").agg(
+        F.sum("observed").cast("long").alias("n")
+    )
+    pmap = F.element_at(
+        F.array(*[F.lit(BENFORD_P[d]) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    base = filled.join(F.broadcast(tot), "scope").select(
+        "scope",
+        "digit",
+        "observed",
+        "n",
+        pmap.alias("p_benford"),
+        (F.col("n").cast("double") * pmap).alias("expected"),
+    )
+    chi2 = base.groupBy("scope").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct("digit", "observed", "expected"))
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc
+            + (e["observed"].cast("double") - e["expected"])
+            * (e["observed"].cast("double") - e["expected"])
+            / e["expected"],
+        ).alias("chi2")
+    )
+    return base.join(F.broadcast(chi2), "scope").select(
+        "scope",
+        "digit",
+        "observed",
+        F.round("expected", 6).alias("expected"),
+        F.round("p_benford", 6).alias("p_benford"),
+        F.round("chi2", 6).alias("chi2"),
+        F.when(F.col("chi2") > BENFORD_CRIT, F.lit("reject"))
+        .otherwise(F.lit("conform"))
+        .alias("verdict"),
+    )
+
+
+def _sql_benford_test() -> str:
+    u = _md5_bucket_sql(
+        "'bf' || '|' || CAST(event_id AS VARCHAR)", _BENFORD_GRID
+    )
+    uni = _md5_bucket_sql("'bu' || '|' || CAST(event_id AS VARCHAR)", 9)
+    syn = "9"
+    for d in range(9, 1, -1):
+        syn = (
+            f"CASE WHEN uu < {BENFORD_T[d]!r} THEN {d - 1} ELSE {syn} END"
+        )
+    parr = ", ".join(repr(BENFORD_P[d]) for d in range(1, 10))
+    return f"""
+WITH ev AS (
+  SELECT event_id, value FROM events WHERE value > 0
+), rows_ AS (
+  SELECT 'raw' AS scope,
+         CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                     1, 1) AS BIGINT) AS digit
+  FROM ev
+  UNION ALL
+  SELECT 'benford' AS scope, CAST(({syn}) AS BIGINT) AS digit
+  FROM (SELECT CAST({u} AS DOUBLE) / {float(_BENFORD_GRID)} AS uu FROM ev)
+  UNION ALL
+  SELECT 'uniform' AS scope, CAST({uni} + 1 AS BIGINT) AS digit FROM ev
+), cnt AS (
+  SELECT scope, digit, CAST(count(*) AS BIGINT) AS observed
+  FROM rows_ GROUP BY scope, digit
+), grid AS (
+  SELECT s.scope, CAST(d.d AS BIGINT) AS digit
+  FROM (SELECT unnest(['raw', 'benford', 'uniform']) AS scope) s
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS d) d
+), filled AS (
+  SELECT g.scope, g.digit,
+         CAST(coalesce(c.observed, 0) AS BIGINT) AS observed
+  FROM grid g LEFT JOIN cnt c ON c.scope = g.scope AND c.digit = g.digit
+), tot AS (
+  SELECT scope, CAST(sum(observed) AS BIGINT) AS n FROM filled GROUP BY scope
+), base AS MATERIALIZED (
+  SELECT f.scope, f.digit, f.observed, t.n,
+         CAST(([{parr}])[CAST(f.digit AS INTEGER)] AS DOUBLE) AS p_benford,
+         CAST(t.n AS DOUBLE)
+           * CAST(([{parr}])[CAST(f.digit AS INTEGER)] AS DOUBLE)
+           AS expected
+  FROM filled f JOIN tot t USING (scope)
+), chi2 AS (
+  SELECT scope,
+         list_sum(list(
+           (CAST(observed AS DOUBLE) - expected)
+           * (CAST(observed AS DOUBLE) - expected) / expected
+           ORDER BY digit)) AS chi2
+  FROM base GROUP BY scope
+)
+SELECT b.scope, b.digit, b.observed,
+       round(b.expected, 6) AS expected,
+       round(b.p_benford, 6) AS p_benford,
+       round(c.chi2, 6) AS chi2,
+       CASE WHEN c.chi2 > {BENFORD_CRIT} THEN 'reject'
+            ELSE 'conform' END AS verdict
+FROM base b JOIN chi2 c USING (scope)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -14392,4 +14568,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "rrf_fusion": (q_rrf_fusion, _sql_rrf_fusion()),
     "attribution": (q_attribution, _sql_attribution()),
     "kaplan_meier": (q_kaplan_meier, _sql_kaplan_meier()),
+    "benford_test": (q_benford_test, _sql_benford_test()),
 }

@@ -4655,3 +4655,79 @@ def test_kaplan_meier_pure_python_replay_and_km_invariants():
         if prev_risk is not None:
             assert n_risk <= prev_risk and t > prev_t
         prev_s, prev_risk, prev_t = es, n_risk, t
+
+
+def test_benford_test_pure_python_replay_and_verdicts():
+    """Benford (`benford_test`): a pure-Python replay — cents-string raw
+    digits, literal-threshold synthetic digits, chi² in digit order —
+    must match the DuckDB oracle at sf0.001; the planted log-uniform
+    scope CONFORMS and the raw scope REJECTS; every u sits clear of a
+    digit threshold (the one discretization hazard); observed counts
+    sum to N per scope; margins on the rounded doubles."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        _BENFORD_GRID,
+        BENFORD_CRIT,
+        BENFORD_P,
+        BENFORD_T,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT event_id, value FROM events WHERE value > 0"
+    ).fetchall()
+    cnt = {"raw": Counter(), "benford": Counter(), "uniform": Counter()}
+    for eid, v in raw:
+        cnt["raw"][int(str(round(v * 100))[0])] += 1
+        u = (
+            int(hashlib.md5(f"bf|{eid}".encode()).hexdigest()[:15], 16)
+            % _BENFORD_GRID
+        ) / _BENFORD_GRID
+        for d, t in BENFORD_T.items():
+            assert abs(u - t) > 1e-9, (eid, u, t)  # off the threshold
+        digit = 9
+        for d in range(9, 1, -1):
+            if u < BENFORD_T[d]:
+                digit = d - 1
+        cnt["benford"][digit] += 1
+        cnt["uniform"][
+            int(hashlib.md5(f"bu|{eid}".encode()).hexdigest()[:15], 16) % 9
+            + 1
+        ] += 1
+    n = len(raw)
+    exp = {}
+    for scope in ("raw", "benford", "uniform"):
+        chi2 = 0.0
+        for d in range(1, 10):
+            e = n * BENFORD_P[d]
+            o = cnt[scope].get(d, 0)
+            chi2 += (o - e) * (o - e) / e
+        exp[scope] = chi2
+    assert exp["uniform"] > BENFORD_CRIT, exp  # planted reject
+    assert exp["benford"] <= BENFORD_CRIT, exp  # planted conform
+    rows = con.execute(QUERIES["benford_test"][1]).fetchall()
+    assert len(rows) == 27
+    for scope, digit, obs, expd, pb, chi2, verdict in rows:
+        assert obs == cnt[scope].get(digit, 0)
+        for got, e in (
+            (expd, n * BENFORD_P[digit]),
+            (pb, BENFORD_P[digit]),
+            (chi2, exp[scope]),
+        ):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4, (scope, digit, e)
+            assert got == round(e, 6)
+        assert verdict == (
+            "reject" if exp[scope] > BENFORD_CRIT else "conform"
+        )
+    assert sum(cnt["raw"].values()) == sum(cnt["benford"].values()) == n
