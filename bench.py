@@ -281,6 +281,8 @@ def main() -> None:
         "k_core",
         "rrf_fusion",
         "attribution",
+        "kaplan_meier",
+        "benford_test",
     ):
         if name not in QUERIES:
             continue
