@@ -446,6 +446,11 @@ DRIVER_CAP_OVERFLOW = (
     # integer-decided (cents string / literal-threshold compare, no
     # runtime log), chi2 in pinned digit order
     "benford_test",
+    # round-6 new, born-overflow: isotonic (PAV) recalibration via the
+    # exact minimax identity over the bounded decile grid — the
+    # sequential pool loop made relational; pytest proves minimax == a
+    # real stack-based PAV on data
+    "isotonic_calibration",
 )
 
 

@@ -14430,6 +14430,272 @@ FROM base b JOIN chi2 c USING (scope)
 """
 
 
+# --------------------------------------------------------------------------
+# Isotonic calibration (`isotonic_calibration`): the pool-adjacent-
+# violators recalibration (Ayer et al. 1955; Zadrozny & Elkan 2002) —
+# ece_calibration MEASURES miscalibration, this FIXES it: fit the
+# best monotone (isotonic) accuracy curve over the 10 score deciles.
+# PAV's sequential pooling loop doesn't shard, but its value at bin i
+# equals the MINIMAX identity fit_i = max_{j≤i} min_{k≥i}
+# avg(y over bins j..k) — a closed form over the BOUNDED bin grid that
+# both engines compute relationally: prefix sums give every interval
+# average as ONE division of BIGINTs (weighted by bin counts), the
+# j≤i≤k grid is ≤ B³ rows, and min/max over bit-identical doubles is
+# deterministic. A pytest replays a REAL stack-based PAV pool loop and
+# asserts the minimax fit equals it bin for bin (the theorem, checked
+# on data). Before/after reliability (|acc−conf| vs |iso−conf| weighted
+# MAEs) ride along — isotonic never does worse in L2, and the weighted
+# calibration error strictly improves on this corpus (asserted).
+#
+# Scale shape: the corpus pass is the audited logreg chain + one
+# map-side bin agg; everything else lives on the ≤10-row bin table
+# (grid joins broadcast).
+# --------------------------------------------------------------------------
+
+
+ISO_FLIP_MOD = 3  # md5 1-in-3 label flips in high bins (degraded scope)
+ISO_FLIP_BIN = 7
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _logreg_scored(spark, sf_dir).select(
+        "doc_id",
+        "y",
+        F.round(F.col("p") * _ECE_SCALE, 0).cast("long").alias("sp"),
+    )
+    width = _ECE_SCALE // ECE_BINS
+    binned = scored.select(
+        "doc_id",
+        "y",
+        "sp",
+        F.least(
+            F.expr(f"sp div {width}"), F.lit(ECE_BINS - 1).cast("long")
+        ).alias("bin"),
+    )
+    flip = (
+        _md5_bucket_spark(
+            F.concat_ws("|", F.lit("iso"), F.col("doc_id")), ISO_FLIP_MOD
+        )
+        == 0
+    ) & (F.col("bin") >= ISO_FLIP_BIN)
+    rows = None
+    for scope in ("model", "degraded"):
+        ye = (
+            F.when(flip, 1 - F.col("y")).otherwise(F.col("y"))
+            if scope == "degraded"
+            else F.col("y")
+        )
+        part = binned.select(
+            F.lit(scope).alias("scope"),
+            "bin",
+            ye.cast("long").alias("y"),
+            "sp",
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    per = (
+        rows.groupBy("scope", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("ny"),
+            F.sum("sp").cast("long").alias("ssp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # inclusive and exclusive prefix sums over the bounded bin table
+    pre = (
+        per.alias("a")
+        .join(
+            F.broadcast(per.alias("b")),
+            (F.col("b.scope") == F.col("a.scope"))
+            & (F.col("b.bin") <= F.col("a.bin")),
+        )
+        .groupBy(F.col("a.scope").alias("scope"), F.col("a.bin").alias("bin"))
+        .agg(
+            F.sum(F.col("b.n")).cast("long").alias("cn"),
+            F.sum(F.col("b.ny")).cast("long").alias("cy"),
+        )
+    )
+    pre_ex = (
+        per.alias("a")
+        .join(
+            F.broadcast(per.alias("b")),
+            (F.col("b.scope") == F.col("a.scope"))
+            & (F.col("b.bin") < F.col("a.bin")),
+            "left",
+        )
+        .groupBy(F.col("a.scope").alias("scope"), F.col("a.bin").alias("bin"))
+        .agg(
+            F.coalesce(F.sum(F.col("b.n")), F.lit(0))
+            .cast("long")
+            .alias("pn"),
+            F.coalesce(F.sum(F.col("b.ny")), F.lit(0))
+            .cast("long")
+            .alias("py"),
+        )
+    )
+    spans = (
+        pre.alias("k")
+        .join(
+            F.broadcast(pre_ex.alias("j")),
+            (F.col("j.scope") == F.col("k.scope"))
+            & (F.col("j.bin") <= F.col("k.bin")),
+        )
+        .select(
+            F.col("k.scope").alias("scope"),
+            F.col("j.bin").alias("j"),
+            F.col("k.bin").alias("k"),
+            (
+                (F.col("k.cy") - F.col("j.py")).cast("double")
+                / (F.col("k.cn") - F.col("j.pn")).cast("double")
+            ).alias("avg"),
+        )
+    )
+    mins = (
+        per.select("scope", "bin")
+        .alias("i")
+        .join(
+            F.broadcast(spans.alias("s")),
+            (F.col("s.scope") == F.col("i.scope"))
+            & (F.col("s.j") <= F.col("i.bin"))
+            & (F.col("s.k") >= F.col("i.bin")),
+        )
+        .groupBy(
+            F.col("i.scope").alias("scope"),
+            F.col("i.bin").alias("bin"),
+            F.col("s.j").alias("j"),
+        )
+        .agg(F.min("avg").alias("mn"))
+    )
+    fit = mins.groupBy("scope", "bin").agg(F.max("mn").alias("iso_fit"))
+    conf = F.col("ssp").cast("double") / (
+        F.col("n") * _ECE_SCALE
+    ).cast("double")
+    acc = F.col("ny").cast("double") / F.col("n").cast("double")
+    joined = per.join(F.broadcast(fit), ["scope", "bin"]).select(
+        "scope",
+        "bin",
+        "n",
+        "ny",
+        conf.alias("conf"),
+        acc.alias("acc"),
+        "iso_fit",
+    )
+    # pinned bin-order folds — a bare double sum over bins would have a
+    # nondeterministic reduce order
+    lst = F.sort_array(
+        F.collect_list(F.struct("bin", "n", "conf", "acc", "iso_fit"))
+    )
+    tot = (
+        joined.groupBy("scope")
+        .agg(F.sum("n").cast("double").alias("tn"), lst.alias("l"))
+        .select(
+            "scope",
+            (
+                F.aggregate(
+                    F.col("l"),
+                    F.lit(0.0),
+                    lambda a, e: a
+                    + e["n"].cast("double") * F.abs(e["acc"] - e["conf"]),
+                )
+                / F.col("tn")
+            ).alias("ece_before"),
+            (
+                F.aggregate(
+                    F.col("l"),
+                    F.lit(0.0),
+                    lambda a, e: a
+                    + e["n"].cast("double")
+                    * F.abs(e["iso_fit"] - e["conf"]),
+                )
+                / F.col("tn")
+            ).alias("drift_after"),
+        )
+    )
+    return joined.join(F.broadcast(tot), "scope").select(
+        "scope",
+        "bin",
+        "n",
+        "ny",
+        F.round("conf", 6).alias("conf"),
+        F.round("acc", 6).alias("acc"),
+        F.round("iso_fit", 6).alias("iso_fit"),
+        F.round("ece_before", 6).alias("ece_before"),
+        F.round("drift_after", 6).alias("drift_after"),
+    )
+
+
+def _sql_isotonic_calibration() -> str:
+    s, nb = _ECE_SCALE, ECE_BINS
+    width = s // nb
+    flip = _md5_bucket_sql(
+        "'iso' || '|' || CAST(doc_id AS VARCHAR)", ISO_FLIP_MOD
+    )
+    return f"""
+WITH {_sql_logreg_chain()}, binned AS (
+  SELECT doc_id, y, CAST(round(p * {s}) AS BIGINT) AS sp,
+         least(CAST(round(p * {s}) AS BIGINT) // {width}, {nb - 1}) AS bin
+  FROM scores
+), rows_ AS (
+  SELECT 'model' AS scope, bin, y, sp FROM binned
+  UNION ALL
+  SELECT 'degraded' AS scope, bin,
+         CASE WHEN {flip} = 0 AND bin >= {ISO_FLIP_BIN}
+              THEN 1 - y ELSE y END AS y,
+         sp
+  FROM binned
+), per AS MATERIALIZED (
+  SELECT scope, bin, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS ny,
+         CAST(sum(sp) AS BIGINT) AS ssp
+  FROM rows_ GROUP BY scope, bin
+), pre AS MATERIALIZED (
+  SELECT a.scope, a.bin,
+         CAST(sum(b.n) AS BIGINT) AS cn,
+         CAST(sum(b.ny) AS BIGINT) AS cy
+  FROM per a JOIN per b ON b.scope = a.scope AND b.bin <= a.bin
+  GROUP BY a.scope, a.bin
+), pre_ex AS MATERIALIZED (
+  SELECT a.scope, a.bin,
+         CAST(coalesce(sum(b.n), 0) AS BIGINT) AS pn,
+         CAST(coalesce(sum(b.ny), 0) AS BIGINT) AS py
+  FROM per a LEFT JOIN per b ON b.scope = a.scope AND b.bin < a.bin
+  GROUP BY a.scope, a.bin
+), spans AS MATERIALIZED (
+  SELECT k.scope, j.bin AS j, k.bin AS k,
+         CAST(k.cy - j.py AS DOUBLE) / CAST(k.cn - j.pn AS DOUBLE) AS avg
+  FROM pre k JOIN pre_ex j ON j.scope = k.scope AND j.bin <= k.bin
+), mins AS (
+  SELECT i.scope, i.bin, sp.j, min(sp.avg) AS mn
+  FROM per i JOIN spans sp
+    ON sp.scope = i.scope AND sp.j <= i.bin AND sp.k >= i.bin
+  GROUP BY i.scope, i.bin, sp.j
+), fit AS MATERIALIZED (
+  SELECT scope, bin, max(mn) AS iso_fit FROM mins GROUP BY scope, bin
+), joined AS MATERIALIZED (
+  SELECT p.scope, p.bin, p.n, p.ny,
+         CAST(p.ssp AS DOUBLE) / CAST(p.n * {s} AS DOUBLE) AS conf,
+         CAST(p.ny AS DOUBLE) / CAST(p.n AS DOUBLE) AS acc,
+         f.iso_fit
+  FROM per p JOIN fit f ON f.scope = p.scope AND f.bin = p.bin
+), tot AS (
+  SELECT scope,
+         list_sum(list(CAST(n AS DOUBLE) * abs(acc - conf) ORDER BY bin))
+           / CAST(sum(n) AS DOUBLE) AS ece_before,
+         list_sum(list(CAST(n AS DOUBLE) * abs(iso_fit - conf)
+                       ORDER BY bin))
+           / CAST(sum(n) AS DOUBLE) AS drift_after
+  FROM joined GROUP BY scope
+)
+SELECT j.scope, j.bin, j.n, j.ny,
+       round(j.conf, 6) AS conf,
+       round(j.acc, 6) AS acc,
+       round(j.iso_fit, 6) AS iso_fit,
+       round(t.ece_before, 6) AS ece_before,
+       round(t.drift_after, 6) AS drift_after
+FROM joined j JOIN tot t USING (scope)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -14569,4 +14835,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "attribution": (q_attribution, _sql_attribution()),
     "kaplan_meier": (q_kaplan_meier, _sql_kaplan_meier()),
     "benford_test": (q_benford_test, _sql_benford_test()),
+    "isotonic_calibration": (
+        q_isotonic_calibration,
+        _sql_isotonic_calibration(),
+    ),
 }

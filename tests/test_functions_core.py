@@ -4731,3 +4731,118 @@ def test_benford_test_pure_python_replay_and_verdicts():
             "reject" if exp[scope] > BENFORD_CRIT else "conform"
         )
     assert sum(cnt["raw"].values()) == sum(cnt["benford"].values()) == n
+
+
+def test_isotonic_calibration_pav_theorem_and_replay():
+    """Isotonic (`isotonic_calibration`): the oracle's minimax fit must
+    equal a REAL stack-based PAV pool loop bin-for-bin in BOTH scopes at
+    sf0.001 (the Ayer minimax identity, checked on data); fits are
+    monotone; the degraded scope's planted high-bin label flips create
+    genuine violators so pooling FIRES, and its weighted calibration
+    error strictly improves (drift_after < ece_before); margins on
+    rounded doubles."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        ECE_BINS,
+        ISO_FLIP_BIN,
+        ISO_FLIP_MOD,
+        QUERIES,
+        _ECE_SCALE,
+        _sql_logreg_chain,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    scored = con.execute(
+        f"WITH {_sql_logreg_chain()} SELECT doc_id, y, p FROM scores"
+    ).fetchall()
+    width = _ECE_SCALE // ECE_BINS
+
+    def pav_fit(agg, bins):
+        stack = []
+        for b in bins:
+            n, ny, _ssp = agg[b]
+            stack.append([ny, n])
+            while (
+                len(stack) >= 2
+                and stack[-2][0] * stack[-1][1]
+                >= stack[-1][0] * stack[-2][1]
+            ):
+                y2, n2 = stack.pop()
+                stack[-1][0] += y2
+                stack[-1][1] += n2
+        out, i = {}, 0
+        for sy, sn in stack:
+            cnt = 0
+            while cnt < sn:
+                out[bins[i]] = sy / sn
+                cnt += agg[bins[i]][0]
+                i += 1
+        return out
+
+    exp = {}
+    for scope in ("model", "degraded"):
+        agg = {}
+        for d, y, p in scored:
+            sp = round(p * _ECE_SCALE)
+            b = min(sp // width, ECE_BINS - 1)
+            ye = y
+            if scope == "degraded":
+                h = (
+                    int(
+                        hashlib.md5(f"iso|{d}".encode()).hexdigest()[:15], 16
+                    )
+                    % ISO_FLIP_MOD
+                )
+                if h == 0 and b >= ISO_FLIP_BIN:
+                    ye = 1 - y
+            n, ny, ssp = agg.get(b, (0, 0, 0))
+            agg[b] = (n + 1, ny + ye, ssp + sp)
+        bins = sorted(agg)
+        pav = pav_fit(agg, bins)
+        tn = sum(agg[b][0] for b in bins)
+        ece_b = sum(
+            agg[b][0]
+            * abs(
+                agg[b][1] / agg[b][0] - agg[b][2] / (agg[b][0] * _ECE_SCALE)
+            )
+            for b in bins
+        ) / tn
+        drift_a = sum(
+            agg[b][0] * abs(pav[b] - agg[b][2] / (agg[b][0] * _ECE_SCALE))
+            for b in bins
+        ) / tn
+        exp[scope] = (agg, pav, ece_b, drift_a)
+    # degraded scope: violators exist, pooling fires, error improves
+    dagg = exp["degraded"][0]
+    dacc = [dagg[b][1] / dagg[b][0] for b in sorted(dagg)]
+    assert any(dacc[i] > dacc[i + 1] for i in range(len(dacc) - 1))
+    assert exp["degraded"][3] < exp["degraded"][2]
+    rows = con.execute(QUERIES["isotonic_calibration"][1]).fetchall()
+    assert len(rows) == sum(len(a) for a, _p, _e, _d in exp.values())
+    prev = {}
+    for scope, b, n, ny, conf, acc, iso, geb, gda in sorted(
+        rows, key=lambda r: (r[0], r[1])
+    ):
+        agg, pav, ece_b, drift_a = exp[scope]
+        en, eny, essp = agg[b]
+        assert (n, ny) == (en, eny)
+        for got, e in (
+            (conf, essp / (en * _ECE_SCALE)),
+            (acc, eny / en),
+            (iso, pav[b]),  # the minimax == PAV theorem
+            (geb, ece_b),
+            (gda, drift_a),
+        ):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4, (scope, b, e)
+            assert got == round(e, 6), (scope, b, got, e)
+        assert iso >= prev.get(scope, -1.0) - 1e-12
+        prev[scope] = iso
