@@ -451,6 +451,10 @@ DRIVER_CAP_OVERFLOW = (
     # sequential pool loop made relational; pytest proves minimax == a
     # real stack-based PAV on data
     "isotonic_calibration",
+    # round-6 new, born-overflow: the full ANSI window-function family
+    # (row_number/rank/dense_rank/percent_rank/cume_dist/ntile/lag/lead/
+    # nth/first/last) over tie-rich bounded partitions
+    "window_funcs",
 )
 
 

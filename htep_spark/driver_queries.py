@@ -14696,6 +14696,76 @@ FROM joined j JOIN tot t USING (scope)
 """
 
 
+# --------------------------------------------------------------------------
+# Window-function family parity (`window_funcs`): the full ANSI ranking/
+# navigation toolbox in one operator — row_number, rank, dense_rank,
+# percent_rank, cume_dist, ntile, lag/lead, nth_value, first/last_value
+# — over tie-RICH partitions (order key = md5 grade 0..4, so rank vs
+# dense_rank genuinely diverge and percent_rank/cume_dist exercise tie
+# semantics). Ranking functions order by the tying key alone (standard
+# tie semantics, identical in both engines); navigation functions order
+# by (k, doc_id) with an explicit unbounded frame so every value is
+# deterministic. percent_rank/cume_dist are single divisions of exact
+# integers.
+#
+# Scale shape: one window pass PARTITIONED by source (bounded 25-doc
+# groups — never a single-partition window); at 100 TB this is the
+# WindowExec-per-partition shape every BI layer emits.
+# --------------------------------------------------------------------------
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = _md5_bucket_spark(F.concat_ws("|", F.lit("wf"), F.col("doc_id")), 5)
+    base = _docs(spark, sf_dir).select("source", "doc_id", k.alias("k"))
+    wt = Window.partitionBy("source").orderBy("k")  # ties allowed
+    wd = Window.partitionBy("source").orderBy("k", "doc_id")
+    wf = wd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return base.select(
+        "source",
+        "doc_id",
+        "k",
+        F.row_number().over(wd).cast("long").alias("rn"),
+        F.rank().over(wt).cast("long").alias("rnk"),
+        F.dense_rank().over(wt).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(wt), 6).alias("pr"),
+        F.round(F.cume_dist().over(wt), 6).alias("cd"),
+        F.ntile(4).over(wd).cast("long").alias("nt"),
+        F.lag("doc_id", 1).over(wd).cast("long").alias("lag_id"),
+        F.lead("doc_id", 1).over(wd).cast("long").alias("lead_id"),
+        F.nth_value("doc_id", 3).over(wf).cast("long").alias("nth3"),
+        F.first("doc_id").over(wf).cast("long").alias("first_id"),
+        F.last("doc_id").over(wf).cast("long").alias("last_id"),
+    )
+
+
+def _sql_window_funcs() -> str:
+    k = _md5_bucket_sql("'wf' || '|' || CAST(doc_id AS VARCHAR)", 5)
+    return f"""
+WITH base AS (
+  SELECT source, doc_id, {k} AS k FROM documents
+)
+SELECT source, doc_id, k,
+       CAST(row_number() OVER wd AS BIGINT) AS rn,
+       CAST(rank() OVER wt AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+       round(percent_rank() OVER wt, 6) AS pr,
+       round(cume_dist() OVER wt, 6) AS cd,
+       CAST(ntile(4) OVER wd AS BIGINT) AS nt,
+       CAST(lag(doc_id, 1) OVER wd AS BIGINT) AS lag_id,
+       CAST(lead(doc_id, 1) OVER wd AS BIGINT) AS lead_id,
+       CAST(nth_value(doc_id, 3) OVER wf AS BIGINT) AS nth3,
+       CAST(first_value(doc_id) OVER wf AS BIGINT) AS first_id,
+       CAST(last_value(doc_id) OVER wf AS BIGINT) AS last_id
+FROM base
+WINDOW wt AS (PARTITION BY source ORDER BY k),
+       wd AS (PARTITION BY source ORDER BY k, doc_id),
+       wf AS (PARTITION BY source ORDER BY k, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -14839,4 +14909,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         q_isotonic_calibration,
         _sql_isotonic_calibration(),
     ),
+    "window_funcs": (q_window_funcs, _sql_window_funcs()),
 }

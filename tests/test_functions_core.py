@@ -4846,3 +4846,86 @@ def test_isotonic_calibration_pav_theorem_and_replay():
             assert got == round(e, 6), (scope, b, got, e)
         assert iso >= prev.get(scope, -1.0) - 1e-12
         prev[scope] = iso
+
+
+def test_window_funcs_pure_python_replay():
+    """Window family (`window_funcs`): a pure-Python replay of all
+    eleven ranking/navigation functions with standard tie semantics
+    must match the DuckDB oracle at sf0.001; ties genuinely exist
+    (rank != dense_rank somewhere); lag/lead invert each other; ntile
+    sizes are balanced; margins on the two rounded doubles."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, doc_id FROM documents").fetchall()
+    groups = defaultdict(list)
+    for src, d in raw:
+        k = int(hashlib.md5(f"wf|{d}".encode()).hexdigest()[:15], 16) % 5
+        groups[src].append((k, d))
+    exp = {}
+    for src, items in groups.items():
+        items.sort()
+        n = len(items)
+        kvals = [k for k, _d in items]
+        for i, (k, d) in enumerate(items):
+            rn = i + 1
+            rnk = kvals.index(k) + 1
+            drnk = len(set(kvals[: kvals.index(k)])) + 1
+            pr = (rnk - 1) / (n - 1) if n > 1 else 0.0
+            cd = (
+                max(j + 1 for j, kv in enumerate(kvals) if kv == k) / n
+            )
+            # ntile over n rows into 4 buckets: first (n % 4) buckets get
+            # ceil(n/4)
+            q, r = divmod(n, 4)
+            boundaries = []
+            pos = 0
+            for b in range(4):
+                size = q + (1 if b < r else 0)
+                boundaries.append((pos, pos + size))
+                pos += size
+            nt = next(
+                b + 1
+                for b, (lo, hi) in enumerate(boundaries)
+                if lo <= i < hi
+            )
+            exp[(src, d)] = {
+                "k": k,
+                "rn": rn,
+                "rnk": rnk,
+                "drnk": drnk,
+                "pr": pr,
+                "cd": cd,
+                "nt": nt,
+                "lag": items[i - 1][1] if i > 0 else None,
+                "lead": items[i + 1][1] if i < n - 1 else None,
+                "nth3": items[2][1] if n >= 3 else None,
+                "first": items[0][1],
+                "last": items[-1][1],
+            }
+    rows = con.execute(QUERIES["window_funcs"][1]).fetchall()
+    assert len(rows) == len(exp)
+    tie_seen = False
+    for (src, d, k, rn, rnk, drnk, pr, cd, nt, lag, lead, nth3,
+         first, last) in rows:
+        e = exp[(src, d)]
+        assert k == e["k"]
+        assert (rn, rnk, drnk, nt) == (e["rn"], e["rnk"], e["drnk"], e["nt"])
+        for got, ev in ((pr, e["pr"]), (cd, e["cd"])):
+            frac = abs(ev * 1e6 - math.floor(ev * 1e6) - 0.5)
+            assert frac > 1e-4 or frac < 1e-12, (src, d, ev)
+            assert got == math.floor(ev * 1e6 + 0.5) / 1e6
+        assert (lag, lead) == (e["lag"], e["lead"])
+        assert (nth3, first, last) == (e["nth3"], e["first"], e["last"])
+        tie_seen = tie_seen or rnk != drnk
+    assert tie_seen, "no ties — rank/dense_rank never diverge"
