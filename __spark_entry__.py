@@ -455,6 +455,10 @@ DRIVER_CAP_OVERFLOW = (
     # (row_number/rank/dense_rank/percent_rank/cume_dist/ntile/lag/lead/
     # nth/first/last) over tie-rich bounded partitions
     "window_funcs",
+    # round-6 new, born-overflow: quantile normalization (Bolstad 2003) —
+    # per-source ranks mapped onto the across-source mean distribution;
+    # after the transform every source has the identical value multiset
+    "quantile_normalize",
 )
 
 

@@ -14766,6 +14766,78 @@ WINDOW wt AS (PARTITION BY source ORDER BY k),
 """
 
 
+# --------------------------------------------------------------------------
+# Quantile normalization (`quantile_normalize`): the cross-batch
+# distribution-alignment transform (Bolstad et al. 2003 — the microarray
+# standard, equally the fix for per-source length-distribution drift in
+# a corpus): rank every document within its source, replace each value
+# with the ACROSS-SOURCE MEAN of the values at that rank — afterwards
+# every source has the identical value multiset (the defining property,
+# asserted in pytest). The testdata's uniform 25-doc sources (probed at
+# both SFs) make the rank join total; the reference value at each rank
+# is Σ BIGINT / n_sources — one division (6dp), everything else integer.
+#
+# Scale shape: within-source ranks are windows over bounded 25-doc
+# partitions; the per-rank reference is one map-side-combinable agg to a
+# |group-size| frame, broadcast back. At 100 TB with ragged groups the
+# same plan runs on interpolated rank positions — the bounded-rank join
+# is unchanged.
+# --------------------------------------------------------------------------
+
+
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0
+    )
+    base = _docs(spark, sf_dir).select(
+        "source", "doc_id", F.size(toks).cast("long").alias("v")
+    )
+    w = Window.partitionBy("source").orderBy("v", "doc_id")
+    ranked = base.select(
+        "source", "doc_id", "v", F.row_number().over(w).cast("long").alias("r")
+    )
+    ref = ranked.groupBy("r").agg(
+        F.sum("v").cast("long").alias("ref_sum"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return ranked.join(F.broadcast(ref), "r").select(
+        "source",
+        "doc_id",
+        "v",
+        "r",
+        "ref_sum",
+        "n_sources",
+        F.round(
+            F.col("ref_sum").cast("double") / F.col("n_sources").cast("double"),
+            6,
+        ).alias("normalized"),
+    )
+
+
+def _sql_quantile_normalize() -> str:
+    return f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              AS BIGINT) AS v
+  FROM documents
+), ranked AS MATERIALIZED (
+  SELECT source, doc_id, v,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+              AS BIGINT) AS r
+  FROM base
+), ref AS (
+  SELECT r, CAST(sum(v) AS BIGINT) AS ref_sum,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM ranked GROUP BY r
+)
+SELECT rk.source, rk.doc_id, rk.v, rk.r, ref.ref_sum, ref.n_sources,
+       round(CAST(ref.ref_sum AS DOUBLE) / CAST(ref.n_sources AS DOUBLE), 6)
+         AS normalized
+FROM ranked rk JOIN ref USING (r)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -14910,4 +14982,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
         _sql_isotonic_calibration(),
     ),
     "window_funcs": (q_window_funcs, _sql_window_funcs()),
+    "quantile_normalize": (q_quantile_normalize, _sql_quantile_normalize()),
 }

@@ -4929,3 +4929,58 @@ def test_window_funcs_pure_python_replay():
         assert (nth3, first, last) == (e["nth3"], e["first"], e["last"])
         tie_seen = tie_seen or rnk != drnk
     assert tie_seen, "no ties — rank/dense_rank never diverge"
+
+
+def test_quantile_normalize_pure_python_replay_and_alignment():
+    """Quantile normalization (`quantile_normalize`): a pure-Python
+    replay — within-source (v, doc_id) ranks, across-source per-rank
+    means — must match the DuckDB oracle at sf0.001; the DEFINING
+    property holds: after the transform every source carries the
+    identical normalized multiset; groups are uniform (the total-rank
+    precondition); the transform is monotone within each source."""
+    import math
+    import re
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, doc_id, text FROM documents").fetchall()
+    groups = defaultdict(list)
+    for src, d, t in raw:
+        groups[src].append((len(re.findall("[a-z0-9]+", t.lower())), d))
+    sizes = {len(v) for v in groups.values()}
+    assert len(sizes) == 1  # uniform groups (precondition)
+    ranked = {}
+    ref = defaultdict(lambda: [0, 0])
+    for src, items in groups.items():
+        items.sort()
+        for i, (v, d) in enumerate(items, 1):
+            ranked[(src, d)] = (v, i)
+            ref[i][0] += v
+            ref[i][1] += 1
+    rows = con.execute(QUERIES["quantile_normalize"][1]).fetchall()
+    assert len(rows) == len(ranked)
+    per_source = defaultdict(list)
+    for src, d, v, r, rs, ns, norm in rows:
+        ev, er = ranked[(src, d)]
+        assert (v, r) == (ev, er)
+        assert (rs, ns) == tuple(ref[r])
+        e = rs / ns
+        frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+        assert frac > 1e-4 or frac < 1e-12, (r, e)
+        assert norm == math.floor(e * 1e6 + 0.5) / 1e6
+        per_source[src].append((r, norm))
+    dists = {
+        src: tuple(sorted(v)) for src, v in per_source.items()
+    }
+    assert len(set(dists.values())) == 1, "multisets differ post-transform"
+    for src, v in per_source.items():
+        seq = [norm for _r, norm in sorted(v)]
+        assert all(a <= b for a, b in zip(seq, seq[1:]))
