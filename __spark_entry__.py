@@ -459,6 +459,10 @@ DRIVER_CAP_OVERFLOW = (
     # per-source ranks mapped onto the across-source mean distribution;
     # after the transform every source has the identical value multiset
     "quantile_normalize",
+    # round-6 new, born-overflow: classical additive seasonal decompose —
+    # 2x24 centered-MA trend as paired BIGINT window sums, integer
+    # detrending, pinned-order seasonal centering
+    "seasonal_decompose",
 )
 
 

@@ -14838,6 +14838,165 @@ FROM ranked rk JOIN ref USING (r)
 """
 
 
+# --------------------------------------------------------------------------
+# Classical seasonal decomposition (`seasonal_decompose`): the additive
+# moving-average decompose (Macaulay 1931; statsmodels' `seasonal_
+# decompose`) — y = trend + seasonal + residual over the dense hourly
+# series with period 24. Completes the time-series suite: holt forecasts,
+# seasonal_mase evaluates, cusum/rolling_anomaly detect, THIS explains.
+# The even period uses the standard 2×24 centered MA — computed as the
+# SUM of two offset 24-hour BIGINT window sums (trend = strend/48, one
+# division); detrended values stay integer as d48 = 48·y − strend;
+# per-hour-of-day seasonal means are BIGINT ratios; only the seasonal
+# CENTERING (mean of the 24 raw seasonals) is a genuine float sum — it
+# folds in pinned hour order (list_sum ORDER BY twin). Residual = y −
+# trend − seasonal in fixed expression order.
+#
+# Scale shape: one hourly agg; window sums over the bounded series; the
+# hour-of-day aggregation is 24 groups; everything downstream is
+# summary-sized.
+# --------------------------------------------------------------------------
+
+SD_PERIOD = 24
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = SD_PERIOD
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("h")
+    ser = (
+        grid.join(cnt, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("y"))
+        .select(
+            "h", "y", F.row_number().over(w).cast("long").alias("t")
+        )
+    )
+    # single-partition windows are safe ONLY because they sit ABOVE the
+    # hourly-count aggregation — the frame is the bounded |hours| series,
+    # never the corpus (the mixture_plan/ADVICE-r05 discipline)
+    wt = Window.orderBy("t")
+    half = p // 2
+    s1 = F.sum("y").over(wt.rowsBetween(-half, half - 1))
+    s2 = F.sum("y").over(wt.rowsBetween(-(half - 1), half))
+    c1 = F.count("y").over(wt.rowsBetween(-half, half - 1))
+    c2 = F.count("y").over(wt.rowsBetween(-(half - 1), half))
+    wins = ser.select(
+        "h",
+        "t",
+        "y",
+        (s1 + s2).cast("long").alias("strend"),
+        (c1 + c2).cast("long").alias("wcnt"),
+        ((F.col("t") - 1) % p).cast("long").alias("hod"),
+    ).filter(F.col("wcnt") == 2 * p)
+    valid = wins.localCheckpoint(eager=True)
+    sea = valid.groupBy("hod").agg(
+        F.sum(2 * p * F.col("y") - F.col("strend"))
+        .cast("long")
+        .alias("s_num"),
+        F.count("*").cast("long").alias("s_cnt"),
+    )
+    raw_seasonal = F.col("s_num").cast("double") / (
+        F.lit(float(2 * p)) * F.col("s_cnt").cast("double")
+    )
+    sea2 = sea.select("hod", "s_num", "s_cnt", raw_seasonal.alias("sraw"))
+    center = sea2.agg(
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("hod", "sraw"))),
+                F.lit(0.0),
+                lambda a, e: a + e["sraw"],
+            )
+            / F.count("*").cast("double")
+        ).alias("center")
+    )
+    sea3 = sea2.crossJoin(F.broadcast(center)).select(
+        "hod",
+        "s_num",
+        "s_cnt",
+        (F.col("sraw") - F.col("center")).alias("seasonal"),
+    )
+    trend = F.col("strend").cast("double") / F.lit(float(2 * p))
+    return valid.join(F.broadcast(sea3), "hod").select(
+        "t",
+        F.unix_timestamp("h").alias("epoch"),
+        "y",
+        "hod",
+        "strend",
+        F.round(trend, 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(
+            F.col("y").cast("double") - trend - F.col("seasonal"), 6
+        ).alias("resid"),
+    )
+
+
+def _sql_seasonal_decompose() -> str:
+    p = SD_PERIOD
+    half = p // 2
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), cnt AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1
+), ser AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY g.h) AS t, g.h,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS y
+  FROM grid g LEFT JOIN cnt c ON c.h = g.h
+), wins AS MATERIALIZED (
+  SELECT t, h, y,
+         CAST(sum(y) OVER w1 + sum(y) OVER w2 AS BIGINT) AS strend,
+         CAST(count(y) OVER w1 + count(y) OVER w2 AS BIGINT) AS wcnt,
+         CAST((t - 1) % {p} AS BIGINT) AS hod
+  FROM ser
+  WINDOW w1 AS (ORDER BY t ROWS BETWEEN {half} PRECEDING
+                AND {half - 1} FOLLOWING),
+         w2 AS (ORDER BY t ROWS BETWEEN {half - 1} PRECEDING
+                AND {half} FOLLOWING)
+), valid AS MATERIALIZED (
+  SELECT * FROM wins WHERE wcnt = {2 * p}
+), sea AS MATERIALIZED (
+  SELECT hod,
+         CAST(sum({2 * p} * y - strend) AS BIGINT) AS s_num,
+         CAST(count(*) AS BIGINT) AS s_cnt
+  FROM valid GROUP BY hod
+), sea2 AS MATERIALIZED (
+  SELECT hod, s_num, s_cnt,
+         CAST(s_num AS DOUBLE) / ({float(2 * p)} * CAST(s_cnt AS DOUBLE))
+           AS sraw
+  FROM sea
+), center AS (
+  SELECT list_sum(list(sraw ORDER BY hod)) / CAST(count(*) AS DOUBLE)
+           AS center
+  FROM sea2
+), sea3 AS (
+  SELECT hod, s_num, s_cnt, sraw - center.center AS seasonal
+  FROM sea2 CROSS JOIN center
+)
+SELECT v.t, CAST(epoch(v.h) AS BIGINT) AS epoch, v.y, v.hod, v.strend,
+       round(CAST(v.strend AS DOUBLE) / {float(2 * p)}, 6) AS trend,
+       round(s.seasonal, 6) AS seasonal,
+       round(CAST(v.y AS DOUBLE)
+             - CAST(v.strend AS DOUBLE) / {float(2 * p)}
+             - s.seasonal, 6) AS resid
+FROM valid v JOIN sea3 s USING (hod)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -14983,4 +15142,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     ),
     "window_funcs": (q_window_funcs, _sql_window_funcs()),
     "quantile_normalize": (q_quantile_normalize, _sql_quantile_normalize()),
+    "seasonal_decompose": (q_seasonal_decompose, _sql_seasonal_decompose()),
 }

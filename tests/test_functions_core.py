@@ -4984,3 +4984,71 @@ def test_quantile_normalize_pure_python_replay_and_alignment():
     for src, v in per_source.items():
         seq = [norm for _r, norm in sorted(v)]
         assert all(a <= b for a, b in zip(seq, seq[1:]))
+
+
+def test_seasonal_decompose_pure_python_replay_and_identity():
+    """Decompose (`seasonal_decompose`): a pure-Python replay — dense
+    grid, paired 24-hour window sums (the 2x24 centered MA), integer
+    detrending, per-hour-of-day seasonal means with pinned-order
+    centering — must match the DuckDB oracle at sf0.001; the additive
+    identity y == trend + seasonal + resid holds to float tolerance on
+    every row; centered seasonals sum to ~0; only full-window rows are
+    emitted; margins on rounded doubles."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES, SD_PERIOD
+
+    p = SD_PERIOD
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    hrs = con.execute(
+        "SELECT epoch_us(date_trunc('hour', ts)) FROM events"
+    ).fetchall()
+    c = Counter(h for (h,) in hrs)
+    grid = list(range(min(c), max(c) + 1, 3_600_000_000))
+    ys = [c.get(h, 0) for h in grid]
+    n = len(ys)
+    half = p // 2
+    valid = {}
+    for i in range(n):  # 0-based; t = i + 1
+        lo1, hi1 = i - half, i + half - 1
+        lo2, hi2 = i - half + 1, i + half
+        if lo1 < 0 or hi2 >= n:
+            continue
+        strend = sum(ys[lo1 : hi1 + 1]) + sum(ys[lo2 : hi2 + 1])
+        valid[i + 1] = (ys[i], strend, i % p)
+    s_num = defaultdict(int)
+    s_cnt = defaultdict(int)
+    for t, (y, strend, hod) in valid.items():
+        s_num[hod] += 2 * p * y - strend
+        s_cnt[hod] += 1
+    sraw = {h: s_num[h] / (2 * p * s_cnt[h]) for h in s_num}
+    center = sum(sraw[h] for h in sorted(sraw)) / len(sraw)
+    seasonal = {h: sraw[h] - center for h in sraw}
+    assert abs(sum(seasonal.values())) < 1e-9
+    rows = con.execute(QUERIES["seasonal_decompose"][1]).fetchall()
+    assert len(rows) == len(valid)
+    for t, epoch, y, hod, strend, trend, sea, resid in rows:
+        ey, es, eh = valid[t]
+        assert (y, strend, hod) == (ey, es, eh)
+        et = es / (2 * p)
+        for got, e in (
+            (trend, et),
+            (sea, seasonal[eh]),
+            (resid, ey - et - seasonal[eh]),
+        ):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4 or frac < 1e-12, (t, e)
+            # engines round half AWAY FROM ZERO (sign-aware)
+            exp6 = math.copysign(
+                math.floor(abs(e) * 1e6 + 0.5), e
+            ) / 1e6
+            assert got == exp6, (t, got, e)
+        assert abs(y - (et + seasonal[eh] + (ey - et - seasonal[eh]))) < 1e-9
+        assert epoch == grid[t - 1] // 1_000_000
