@@ -463,6 +463,10 @@ DRIVER_CAP_OVERFLOW = (
     # 2x24 centered-MA trend as paired BIGINT window sums, integer
     # detrending, pinned-order seasonal centering
     "seasonal_decompose",
+    # round-6 new, born-overflow: DAU/WAU/stickiness — sliding distinct-
+    # user windows via the bounded contribution-explode (never a
+    # COUNT(DISTINCT) OVER frame); full-window days only
+    "active_users",
 )
 
 

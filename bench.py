@@ -283,6 +283,10 @@ def main() -> None:
         "attribution",
         "kaplan_meier",
         "benford_test",
+        "isotonic_calibration",
+        "window_funcs",
+        "quantile_normalize",
+        "seasonal_decompose",
     ):
         if name not in QUERIES:
             continue

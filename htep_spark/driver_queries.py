@@ -14997,6 +14997,87 @@ FROM valid v JOIN sea3 s USING (hod)
 """
 
 
+# --------------------------------------------------------------------------
+# Active-user engagement (`active_users`): the DAU/WAU/stickiness board
+# metric — per day: distinct daily actives, trailing-7-day distinct
+# actives, and the DAU/WAU engagement ratio. Distinct-over-sliding-
+# window is NOT a window function (COUNT(DISTINCT) OVER a frame is
+# unsupported and would be wrong anyway); the scale-honest plan is the
+# CONTRIBUTION-EXPLODE: dedupe to (user, day), explode each user-day to
+# the ≤AU_WINDOW target days it contributes to, dedupe (user, target),
+# count — a bounded ×W blowup of the already-deduped user-day frame,
+# never a per-day scan. Exact integers; the ratio is one division.
+#
+# Scale shape: (user, day) dedup is one exchange; the explode is
+# W-bounded; the second dedup + count is map-side combinable. Only
+# days with a FULL trailing window emit (partial-window edges excluded,
+# same discipline as rolling_anomaly).
+# --------------------------------------------------------------------------
+
+AU_WINDOW = 7  # trailing days for WAU
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        f" div {_DAY_US}"
+    )
+    ud = (
+        _events(spark, sf_dir)
+        .select("user_id", day.alias("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    bounds = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    dau = ud.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.col("d") + AU_WINDOW - 1)
+        ).alias("d"),
+    ).distinct()
+    wau = contrib.groupBy("d").agg(F.count("*").cast("long").alias("wau"))
+    return (
+        dau.join(wau, "d")
+        .crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("d") >= F.col("d0") + AU_WINDOW - 1)
+            & (F.col("d") <= F.col("d1"))
+        )
+        .select(
+            F.col("d").cast("long").alias("day"),
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+def _sql_active_users() -> str:
+    w = AU_WINDOW
+    return f"""
+WITH ud AS MATERIALIZED (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
+), bounds AS (
+  SELECT min(d) AS d0, max(d) AS d1 FROM ud
+), dau AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d
+), contrib AS (
+  SELECT DISTINCT user_id, d + g.i AS d
+  FROM ud, LATERAL (SELECT unnest(range({w})) AS i) g
+), wau AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS wau FROM contrib GROUP BY d
+)
+SELECT CAST(dau.d AS BIGINT) AS day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+         AS stickiness
+FROM dau JOIN wau USING (d) CROSS JOIN bounds
+WHERE dau.d >= bounds.d0 + {w} - 1 AND dau.d <= bounds.d1
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -15143,4 +15224,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "window_funcs": (q_window_funcs, _sql_window_funcs()),
     "quantile_normalize": (q_quantile_normalize, _sql_quantile_normalize()),
     "seasonal_decompose": (q_seasonal_decompose, _sql_seasonal_decompose()),
+    "active_users": (q_active_users, _sql_active_users()),
 }

@@ -5052,3 +5052,49 @@ def test_seasonal_decompose_pure_python_replay_and_identity():
             assert got == exp6, (t, got, e)
         assert abs(y - (et + seasonal[eh] + (ey - et - seasonal[eh]))) < 1e-9
         assert epoch == grid[t - 1] // 1_000_000
+
+
+def test_active_users_pure_python_replay_and_bounds():
+    """Engagement (`active_users`): a pure-Python replay — (user, day)
+    dedup, trailing-7-day distinct actives via brute force — must match
+    the DuckDB oracle (which uses the contribution-explode; equality IS
+    the explode-trick proof on data) at sf0.001; DAU <= WAU always;
+    stickiness in (0, 1]; only full-window days emit; WAU is genuinely
+    larger than DAU somewhere (the window matters)."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import _DAY_US, AU_WINDOW, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute("SELECT user_id, epoch_us(ts) FROM events").fetchall()
+    days = defaultdict(set)
+    for u, um in raw:
+        days[um // _DAY_US].add(u)
+    d0, d1 = min(days), max(days)
+    exp = {}
+    for d in range(d0 + AU_WINDOW - 1, d1 + 1):
+        dau = len(days.get(d, set()))
+        wau = len(set().union(*(days.get(x, set())
+                                for x in range(d - AU_WINDOW + 1, d + 1))))
+        exp[d] = (dau, wau)
+    rows = con.execute(QUERIES["active_users"][1]).fetchall()
+    assert len(rows) == len([d for d in exp if exp[d][0] > 0])
+    widened = False
+    for day, dau, wau, stick in rows:
+        ed, ew = exp[day]
+        assert (dau, wau) == (ed, ew)
+        assert dau <= wau
+        e = dau / wau
+        frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+        assert frac > 1e-4 or frac < 1e-12, (day, e)
+        assert stick == math.floor(e * 1e6 + 0.5) / 1e6
+        assert 0.0 < stick <= 1.0
+        widened = widened or wau > dau
+    assert widened, "window never widens (degenerate)"
