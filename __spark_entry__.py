@@ -467,6 +467,11 @@ DRIVER_CAP_OVERFLOW = (
     # user windows via the bounded contribution-explode (never a
     # COUNT(DISTINCT) OVER frame); full-window days only
     "active_users",
+    # round-6 new, born-overflow: difference-in-differences — planted
+    # baseline confound + post-only effect; DiD recovers the effect while
+    # the naive post diff reads confound+effect (both emitted); BIGINT
+    # moments, fixed-order 4-cell contrast
+    "diff_in_diff",
 )
 
 

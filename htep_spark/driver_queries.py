@@ -15078,6 +15078,174 @@ WHERE dau.d >= bounds.d0 + {w} - 1 AND dau.d <= bounds.d1
 """
 
 
+# --------------------------------------------------------------------------
+# Difference-in-differences (`diff_in_diff`): the panel causal estimator
+# (Card & Krueger 1994) — completes the causal family: cuped_ab reduces
+# variance in a RANDOMIZED test, DiD identifies an effect under a
+# CONFOUNDED baseline. Users split into md5 arms; days split at the
+# integer midpoint into pre/post; outcome = per-(user, period) event
+# count with a PLANTED structure: treated users get +DID_BASE in BOTH
+# periods (the baseline confound) and +DID_EFFECT only post. The naive
+# post-only comparison reads BASE+EFFECT; the DiD contrast
+# (Δtreat − Δcontrol) recovers EXACTLY EFFECT up to noise — both
+# estimates ride the output so the bias the method removes is visible
+# (and asserted in pytest). All moments are BIGINT sums (the cuped_ab
+# exactness class); means/variances/t are fixed-order expressions.
+#
+# Scale shape: one scan → per-(user, period) counts → 4-cell moment agg
+# (map-side combinable); everything downstream is 4 rows.
+# --------------------------------------------------------------------------
+
+DID_BASE = 20  # planted always-on treated-arm baseline confound
+DID_EFFECT = 12  # planted treatment effect (post-period only)
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        f" div {_DAY_US}"
+    )
+    ev = _events(spark, sf_dir).select("user_id", day.alias("d"))
+    bounds = ev.agg(
+        F.expr("cast((min(d) + max(d)) div 2 as bigint)").alias("mid")
+    )
+    arm = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("did"), F.col("user_id")), 2
+    )
+    per = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            arm.alias("treat"),
+            (F.col("d") > F.col("mid")).cast("long").alias("post"),
+        )
+        .groupBy("user_id", "treat", "post")
+        .agg(F.count("*").cast("long").alias("c0"))
+        .select(
+            "user_id",
+            "treat",
+            "post",
+            (
+                F.col("c0")
+                + F.col("treat") * DID_BASE
+                + F.col("treat") * F.col("post") * DID_EFFECT
+            ).alias("y"),
+        )
+    )
+    cells = per.groupBy("treat", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sy").cast("double") / nd
+    var = (F.col("syy").cast("double") - nd * mean * mean) / (nd - F.lit(1.0))
+    stats = cells.select(
+        "treat", "post", "n", "sy", "syy", mean.alias("mean"),
+        var.alias("var"), (var / nd).alias("vn"),
+    )
+    piv = stats.agg(
+        F.sum(F.when((F.col("treat") == 1) & (F.col("post") == 1),
+                     F.col("mean"))).alias("m11"),
+        F.sum(F.when((F.col("treat") == 1) & (F.col("post") == 0),
+                     F.col("mean"))).alias("m10"),
+        F.sum(F.when((F.col("treat") == 0) & (F.col("post") == 1),
+                     F.col("mean"))).alias("m01"),
+        F.sum(F.when((F.col("treat") == 0) & (F.col("post") == 0),
+                     F.col("mean"))).alias("m00"),
+        # each conditional sum touches exactly ONE row; the four-term
+        # addition below is a FIXED-order expression (a bare sum(vn)
+        # would have a nondeterministic reduce order)
+        F.sum(F.when((F.col("treat") == 1) & (F.col("post") == 1),
+                     F.col("vn"))).alias("v11"),
+        F.sum(F.when((F.col("treat") == 1) & (F.col("post") == 0),
+                     F.col("vn"))).alias("v10"),
+        F.sum(F.when((F.col("treat") == 0) & (F.col("post") == 1),
+                     F.col("vn"))).alias("v01"),
+        F.sum(F.when((F.col("treat") == 0) & (F.col("post") == 0),
+                     F.col("vn"))).alias("v00"),
+    ).select(
+        ((F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))).alias(
+            "did"
+        ),
+        (F.col("m11") - F.col("m01")).alias("naive_post_diff"),
+        F.sqrt(
+            F.col("v11") + F.col("v10") + F.col("v01") + F.col("v00")
+        ).alias("se"),
+    )
+    return stats.crossJoin(F.broadcast(piv)).select(
+        "treat",
+        "post",
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("var", 6).alias("var"),
+        F.round("did", 6).alias("did"),
+        F.round("naive_post_diff", 6).alias("naive_post_diff"),
+        F.round("se", 6).alias("se"),
+        F.round(F.col("did") / F.col("se"), 6).alias("t_did"),
+    )
+
+
+def _sql_diff_in_diff() -> str:
+    arm = _md5_bucket_sql("'did' || '|' || CAST(user_id AS VARCHAR)", 2)
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS d FROM events
+), bounds AS (
+  SELECT CAST((min(d) + max(d)) // 2 AS BIGINT) AS mid FROM ev
+), per AS MATERIALIZED (
+  SELECT user_id, treat, post,
+         c0 + treat * {DID_BASE} + treat * post * {DID_EFFECT} AS y
+  FROM (
+    SELECT user_id, {arm} AS treat,
+           CAST(CASE WHEN d > bounds.mid THEN 1 ELSE 0 END AS BIGINT)
+             AS post,
+           CAST(count(*) AS BIGINT) AS c0
+    FROM ev CROSS JOIN bounds
+    GROUP BY user_id, treat, post, bounds.mid
+  )
+), cells AS MATERIALIZED (
+  SELECT treat, post, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM per GROUP BY treat, post
+), stats AS MATERIALIZED (
+  SELECT treat, post, n, sy, syy,
+         CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+         (CAST(syy AS DOUBLE)
+            - CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(n AS DOUBLE) - 1.0) AS var,
+         ((CAST(syy AS DOUBLE)
+            - CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE) AS vn
+  FROM cells
+), piv AS (
+  SELECT (sum(CASE WHEN treat = 1 AND post = 1 THEN mean END)
+            - sum(CASE WHEN treat = 1 AND post = 0 THEN mean END))
+         - (sum(CASE WHEN treat = 0 AND post = 1 THEN mean END)
+            - sum(CASE WHEN treat = 0 AND post = 0 THEN mean END)) AS did,
+         sum(CASE WHEN treat = 1 AND post = 1 THEN mean END)
+           - sum(CASE WHEN treat = 0 AND post = 1 THEN mean END)
+           AS naive_post_diff,
+         sqrt(sum(CASE WHEN treat = 1 AND post = 1 THEN vn END)
+              + sum(CASE WHEN treat = 1 AND post = 0 THEN vn END)
+              + sum(CASE WHEN treat = 0 AND post = 1 THEN vn END)
+              + sum(CASE WHEN treat = 0 AND post = 0 THEN vn END)) AS se
+  FROM stats
+)
+SELECT s.treat, s.post, s.n,
+       round(s.mean, 6) AS mean,
+       round(s.var, 6) AS var,
+       round(p.did, 6) AS did,
+       round(p.naive_post_diff, 6) AS naive_post_diff,
+       round(p.se, 6) AS se,
+       round(p.did / p.se, 6) AS t_did
+FROM stats s CROSS JOIN piv p
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -15225,4 +15393,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "quantile_normalize": (q_quantile_normalize, _sql_quantile_normalize()),
     "seasonal_decompose": (q_seasonal_decompose, _sql_seasonal_decompose()),
     "active_users": (q_active_users, _sql_active_users()),
+    "diff_in_diff": (q_diff_in_diff, _sql_diff_in_diff()),
 }

@@ -5098,3 +5098,80 @@ def test_active_users_pure_python_replay_and_bounds():
         assert 0.0 < stick <= 1.0
         widened = widened or wau > dau
     assert widened, "window never widens (degenerate)"
+
+
+def test_diff_in_diff_pure_python_replay_and_bias_removal():
+    """DiD (`diff_in_diff`): a pure-Python replay — md5 arms, integer
+    midpoint periods, planted confound+effect, BIGINT moments, the
+    4-cell contrast — must match the DuckDB oracle at sf0.001; DiD
+    recovers the planted effect within 3 SEs while the naive post-only
+    diff is biased by approximately the baseline confound (it must
+    exceed DiD by more than half the confound); t_did is significant;
+    margins on rounded doubles."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        _DAY_US,
+        DID_BASE,
+        DID_EFFECT,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute("SELECT user_id, epoch_us(ts) FROM events").fetchall()
+    days = [um // _DAY_US for _u, um in raw]
+    mid = (min(days) + max(days)) // 2
+    counts = defaultdict(int)
+    for u, um in raw:
+        d = um // _DAY_US
+        treat = (
+            int(hashlib.md5(f"did|{u}".encode()).hexdigest()[:15], 16) % 2
+        )
+        counts[(u, treat, 1 if d > mid else 0)] += 1
+    cells = defaultdict(lambda: [0, 0, 0])  # n, sy, syy
+    for (u, treat, post), c0 in counts.items():
+        y = c0 + treat * DID_BASE + treat * post * DID_EFFECT
+        cell = cells[(treat, post)]
+        cell[0] += 1
+        cell[1] += y
+        cell[2] += y * y
+    m = {}
+    vn = {}
+    for k, (n, sy, syy) in cells.items():
+        mean = sy / n
+        var = (syy - n * mean * mean) / (n - 1)
+        m[k] = mean
+        vn[k] = var / n
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    naive = m[(1, 1)] - m[(0, 1)]
+    se = math.sqrt(vn[(1, 1)] + vn[(1, 0)] + vn[(0, 1)] + vn[(0, 0)])
+    assert abs(did - DID_EFFECT) < 3 * se
+    assert naive - did > DID_BASE / 2  # the bias DiD removes
+    assert did / se > 3  # the effect is detected
+    rows = con.execute(QUERIES["diff_in_diff"][1]).fetchall()
+    assert len(rows) == 4
+    for treat, post, n, mean, var, gdid, gnaive, gse, gt in rows:
+        en, esy, esyy = cells[(treat, post)]
+        assert n == en
+        emean = esy / en
+        evar = (esyy - en * emean * emean) / (en - 1)
+        for got, e in (
+            (mean, emean),
+            (var, evar),
+            (gdid, did),
+            (gnaive, naive),
+            (gse, se),
+            (gt, did / se),
+        ):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4 or frac < 1e-12, (treat, post, e)
+            exp6 = math.copysign(math.floor(abs(e) * 1e6 + 0.5), e) / 1e6
+            assert got == exp6, (treat, post, got, e)
