@@ -472,6 +472,10 @@ DRIVER_CAP_OVERFLOW = (
     # the naive post diff reads confound+effect (both emitted); BIGINT
     # moments, fixed-order 4-cell contrast
     "diff_in_diff",
+    # round-6 new, born-overflow: JSON path extraction over the events
+    # props bag — typed schema-on-read, NULL-on-parse-failure contract
+    # exercised by a planted corrupt slice, per-key rollups
+    "json_extract",
 )
 
 

@@ -15246,6 +15246,89 @@ FROM stats s CROSS JOIN piv p
 """
 
 
+# --------------------------------------------------------------------------
+# JSON path extraction (`json_extract`): the semi-structured surface —
+# schema-on-read over the events `props` JSON column (the ubiquitous
+# "properties bag" of every event pipeline). Typed path extraction
+# (Spark get_json_object vs DuckDB json_extract_string — both return
+# the unquoted scalar), validity accounting (a deliberately-corrupted
+# 1-in-11 slice exercises the NULL-on-parse-failure contract both
+# engines share), and a per-key rollup with distinct-user counts.
+# Completes the source-format story: parquet (everything), text
+# (corpus), binary (multimodal), JSON (this).
+#
+# Scale shape: one scan; JSON parsing is per-row JVM-side (no Python);
+# the rollup is map-side combinable; output is |keys|-sized.
+# --------------------------------------------------------------------------
+
+JSON_CORRUPT_MOD = 11  # 1-in-11 events get an unparseable props payload
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corrupt = (
+        _md5_bucket_spark(
+            F.concat_ws("|", F.lit("js"), F.col("event_id")),
+            JSON_CORRUPT_MOD,
+        )
+        == 0
+    )
+    payload = F.when(
+        corrupt, F.concat(F.lit("{broken"), F.col("props"))
+    ).otherwise(F.col("props"))
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", payload.alias("j")
+    )
+    k = F.get_json_object(F.col("j"), "$.k").cast("long")
+    parsed = ev.select("event_id", "user_id", k.alias("k"))
+    tot = parsed.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum(F.col("k").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_valid"),
+    )
+    per = (
+        parsed.filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "k", "n", "n_users", "n_total", "n_valid"
+    )
+
+
+def _sql_json_extract() -> str:
+    corrupt = _md5_bucket_sql(
+        "'js' || '|' || CAST(event_id AS VARCHAR)", JSON_CORRUPT_MOD
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id,
+         CASE WHEN {corrupt} = 0 THEN '{{broken' || props
+              ELSE props END AS j
+  FROM events
+), parsed AS MATERIALIZED (
+  SELECT event_id, user_id,
+         CAST(CASE WHEN json_valid(j)
+                   THEN json_extract_string(j, '$.k') END AS BIGINT) AS k
+  FROM ev
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid
+  FROM parsed
+)
+SELECT p.k, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users,
+       tot.n_total, tot.n_valid
+FROM parsed p CROSS JOIN tot
+WHERE p.k IS NOT NULL
+GROUP BY p.k, tot.n_total, tot.n_valid
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -15394,4 +15477,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "seasonal_decompose": (q_seasonal_decompose, _sql_seasonal_decompose()),
     "active_users": (q_active_users, _sql_active_users()),
     "diff_in_diff": (q_diff_in_diff, _sql_diff_in_diff()),
+    "json_extract": (q_json_extract, _sql_json_extract()),
 }

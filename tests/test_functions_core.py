@@ -5175,3 +5175,50 @@ def test_diff_in_diff_pure_python_replay_and_bias_removal():
             assert frac > 1e-4 or frac < 1e-12, (treat, post, e)
             exp6 = math.copysign(math.floor(abs(e) * 1e6 + 0.5), e) / 1e6
             assert got == exp6, (treat, post, got, e)
+
+
+def test_json_extract_pure_python_replay_and_null_contract():
+    """JSON (`json_extract`): a pure-Python replay — the planted corrupt
+    slice, $.k extraction, per-key rollups with distinct users — must
+    match the DuckDB oracle at sf0.001; corrupted payloads yield NULL
+    (n_valid + n_corrupt == n_total exactly — the shared parse-failure
+    contract); every k in 0..99; counts reconcile."""
+    import hashlib
+    import json as jsonlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import JSON_CORRUPT_MOD, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT event_id, user_id, props FROM events"
+    ).fetchall()
+    per = defaultdict(lambda: [0, set()])
+    n_total, n_valid = 0, 0
+    for eid, u, props in raw:
+        n_total += 1
+        h = (
+            int(hashlib.md5(f"js|{eid}".encode()).hexdigest()[:15], 16)
+            % JSON_CORRUPT_MOD
+        )
+        if h == 0:
+            continue  # corrupted → NULL k
+        k = jsonlib.loads(props)["k"]
+        n_valid += 1
+        cell = per[k]
+        cell[0] += 1
+        cell[1].add(u)
+    assert 0 < n_valid < n_total
+    rows = con.execute(QUERIES["json_extract"][1]).fetchall()
+    assert len(rows) == len(per)
+    for k, n, n_users, gt, gv in rows:
+        assert 0 <= k <= 99
+        assert n == per[k][0] and n_users == len(per[k][1])
+        assert (gt, gv) == (n_total, n_valid)
+    assert sum(r[1] for r in rows) == n_valid
