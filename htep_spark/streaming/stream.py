@@ -721,3 +721,39 @@ def merge_windowed_jsd(summaries: DataFrame, ref_counts: dict) -> DataFrame:
         F.round(kl("q"), 6).alias("kl_q_m"),
         F.round((kl("p") + kl("q")) / F.lit(2.0), 6).alias("jsd"),
     )
+
+
+def stream_active_users(
+    events: DataFrame,
+    window_duration: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming per-window distinct active users — the DAU feed of the
+    batch ``active_users`` operator (driver_queries.py), built from the
+    two chained stateful operators Structured Streaming supports since
+    the multi-stateful-operator lift: a watermark-bounded
+    ``dropDuplicates`` on (window, user) followed by a windowed count.
+
+    State is O(distinct users per open window) for the dedup plus one
+    counter per window; the watermark bounds open windows, so state is
+    bounded regardless of stream length — the same guarantee family as
+    ``stream_windowed_count_min``. The emitted counts equal the batch
+    ``COUNT(DISTINCT user)`` per tumbling window exactly (pytest replay;
+    exactly-once per window under append mode once the watermark passes
+    the window end)."""
+    keyed = (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.window("ts", window_duration).alias("win"), F.col("user_id")
+        )
+        .dropDuplicates(["win", "user_id"])
+    )
+    return (
+        keyed.groupBy("win")
+        .agg(F.count("*").alias("dau"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col("dau").cast("long").alias("dau"),
+        )
+    )

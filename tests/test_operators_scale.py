@@ -2894,3 +2894,59 @@ def test_scene_cuts_rawv_and_apng(spark):
                 assert r["diff"] <= 12.0, r
     bad = by_id["v-bad"]
     assert len(bad) == 1 and bad[0]["error"] is not None
+
+
+def test_stream_active_users(spark, tmp_path):
+    """Streaming windowed distinct actives (`stream_active_users`): the
+    chained dropDuplicates -> windowed-count plan must emit, per tumbling
+    window, EXACTLY the batch COUNT(DISTINCT user) — verified against a
+    brute-force replay over the same synthetic stream (users revisit
+    windows, so dedup genuinely fires: raw events >> distinct pairs)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from htep_spark.streaming.stream import stream_active_users
+
+    base = dt.datetime(2024, 5, 1)
+    rows = []
+    for i in range(600):
+        # 7 users cycling over 3 ten-minute windows; heavy revisits
+        rows.append((i % 7, base + dt.timedelta(seconds=i * 3)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    src = str(tmp_path / "au_src")
+    spark.createDataFrame(pdf, "user_id long, ts timestamp").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = stream_active_users(
+        stream, window_duration="10 minutes", watermark="0 seconds"
+    )
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("au_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: r["dau"]
+        for r in spark.sql("select * from au_stream").collect()
+    }
+    assert got, "no windows emitted"
+    win = dt.timedelta(minutes=10)
+    want = {}
+    seen = set()
+    for u, ts in rows:
+        wstart = base + ((ts - base) // win) * win
+        if (wstart, u) not in seen:
+            seen.add((wstart, u))
+            want[wstart] = want.get(wstart, 0) + 1
+    # append mode emits a window only once the watermark passes its end —
+    # the FINAL window stays open at end-of-stream (the standard
+    # availableNow tail, same as the other stream_windowed_* tests)
+    assert len(got) >= 2
+    assert got == {k: want[k] for k in got}, (got, want)
+    missing = set(want) - set(got)
+    assert missing <= {max(want)}, missing
+    assert sum(want.values()) < len(rows)  # dedup genuinely fired
