@@ -476,6 +476,10 @@ DRIVER_CAP_OVERFLOW = (
     # props bag — typed schema-on-read, NULL-on-parse-failure contract
     # exercised by a planted corrupt slice, per-key rollups
     "json_extract",
+    # round-6 new, born-overflow: Mann-Kendall nonparametric trend test —
+    # exact-integer S and tie-corrected variance numerator over the
+    # bounded hourly series; planted drift detects, raw stays quiet
+    "mann_kendall",
 )
 
 

@@ -15329,6 +15329,192 @@ GROUP BY p.k, tot.n_total, tot.n_valid
 """
 
 
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test (`mann_kendall`): the nonparametric monotone-
+# trend detector (Mann 1945; Kendall 1975 — the hydrology/climate
+# standard, and the right test for "is ingestion volume drifting?"
+# because it assumes no distribution). S = Σ_{i<j} sign(x_j − x_i) over
+# the hourly series — EXACT integer via the rank identity: S computed
+# from concordant/discordant pair counts with tie correction
+# Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 (exact integer
+# numerator). Two scopes: 'same' (raw series — no trend at α=0.05) and
+# 'trended' (planted +t·RATE/GRID drift — detects). Z uses the
+# continuity correction; verdict at |Z| > 1.959964.
+#
+# Scale shape: the O(n²) pair sum runs over the BOUNDED hourly summary
+# (720 points → 259k pairs — still summary-sized; at unbounded n the
+# identity S = Σ sign folds to rank statistics computable by sort, the
+# same exact_global_rank machinery). Pairs via a self-join of the
+# bounded series; everything integer until the final z division.
+# --------------------------------------------------------------------------
+
+MK_RATE = 2  # planted drift: x_t += (t * MK_RATE) div MK_GRID
+MK_GRID = 48
+_MK_CRIT = 1.959964  # two-sided alpha = 0.05
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("h")  # bounded hourly summary (decompose rule)
+    ser = (
+        grid.join(cnt, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("x"))
+        .select("x", F.row_number().over(w).cast("long").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for scope in ("same", "trended"):
+        y = (
+            F.col("x")
+            + F.expr(f"cast((t * {MK_RATE}) div {MK_GRID} as bigint)")
+            if scope == "trended"
+            else F.col("x")
+        )
+        s = ser.select(F.lit(scope).alias("scope"), "t", y.alias("y"))
+        pairs = (
+            s.alias("a")
+            .join(
+                s.alias("b"),
+                (F.col("b.scope") == F.col("a.scope"))
+                & (F.col("b.t") > F.col("a.t")),
+            )
+            .agg(
+                F.sum(
+                    F.signum(
+                        (F.col("b.y") - F.col("a.y")).cast("double")
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("s_stat"),
+                F.count("*").cast("long").alias("n_pairs"),
+            )
+        )
+        ties = (
+            s.groupBy("y")
+            .agg(F.count("*").cast("long").alias("tc"))
+            .agg(
+                F.sum(
+                    F.col("tc") * (F.col("tc") - 1) * (2 * F.col("tc") + 5)
+                )
+                .cast("long")
+                .alias("tie_term"),
+                F.sum("tc").cast("long").alias("n"),
+            )
+        )
+        part = pairs.crossJoin(F.broadcast(ties)).select(
+            F.lit(scope).alias("scope"), "s_stat", "n_pairs", "n", "tie_term"
+        )
+        out = part if out is None else out.unionByName(part)
+    var_num = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ).cast("long")
+    var_d = var_num.cast("double") / F.lit(18.0)
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat").cast("double") - F.lit(1.0)) / F.sqrt(var_d),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat").cast("double") + F.lit(1.0)) / F.sqrt(var_d),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        "scope",
+        "s_stat",
+        "n_pairs",
+        "n",
+        "tie_term",
+        var_num.alias("var_num"),
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > _MK_CRIT, F.lit("trend"))
+        .otherwise(F.lit("no_trend"))
+        .alias("verdict"),
+    )
+
+
+def _sql_mann_kendall() -> str:
+    crit = _MK_CRIT
+    scopes = []
+    for scope in ("same", "trended"):
+        yexpr = (
+            f"x + CAST((t * {MK_RATE}) // {MK_GRID} AS BIGINT)"
+            if scope == "trended"
+            else "x"
+        )
+        scopes.append(
+            f"SELECT '{scope}' AS scope, t, {yexpr} AS y FROM ser"
+        )
+    scoped_union = "\n  UNION ALL\n  ".join(scopes)
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), cnt AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1
+), ser AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY g.h) AS BIGINT) AS t,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN cnt c ON c.h = g.h
+), scoped AS MATERIALIZED (
+  {scoped_union}
+), pairs AS (
+  SELECT a.scope,
+         CAST(sum(CASE WHEN b.y > a.y THEN 1
+                       WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM scoped a JOIN scoped b ON b.scope = a.scope AND b.t > a.t
+  GROUP BY a.scope
+), ties AS (
+  SELECT scope,
+         CAST(sum(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS tie_term,
+         CAST(sum(tc) AS BIGINT) AS n
+  FROM (SELECT scope, y, CAST(count(*) AS BIGINT) AS tc
+        FROM scoped GROUP BY scope, y)
+  GROUP BY scope
+), base AS MATERIALIZED (
+  SELECT p.scope, p.s_stat, p.n_pairs, t.n, t.tie_term,
+         CAST(t.n * (t.n - 1) * (2 * t.n + 5) - t.tie_term AS BIGINT)
+           AS var_num
+  FROM pairs p JOIN ties t USING (scope)
+)
+SELECT scope, s_stat, n_pairs, n, tie_term, var_num,
+       round(CASE WHEN s_stat > 0
+                  THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                       / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                  WHEN s_stat < 0
+                  THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                       / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                  ELSE 0.0 END, 6) AS z,
+       CASE WHEN abs(CASE WHEN s_stat > 0
+                          THEN (CAST(s_stat AS DOUBLE) - 1.0)
+                               / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                          WHEN s_stat < 0
+                          THEN (CAST(s_stat AS DOUBLE) + 1.0)
+                               / sqrt(CAST(var_num AS DOUBLE) / 18.0)
+                          ELSE 0.0 END) > {crit}
+            THEN 'trend' ELSE 'no_trend' END AS verdict
+FROM base
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -15478,4 +15664,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "active_users": (q_active_users, _sql_active_users()),
     "diff_in_diff": (q_diff_in_diff, _sql_diff_in_diff()),
     "json_extract": (q_json_extract, _sql_json_extract()),
+    "mann_kendall": (q_mann_kendall, _sql_mann_kendall()),
 }

@@ -5222,3 +5222,73 @@ def test_json_extract_pure_python_replay_and_null_contract():
         assert n == per[k][0] and n_users == len(per[k][1])
         assert (gt, gv) == (n_total, n_valid)
     assert sum(r[1] for r in rows) == n_valid
+
+
+def test_mann_kendall_pure_python_replay_and_verdicts():
+    """Mann-Kendall (`mann_kendall`): a brute-force pure-Python pair-sum
+    replay — S, tie-corrected variance numerator, continuity-corrected
+    Z — must match the DuckDB oracle at sf0.001; the planted drift
+    scope reads 'trend' and the raw scope 'no_trend'; S is bounded by
+    n_pairs; every quantity up to Z is integer-exact."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        _MK_CRIT,
+        MK_GRID,
+        MK_RATE,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    hrs = con.execute(
+        "SELECT epoch_us(date_trunc('hour', ts)) FROM events"
+    ).fetchall()
+    c = Counter(h for (h,) in hrs)
+    grid = list(range(min(c), max(c) + 1, 3_600_000_000))
+    xs = [c.get(h, 0) for h in grid]
+    exp = {}
+    for scope in ("same", "trended"):
+        ys = [
+            x + ((t * MK_RATE) // MK_GRID if scope == "trended" else 0)
+            for t, x in enumerate(xs, 1)
+        ]
+        n = len(ys)
+        s_stat = sum(
+            (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie = sum(
+            tc * (tc - 1) * (2 * tc + 5) for tc in Counter(ys).values()
+        )
+        var_num = n * (n - 1) * (2 * n + 5) - tie
+        var = var_num / 18.0
+        z = (
+            (s_stat - 1.0) / math.sqrt(var)
+            if s_stat > 0
+            else (s_stat + 1.0) / math.sqrt(var)
+            if s_stat < 0
+            else 0.0
+        )
+        exp[scope] = (s_stat, n * (n - 1) // 2, n, tie, var_num, z)
+    assert abs(exp["same"][5]) <= _MK_CRIT, exp["same"]
+    assert abs(exp["trended"][5]) > _MK_CRIT, exp["trended"]
+    rows = con.execute(QUERIES["mann_kendall"][1]).fetchall()
+    assert len(rows) == 2
+    for scope, s_stat, n_pairs, n, tie, var_num, z, verdict in rows:
+        es, ep, en, et, ev, ez = exp[scope]
+        assert (s_stat, n_pairs, n, tie, var_num) == (es, ep, en, et, ev)
+        assert abs(s_stat) <= n_pairs
+        frac = abs(ez * 1e6 - math.floor(ez * 1e6) - 0.5)
+        assert frac > 1e-4, (scope, ez)
+        exp6 = math.copysign(math.floor(abs(ez) * 1e6 + 0.5), ez) / 1e6
+        assert z == exp6
+        assert verdict == ("trend" if abs(ez) > _MK_CRIT else "no_trend")
+    assert {r[7] for r in rows} == {"trend", "no_trend"}
