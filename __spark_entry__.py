@@ -480,6 +480,10 @@ DRIVER_CAP_OVERFLOW = (
     # exact-integer S and tie-corrected variance numerator over the
     # bounded hourly series; planted drift detects, raw stays quiet
     "mann_kendall",
+    # round-6 new, born-overflow: wide-format pivot — groupBy().pivot()
+    # with a pinned value list (single-pass, no distinct-values action)
+    # vs DuckDB conditional aggregation; zero-filled total schema
+    "pivot_table",
 )
 
 

@@ -15515,6 +15515,64 @@ FROM base
 """
 
 
+# --------------------------------------------------------------------------
+# Pivot table (`pivot_table`): the wide-format BI surface — per-source
+# doc counts and char sums pivoted across the bounded language domain
+# (Spark's `groupBy().pivot(values=...)` with an EXPLICIT pinned value
+# list — never the value-discovering two-pass form — vs DuckDB
+# conditional aggregation producing the identical column set). Missing
+# cells are zero-filled so the wide schema is total. All-BIGINT.
+#
+# Scale shape: a pivot with pinned values is ONE map-side-combinable
+# aggregation whose row width is |languages| — the groupBy shuffle is on
+# source alone; no second pass, no distinct-values driver action.
+# --------------------------------------------------------------------------
+
+PIVOT_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+def q_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .pivot("lang", list(PIVOT_LANGS))
+        .agg(
+            # count(*) is rejected inside Pivot (INVALID_USAGE_OF_STAR)
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    cols = [F.col("source")]
+    for lg in PIVOT_LANGS:
+        cols.append(
+            F.coalesce(F.col(f"{lg}_n"), F.lit(0))
+            .cast("long")
+            .alias(f"{lg}_n")
+        )
+        cols.append(
+            F.coalesce(F.col(f"{lg}_chars"), F.lit(0))
+            .cast("long")
+            .alias(f"{lg}_chars")
+        )
+    return piv.select(*cols)
+
+
+def _sql_pivot_table() -> str:
+    cells = ",\n       ".join(
+        f"CAST(coalesce(sum(CASE WHEN lang = '{lg}' THEN 1 END), 0)"
+        f" AS BIGINT) AS {lg}_n,\n       "
+        f"CAST(coalesce(sum(CASE WHEN lang = '{lg}' THEN n_chars END), 0)"
+        f" AS BIGINT) AS {lg}_chars"
+        for lg in PIVOT_LANGS
+    )
+    return f"""
+SELECT source,
+       {cells}
+FROM documents
+GROUP BY source
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -15665,4 +15723,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "diff_in_diff": (q_diff_in_diff, _sql_diff_in_diff()),
     "json_extract": (q_json_extract, _sql_json_extract()),
     "mann_kendall": (q_mann_kendall, _sql_mann_kendall()),
+    "pivot_table": (q_pivot_table, _sql_pivot_table()),
 }

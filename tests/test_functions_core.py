@@ -5292,3 +5292,48 @@ def test_mann_kendall_pure_python_replay_and_verdicts():
         assert z == exp6
         assert verdict == ("trend" if abs(ez) > _MK_CRIT else "no_trend")
     assert {r[7] for r in rows} == {"trend", "no_trend"}
+
+
+def test_pivot_table_pure_python_replay():
+    """Pivot (`pivot_table`): a pure-Python replay — per-(source, lang)
+    counts and char sums widened over the pinned language list with
+    zero fill — must match the DuckDB oracle at sf0.001; row totals
+    reconcile with the corpus; at least one zero-filled cell exists
+    (the fill path is live); all-BIGINT."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import PIVOT_LANGS, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute(
+        "SELECT source, lang, n_chars FROM documents"
+    ).fetchall()
+    cells = defaultdict(lambda: [0, 0])
+    sources = set()
+    for src, lg, nc in raw:
+        assert lg in PIVOT_LANGS
+        sources.add(src)
+        cell = cells[(src, lg)]
+        cell[0] += 1
+        cell[1] += nc
+    rows = con.execute(QUERIES["pivot_table"][1]).fetchall()
+    assert len(rows) == len(sources)
+    zero_seen = False
+    total_n = 0
+    for row in rows:
+        src = row[0]
+        vals = row[1:]
+        for i, lg in enumerate(PIVOT_LANGS):
+            n, chars = vals[2 * i], vals[2 * i + 1]
+            en, ec = cells.get((src, lg), [0, 0])
+            assert (n, chars) == (en, ec), (src, lg)
+            zero_seen = zero_seen or n == 0
+            total_n += n
+    assert total_n == len(raw)
+    assert zero_seen, "no zero cells — fill path untested"
