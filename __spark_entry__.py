@@ -484,6 +484,10 @@ DRIVER_CAP_OVERFLOW = (
     # with a pinned value list (single-pass, no distinct-values action)
     # vs DuckDB conditional aggregation; zero-filled total schema
     "pivot_table",
+    # round-6 new, born-overflow: RAKE keyphrase extraction — regex-
+    # relational stopword-split phrase runs, deg/freq word stats,
+    # position-pinned phrase scoring, exact_global_rank top-K
+    "rake_keyphrases",
 )
 
 

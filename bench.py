@@ -287,6 +287,11 @@ def main() -> None:
         "window_funcs",
         "quantile_normalize",
         "seasonal_decompose",
+        "active_users",
+        "diff_in_diff",
+        "json_extract",
+        "mann_kendall",
+        "pivot_table",
     ):
         if name not in QUERIES:
             continue

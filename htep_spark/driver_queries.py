@@ -15573,6 +15573,151 @@ GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# RAKE keyphrase extraction (`rake_keyphrases`): Rapid Automatic Keyword
+# Extraction (Rose et al. 2010) — candidate phrases are maximal
+# stopword-free token runs; word degree/frequency statistics over all
+# phrase occurrences score each phrase as Σ deg(w)/freq(w). The
+# text-mining face pmi_bigrams (associations) and top_ngrams (raw
+# frequency) don't cover: multiword KEYPHRASES. The run extraction is
+# REGEX-RELATIONAL (stopwords rewritten to a separator, split, trim) —
+# no fold — identical in both engines; runs longer than RAKE_MAX_LEN
+# are discarded (the bounded-phrase variant, deterministic); phrase
+# scores fold deg/freq terms in PINNED word-position order; the top-K
+# cut orders by (score, phrase) — scores are identical doubles from
+# identical BIGINT ratios folded identically.
+#
+# Scale shape: one corpus pass to phrase occurrences; word stats are a
+# map-side-combinable agg over exploded words; scoring is one broadcast
+# join of the |vocab|-sized stat table; the top-K uses
+# exact_global_rank (range-partitioned).
+# --------------------------------------------------------------------------
+
+RAKE_MAX_LEN = 4
+RAKE_K = 25
+
+
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    stops = set(STOPWORDS_EN)
+    toks_expr = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0
+    )
+    docs = token_barrier(
+        _docs(spark, sf_dir), toks_expr, keep_cols=("doc_id",), alias="toks"
+    )
+    marked = F.array_join(
+        F.transform(
+            F.col("toks"),
+            lambda t: F.when(
+                t.isin(*sorted(stops)), F.lit("|")
+            ).otherwise(t),
+        ),
+        " ",
+    )
+    runs = docs.select(
+        "doc_id", F.explode(F.split(marked, r"\|")).alias("run")
+    ).select("doc_id", F.trim(F.col("run")).alias("phrase"))
+    occ = (
+        runs.filter(F.col("phrase") != "")
+        .select(
+            "doc_id",
+            "phrase",
+            F.size(F.split(F.col("phrase"), " ")).alias("plen"),
+        )
+        .filter(F.col("plen") <= RAKE_MAX_LEN)
+        .localCheckpoint(eager=True)
+    )
+    words = occ.select(
+        "plen", F.posexplode(F.split(F.col("phrase"), " ")).alias("pos", "w")
+    )
+    stats = words.groupBy("w").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("deg"),
+    )
+    pw = (
+        occ.select(
+            "phrase",
+            F.posexplode(F.split(F.col("phrase"), " ")).alias("pos", "w"),
+        )
+        .distinct()
+        .join(F.broadcast(stats), "w")
+    )
+    scored = pw.groupBy("phrase").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("pos", "deg", "freq"))),
+            F.lit(0.0),
+            lambda a, e: a
+            + e["deg"].cast("double") / e["freq"].cast("double"),
+        ).alias("score")
+    )
+    counts = occ.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occ")
+    )
+    ranked = exact_global_rank(
+        scored.join(counts, "phrase").withColumn("_neg", -F.col("score")),
+        "_neg",
+        ("phrase",),
+    )
+    return ranked.filter(F.col("global_rank") <= RAKE_K).select(
+        F.col("global_rank").cast("long").alias("rank"),
+        "phrase",
+        "n_occ",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _sql_rake_keyphrases() -> str:
+    stops = ", ".join(_sql_quote(s) for s in sorted(set(STOPWORDS_EN)))
+    return f"""
+WITH toked AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{_TOKEN_PATTERN}') AS toks
+  FROM documents
+), marked AS (
+  SELECT doc_id,
+         array_to_string(list_transform(toks,
+           t -> CASE WHEN t IN ({stops}) THEN '|' ELSE t END), ' ')
+           AS m
+  FROM toked
+), occ AS MATERIALIZED (
+  SELECT doc_id, phrase, len(string_split(phrase, ' ')) AS plen
+  FROM (
+    SELECT doc_id, trim(unnest(string_split(m, '|'))) AS phrase
+    FROM marked)
+  WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= {RAKE_MAX_LEN}
+), words AS (
+  SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM occ
+), stats AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM words GROUP BY w
+), pw AS (
+  SELECT DISTINCT p.phrase, u.pos, u.w
+  FROM occ p,
+       LATERAL (SELECT unnest(string_split(p.phrase, ' ')) AS w,
+                       generate_subscripts(string_split(p.phrase, ' '), 1)
+                         AS pos) u
+), scored AS MATERIALIZED (
+  SELECT pw.phrase,
+         list_sum(list(CAST(s.deg AS DOUBLE) / CAST(s.freq AS DOUBLE)
+                       ORDER BY pw.pos)) AS score
+  FROM pw JOIN stats s ON s.w = pw.w
+  GROUP BY pw.phrase
+), counts AS (
+  SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ FROM occ GROUP BY phrase
+), ranked AS (
+  SELECT sc.phrase, sc.score, c.n_occ,
+         CAST(row_number() OVER (ORDER BY sc.score DESC, sc.phrase)
+              AS BIGINT) AS rank
+  FROM scored sc JOIN counts c USING (phrase)
+)
+SELECT rank, phrase, n_occ, round(score, 6) AS score
+FROM ranked WHERE rank <= {RAKE_K}
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -15724,4 +15869,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "json_extract": (q_json_extract, _sql_json_extract()),
     "mann_kendall": (q_mann_kendall, _sql_mann_kendall()),
     "pivot_table": (q_pivot_table, _sql_pivot_table()),
+    "rake_keyphrases": (q_rake_keyphrases, _sql_rake_keyphrases()),
 }

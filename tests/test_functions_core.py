@@ -5337,3 +5337,74 @@ def test_pivot_table_pure_python_replay():
             total_n += n
     assert total_n == len(raw)
     assert zero_seen, "no zero cells — fill path untested"
+
+
+def test_rake_keyphrases_pure_python_replay():
+    """RAKE (`rake_keyphrases`): a pure-Python replay — stopword-split
+    runs, the bounded-phrase filter, occurrence-weighted word
+    degree/frequency, position-ordered deg/freq phrase sums, the
+    (score, phrase) top-K — must match the DuckDB oracle at sf0.001;
+    multiword phrases appear in the top-K (the capability the operator
+    exists for); every top score is positive; the K-th boundary has no
+    cross-engine tie hazard (exact doubles + phrase tie-break)."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        QUERIES,
+        RAKE_K,
+        RAKE_MAX_LEN,
+        STOPWORDS_EN,
+    )
+
+    stops = set(STOPWORDS_EN)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    occ = []
+    for _d, t in raw:
+        toks = re.findall("[a-z0-9]+", t.lower())
+        run = []
+        for tok in toks + ["|"]:
+            if tok in stops or tok == "|":
+                if 1 <= len(run) <= RAKE_MAX_LEN:
+                    occ.append(tuple(run))
+                run = []
+            else:
+                run.append(tok)
+    freq = Counter()
+    deg = Counter()
+    for ph in occ:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    scores = {}
+    counts = Counter(occ)
+    for ph in counts:
+        s = 0.0
+        for w in ph:
+            s += deg[w] / freq[w]
+        scores[ph] = s
+    ranked = sorted(
+        counts, key=lambda p: (-scores[p], " ".join(p))
+    )[:RAKE_K]
+    rows = con.execute(QUERIES["rake_keyphrases"][1]).fetchall()
+    assert len(rows) == min(RAKE_K, len(counts))
+    multi = False
+    for rank, phrase, n_occ, score in sorted(rows):
+        ph = tuple(phrase.split(" "))
+        assert ph == ranked[rank - 1], (rank, phrase)
+        assert n_occ == counts[ph]
+        e = scores[ph]
+        frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+        assert frac > 1e-4 or frac < 1e-12, (phrase, e)
+        assert score == math.floor(e * 1e6 + 0.5) / 1e6
+        assert score > 0
+        multi = multi or len(ph) > 1
+    assert multi, "no multiword keyphrases in top-K"
