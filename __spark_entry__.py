@@ -488,6 +488,10 @@ DRIVER_CAP_OVERFLOW = (
     # relational stopword-split phrase runs, deg/freq word stats,
     # position-pinned phrase scoring, exact_global_rank top-K
     "rake_keyphrases",
+    # round-6 new, born-overflow: inverse-propensity off-policy evaluation
+    # — uniform logged actions, planted target-arm bonus; IPS recovers the
+    # optimal-vs-shifted gap from logs alone (exact BIGINT numerators)
+    "ips_eval",
 )
 
 

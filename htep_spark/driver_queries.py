@@ -15718,6 +15718,118 @@ FROM ranked WHERE rank <= {RAKE_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Off-policy evaluation (`ips_eval`): the inverse-propensity-scoring
+# counterfactual estimator (Horvitz-Thompson 1952; Li et al. WWW 2011 —
+# how recommenders evaluate a NEW policy on OLD logs without deploying
+# it). Logged data: uniform random actions over IPS_K arms (known
+# propensity 1/K) with an integer reward that pays IPS_BONUS when the
+# logged action hits the user's md5-planted target arm. Two target
+# policies are evaluated on the same logs: 'optimal' (π = the target
+# arm) and 'shifted' (π = target+1 — never right). IPS value =
+# K·Σ_{a==π(u)} r / n — exact BIGINT numerator, one division; the
+# estimated optimal-vs-shifted gap must recover the planted bonus
+# (pytest, within sampling noise). The logged average rides along as
+# the behavior-policy baseline.
+#
+# Scale shape: one scan, two map-side-combinable conditional aggs —
+# the estimator is embarrassingly parallel by construction.
+# --------------------------------------------------------------------------
+
+IPS_K = 4
+IPS_BONUS = 15
+IPS_BASE_MOD = 10
+
+
+def q_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("act"), F.col("event_id")), IPS_K
+    )
+    base_r = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("rw"), F.col("event_id")), IPS_BASE_MOD
+    )
+    tgt = _md5_bucket_spark(
+        F.concat_ws("|", F.lit("tgt"), F.col("user_id")), IPS_K
+    )
+    logs = _events(spark, sf_dir).select(
+        a.alias("a"),
+        tgt.alias("tgt"),
+        (
+            base_r
+            + F.when(a == tgt, IPS_BONUS).otherwise(0)
+        )
+        .cast("long")
+        .alias("r"),
+    )
+    out = None
+    for policy, shift in (("optimal", 0), ("shifted", 1)):
+        pi = F.pmod(F.col("tgt") + shift, F.lit(IPS_K))
+        part = logs.agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("a") == pi).cast("long"))
+            .cast("long")
+            .alias("n_match"),
+            F.sum(F.when(F.col("a") == pi, F.col("r")).otherwise(0))
+            .cast("long")
+            .alias("sum_matched_r"),
+            F.sum("r").cast("long").alias("sum_logged_r"),
+        ).select(
+            F.lit(policy).alias("policy"),
+            "n",
+            "n_match",
+            "sum_matched_r",
+            F.round(
+                F.lit(float(IPS_K))
+                * F.col("sum_matched_r").cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("ips_value"),
+            F.round(
+                F.col("sum_logged_r").cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("logged_avg_r"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _sql_ips_eval() -> str:
+    a = _md5_bucket_sql("'act' || '|' || CAST(event_id AS VARCHAR)", IPS_K)
+    base_r = _md5_bucket_sql(
+        "'rw' || '|' || CAST(event_id AS VARCHAR)", IPS_BASE_MOD
+    )
+    tgt = _md5_bucket_sql("'tgt' || '|' || CAST(user_id AS VARCHAR)", IPS_K)
+    parts = []
+    for policy, shift in (("optimal", 0), ("shifted", 1)):
+        parts.append(
+            f"""SELECT '{policy}' AS policy,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN a = (tgt + {shift}) % {IPS_K} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_match,
+       CAST(sum(CASE WHEN a = (tgt + {shift}) % {IPS_K} THEN r ELSE 0 END)
+            AS BIGINT) AS sum_matched_r,
+       round({float(IPS_K)}
+             * CAST(sum(CASE WHEN a = (tgt + {shift}) % {IPS_K}
+                            THEN r ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS ips_value,
+       round(CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         AS logged_avg_r
+FROM logs"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH logs AS MATERIALIZED (
+  SELECT {a} AS a, {tgt} AS tgt,
+         CAST({base_r}
+              + CASE WHEN {a} = {tgt} THEN {IPS_BONUS} ELSE 0 END
+              AS BIGINT) AS r
+  FROM events
+)
+{body}
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -15870,4 +15982,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "mann_kendall": (q_mann_kendall, _sql_mann_kendall()),
     "pivot_table": (q_pivot_table, _sql_pivot_table()),
     "rake_keyphrases": (q_rake_keyphrases, _sql_rake_keyphrases()),
+    "ips_eval": (q_ips_eval, _sql_ips_eval()),
 }

@@ -5408,3 +5408,68 @@ def test_rake_keyphrases_pure_python_replay():
         assert score > 0
         multi = multi or len(ph) > 1
     assert multi, "no multiword keyphrases in top-K"
+
+
+def test_ips_eval_pure_python_replay_and_counterfactual_gap():
+    """IPS (`ips_eval`): a pure-Python replay — md5 logged actions,
+    planted target-arm bonus, both target policies — must match the
+    DuckDB oracle at sf0.001; the estimator recovers the counterfactual
+    structure: V(optimal) - V(shifted) lands within noise of the
+    planted bonus, and the shifted policy's matched rewards NEVER
+    contain the bonus (its matches are never the target arm); match
+    rates are ~1/K; margins on rounded doubles."""
+    import hashlib
+    import math
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        IPS_BASE_MOD,
+        IPS_BONUS,
+        IPS_K,
+        QUERIES,
+    )
+
+    def h(s, mod):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % mod
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute("SELECT event_id, user_id FROM events").fetchall()
+    logs = []
+    for eid, u in raw:
+        a = h(f"act|{eid}", IPS_K)
+        tgt = h(f"tgt|{u}", IPS_K)
+        r = h(f"rw|{eid}", IPS_BASE_MOD) + (IPS_BONUS if a == tgt else 0)
+        logs.append((a, tgt, r))
+    n = len(logs)
+    exp = {}
+    for policy, shift in (("optimal", 0), ("shifted", 1)):
+        matched = [
+            (a, tgt, r) for a, tgt, r in logs if a == (tgt + shift) % IPS_K
+        ]
+        smr = sum(r for _a, _t, r in matched)
+        exp[policy] = (
+            len(matched),
+            smr,
+            IPS_K * smr / n,
+            sum(r for _a, _t, r in logs) / n,
+        )
+        if policy == "shifted":
+            # shifted matches are never the target arm → no bonus inside
+            assert all(r < IPS_BASE_MOD for _a, _t, r in matched)
+    gap = exp["optimal"][2] - exp["shifted"][2]
+    assert abs(gap - IPS_BONUS) < 4.0, gap  # recovers the planted bonus
+    rows = con.execute(QUERIES["ips_eval"][1]).fetchall()
+    assert len(rows) == 2
+    for policy, gn, n_match, smr, ips, avg in rows:
+        em, esmr, eips, eavg = exp[policy]
+        assert (gn, n_match, smr) == (n, em, esmr)
+        assert abs(em / n - 1.0 / IPS_K) < 0.05  # uniform logging
+        for got, e in ((ips, eips), (avg, eavg)):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4 or frac < 1e-12, (policy, e)
+            assert got == math.floor(e * 1e6 + 0.5) / 1e6
