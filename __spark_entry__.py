@@ -492,6 +492,11 @@ DRIVER_CAP_OVERFLOW = (
     # — uniform logged actions, planted target-arm bonus; IPS recovers the
     # optimal-vs-shifted gap from logs alone (exact BIGINT numerators)
     "ips_eval",
+    # round-6 new, born-overflow: PCA power iteration over embeddings —
+    # quantized-state rounds (6dp) erase reduce-order drift so both
+    # engines run byte-identical iterations; MLlib shape (matrix pinned
+    # once, one weighted per-dim agg per round)
+    "pca_power",
 )
 
 

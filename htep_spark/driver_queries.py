@@ -15830,6 +15830,196 @@ WITH logs AS MATERIALIZED (
 """
 
 
+# --------------------------------------------------------------------------
+# PCA power iteration (`pca_power`): the top principal component of the
+# embeddings table by PCA_ITERS power-iteration rounds — the
+# dimensionality-reduction face of the embedding-ML family (kmeans
+# clusters, silhouette evaluates, semdedup dedups; THIS finds the
+# dominant axis). The MLlib shape: the mean-centered matrix is pinned
+# once; each round is one per-row pinned-order dot fold (s_i = c_i·v),
+# one map-side-combinable per-dim weighted sum (w = Σ c_i·s_i), and a
+# 1-row normalize.
+#
+# Cross-engine determinism — the QUANTIZED-STATE trick (stronger than
+# the logreg contraction argument): after every round the state vector
+# is rounded to 6dp, so the ~1e-13 reduce-order drift of the per-dim
+# sums is erased and BOTH engines enter each round with byte-identical
+# state (the bpe/qdigest deterministic-compaction discipline); the mean
+# vector is likewise quantized before centering. A margin pytest checks
+# every quantized component sits >=1e-4 away from its rounding boundary
+# at sf0.001, so the erasure is provably safe on this corpus.
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 8
+PCA_DIM = 64
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda v: v.cast("double")).alias("x"),
+        )
+    )
+    # 1-based dim ids (matching DuckDB generate_subscripts)
+    dims = emb.select("vec_id", F.posexplode("x").alias("d0", "val")).select(
+        "vec_id", (F.col("d0") + 1).alias("d"), "val"
+    )
+    mu = dims.groupBy("d").agg(
+        F.round(F.sum("val") / F.count("*"), 6).alias("mu")
+    )
+    mu_arr = mu.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("d", "mu"))),
+            lambda e: e["mu"],
+        ).alias("m")
+    )
+    cx = (
+        emb.crossJoin(F.broadcast(mu_arr))
+        .select(
+            "vec_id",
+            F.zip_with("x", "m", lambda a, b: a - b).alias("c"),
+        )
+        .localCheckpoint(eager=True)  # the one corpus-sized pin
+    )
+    n1 = cx.agg(F.count("*").cast("long").alias("n"))
+    v = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(PCA_DIM)),
+            lambda _: F.lit(1.0) / F.sqrt(F.lit(float(PCA_DIM))),
+        ).alias("v")
+    )
+    eig = None
+    for _ in range(PCA_ITERS):
+        s = cx.crossJoin(F.broadcast(v)).select(
+            "vec_id",
+            "c",
+            F.aggregate(
+                F.zip_with("c", "v", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ).alias("s"),
+        )
+        w = (
+            s.select(F.posexplode("c").alias("d", "val"), "s")
+            .groupBy("d")
+            .agg(F.sum(F.col("val") * F.col("s")).alias("w"))
+        )
+        warr = w.agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("d", "w"))),
+                lambda e: e["w"],
+            ).alias("w")
+        ).select(
+            "w",
+            F.sqrt(
+                F.aggregate(
+                    F.col("w"), F.lit(0.0), lambda acc, t: acc + t * t
+                )
+            ).alias("norm"),
+        )
+        # quantize state: both engines re-enter the next round with
+        # byte-identical v (margin pytest guards the 6dp boundaries)
+        v = warr.select(
+            F.transform(
+                F.col("w"), lambda t: F.round(t / F.col("norm"), 6)
+            ).alias("v")
+        ).localCheckpoint(eager=True)
+        eig = warr.select(F.col("norm").alias("eig_raw"))
+    tot = (
+        cx.select(F.explode("c").alias("val"))
+        .agg(F.sum(F.col("val") * F.col("val")).alias("ss"))
+    )
+    out = (
+        v.select(F.posexplode("v").alias("d0", "loading"))
+        .crossJoin(F.broadcast(eig))
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(tot))
+    )
+    return out.join(
+        F.broadcast(mu), (out["d0"] + 1) == mu["d"]
+    ).select(
+        F.col("d").cast("long").alias("d"),
+        F.col("mu").alias("mu"),
+        F.col("loading").alias("loading"),
+        F.round("eig_raw", 6).alias("eig_norm"),
+        F.round(
+            F.col("eig_raw") / (F.col("n") - 1).cast("double"), 6
+        ).alias("eigval"),
+        F.round(F.col("eig_raw") / F.col("ss"), 6).alias("expl_share"),
+    )
+
+
+def _sql_pca_power() -> str:
+    d, k = PCA_DIM, PCA_ITERS
+    rounds = []
+    for i in range(1, k + 1):
+        p = f"v{i - 1}"
+        rounds.append(
+            f"""s{i} AS (
+  SELECT cx.vec_id, cx.c,
+         list_sum(list_transform(cx.c, (a, j) -> a * {p}.v[j])) AS s
+  FROM cx CROSS JOIN {p}
+), w{i} AS (
+  SELECT u.d, sum(u.val * s{i}.s) AS w
+  FROM s{i},
+       LATERAL (SELECT unnest(s{i}.c) AS val,
+                       generate_subscripts(s{i}.c, 1) AS d) u
+  GROUP BY u.d
+), wa{i} AS MATERIALIZED (
+  SELECT list(w ORDER BY d) AS w,
+         sqrt(list_sum(list_transform(list(w ORDER BY d), t -> t * t)))
+           AS norm
+  FROM w{i}
+), v{i} AS MATERIALIZED (
+  SELECT list_transform(w, t -> round(t / norm, 6)) AS v FROM wa{i}
+)"""
+        )
+    chain = ", ".join(rounds)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+), dims AS (
+  SELECT u.d, u.val
+  FROM emb,
+       LATERAL (SELECT unnest(emb.x) AS val,
+                       generate_subscripts(emb.x, 1) AS d) u
+), mu AS MATERIALIZED (
+  SELECT d, round(sum(val) / count(*), 6) AS mu FROM dims GROUP BY d
+), mu_arr AS (
+  SELECT list(mu ORDER BY d) AS m FROM mu
+), cx AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(x, (a, j) -> a - mu_arr.m[j]) AS c
+  FROM emb CROSS JOIN mu_arr
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM cx
+), v0 AS (
+  SELECT list_transform(range(1, {d} + 1),
+                        i -> 1.0 / sqrt({float(d)})) AS v
+), {chain}, tot AS (
+  SELECT sum(u.val * u.val) AS ss
+  FROM cx, LATERAL (SELECT unnest(cx.c) AS val) u
+), final AS (
+  SELECT u.d, u.loading
+  FROM v{k},
+       LATERAL (SELECT unnest(v{k}.v) AS loading,
+                       generate_subscripts(v{k}.v, 1) AS d) u
+)
+SELECT CAST(f.d AS BIGINT) AS d,
+       m.mu,
+       f.loading,
+       round(wa{k}.norm, 6) AS eig_norm,
+       round(wa{k}.norm / (CAST(nn.n AS DOUBLE) - 1.0), 6) AS eigval,
+       round(wa{k}.norm / tot.ss, 6) AS expl_share
+FROM final f
+JOIN mu m ON m.d = f.d
+CROSS JOIN wa{k} CROSS JOIN nn CROSS JOIN tot
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -15983,4 +16173,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "pivot_table": (q_pivot_table, _sql_pivot_table()),
     "rake_keyphrases": (q_rake_keyphrases, _sql_rake_keyphrases()),
     "ips_eval": (q_ips_eval, _sql_ips_eval()),
+    "pca_power": (q_pca_power, _sql_pca_power()),
 }
