@@ -292,6 +292,9 @@ def main() -> None:
         "json_extract",
         "mann_kendall",
         "pivot_table",
+        "rake_keyphrases",
+        "ips_eval",
+        "pca_power",
     ):
         if name not in QUERIES:
             continue
