@@ -13977,7 +13977,9 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("last_n"))
     )
     linear = (
-        touch.join(F.broadcast(kf), "conv_id")
+        # no broadcast hint: kf is |conversions|-sized (grows with the
+        # corpus) — the conv_id equi-join co-partitions under AQE
+        touch.join(kf, "conv_id")
         .select(
             "channel",
             "conv_id",
