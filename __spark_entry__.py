@@ -497,6 +497,10 @@ DRIVER_CAP_OVERFLOW = (
     # engines run byte-identical iterations; MLlib shape (matrix pinned
     # once, one weighted per-dim agg per round)
     "pca_power",
+    # round-6 new, born-overflow: categorical mutual information — the
+    # column-pair dependence audit; natural scope ≈ independent, planted
+    # coupled scope provably dependent; pinned cell-order folds
+    "mutual_info",
 )
 
 

@@ -16022,6 +16022,178 @@ CROSS JOIN wa{k} CROSS JOIN nn CROSS JOIN tot
 """
 
 
+# --------------------------------------------------------------------------
+# Categorical mutual information (`mutual_info`): MI(lang, source) =
+# Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) — the dependence measure completing the
+# information-theoretic family (char_entropy: marginal; js_divergence /
+# psi_drift: distribution drift; chi2_select: supervised ranking; THIS:
+# column-pair dependence — the schema-discovery / leakage-audit
+# primitive). Two scopes: 'natural' (lang vs source as stored —
+# independent by construction, MI ≈ 0) and 'coupled' (half the docs get
+# lang rewritten to a deterministic function of their source — MI
+# provably > 0). All counts BIGINT; MI folds per scope in pinned
+# (lang, source) cell order over OBSERVED cells only (zero cells
+# contribute 0 and are excluded identically on both sides); normalized
+# MI = MI/min(H(x), H(y)) rides along, entropies likewise pinned folds.
+#
+# Scale shape: one scan → |X|·|Y| contingency cells (map-side
+# combinable); marginals/folds are summary-scale.
+# --------------------------------------------------------------------------
+
+MI_COUPLE_MOD = 2  # doc_id % 2 == 0 docs get the coupled lang
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    langs = F.array(*[F.lit(x) for x in PIVOT_LANGS])
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    coupled_lang = F.when(
+        F.col("doc_id") % MI_COUPLE_MOD == 0,
+        F.element_at(
+            langs, (src_num % len(PIVOT_LANGS) + 1).cast("int")
+        ),
+    ).otherwise(F.col("lang"))
+    base = _docs(spark, sf_dir)
+    rows = base.select(
+        F.lit("natural").alias("scope"), "lang", "source"
+    ).unionByName(
+        base.select(
+            F.lit("coupled").alias("scope"),
+            coupled_lang.alias("lang"),
+            "source",
+        )
+    )
+    cells = rows.groupBy("scope", "lang", "source").agg(
+        F.count("*").cast("long").alias("nxy")
+    )
+    mx = cells.groupBy("scope", "lang").agg(
+        F.sum("nxy").cast("long").alias("nx")
+    )
+    my = cells.groupBy("scope", "source").agg(
+        F.sum("nxy").cast("long").alias("ny")
+    )
+    nn = cells.groupBy("scope").agg(F.sum("nxy").cast("long").alias("n"))
+    joined = (
+        cells.join(F.broadcast(mx), ["scope", "lang"])
+        .join(F.broadcast(my), ["scope", "source"])
+        .join(F.broadcast(nn), "scope")
+    )
+    term = lambda e: (  # noqa: E731
+        e["nxy"].cast("double") / e["n"].cast("double")
+    ) * F.log(
+        (e["nxy"].cast("double") * e["n"].cast("double"))
+        / (e["nx"].cast("double") * e["ny"].cast("double"))
+    )
+    lst = F.sort_array(
+        F.collect_list(F.struct("lang", "source", "nxy", "nx", "ny", "n"))
+    )
+    mi = joined.groupBy("scope").agg(lst.alias("l")).select(
+        "scope",
+        F.aggregate(
+            F.col("l"), F.lit(0.0), lambda a, e: a + term(e)
+        ).alias("mi"),
+    )
+    hx = mx.join(F.broadcast(nn), "scope").groupBy("scope").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("lang", "nx", "n"))),
+            F.lit(0.0),
+            lambda a, e: a
+            - (e["nx"].cast("double") / e["n"].cast("double"))
+            * F.log(e["nx"].cast("double") / e["n"].cast("double")),
+        ).alias("hx")
+    )
+    hy = my.join(F.broadcast(nn), "scope").groupBy("scope").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", "ny", "n"))),
+            F.lit(0.0),
+            lambda a, e: a
+            - (e["ny"].cast("double") / e["n"].cast("double"))
+            * F.log(e["ny"].cast("double") / e["n"].cast("double")),
+        ).alias("hy")
+    )
+    return (
+        joined.join(F.broadcast(mi), "scope")
+        .join(F.broadcast(hx), "scope")
+        .join(F.broadcast(hy), "scope")
+        .select(
+            "scope",
+            "lang",
+            "source",
+            "nxy",
+            "nx",
+            "ny",
+            "n",
+            F.round("mi", 6).alias("mi"),
+            F.round(
+                F.col("mi") / F.least("hx", "hy"), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+def _sql_mutual_info() -> str:
+    langs = "[" + ", ".join(_sql_quote(x) for x in PIVOT_LANGS) + "]"
+    k = len(PIVOT_LANGS)
+    return f"""
+WITH rows_ AS (
+  SELECT 'natural' AS scope, lang, source FROM documents
+  UNION ALL
+  SELECT 'coupled' AS scope,
+         CASE WHEN doc_id % {MI_COUPLE_MOD} = 0
+              THEN {langs}[CAST(
+                CAST(substr(source, 4, 10) AS BIGINT) % {k} AS INTEGER) + 1]
+              ELSE lang END AS lang,
+         source
+  FROM documents
+), cells AS MATERIALIZED (
+  SELECT scope, lang, source, CAST(count(*) AS BIGINT) AS nxy
+  FROM rows_ GROUP BY scope, lang, source
+), mx AS MATERIALIZED (
+  SELECT scope, lang, CAST(sum(nxy) AS BIGINT) AS nx
+  FROM cells GROUP BY scope, lang
+), my AS MATERIALIZED (
+  SELECT scope, source, CAST(sum(nxy) AS BIGINT) AS ny
+  FROM cells GROUP BY scope, source
+), nn AS (
+  SELECT scope, CAST(sum(nxy) AS BIGINT) AS n FROM cells GROUP BY scope
+), joined AS MATERIALIZED (
+  SELECT c.scope, c.lang, c.source, c.nxy, x.nx, y.ny, nn.n
+  FROM cells c
+  JOIN mx x ON x.scope = c.scope AND x.lang = c.lang
+  JOIN my y ON y.scope = c.scope AND y.source = c.source
+  JOIN nn ON nn.scope = c.scope
+), mi AS (
+  SELECT scope,
+         list_sum(list(
+           (CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE))
+           * ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE))
+                / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))
+           ORDER BY lang, source)) AS mi
+  FROM joined GROUP BY scope
+), hx AS (
+  SELECT m.scope,
+         list_sum(list(
+           -(CAST(m.nx AS DOUBLE) / CAST(nn.n AS DOUBLE))
+           * ln(CAST(m.nx AS DOUBLE) / CAST(nn.n AS DOUBLE))
+           ORDER BY m.lang)) AS hx
+  FROM mx m JOIN nn ON nn.scope = m.scope GROUP BY m.scope
+), hy AS (
+  SELECT m.scope,
+         list_sum(list(
+           -(CAST(m.ny AS DOUBLE) / CAST(nn.n AS DOUBLE))
+           * ln(CAST(m.ny AS DOUBLE) / CAST(nn.n AS DOUBLE))
+           ORDER BY m.source)) AS hy
+  FROM my m JOIN nn ON nn.scope = m.scope GROUP BY m.scope
+)
+SELECT j.scope, j.lang, j.source, j.nxy, j.nx, j.ny, j.n,
+       round(mi.mi, 6) AS mi,
+       round(mi.mi / least(hx.hx, hy.hy), 6) AS nmi
+FROM joined j
+JOIN mi USING (scope)
+JOIN hx USING (scope)
+JOIN hy USING (scope)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -16176,4 +16348,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "rake_keyphrases": (q_rake_keyphrases, _sql_rake_keyphrases()),
     "ips_eval": (q_ips_eval, _sql_ips_eval()),
     "pca_power": (q_pca_power, _sql_pca_power()),
+    "mutual_info": (q_mutual_info, _sql_mutual_info()),
 }

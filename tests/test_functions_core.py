@@ -5548,3 +5548,70 @@ def test_pca_power_pure_python_replay_and_quantized_margins():
         ):
             assert margin_ok(e), e
             assert got == q6(e)
+
+
+def test_mutual_info_pure_python_replay_and_dependence():
+    """MI (`mutual_info`): a pure-Python replay — both scopes'
+    contingency cells, pinned-order MI/entropy folds, normalized MI —
+    must match the DuckDB oracle at sf0.001; the coupled scope's MI
+    clearly exceeds the natural scope's (the planted dependence);
+    0 <= nMI <= 1 + tolerance; marginals reconcile; margins on rounded
+    doubles."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        MI_COUPLE_MOD,
+        PIVOT_LANGS,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute(
+        "SELECT doc_id, lang, source FROM documents"
+    ).fetchall()
+    exp = {}
+    for scope in ("natural", "coupled"):
+        cells = Counter()
+        for d, lg, src in raw:
+            if scope == "coupled" and d % MI_COUPLE_MOD == 0:
+                lg = PIVOT_LANGS[int(src[3:]) % len(PIVOT_LANGS)]
+            cells[(lg, src)] += 1
+        n = sum(cells.values())
+        mx = Counter()
+        my = Counter()
+        for (lg, src), c in cells.items():
+            mx[lg] += c
+            my[src] += c
+        mi = sum(
+            (c / n) * math.log(c * n / (mx[lg] * my[src]))
+            for (lg, src), c in sorted(cells.items())
+        )
+        hx = sum(
+            -(v / n) * math.log(v / n) for _k, v in sorted(mx.items())
+        )
+        hy = sum(
+            -(v / n) * math.log(v / n) for _k, v in sorted(my.items())
+        )
+        exp[scope] = (cells, mx, my, n, mi, mi / min(hx, hy))
+    assert exp["coupled"][4] > exp["natural"][4] + 0.1, (
+        exp["coupled"][4],
+        exp["natural"][4],
+    )
+    rows = con.execute(QUERIES["mutual_info"][1]).fetchall()
+    assert len(rows) == sum(len(v[0]) for v in exp.values())
+    for scope, lg, src, nxy, nx, ny, n, mi, nmi in rows:
+        cells, mx, my, en, emi, enmi = exp[scope]
+        assert nxy == cells[(lg, src)]
+        assert (nx, ny, n) == (mx[lg], my[src], en)
+        for got, e in ((mi, emi), (nmi, enmi)):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4, (scope, e)
+            assert got == math.floor(e * 1e6 + 0.5) / 1e6
+        assert -1e-9 <= nmi <= 1.0 + 1e-9
