@@ -458,3 +458,77 @@ def test_tpch_big_orders_plan_shape(spark):
     assert m, plan
     cols = {c.split(":")[0] for c in m.group(1).split(",")}
     assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_k_core_iterations_never_rescan_corpus(spark):
+    """k_core follows the pagerank pin discipline: und/nodes/per-round
+    alive frames are eagerly checkpointed, so the returned plan contains
+    ZERO FileScans, no cartesian product, and no Python stage — the 12
+    peel rounds never re-touch the corpus."""
+    from htep_spark.driver_queries import q_k_core
+
+    plan = (
+        q_k_core(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FileScan" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_assoc_rules_plan_shape(spark):
+    """assoc_rules' pair generation must be a real equi-join on doc_id
+    (basket-width-bounded blowup), never a cartesian product; the
+    marginal joins broadcast; no Python stage; no window function."""
+    from htep_spark.driver_queries import q_assoc_rules
+
+    plan = (
+        q_assoc_rules(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "WindowExec" not in plan and "RunningWindowFunction" not in plan, (
+        plan
+    )
+
+
+def test_active_users_plan_has_no_window(spark):
+    """active_users' sliding distinct-count must be the contribution-
+    explode plan: an Explode/Generate over the deduped frame and
+    map-side-combinable counts — NO window function anywhere (a
+    COUNT(DISTINCT) OVER frame is unsupported and a per-day window
+    would be the wrong plan at scale), no cartesian, no Python."""
+    from htep_spark.driver_queries import q_active_users
+
+    plan = (
+        q_active_users(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate explode" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_pca_power_single_corpus_scan(spark):
+    """pca_power pins the centered matrix and every round's state vector,
+    so the returned plan re-reads the embeddings file at most once (the
+    mean join) — the 8 iterations never re-scan; no Python stage."""
+    from htep_spark.driver_queries import q_pca_power
+
+    plan = (
+        q_pca_power(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan") <= 1, plan
+    assert "EvalPython" not in plan, plan
