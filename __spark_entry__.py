@@ -501,6 +501,10 @@ DRIVER_CAP_OVERFLOW = (
     # column-pair dependence audit; natural scope ≈ independent, planted
     # coupled scope provably dependent; pinned cell-order folds
     "mutual_info",
+    # round-6 new, born-overflow: DAG critical path (CPM) over the
+    # canonically-oriented (acyclic) host graph — all-integer value
+    # iteration with packed-argmin predecessors, in-output fixpoint flag
+    "critical_path",
 )
 
 

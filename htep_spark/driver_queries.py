@@ -16194,6 +16194,175 @@ JOIN hy USING (scope)
 """
 
 
+# --------------------------------------------------------------------------
+# DAG critical path (`critical_path`): longest weighted path in a DAG —
+# the scheduling primitive (CPM, Kelley & Walker 1959) every pipeline /
+# build-graph analyzer computes. The canonical u<v orientation of the
+# host graph IS a DAG by construction (edges only point to higher ids);
+# weights = emitting-doc counts (BIGINT). Value iteration dist(v) =
+# max(0, max_{(u,v)} dist(u) + w) over |V| rounds (longest chain < |V|
+# proves fixpoint — certified in-output like k_core); predecessors
+# resolve deterministically by the packed (max dist+w, min u) struct
+# argmin, so the critical path is reconstructible. ALL-integer.
+#
+# Scale shape: the edge table derives from one corpus scan and is
+# pinned; each round is one equi-join + map-side max per dst over the
+# |hosts|-sized frame (never the corpus; the pagerank pin discipline).
+# --------------------------------------------------------------------------
+
+CP_ROUNDS = PR_N_NODES
+
+
+def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    s = (src_num % PR_N_NODES).alias("src")
+    t = ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst")
+    raw = docs.select(s, t).filter(F.col("src") != F.col("dst"))
+    edges = (
+        raw.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = nodes.select(
+        "node",
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(None).cast("long").alias("pred"),
+    ).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(CP_ROUNDS):
+        cand = (
+            edges.join(
+                dist.select(F.col("node").alias("u"),
+                            F.col("dist").alias("du")),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-(F.col("du") + F.col("w"))).alias("negd"),
+                        F.col("u").alias("u"),
+                    )
+                ).alias("b")
+            )
+            .select(
+                "node",
+                (-F.col("b.negd")).cast("long").alias("cd"),
+                F.col("b.u").alias("cp"),
+            )
+        )
+        prev = dist
+        dist = (
+            nodes.join(cand, "node", "left")
+            .select(
+                "node",
+                F.greatest(
+                    F.coalesce("cd", F.lit(0)), F.lit(0)
+                )
+                .cast("long")
+                .alias("dist"),
+                F.when(
+                    F.coalesce("cd", F.lit(0)) > 0, F.col("cp")
+                )
+                .cast("long")
+                .alias("pred"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    crit = dist.agg(
+        F.min(
+            F.struct((-F.col("dist")).alias("negd"), F.col("node").alias("n"))
+        ).alias("b")
+    ).select(
+        (-F.col("b.negd")).cast("long").alias("crit_len"),
+        F.col("b.n").alias("crit_sink"),
+    )
+    conv = (
+        dist.select("node", F.col("dist").alias("d1"))
+        .join(prev.select("node", F.col("dist").alias("d0")), "node")
+        .agg(
+            F.sum((F.col("d1") != F.col("d0")).cast("long"))
+            .cast("long")
+            .alias("n_changed")
+        )
+    )
+    return dist.crossJoin(F.broadcast(crit)).crossJoin(F.broadcast(conv)).select(
+        "node",
+        "dist",
+        "pred",
+        "crit_len",
+        "crit_sink",
+        (F.col("node") == F.col("crit_sink")).cast("long").alias("is_sink"),
+        (F.col("n_changed") == 0).cast("long").alias("converged"),
+    )
+
+
+def _sql_critical_path() -> str:
+    n = PR_N_NODES
+    iters = []
+    for i in range(1, CP_ROUNDS + 1):
+        p = f"d{i - 1}"
+        iters.append(
+            f"""c{i} AS (
+  SELECT e.v AS node,
+         min(struct_pack(negd := -(dd.dist + e.w), u := e.u)) AS b
+  FROM edges e JOIN {p} dd ON dd.node = e.u
+  GROUP BY e.v
+), d{i} AS MATERIALIZED (
+  SELECT nd.node,
+         CAST(greatest(coalesce(-(c.b).negd, 0), 0) AS BIGINT) AS dist,
+         CAST(CASE WHEN coalesce(-(c.b).negd, 0) > 0
+                   THEN (c.b).u END AS BIGINT) AS pred
+  FROM nodes nd LEFT JOIN c{i} c ON c.node = nd.node
+)"""
+        )
+    chain = ", ".join(iters)
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT (CAST(substr(source, 4, 10) AS BIGINT) % {n}) AS src,
+         ((CAST(substr(source, 4, 10) AS BIGINT) * 7 + doc_id * 13 + 3)
+           % {n}) AS dst
+  FROM documents
+), edges AS MATERIALIZED (
+  SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+         CAST(count(*) AS BIGINT) AS w
+  FROM raw WHERE src <> dst GROUP BY 1, 2
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT u AS node FROM edges UNION SELECT v FROM edges
+), d0 AS MATERIALIZED (
+  SELECT node, CAST(0 AS BIGINT) AS dist, CAST(NULL AS BIGINT) AS pred
+  FROM nodes
+), {chain}, crit AS (
+  SELECT CAST(-(min(struct_pack(negd := -dist, n2 := node))).negd
+              AS BIGINT) AS crit_len,
+         CAST((min(struct_pack(negd := -dist, n2 := node))).n2
+              AS BIGINT) AS crit_sink
+  FROM d{CP_ROUNDS}
+), conv AS (
+  SELECT CAST(sum(CASE WHEN a.dist <> b.dist THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_changed
+  FROM d{CP_ROUNDS} a JOIN d{CP_ROUNDS - 1} b USING (node)
+)
+SELECT d.node, d.dist, d.pred, crit.crit_len, crit.crit_sink,
+       CAST(CASE WHEN d.node = crit.crit_sink THEN 1 ELSE 0 END AS BIGINT)
+         AS is_sink,
+       CAST(CASE WHEN conv.n_changed = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS converged
+FROM d{CP_ROUNDS} d CROSS JOIN crit CROSS JOIN conv
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -16349,4 +16518,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "ips_eval": (q_ips_eval, _sql_ips_eval()),
     "pca_power": (q_pca_power, _sql_pca_power()),
     "mutual_info": (q_mutual_info, _sql_mutual_info()),
+    "critical_path": (q_critical_path, _sql_critical_path()),
 }

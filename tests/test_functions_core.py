@@ -5615,3 +5615,74 @@ def test_mutual_info_pure_python_replay_and_dependence():
             assert frac > 1e-4, (scope, e)
             assert got == math.floor(e * 1e6 + 0.5) / 1e6
         assert -1e-9 <= nmi <= 1.0 + 1e-9
+
+
+def test_critical_path_pure_python_replay_and_cpm_invariants():
+    """CPM (`critical_path`): a pure-Python longest-path DP replay over
+    the canonically-oriented DAG must match the DuckDB oracle at
+    sf0.001; the fixpoint flag is 1 (|V| rounds suffice); walking pred
+    pointers from the critical sink reproduces crit_len exactly and
+    terminates at a source; dist is edge-consistent (dist(v) >=
+    dist(u) + w for the chosen pred, == for the argmax); all-integer."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import CP_ROUNDS, PR_N_NODES, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, doc_id FROM documents").fetchall()
+    w = defaultdict(int)
+    for src, d in raw:
+        sn = int(src[3:])
+        a = sn % PR_N_NODES
+        b = (sn * 7 + d * 13 + 3) % PR_N_NODES
+        if a != b:
+            w[(min(a, b), max(a, b))] += 1
+    nodes = sorted({x for e in w for x in e})
+    in_edges = defaultdict(list)
+    for (u, v), wt in w.items():
+        in_edges[v].append((u, wt))
+    dist = {nd: 0 for nd in nodes}
+    pred = {nd: None for nd in nodes}
+    for _ in range(CP_ROUNDS):
+        nd_new = {}
+        pd_new = {}
+        for nd in nodes:
+            best = None
+            for u, wt in in_edges.get(nd, []):
+                cand = dist[u] + wt
+                key = (-cand, u)
+                if best is None or key < best:
+                    best = key
+            if best is not None and -best[0] > 0:
+                nd_new[nd], pd_new[nd] = -best[0], best[1]
+            else:
+                nd_new[nd], pd_new[nd] = 0, None
+        dist, pred = nd_new, pd_new
+    crit_sink = min(nodes, key=lambda nd: (-dist[nd], nd))
+    crit_len = dist[crit_sink]
+    assert crit_len > 0
+    # walk the path
+    cur, total, seen = crit_sink, 0, set()
+    while pred[cur] is not None:
+        assert cur not in seen
+        seen.add(cur)
+        p = pred[cur]
+        total += w[(min(p, cur), max(p, cur))]
+        cur = p
+    assert total == crit_len
+    assert dist[cur] == 0  # terminates at a source
+    rows = con.execute(QUERIES["critical_path"][1]).fetchall()
+    assert len(rows) == len(nodes)
+    for nd, d, p, cl, cs, is_sink, conv in rows:
+        assert d == dist[nd] and p == pred[nd]
+        assert (cl, cs) == (crit_len, crit_sink)
+        assert is_sink == (1 if nd == crit_sink else 0)
+        assert conv == 1
+        if p is not None:
+            assert d == dist[p] + w[(min(p, nd), max(p, nd))]
