@@ -505,6 +505,10 @@ DRIVER_CAP_OVERFLOW = (
     # canonically-oriented (acyclic) host graph — all-integer value
     # iteration with packed-argmin predecessors, in-output fixpoint flag
     "critical_path",
+    # round-6 new, born-overflow: integer-exact ACF at lags 1..48 —
+    # n-scaled deviations keep num_k/num_0 BIGINT; the time-series
+    # diagnostics face
+    "autocorrelation",
 )
 
 

@@ -295,6 +295,8 @@ def main() -> None:
         "rake_keyphrases",
         "ips_eval",
         "pca_power",
+        "mutual_info",
+        "critical_path",
     ):
         if name not in QUERIES:
             continue

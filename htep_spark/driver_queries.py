@@ -16363,6 +16363,124 @@ FROM d{CP_ROUNDS} d CROSS JOIN crit CROSS JOIN conv
 """
 
 
+# --------------------------------------------------------------------------
+# Autocorrelation function (`autocorrelation`): ACF at lags 1..ACF_MAX
+# over the dense hourly series — the diagnostics face completing the
+# time-series suite (decompose explains, holt forecasts, mase evaluates,
+# cusum/rolling detect, mann_kendall tests trend; ACF reveals the
+# memory/seasonality structure practitioners read FIRST). The n-scaled
+# deviations keep everything BIGINT: d_t = n·x_t − S (S = Σx), num_k =
+# Σ_t d_t·d_{t+k}, acf_k = num_k/num_0 — one exact-integer division per
+# lag (the cusum exactness class). Overflow headroom: even at sf1
+# (n = 720 hours, x ≤ ~1.4e4/hour) |d| ≤ 1e7, d² ≤ 1e14, and the ≤720-
+# term sums stay ≤ ~7e16 — far inside int64.
+#
+# Scale shape: lag pairs via a self-join of the BOUNDED series on
+# t + k (≤ ACF_MAX·|hours| rows — summary-scale, never the corpus);
+# sums map-side combinable. Pairs use only t where both endpoints
+# exist; the denominator num_0 runs over all n (the standard biased
+# estimator).
+# --------------------------------------------------------------------------
+
+ACF_MAX = 48
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("h")  # bounded hourly summary
+    ser = (
+        grid.join(cnt, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("x"))
+        .select("x", F.row_number().over(w).cast("long").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    tot = ser.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    dev = ser.crossJoin(F.broadcast(tot)).select(
+        "t", (F.col("n") * F.col("x") - F.col("s")).alias("d"), "n"
+    ).localCheckpoint(eager=True)
+    num0 = dev.agg(
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("num0")
+    )
+    lags = spark.range(1, ACF_MAX + 1).select(F.col("id").alias("lag"))
+    pairs = (
+        dev.alias("a")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            dev.alias("b").select(
+                F.col("t").alias("tb"), F.col("d").alias("db")
+            ),
+            F.col("tb") == F.col("a.t") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("a.d") * F.col("db")).cast("long").alias("numk"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    return pairs.crossJoin(F.broadcast(num0)).select(
+        F.col("lag").cast("long").alias("lag"),
+        "numk",
+        "num0",
+        "n_pairs",
+        F.round(
+            F.col("numk").cast("double") / F.col("num0").cast("double"), 6
+        ).alias("acf"),
+    )
+
+
+def _sql_autocorrelation() -> str:
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), cnt AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1
+), ser AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY g.h) AS BIGINT) AS t,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN cnt c ON c.h = g.h
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+  FROM ser
+), dev AS MATERIALIZED (
+  SELECT t, CAST(tot.n * x - tot.s AS BIGINT) AS d
+  FROM ser CROSS JOIN tot
+), num0 AS (
+  SELECT CAST(sum(d * d) AS BIGINT) AS num0 FROM dev
+), lags AS (
+  SELECT CAST(unnest(range(1, {ACF_MAX} + 1)) AS BIGINT) AS lag
+), pairs AS MATERIALIZED (
+  SELECT l.lag,
+         CAST(sum(a.d * b.d) AS BIGINT) AS numk,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM lags l
+  JOIN dev a ON TRUE
+  JOIN dev b ON b.t = a.t + l.lag
+  GROUP BY l.lag
+)
+SELECT p.lag, p.numk, num0.num0, p.n_pairs,
+       round(CAST(p.numk AS DOUBLE) / CAST(num0.num0 AS DOUBLE), 6) AS acf
+FROM pairs p CROSS JOIN num0
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -16519,4 +16637,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "pca_power": (q_pca_power, _sql_pca_power()),
     "mutual_info": (q_mutual_info, _sql_mutual_info()),
     "critical_path": (q_critical_path, _sql_critical_path()),
+    "autocorrelation": (q_autocorrelation, _sql_autocorrelation()),
 }

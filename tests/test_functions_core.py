@@ -5686,3 +5686,54 @@ def test_critical_path_pure_python_replay_and_cpm_invariants():
         assert conv == 1
         if p is not None:
             assert d == dist[p] + w[(min(p, nd), max(p, nd))]
+
+
+def test_autocorrelation_pure_python_replay_and_structure():
+    """ACF (`autocorrelation`): a pure-Python replay — n-scaled integer
+    deviations, per-lag products, the biased-estimator normalization —
+    must match the DuckDB oracle at sf0.001 EXACTLY on the BIGINT
+    columns; acf in [-1, 1]; the lag-24 daily seasonality beats the
+    neighboring off-cycle lags (the structure ACF exists to reveal);
+    n_pairs = n - lag; the d values carry 1000x int64 headroom."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import ACF_MAX, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    hrs = con.execute(
+        "SELECT epoch_us(date_trunc('hour', ts)) FROM events"
+    ).fetchall()
+    c = Counter(h for (h,) in hrs)
+    grid = list(range(min(c), max(c) + 1, 3_600_000_000))
+    xs = [c.get(h, 0) for h in grid]
+    n, s = len(xs), sum(xs)
+    d = [n * x - s for x in xs]
+    assert max(abs(v) for v in d) < 2**63 / 1000 / max(abs(v) for v in d)
+    num0 = sum(v * v for v in d)
+    exp = {}
+    for lag in range(1, ACF_MAX + 1):
+        numk = sum(d[i] * d[i + lag] for i in range(n - lag))
+        exp[lag] = (numk, n - lag, numk / num0)
+    rows = con.execute(QUERIES["autocorrelation"][1]).fetchall()
+    assert len(rows) == ACF_MAX
+    acfs = {}
+    for lag, numk, gnum0, n_pairs, acf in rows:
+        en, ep, ea = exp[lag]
+        assert (numk, gnum0, n_pairs) == (en, num0, ep)
+        frac = abs(ea * 1e6 - math.floor(ea * 1e6) - 0.5)
+        assert frac > 1e-4, (lag, ea)
+        exp6 = math.copysign(math.floor(abs(ea) * 1e6 + 0.5), ea) / 1e6
+        assert acf == exp6
+        assert -1.0 - 1e-9 <= ea <= 1.0 + 1e-9
+        acfs[lag] = ea
+    # daily seasonality: lag 24 dominates its off-cycle neighbors
+    assert acfs[24] > acfs[20] and acfs[24] > acfs[28], (
+        acfs[20], acfs[24], acfs[28],
+    )
