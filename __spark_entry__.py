@@ -509,6 +509,9 @@ DRIVER_CAP_OVERFLOW = (
     # n-scaled deviations keep num_k/num_0 BIGINT; the time-series
     # diagnostics face
     "autocorrelation",
+    # round-6 new, born-overflow: hourly OHLC bars + VWAP over purchases —
+    # open/close by exact (ts, event_id) struct extrema, integer cents
+    "ohlc_bars",
 )
 
 

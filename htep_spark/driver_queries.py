@@ -16481,6 +16481,85 @@ FROM pairs p CROSS JOIN num0
 """
 
 
+# --------------------------------------------------------------------------
+# OHLC time bars + VWAP (`ohlc_bars`): the financial/metrics bar
+# aggregation — per hourly bar over purchase events: open/close by the
+# exact (ts_us, event_id) key (Spark struct-min/max == DuckDB arg-style
+# struct mins — the attribution first/last discipline), high/low as
+# plain extrema, volume counts, and VWAP in exact integer cents
+# (Σ cents / n — one division). The bar shape every monitoring and
+# market-data stack emits; min_by/max_by-class parity in both engines.
+#
+# Scale shape: one filtered scan → per-bar map-side-combinable
+# aggregates keyed by the hour bucket; output is |bars|-sized.
+# --------------------------------------------------------------------------
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    um = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_type") == RET_EVENT)
+        .select(
+            "event_id",
+            um.alias("um"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .select(
+            "event_id",
+            "um",
+            "cents",
+            F.expr("um div 3600000000").cast("long").alias("bar"),
+        )
+    )
+    agg = ev.groupBy("bar").agg(
+        F.count("*").cast("long").alias("n_trades"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.min(F.struct("um", "event_id", "cents")).alias("o"),
+        F.max(F.struct("um", "event_id", "cents")).alias("c"),
+        F.max("cents").cast("long").alias("high"),
+        F.min("cents").cast("long").alias("low"),
+    )
+    return agg.select(
+        "bar",
+        "n_trades",
+        F.col("o.cents").alias("open"),
+        "high",
+        "low",
+        F.col("c.cents").alias("close"),
+        F.round(
+            F.col("sum_cents").cast("double")
+            / F.col("n_trades").cast("double")
+            / 100.0,
+            6,
+        ).alias("vwap"),
+    )
+
+
+def _sql_ohlc_bars() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS um,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bar
+  FROM events WHERE event_type = {_sql_quote(RET_EVENT)}
+)
+SELECT bar,
+       CAST(count(*) AS BIGINT) AS n_trades,
+       CAST((min(struct_pack(um := um, eid := event_id, c := cents))).c
+            AS BIGINT) AS open,
+       CAST(max(cents) AS BIGINT) AS high,
+       CAST(min(cents) AS BIGINT) AS low,
+       CAST((max(struct_pack(um := um, eid := event_id, c := cents))).c
+            AS BIGINT) AS close,
+       round(CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 100.0, 6) AS vwap
+FROM ev GROUP BY bar
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -16638,4 +16717,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "mutual_info": (q_mutual_info, _sql_mutual_info()),
     "critical_path": (q_critical_path, _sql_critical_path()),
     "autocorrelation": (q_autocorrelation, _sql_autocorrelation()),
+    "ohlc_bars": (q_ohlc_bars, _sql_ohlc_bars()),
 }

@@ -5737,3 +5737,51 @@ def test_autocorrelation_pure_python_replay_and_structure():
     assert acfs[24] > acfs[20] and acfs[24] > acfs[28], (
         acfs[20], acfs[24], acfs[28],
     )
+
+
+def test_ohlc_bars_pure_python_replay_and_bar_invariants():
+    """OHLC (`ohlc_bars`): a pure-Python replay — hourly buckets, exact
+    (ts, event_id) open/close keys, integer-cent extrema, VWAP — must
+    match the DuckDB oracle at sf0.001; every bar satisfies
+    low <= open, close <= high and low <= vwap*100 <= high; bars with
+    one trade have open == close == high == low; multi-trade bars with
+    open != close exist (the keying matters)."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES, RET_EVENT
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT event_id, epoch_us(ts), value FROM events "
+        "WHERE event_type = ?",
+        [RET_EVENT],
+    ).fetchall()
+    bars = defaultdict(list)
+    for eid, um, v in raw:
+        bars[um // 3_600_000_000].append((um, eid, round(v * 100)))
+    rows = con.execute(QUERIES["ohlc_bars"][1]).fetchall()
+    assert len(rows) == len(bars)
+    keyed_matters = False
+    for bar, n, o, hi, lo, cl, vwap in rows:
+        trades = bars[bar]
+        assert n == len(trades)
+        assert o == min(trades)[2] and cl == max(trades)[2]
+        cents = [c for _u, _e, c in trades]
+        assert hi == max(cents) and lo == min(cents)
+        e = sum(cents) / n / 100.0
+        frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+        assert frac > 1e-4 or frac < 1e-12, (bar, e)
+        assert vwap == math.floor(e * 1e6 + 0.5) / 1e6
+        assert lo <= o <= hi and lo <= cl <= hi
+        assert lo - 1e-6 <= e * 100 <= hi + 1e-6
+        if n == 1:
+            assert o == cl == hi == lo
+        keyed_matters = keyed_matters or (n > 1 and o != cl)
+    assert keyed_matters, "open always equals close (degenerate)"
