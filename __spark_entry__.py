@@ -512,6 +512,10 @@ DRIVER_CAP_OVERFLOW = (
     # round-6 new, born-overflow: hourly OHLC bars + VWAP over purchases —
     # open/close by exact (ts, event_id) struct extrema, integer cents
     "ohlc_bars",
+    # round-6 new, born-overflow: trimmed + winsorized means via exact
+    # rank cuts — the planted 1-in-50 outlier moves the raw mean ~20 but
+    # barely touches the robust means; all-BIGINT sums
+    "trimmed_stats",
 )
 
 

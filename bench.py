@@ -297,6 +297,8 @@ def main() -> None:
         "pca_power",
         "mutual_info",
         "critical_path",
+        "autocorrelation",
+        "ohlc_bars",
     ):
         if name not in QUERIES:
             continue

@@ -16560,6 +16560,174 @@ FROM ev GROUP BY bar
 """
 
 
+# --------------------------------------------------------------------------
+# Robust means (`trimmed_stats`): the trimmed and winsorized means
+# (Tukey's robust-statistics staples — what quality dashboards switch to
+# when rolling_anomaly-style outliers poison plain averages). Over the
+# token-count distribution with a PLANTED outlier scope (1-in-50 docs
+# get +1000 tokens): the raw mean moves by ~20, the 10%-trimmed and
+# winsorized means barely move (asserted). Exact construction: ranks
+# via exact_global_rank with doc_id tie-break; trim bounds are integer
+# rank cuts k = floor(n/10); the trimmed sum, and the winsorized sum
+# (boundary-value replacement: the exact rank-(k+1) and rank-(n−k)
+# VALUES — themselves integers — substituted for the tails), stay
+# BIGINT; one division per mean.
+#
+# Scale shape: exact_global_rank (range-partitioned), two broadcast
+# 1-row boundary frames, map-side-combinable conditional sums.
+# --------------------------------------------------------------------------
+
+TRIM_FRAC_DEN = 10  # trim k = n div 10 from each tail
+TRIM_OUTLIER_MOD = 50
+TRIM_OUTLIER_ADD = 1000
+
+
+def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    ntok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    ).cast("long")
+    outlier = (
+        _md5_bucket_spark(
+            F.concat_ws("|", F.lit("tr"), F.col("doc_id")), TRIM_OUTLIER_MOD
+        )
+        == 0
+    )
+    base = _docs(spark, sf_dir).select("doc_id", ntok.alias("v0"))
+    out = None
+    for scope in ("clean", "polluted"):
+        v = (
+            F.col("v0")
+            + F.when(outlier & F.lit(scope == "polluted"),
+                     TRIM_OUTLIER_ADD).otherwise(0)
+        )
+        part = base.select(
+            F.lit(scope).alias("scope"), "doc_id", v.alias("v")
+        )
+        ranked = exact_global_rank(part, "v", ("doc_id",))
+        k = F.expr(f"cast(global_count div {TRIM_FRAC_DEN} as bigint)")
+        r = ranked.select(
+            "scope",
+            "v",
+            F.col("global_rank").alias("rk"),
+            F.col("global_count").alias("n"),
+            k.alias("k"),
+        )
+        lo = (
+            r.filter(F.col("rk") == F.col("k") + 1)
+            .select("scope", F.col("v").alias("lo_v"))
+        )
+        hi = (
+            r.filter(F.col("rk") == F.col("n") - F.col("k"))
+            .select("scope", F.col("v").alias("hi_v"))
+        )
+        stats = (
+            r.join(F.broadcast(lo), "scope")
+            .join(F.broadcast(hi), "scope")
+            .groupBy("scope")
+            .agg(
+                F.max("n").alias("n"),
+                F.max("k").alias("k"),
+                F.max("lo_v").alias("lo_v"),
+                F.max("hi_v").alias("hi_v"),
+                F.sum("v").cast("long").alias("sum_all"),
+                F.sum(
+                    F.when(
+                        (F.col("rk") > F.col("k"))
+                        & (F.col("rk") <= F.col("n") - F.col("k")),
+                        F.col("v"),
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("sum_trim"),
+                F.sum(
+                    F.when(F.col("rk") <= F.col("k"), F.col("lo_v"))
+                    .when(F.col("rk") > F.col("n") - F.col("k"),
+                          F.col("hi_v"))
+                    .otherwise(F.col("v"))
+                )
+                .cast("long")
+                .alias("sum_wins"),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    nd = F.col("n").cast("double")
+    return out.select(
+        "scope",
+        "n",
+        "k",
+        "lo_v",
+        "hi_v",
+        "sum_all",
+        "sum_trim",
+        "sum_wins",
+        F.round(F.col("sum_all").cast("double") / nd, 6).alias("mean"),
+        F.round(
+            F.col("sum_trim").cast("double")
+            / (F.col("n") - 2 * F.col("k")).cast("double"),
+            6,
+        ).alias("trimmed_mean"),
+        F.round(F.col("sum_wins").cast("double") / nd, 6).alias(
+            "winsorized_mean"
+        ),
+    )
+
+
+def _sql_trimmed_stats() -> str:
+    outlier = _md5_bucket_sql(
+        "'tr' || '|' || CAST(doc_id AS VARCHAR)", TRIM_OUTLIER_MOD
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              AS BIGINT) AS v0,
+         CASE WHEN {outlier} = 0 THEN 1 ELSE 0 END AS is_out
+  FROM documents
+), scoped AS (
+  SELECT sc.scope, doc_id,
+         v0 + CASE WHEN sc.scope = 'polluted' AND is_out = 1
+                   THEN {TRIM_OUTLIER_ADD} ELSE 0 END AS v
+  FROM base CROSS JOIN (SELECT unnest(['clean', 'polluted']) AS scope) sc
+), ranked AS MATERIALIZED (
+  SELECT scope, v,
+         CAST(row_number() OVER (PARTITION BY scope ORDER BY v, doc_id)
+              AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY scope) AS BIGINT) AS n
+  FROM scoped
+), kk AS (
+  SELECT scope, max(n) AS n, CAST(max(n) // {TRIM_FRAC_DEN} AS BIGINT) AS k
+  FROM ranked GROUP BY scope
+), bounds AS MATERIALIZED (
+  SELECT r.scope,
+         max(CASE WHEN r.rk = kk.k + 1 THEN r.v END) AS lo_v,
+         max(CASE WHEN r.rk = kk.n - kk.k THEN r.v END) AS hi_v
+  FROM ranked r JOIN kk USING (scope)
+  GROUP BY r.scope
+)
+SELECT r.scope, kk.n, kk.k, b.lo_v, b.hi_v,
+       CAST(sum(r.v) AS BIGINT) AS sum_all,
+       CAST(sum(CASE WHEN r.rk > kk.k AND r.rk <= kk.n - kk.k
+                     THEN r.v ELSE 0 END) AS BIGINT) AS sum_trim,
+       CAST(sum(CASE WHEN r.rk <= kk.k THEN b.lo_v
+                     WHEN r.rk > kk.n - kk.k THEN b.hi_v
+                     ELSE r.v END) AS BIGINT) AS sum_wins,
+       round(CAST(sum(r.v) AS DOUBLE) / CAST(kk.n AS DOUBLE), 6) AS mean,
+       round(CAST(sum(CASE WHEN r.rk > kk.k AND r.rk <= kk.n - kk.k
+                           THEN r.v ELSE 0 END) AS DOUBLE)
+             / CAST(kk.n - 2 * kk.k AS DOUBLE), 6) AS trimmed_mean,
+       round(CAST(sum(CASE WHEN r.rk <= kk.k THEN b.lo_v
+                           WHEN r.rk > kk.n - kk.k THEN b.hi_v
+                           ELSE r.v END) AS DOUBLE)
+             / CAST(kk.n AS DOUBLE), 6) AS winsorized_mean
+FROM ranked r
+JOIN kk USING (scope)
+JOIN bounds b USING (scope)
+GROUP BY r.scope, kk.n, kk.k, b.lo_v, b.hi_v
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -16718,4 +16886,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "critical_path": (q_critical_path, _sql_critical_path()),
     "autocorrelation": (q_autocorrelation, _sql_autocorrelation()),
     "ohlc_bars": (q_ohlc_bars, _sql_ohlc_bars()),
+    "trimmed_stats": (q_trimmed_stats, _sql_trimmed_stats()),
 }

