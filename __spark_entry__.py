@@ -516,6 +516,10 @@ DRIVER_CAP_OVERFLOW = (
     # rank cuts — the planted 1-in-50 outlier moves the raw mean ~20 but
     # barely touches the robust means; all-BIGINT sums
     "trimmed_stats",
+    # round-6 new, born-overflow: AMS F2 sketch — md5 ±1 signs, K=9
+    # signed sums, exact-rank median; the only all-integer sketch
+    # (zero doubles); exact F2 rides along
+    "ams_f2",
 )
 
 
