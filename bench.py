@@ -299,6 +299,8 @@ def main() -> None:
         "critical_path",
         "autocorrelation",
         "ohlc_bars",
+        "trimmed_stats",
+        "ams_f2",
     ):
         if name not in QUERIES:
             continue
