@@ -16210,7 +16210,10 @@ JOIN hy USING (scope)
 # |hosts|-sized frame (never the corpus; the pagerank pin discipline).
 # --------------------------------------------------------------------------
 
-CP_ROUNDS = PR_N_NODES
+CP_ROUNDS = 14  # probed fixpoint depth: 7/7/9 rounds at sf0.001/0.01/0.1;
+# 14 leaves >50% headroom and the in-output converged flag certifies it
+# at runtime (a deeper graph would read converged = 0, never silently
+# wrong)
 
 
 def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
