@@ -520,6 +520,10 @@ DRIVER_CAP_OVERFLOW = (
     # signed sums, exact-rank median; the only all-integer sketch
     # (zero doubles); exact F2 rides along
     "ams_f2",
+    # round-6 new, born-overflow: Newman degree assortativity — exact
+    # BIGINT endpoint-degree moments over both edge orientations, r as
+    # one fixed-order expression
+    "assortativity",
 )
 
 

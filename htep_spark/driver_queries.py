@@ -16855,6 +16855,132 @@ CROSS JOIN f2 CROSS JOIN med
 """
 
 
+# --------------------------------------------------------------------------
+# Degree assortativity (`assortativity`): Newman's degree-correlation
+# coefficient (PRL 2002) — do high-degree hosts link to high-degree
+# hosts? The structural summary the iterative family (pagerank/hits/
+# lpa/k_core/triangles/critical_path) doesn't give. r = Pearson
+# correlation of endpoint degrees over the edge list with BOTH
+# orientations counted (the standard undirected convention). EXACT
+# integer moment sums (degrees ≤ |V|, ≤2|E| terms); r is one fixed-order
+# expression of six BIGINTs (the cuped_ab exactness class). Emitted per
+# edge with the endpoint degrees so the joint distribution is visible.
+#
+# Scale shape: degrees = one map-side agg; the moment pass is one scan
+# of the |E|-sized edge list with two broadcast degree joins.
+# --------------------------------------------------------------------------
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    a = (src_num % PR_N_NODES).alias("src")
+    b = ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst")
+    raw = docs.select(a, b).filter(F.col("src") != F.col("dst"))
+    und = (
+        raw.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    both = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    pairs = (
+        both.join(
+            F.broadcast(deg.select(F.col("node").alias("u"),
+                                   F.col("deg").alias("du"))),
+            "u",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"),
+                                   F.col("deg").alias("dv"))),
+            "v",
+        )
+    )
+    m = pairs.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("du").cast("long").alias("sx"),
+        F.sum("dv").cast("long").alias("sy"),
+        F.sum(F.col("du") * F.col("dv")).cast("long").alias("sxy"),
+        F.sum(F.col("du") * F.col("du")).cast("long").alias("sxx"),
+        F.sum(F.col("dv") * F.col("dv")).cast("long").alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    num = F.col("sxy").cast("double") - (
+        F.col("sx").cast("double") * F.col("sy").cast("double") / md
+    )
+    denx = F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double") / md
+    )
+    deny = F.col("syy").cast("double") - (
+        F.col("sy").cast("double") * F.col("sy").cast("double") / md
+    )
+    r = num / F.sqrt(denx * deny)
+    return pairs.crossJoin(F.broadcast(m)).select(
+        "u",
+        "v",
+        "du",
+        "dv",
+        "m",
+        "sxy",
+        F.round(r, 6).alias("assortativity"),
+    )
+
+
+def _sql_assortativity() -> str:
+    n = PR_N_NODES
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT (CAST(substr(source, 4, 10) AS BIGINT) % {n}) AS src,
+         ((CAST(substr(source, 4, 10) AS BIGINT) * 7 + doc_id * 13 + 3)
+           % {n}) AS dst
+  FROM documents
+), und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+), deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+), both_ AS (
+  SELECT u, v FROM und UNION ALL SELECT v AS u, u AS v FROM und
+), pairs AS MATERIALIZED (
+  SELECT b.u, b.v, x.deg AS du, y.deg AS dv
+  FROM both_ b
+  JOIN deg x ON x.node = b.u
+  JOIN deg y ON y.node = b.v
+), mm AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+         CAST(sum(du) AS BIGINT) AS sx,
+         CAST(sum(dv) AS BIGINT) AS sy,
+         CAST(sum(du * dv) AS BIGINT) AS sxy,
+         CAST(sum(du * du) AS BIGINT) AS sxx,
+         CAST(sum(dv * dv) AS BIGINT) AS syy
+  FROM pairs
+)
+SELECT p.u, p.v, p.du, p.dv, mm.m, mm.sxy,
+       round((CAST(mm.sxy AS DOUBLE)
+              - CAST(mm.sx AS DOUBLE) * CAST(mm.sy AS DOUBLE)
+                / CAST(mm.m AS DOUBLE))
+             / sqrt((CAST(mm.sxx AS DOUBLE)
+                     - CAST(mm.sx AS DOUBLE) * CAST(mm.sx AS DOUBLE)
+                       / CAST(mm.m AS DOUBLE))
+                    * (CAST(mm.syy AS DOUBLE)
+                       - CAST(mm.sy AS DOUBLE) * CAST(mm.sy AS DOUBLE)
+                         / CAST(mm.m AS DOUBLE))), 6) AS assortativity
+FROM pairs p CROSS JOIN mm
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -17015,4 +17141,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "ohlc_bars": (q_ohlc_bars, _sql_ohlc_bars()),
     "trimmed_stats": (q_trimmed_stats, _sql_trimmed_stats()),
     "ams_f2": (q_ams_f2, _sql_ams_f2()),
+    "assortativity": (q_assortativity, _sql_assortativity()),
 }

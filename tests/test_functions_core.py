@@ -5921,3 +5921,59 @@ def test_ams_f2_pure_python_replay_and_concentration():
         assert gsum == gsums[grp]
         assert (gf2, gmed) == (f2, med)
         assert fest == math.floor(est * 1e6 + 0.5) / 1e6
+
+
+def test_assortativity_pure_python_replay_and_symmetry():
+    """Assortativity (`assortativity`): a pure-Python replay — both-
+    orientation endpoint-degree moments, Newman's r — must match the
+    DuckDB oracle at sf0.001 EXACTLY on the BIGINT columns; the
+    both-orientation convention makes sx == sy and sxx == syy
+    (symmetry identities); r in [-1, 1]; m = 2|E|; margins on the
+    rounded r."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import PR_N_NODES, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, doc_id FROM documents").fetchall()
+    edges = set()
+    for src, d in raw:
+        sn = int(src[3:])
+        a = sn % PR_N_NODES
+        b = (sn * 7 + d * 13 + 3) % PR_N_NODES
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    both = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    m = len(both)
+    sx = sum(deg[u] for u, _v in both)
+    sy = sum(deg[v] for _u, v in both)
+    sxy = sum(deg[u] * deg[v] for u, v in both)
+    sxx = sum(deg[u] ** 2 for u, _v in both)
+    syy = sum(deg[v] ** 2 for _u, v in both)
+    assert sx == sy and sxx == syy  # symmetry of the convention
+    assert m == 2 * len(edges)
+    num = sxy - sx * sy / m
+    r = num / math.sqrt((sxx - sx * sx / m) * (syy - sy * sy / m))
+    assert -1.0 - 1e-9 <= r <= 1.0 + 1e-9
+    rows = con.execute(QUERIES["assortativity"][1]).fetchall()
+    assert len(rows) == m
+    seen = Counter()
+    for u, v, du, dv, gm, gsxy, gr in rows:
+        assert (du, dv) == (deg[u], deg[v])
+        assert (gm, gsxy) == (m, sxy)
+        frac = abs(r * 1e6 - math.floor(r * 1e6) - 0.5)
+        assert frac > 1e-4, r
+        assert gr == math.copysign(math.floor(abs(r) * 1e6 + 0.5), r) / 1e6
+        seen[(u, v)] += 1
+    assert all(c == 1 for c in seen.values())
