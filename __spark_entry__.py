@@ -524,6 +524,9 @@ DRIVER_CAP_OVERFLOW = (
     # BIGINT endpoint-degree moments over both edge orientations, r as
     # one fixed-order expression
     "assortativity",
+    # round-6 new, born-overflow: Goh-Barabási burstiness over per-user
+    # inter-event gaps — exact integer-second moments, B=(σ−μ)/(σ+μ)
+    "interarrival_stats",
 )
 
 

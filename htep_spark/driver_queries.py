@@ -16981,6 +16981,126 @@ FROM pairs p CROSS JOIN mm
 """
 
 
+# --------------------------------------------------------------------------
+# Inter-arrival burstiness (`interarrival_stats`): the Goh-Barabási
+# burstiness coefficient B = (σ−μ)/(σ+μ) over each user's inter-event
+# gaps — the temporal-texture diagnostic (B→−1 periodic, ≈0 Poisson,
+# →1 bursty) that sessionize/event_funnel don't measure. Gaps are
+# EXACT integer SECONDS (µs div 1e6 — µs² would overflow int64 on
+# month-long gaps; seconds² has 1000× headroom); per-user moment sums
+# stay BIGINT; σ/μ/B are fixed-order doubles. Users need ≥ 2 gaps. The
+# corpus-level mean B folds in pinned user order.
+#
+# Scale shape: gaps via lag windows PARTITIONED by user (bounded
+# per-user groups, the seasonal_mase discipline); per-user moments
+# map-side combinable; the summary is a pinned fold over the |users|
+# frame.
+# --------------------------------------------------------------------------
+
+
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    um = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+    )
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", um.alias("um")
+    )
+    w = Window.partitionBy("user_id").orderBy("um", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            (F.col("um") - F.lag("um", 1).over(w)).alias("dus"),
+        )
+        .filter(F.col("dus").isNotNull())
+        .select(
+            "user_id", F.expr("cast(dus div 1000000 as bigint)").alias("g")
+        )
+    )
+    per = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_gaps"),
+            F.sum("g").cast("long").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).cast("long").alias("sgg"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    nd = F.col("n_gaps").cast("double")
+    mu = F.col("sg").cast("double") / nd
+    var = (F.col("sgg").cast("double") - nd * mu * mu) / (nd - F.lit(1.0))
+    sig = F.sqrt(var)
+    stats = per.select(
+        "user_id",
+        "n_gaps",
+        "sg",
+        "sgg",
+        mu.alias("mu"),
+        sig.alias("sig"),
+        ((sig - mu) / (sig + mu)).alias("b"),
+    )
+    summary = stats.agg(
+        (
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("user_id", "b"))),
+                F.lit(0.0),
+                lambda a, e: a + e["b"],
+            )
+            / F.count("*").cast("double")
+        ).alias("mean_b")
+    )
+    return stats.crossJoin(F.broadcast(summary)).select(
+        "user_id",
+        "n_gaps",
+        "sg",
+        "sgg",
+        F.round("mu", 6).alias("mean_gap_s"),
+        F.round("sig", 6).alias("std_gap_s"),
+        F.round("b", 6).alias("burstiness"),
+        F.round("mean_b", 6).alias("mean_burstiness"),
+    )
+
+
+def _sql_interarrival_stats() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS um FROM events
+), gaps AS (
+  SELECT user_id,
+         CAST((um - lag(um, 1) OVER (PARTITION BY user_id
+                                     ORDER BY um, event_id))
+              // 1000000 AS BIGINT) AS g
+  FROM ev
+  QUALIFY lag(um, 1) OVER (PARTITION BY user_id
+                           ORDER BY um, event_id) IS NOT NULL
+), per AS MATERIALIZED (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(g) AS BIGINT) AS sg,
+         CAST(sum(g * g) AS BIGINT) AS sgg
+  FROM gaps GROUP BY user_id
+  HAVING count(*) >= 2
+), stats AS MATERIALIZED (
+  SELECT user_id, n_gaps, sg, sgg,
+         CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mu,
+         sqrt((CAST(sgg AS DOUBLE)
+               - CAST(n_gaps AS DOUBLE)
+                 * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                 * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)))
+              / (CAST(n_gaps AS DOUBLE) - 1.0)) AS sig
+  FROM per
+), summary AS (
+  SELECT list_sum(list((sig - mu) / (sig + mu) ORDER BY user_id))
+           / CAST(count(*) AS DOUBLE) AS mean_b
+  FROM stats
+)
+SELECT s.user_id, s.n_gaps, s.sg, s.sgg,
+       round(s.mu, 6) AS mean_gap_s,
+       round(s.sig, 6) AS std_gap_s,
+       round((s.sig - s.mu) / (s.sig + s.mu), 6) AS burstiness,
+       round(summary.mean_b, 6) AS mean_burstiness
+FROM stats s CROSS JOIN summary
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -17142,4 +17262,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "trimmed_stats": (q_trimmed_stats, _sql_trimmed_stats()),
     "ams_f2": (q_ams_f2, _sql_ams_f2()),
     "assortativity": (q_assortativity, _sql_assortativity()),
+    "interarrival_stats": (q_interarrival_stats, _sql_interarrival_stats()),
 }

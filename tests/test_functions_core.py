@@ -5977,3 +5977,57 @@ def test_assortativity_pure_python_replay_and_symmetry():
         assert gr == math.copysign(math.floor(abs(r) * 1e6 + 0.5), r) / 1e6
         seen[(u, v)] += 1
     assert all(c == 1 for c in seen.values())
+
+
+def test_interarrival_stats_pure_python_replay_and_bounds():
+    """Burstiness (`interarrival_stats`): a pure-Python replay — per-user
+    sorted gaps in exact integer seconds, BIGINT moments, B and the
+    pinned-order corpus mean — must match the DuckDB oracle at sf0.001;
+    B in (-1, 1); gap counts reconcile with event counts (n_gaps =
+    n_events - 1 for every kept user); margins on rounded doubles."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT user_id, epoch_us(ts), event_id FROM events"
+    ).fetchall()
+    times = defaultdict(list)
+    for u, um, eid in raw:
+        times[u].append((um, eid))
+    exp = {}
+    for u, ts in times.items():
+        ts.sort()
+        gaps = [
+            (ts[i + 1][0] - ts[i][0]) // 1_000_000
+            for i in range(len(ts) - 1)
+        ]
+        if len(gaps) < 2:
+            continue
+        n = len(gaps)
+        sg, sgg = sum(gaps), sum(g * g for g in gaps)
+        mu = sg / n
+        sig = math.sqrt((sgg - n * mu * mu) / (n - 1))
+        exp[u] = (n, sg, sgg, mu, sig, (sig - mu) / (sig + mu))
+        assert n == len(ts) - 1
+    mean_b = sum(exp[u][5] for u in sorted(exp)) / len(exp)
+    rows = con.execute(QUERIES["interarrival_stats"][1]).fetchall()
+    assert len(rows) == len(exp)
+    for u, n, sg, sgg, mu, sig, b, mb in rows:
+        en, esg, esgg, emu, esig, eb = exp[u]
+        assert (n, sg, sgg) == (en, esg, esgg)
+        for got, e in ((mu, emu), (sig, esig), (b, eb), (mb, mean_b)):
+            frac = abs(abs(e) * 1e6 - math.floor(abs(e) * 1e6) - 0.5)
+            assert frac > 1e-4 or frac < 1e-12, (u, e)
+            assert got == math.copysign(
+                math.floor(abs(e) * 1e6 + 0.5), e
+            ) / 1e6
+        assert -1.0 < eb < 1.0
