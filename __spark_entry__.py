@@ -527,6 +527,10 @@ DRIVER_CAP_OVERFLOW = (
     # round-6 new, born-overflow: Goh-Barabási burstiness over per-user
     # inter-event gaps — exact integer-second moments, B=(σ−μ)/(σ+μ)
     "interarrival_stats",
+    # round-6 new, born-overflow: referential-integrity audit — the dbt
+    # relationships test over all seven FK edges of the star; orphan /
+    # null-key / intact verdicts, all-BIGINT
+    "ref_integrity",
 )
 
 

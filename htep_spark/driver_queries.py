@@ -17101,6 +17101,101 @@ FROM stats s CROSS JOIN summary
 """
 
 
+# --------------------------------------------------------------------------
+# Referential-integrity audit (`ref_integrity`): the dbt `relationships`
+# test — for every foreign-key edge of the star schema (lineitem→orders,
+# lineitem→part, lineitem→supplier, orders→customer, customer→nation,
+# supplier→nation, nation→region), count child rows, distinct child
+# keys, orphan rows (no parent), and null keys. Complements
+# `data_profile` (single-column audits) with the CROSS-TABLE contract
+# every warehouse load gates on. All-BIGINT.
+#
+# Scale shape: each edge is one left-anti-style aggregate — child keys
+# grouped map-side, then ONE join against the parent key set (parent
+# sides here are dimension-sized and broadcast; the fact-fact edge
+# co-partitions under AQE). Output is |edges|-sized.
+# --------------------------------------------------------------------------
+
+_RI_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for child, ck, parent, pk in _RI_EDGES:
+        c = spark.read.parquet(f"{sf_dir}/{child}.parquet").select(
+            F.col(ck).alias("k")
+        )
+        p = (
+            spark.read.parquet(f"{sf_dir}/{parent}.parquet")
+            .select(F.col(pk).alias("k"))
+            .distinct()
+        )
+        keys = c.groupBy("k").agg(F.count("*").cast("long").alias("cnt"))
+        joined = keys.join(
+            p.select("k", F.lit(1).alias("hit")), "k", "left"
+        )
+        stats = joined.agg(
+            F.sum("cnt").cast("long").alias("n_child"),
+            F.count("*").cast("long").alias("n_child_keys"),
+            F.sum(F.when(F.col("k").isNull(), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.sum(
+                F.when(
+                    F.col("hit").isNull() & F.col("k").isNotNull(),
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_orphans"),
+        ).select(
+            F.lit(f"{child}.{ck}").alias("fk"),
+            F.lit(f"{parent}.{pk}").alias("references"),
+            "n_child",
+            "n_child_keys",
+            "n_null",
+            "n_orphans",
+            (F.col("n_orphans") == 0).cast("long").alias("intact"),
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out
+
+
+def _sql_ref_integrity() -> str:
+    parts = []
+    for child, ck, parent, pk in _RI_EDGES:
+        parts.append(
+            f"""SELECT '{child}.{ck}' AS fk,
+       '{parent}.{pk}' AS "references",
+       CAST(sum(cnt) AS BIGINT) AS n_child,
+       CAST(count(*) AS BIGINT) AS n_child_keys,
+       CAST(sum(CASE WHEN k IS NULL THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(sum(CASE WHEN hit IS NULL AND k IS NOT NULL
+                     THEN cnt ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(CASE WHEN sum(CASE WHEN hit IS NULL AND k IS NOT NULL
+                               THEN cnt ELSE 0 END) = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS intact
+FROM (
+  SELECT c.k, c.cnt, p.hit FROM (
+    SELECT {ck} AS k, CAST(count(*) AS BIGINT) AS cnt
+    FROM {child} GROUP BY {ck}
+  ) c LEFT JOIN (
+    SELECT DISTINCT {pk} AS k, 1 AS hit FROM {parent}
+  ) p ON p.k = c.k
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -17263,4 +17358,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "ams_f2": (q_ams_f2, _sql_ams_f2()),
     "assortativity": (q_assortativity, _sql_assortativity()),
     "interarrival_stats": (q_interarrival_stats, _sql_interarrival_stats()),
+    "ref_integrity": (q_ref_integrity, _sql_ref_integrity()),
 }
