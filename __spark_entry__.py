@@ -531,6 +531,10 @@ DRIVER_CAP_OVERFLOW = (
     # relationships test over all seven FK edges of the star; orphan /
     # null-key / intact verdicts, all-BIGINT
     "ref_integrity",
+    # round-6 new, born-overflow: Wald-Wolfowitz runs test — exact median
+    # binarization, integer run counts; planted square wave rejects, raw
+    # series reads random
+    "runs_test",
 )
 
 

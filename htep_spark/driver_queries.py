@@ -17196,6 +17196,203 @@ FROM (
     return "\nUNION ALL\n".join(parts)
 
 
+# --------------------------------------------------------------------------
+# Wald-Wolfowitz runs test (`runs_test`): the classic randomness test —
+# binarize the hourly series above/below its exact median (median-ties
+# excluded, the standard convention), count sign runs, compare against
+# E[R] = 2n₁n₂/n + 1 with the exact variance formula. Completes the
+# hypothesis-test family (ks_drift: distribution, mann_kendall: trend,
+# chi2/benford: categorical fit; THIS: serial randomness). Two scopes:
+# 'same' (raw series — fails to reject) and 'clumped' (a planted
+# 36-hour square wave forces long runs → z strongly negative, rejects).
+# R, n₁, n₂ and the median are exact integers; E/Var/z are fixed-order
+# doubles (6dp + verdict at |z| > 1.959964).
+#
+# Scale shape: the median is an exact rank over the bounded hourly
+# summary; runs count via one lag window over the same summary.
+# --------------------------------------------------------------------------
+
+RUNS_AMP = 40  # planted square-wave amplitude (clumped scope)
+RUNS_HALF_PERIOD = 36  # hours
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("h")  # bounded hourly summary
+    ser = (
+        grid.join(cnt, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("x"))
+        .select("x", F.row_number().over(w).cast("long").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for scope in ("same", "clumped"):
+        y = (
+            F.col("x")
+            + F.when(
+                F.expr(f"((t - 1) div {RUNS_HALF_PERIOD}) % 2 = 0")
+                & F.lit(scope == "clumped"),
+                RUNS_AMP,
+            ).otherwise(0)
+        )
+        s = ser.select("t", y.alias("y"))
+        med = (
+            s.select(
+                "y",
+                F.row_number()
+                .over(Window.orderBy("y", "t"))
+                .alias("rk"),
+            )
+            .crossJoin(
+                F.broadcast(s.agg(F.count("*").alias("n0")))
+            )
+            .filter(F.col("rk") == F.expr("cast((n0 + 1) div 2 as int)"))
+            .select(F.col("y").alias("med"))
+        )
+        kept = (
+            s.crossJoin(F.broadcast(med))
+            .filter(F.col("y") != F.col("med"))
+            .select("t", (F.col("y") > F.col("med")).cast("long").alias("s"))
+        )
+        wk = Window.orderBy("t")
+        runs = kept.select(
+            "s", F.lag("s", 1).over(wk).alias("prev")
+        ).agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.col("prev").isNotNull()
+                        & (F.col("s") != F.col("prev")),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("r"),
+            F.sum("s").cast("long").alias("n1"),
+            F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        )
+        part = runs.crossJoin(F.broadcast(med)).select(
+            F.lit(scope).alias("scope"), "r", "n1", "n2", "med"
+        )
+        out = part if out is None else out.unionByName(part)
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    er = 2.0 * n1d * n2d / nd + 1.0
+    vr = (
+        2.0
+        * n1d
+        * n2d
+        * (2.0 * n1d * n2d - n1d - n2d)
+        / (nd * nd * (nd - 1.0))
+    )
+    z = (F.col("r").cast("double") - er) / F.sqrt(vr)
+    return out.select(
+        "scope",
+        "r",
+        "n1",
+        "n2",
+        "med",
+        F.round(er, 6).alias("expected_r"),
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > _MK_CRIT, F.lit("reject"))
+        .otherwise(F.lit("random"))
+        .alias("verdict"),
+    )
+
+
+def _sql_runs_test() -> str:
+    scopes = []
+    for scope in ("same", "clumped"):
+        add = (
+            f"CASE WHEN ((t - 1) // {RUNS_HALF_PERIOD}) % 2 = 0"
+            f" THEN {RUNS_AMP} ELSE 0 END"
+            if scope == "clumped"
+            else "0"
+        )
+        scopes.append(f"SELECT '{scope}' AS scope, t, x + {add} AS y FROM ser")
+    scoped_union = "\n  UNION ALL\n  ".join(scopes)
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), cnt AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1
+), ser AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY g.h) AS BIGINT) AS t,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN cnt c ON c.h = g.h
+), scoped AS MATERIALIZED (
+  {scoped_union}
+), med AS MATERIALIZED (
+  SELECT scope, y AS med FROM (
+    SELECT scope, y,
+           row_number() OVER (PARTITION BY scope ORDER BY y, t) AS rk,
+           count(*) OVER (PARTITION BY scope) AS n0
+    FROM scoped)
+  WHERE rk = CAST((n0 + 1) // 2 AS BIGINT)
+), kept AS MATERIALIZED (
+  SELECT s.scope, s.t,
+         CAST(CASE WHEN s.y > m.med THEN 1 ELSE 0 END AS BIGINT) AS s
+  FROM scoped s JOIN med m USING (scope)
+  WHERE s.y <> m.med
+), runs AS (
+  SELECT scope,
+         CAST(1 + sum(CASE WHEN prev IS NOT NULL AND s <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r,
+         CAST(sum(s) AS BIGINT) AS n1,
+         CAST(sum(1 - s) AS BIGINT) AS n2
+  FROM (
+    SELECT scope, s,
+           lag(s, 1) OVER (PARTITION BY scope ORDER BY t) AS prev
+    FROM kept)
+  GROUP BY scope
+)
+SELECT r.scope, r.r, r.n1, r.n2, m.med,
+       round(2.0 * CAST(r.n1 AS DOUBLE) * CAST(r.n2 AS DOUBLE)
+             / (CAST(r.n1 AS DOUBLE) + CAST(r.n2 AS DOUBLE)) + 1.0, 6)
+         AS expected_r,
+       round((CAST(r.r AS DOUBLE)
+              - (2.0 * CAST(r.n1 AS DOUBLE) * CAST(r.n2 AS DOUBLE)
+                 / (CAST(r.n1 AS DOUBLE) + CAST(r.n2 AS DOUBLE)) + 1.0))
+             / sqrt(2.0 * CAST(r.n1 AS DOUBLE) * CAST(r.n2 AS DOUBLE)
+                    * (2.0 * CAST(r.n1 AS DOUBLE) * CAST(r.n2 AS DOUBLE)
+                       - CAST(r.n1 AS DOUBLE) - CAST(r.n2 AS DOUBLE))
+                    / ((CAST(r.n1 AS DOUBLE) + CAST(r.n2 AS DOUBLE))
+                       * (CAST(r.n1 AS DOUBLE) + CAST(r.n2 AS DOUBLE))
+                       * (CAST(r.n1 AS DOUBLE) + CAST(r.n2 AS DOUBLE)
+                          - 1.0))), 6) AS z,
+       CASE WHEN abs((CAST(r.r AS DOUBLE)
+              - (2.0 * CAST(r.n1 AS DOUBLE) * CAST(r.n2 AS DOUBLE)
+                 / (CAST(r.n1 AS DOUBLE) + CAST(r.n2 AS DOUBLE)) + 1.0))
+             / sqrt(2.0 * CAST(r.n1 AS DOUBLE) * CAST(r.n2 AS DOUBLE)
+                    * (2.0 * CAST(r.n1 AS DOUBLE) * CAST(r.n2 AS DOUBLE)
+                       - CAST(r.n1 AS DOUBLE) - CAST(r.n2 AS DOUBLE))
+                    / ((CAST(r.n1 AS DOUBLE) + CAST(r.n2 AS DOUBLE))
+                       * (CAST(r.n1 AS DOUBLE) + CAST(r.n2 AS DOUBLE))
+                       * (CAST(r.n1 AS DOUBLE) + CAST(r.n2 AS DOUBLE)
+                          - 1.0)))) > {_MK_CRIT}
+            THEN 'reject' ELSE 'random' END AS verdict
+FROM runs r JOIN med m USING (scope)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -17359,4 +17556,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "assortativity": (q_assortativity, _sql_assortativity()),
     "interarrival_stats": (q_interarrival_stats, _sql_interarrival_stats()),
     "ref_integrity": (q_ref_integrity, _sql_ref_integrity()),
+    "runs_test": (q_runs_test, _sql_runs_test()),
 }

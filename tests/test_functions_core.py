@@ -6075,3 +6075,79 @@ def test_ref_integrity_pure_python_replay():
         assert (n_child, n_keys, n_null, n_orph) == (ec, ek, en, eo)
         assert intact == (1 if eo == 0 else 0)
         assert intact == 1  # the synthetic star is intact
+
+
+def test_runs_test_pure_python_replay_and_verdicts():
+    """Runs test (`runs_test`): a pure-Python replay — exact-rank
+    median, tie exclusion, run counting, the Wald-Wolfowitz z — must
+    match the DuckDB oracle at sf0.001; the planted 36-hour square wave
+    REJECTS (long runs, z << 0) while the raw series reads random;
+    R <= n1 + n2 and R >= 2 when both signs exist; margins on rounded
+    doubles."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        _MK_CRIT,
+        QUERIES,
+        RUNS_AMP,
+        RUNS_HALF_PERIOD,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    hrs = con.execute(
+        "SELECT epoch_us(date_trunc('hour', ts)) FROM events"
+    ).fetchall()
+    c = Counter(h for (h,) in hrs)
+    grid = list(range(min(c), max(c) + 1, 3_600_000_000))
+    xs = [c.get(h, 0) for h in grid]
+    exp = {}
+    for scope in ("same", "clumped"):
+        ys = [
+            x
+            + (
+                RUNS_AMP
+                if scope == "clumped"
+                and ((t - 1) // RUNS_HALF_PERIOD) % 2 == 0
+                else 0
+            )
+            for t, x in enumerate(xs, 1)
+        ]
+        n0 = len(ys)
+        med = sorted(ys)[(n0 + 1) // 2 - 1]
+        kept = [1 if y > med else 0 for y in ys if y != med]
+        r = 1 + sum(
+            1 for a, b in zip(kept, kept[1:]) if a != b
+        )
+        n1, n2 = sum(kept), len(kept) - sum(kept)
+        er = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+        vr = (
+            2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+            / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        )
+        z = (r - er) / math.sqrt(vr)
+        exp[scope] = (r, n1, n2, med, er, z)
+        assert 2 <= r <= n1 + n2
+    assert abs(exp["same"][5]) <= _MK_CRIT, exp["same"]
+    assert exp["clumped"][5] < -_MK_CRIT, exp["clumped"]
+    rows = con.execute(QUERIES["runs_test"][1]).fetchall()
+    assert len(rows) == 2
+    for scope, r, n1, n2, med, er, z, verdict in rows:
+        e_r, e1, e2, emed, eer, ez = exp[scope]
+        assert (r, n1, n2, med) == (e_r, e1, e2, emed)
+        for got, e in ((er, eer), (z, ez)):
+            frac = abs(abs(e) * 1e6 - math.floor(abs(e) * 1e6) - 0.5)
+            assert frac > 1e-4 or frac < 1e-12, (scope, e)
+            assert got == math.copysign(
+                math.floor(abs(e) * 1e6 + 0.5), e
+            ) / 1e6
+        assert verdict == (
+            "reject" if abs(ez) > _MK_CRIT else "random"
+        )
+    assert {r[7] for r in rows} == {"reject", "random"}
