@@ -301,6 +301,10 @@ def main() -> None:
         "ohlc_bars",
         "trimmed_stats",
         "ams_f2",
+        "assortativity",
+        "interarrival_stats",
+        "ref_integrity",
+        "runs_test",
     ):
         if name not in QUERIES:
             continue
