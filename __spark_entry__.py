@@ -535,6 +535,10 @@ DRIVER_CAP_OVERFLOW = (
     # binarization, integer run counts; planted square wave rejects, raw
     # series reads random
     "runs_test",
+    # round-6 new, born-overflow: BFS hop distances from the min-id host —
+    # the Pregel superstep shape; per-round pins, in-output convergence
+    # certificate, eccentricity; all-integer
+    "bfs_hops",
 )
 
 

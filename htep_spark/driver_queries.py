@@ -17393,6 +17393,166 @@ FROM runs r JOIN med m USING (scope)
 """
 
 
+# --------------------------------------------------------------------------
+# BFS hop distances (`bfs_hops`): unweighted shortest paths from the
+# minimum-id host — the Pregel hello-world and the distance metric the
+# graph family still lacked (critical_path = longest weighted,
+# triangle/k_core = local structure; THIS = global reachability).
+# Synchronous relaxation dist(v) = min(dist(v), min_{(u,v)} dist(u)+1)
+# over BFS_ROUNDS rounds with per-round pins; converged certified
+# in-output (last two rounds equal — the k_core discipline); source
+# eccentricity = max finite distance; unreachable nodes stay NULL.
+# ALL-integer.
+#
+# Scale shape: each round is one undirected-edge join + map-side min
+# over the pinned |hosts| frame — the Pregel superstep; iterations
+# never re-scan the corpus.
+# --------------------------------------------------------------------------
+
+BFS_ROUNDS = 12  # graph diameter is tiny (probed ≤ 3); headroom + flag
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("long")
+    a = (src_num % PR_N_NODES).alias("src")
+    b = ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst")
+    raw = docs.select(a, b).filter(F.col("src") != F.col("dst"))
+    und0 = raw.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    und = (
+        und0.unionByName(
+            und0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    root = nodes.agg(F.min("node").alias("r"))
+    dist = (
+        nodes.crossJoin(F.broadcast(root))
+        .select(
+            "node",
+            F.when(F.col("node") == F.col("r"), 0)
+            .cast("long")
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(BFS_ROUNDS):
+        cand = (
+            und.join(
+                dist.select(F.col("node").alias("u"),
+                            F.col("dist").alias("du")),
+                "u",
+            )
+            .filter(F.col("du").isNotNull())
+            .groupBy(F.col("v").alias("node"))
+            .agg((F.min("du") + 1).cast("long").alias("nd"))
+        )
+        prev = dist
+        dist = (
+            dist.join(cand, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(None)),
+                    F.coalesce("nd", F.col("dist")),
+                )
+                .cast("long")
+                .alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    ecc = dist.agg(F.max("dist").cast("long").alias("eccentricity"))
+    conv = (
+        dist.select("node", F.col("dist").alias("d1"))
+        .join(prev.select("node", F.col("dist").alias("d0")), "node")
+        .agg(
+            F.sum(
+                (
+                    ~(
+                        (F.col("d1") == F.col("d0"))
+                        | (F.col("d1").isNull() & F.col("d0").isNull())
+                    )
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_changed")
+        )
+    )
+    return (
+        dist.crossJoin(F.broadcast(root))
+        .crossJoin(F.broadcast(ecc))
+        .crossJoin(F.broadcast(conv))
+        .select(
+            "node",
+            "dist",
+            F.col("r").alias("root"),
+            "eccentricity",
+            F.col("dist").isNotNull().cast("long").alias("reachable"),
+            (F.col("n_changed") == 0).cast("long").alias("converged"),
+        )
+    )
+
+
+def _sql_bfs_hops() -> str:
+    n = PR_N_NODES
+    iters = []
+    for i in range(1, BFS_ROUNDS + 1):
+        p = f"d{i - 1}"
+        iters.append(
+            f"""c{i} AS (
+  SELECT e.v AS node, CAST(min(dd.dist) + 1 AS BIGINT) AS nd
+  FROM und e JOIN {p} dd ON dd.node = e.u
+  WHERE dd.dist IS NOT NULL
+  GROUP BY e.v
+), d{i} AS MATERIALIZED (
+  SELECT dd.node,
+         CAST(least(coalesce(dd.dist, c.nd), coalesce(c.nd, dd.dist))
+              AS BIGINT) AS dist
+  FROM {p} dd LEFT JOIN c{i} c ON c.node = dd.node
+)"""
+        )
+    chain = ", ".join(iters)
+    return f"""
+WITH raw AS MATERIALIZED (
+  SELECT (CAST(substr(source, 4, 10) AS BIGINT) % {n}) AS src,
+         ((CAST(substr(source, 4, 10) AS BIGINT) * 7 + doc_id * 13 + 3)
+           % {n}) AS dst
+  FROM documents
+), und0 AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM raw WHERE src <> dst
+), und AS MATERIALIZED (
+  SELECT u, v FROM und0 UNION ALL SELECT v AS u, u AS v FROM und0
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT u AS node FROM und
+), root AS (
+  SELECT CAST(min(node) AS BIGINT) AS r FROM nodes
+), d0 AS MATERIALIZED (
+  SELECT node,
+         CAST(CASE WHEN node = root.r THEN 0 END AS BIGINT) AS dist
+  FROM nodes CROSS JOIN root
+), {chain}, ecc AS (
+  SELECT CAST(max(dist) AS BIGINT) AS eccentricity FROM d{BFS_ROUNDS}
+), conv AS (
+  SELECT CAST(sum(CASE WHEN a.dist IS DISTINCT FROM b.dist
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+  FROM d{BFS_ROUNDS} a JOIN d{BFS_ROUNDS - 1} b USING (node)
+)
+SELECT d.node, d.dist, root.r AS root, ecc.eccentricity,
+       CAST(CASE WHEN d.dist IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS reachable,
+       CAST(CASE WHEN conv.n_changed = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS converged
+FROM d{BFS_ROUNDS} d CROSS JOIN root CROSS JOIN ecc CROSS JOIN conv
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -17557,4 +17717,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "interarrival_stats": (q_interarrival_stats, _sql_interarrival_stats()),
     "ref_integrity": (q_ref_integrity, _sql_ref_integrity()),
     "runs_test": (q_runs_test, _sql_runs_test()),
+    "bfs_hops": (q_bfs_hops, _sql_bfs_hops()),
 }

@@ -6151,3 +6151,56 @@ def test_runs_test_pure_python_replay_and_verdicts():
             "reject" if abs(ez) > _MK_CRIT else "random"
         )
     assert {r[7] for r in rows} == {"reject", "random"}
+
+
+def test_bfs_hops_pure_python_replay_and_bfs_invariants():
+    """BFS (`bfs_hops`): a pure-Python BFS replay from the min-id host
+    must match the DuckDB oracle at sf0.001; converged == 1; the root
+    has dist 0; every reachable non-root node has a neighbor exactly
+    one hop closer (the BFS tree property); eccentricity = max finite
+    dist; all-integer."""
+    from collections import defaultdict, deque
+
+    import duckdb
+
+    from htep_spark.driver_queries import PR_N_NODES, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, doc_id FROM documents").fetchall()
+    adj = defaultdict(set)
+    nodes = set()
+    for src, d in raw:
+        sn = int(src[3:])
+        a = sn % PR_N_NODES
+        b = (sn * 7 + d * 13 + 3) % PR_N_NODES
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+            nodes.update((a, b))
+    root = min(nodes)
+    dist = {root: 0}
+    q = deque([root])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    ecc = max(dist.values())
+    rows = con.execute(QUERIES["bfs_hops"][1]).fetchall()
+    assert len(rows) == len(nodes)
+    for node, d, r, geecc, reachable, conv in rows:
+        assert r == root and geecc == ecc and conv == 1
+        if node in dist:
+            assert (d, reachable) == (dist[node], 1)
+            if node != root:
+                assert any(
+                    dist.get(nb) == dist[node] - 1 for nb in adj[node]
+                )
+        else:
+            assert (d, reachable) == (None, 0)
+    assert ecc >= 1
