@@ -305,6 +305,7 @@ def main() -> None:
         "interarrival_stats",
         "ref_integrity",
         "runs_test",
+        "bfs_hops",
     ):
         if name not in QUERIES:
             continue
