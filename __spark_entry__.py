@@ -539,6 +539,10 @@ DRIVER_CAP_OVERFLOW = (
     # the Pregel superstep shape; per-round pins, in-output convergence
     # certificate, eccentricity; all-integer
     "bfs_hops",
+    # round-6 new, born-overflow: unnormalized Haar wavelet energies —
+    # integer-exact multiresolution decomposition; the daily cycle's
+    # 16-32h band dominates
+    "haar_energy",
 )
 
 

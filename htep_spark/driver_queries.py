@@ -17553,6 +17553,137 @@ FROM d{BFS_ROUNDS} d CROSS JOIN root CROSS JOIN ecc CROSS JOIN conv
 """
 
 
+# --------------------------------------------------------------------------
+# Haar wavelet energy (`haar_energy`): the multiresolution decomposition
+# of the hourly series — UNNORMALIZED Haar (pairwise sums and
+# differences), so every coefficient at every level is an exact BIGINT
+# and the per-level detail energies Σd² are integer-exact (the
+# time-frequency face: autocorrelation sees periodicity, seasonal_
+# decompose a fixed period; wavelet energies localize WHICH scale the
+# variance lives at — the 16-32h band dominates on this daily-cycled
+# corpus, asserted). The series truncates to the largest power of two
+# (512 of ~720 hours) for clean dyadic levels; HAAR_LEVELS levels of
+# (approx, detail) via pair aggregation; Parseval-style accounting is
+# exact because nothing is normalized.
+#
+# Scale shape: each level is one (t div 2) groupBy over the bounded
+# series (pairs = map-side combinable min/max-position sums); L levels
+# of summary-sized frames.
+# --------------------------------------------------------------------------
+
+HAAR_LEVELS = 5
+
+
+def q_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("h")  # bounded hourly summary
+    ser0 = (
+        grid.join(cnt, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("a"))
+        .select("a", (F.row_number().over(w) - 1).cast("long").alias("t"))
+    )
+    n2 = ser0.agg(
+        F.expr(
+            "cast(pow(2, floor(log2(count(*)))) as bigint)"
+        ).alias("m")
+    )
+    approx = (
+        ser0.crossJoin(F.broadcast(n2))
+        .filter(F.col("t") < F.col("m"))
+        .select("t", "a")
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for lvl in range(1, HAAR_LEVELS + 1):
+        paired = approx.groupBy(
+            F.expr("cast(t div 2 as bigint)").alias("t")
+        ).agg(
+            F.sum(
+                F.when(F.col("t") % 2 == 0, F.col("a")).otherwise(0)
+            ).alias("x0"),
+            F.sum(
+                F.when(F.col("t") % 2 == 1, F.col("a")).otherwise(0)
+            ).alias("x1"),
+        )
+        level = paired.select(
+            "t",
+            (F.col("x0") + F.col("x1")).cast("long").alias("a"),
+            (F.col("x0") - F.col("x1")).cast("long").alias("d"),
+        ).localCheckpoint(eager=True)
+        stats = level.agg(
+            F.count("*").cast("long").alias("n_coeffs"),
+            F.sum(F.col("d") * F.col("d")).cast("long").alias("detail_energy"),
+            F.sum(F.col("a") * F.col("a")).cast("long").alias("approx_energy"),
+        ).select(
+            F.lit(lvl).cast("long").alias("level"),
+            F.lit(2 ** lvl).cast("long").alias("scale_hours"),
+            "n_coeffs",
+            "detail_energy",
+            "approx_energy",
+        )
+        out = stats if out is None else out.unionByName(stats)
+        approx = level.select("t", "a")
+    return out
+
+
+def _sql_haar_energy() -> str:
+    levels = []
+    for lvl in range(1, HAAR_LEVELS + 1):
+        p = f"l{lvl - 1}"
+        levels.append(
+            f"""l{lvl} AS MATERIALIZED (
+  SELECT CAST(t // 2 AS BIGINT) AS t,
+         CAST(sum(CASE WHEN t % 2 = 0 THEN a ELSE 0 END)
+              + sum(CASE WHEN t % 2 = 1 THEN a ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN t % 2 = 0 THEN a ELSE 0 END)
+              - sum(CASE WHEN t % 2 = 1 THEN a ELSE 0 END) AS BIGINT) AS d
+  FROM {p} GROUP BY t // 2
+), s{lvl} AS (
+  SELECT CAST({lvl} AS BIGINT) AS level,
+         CAST({2 ** lvl} AS BIGINT) AS scale_hours,
+         CAST(count(*) AS BIGINT) AS n_coeffs,
+         CAST(sum(d * d) AS BIGINT) AS detail_energy,
+         CAST(sum(a * a) AS BIGINT) AS approx_energy
+  FROM l{lvl}
+)"""
+        )
+    chain = ", ".join(levels)
+    sel = "\nUNION ALL\n".join(
+        f"SELECT * FROM s{lvl}" for lvl in range(1, HAAR_LEVELS + 1)
+    )
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), cnt AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1
+), ser0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY g.h) - 1 AS BIGINT) AS t,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS a
+  FROM grid g LEFT JOIN cnt c ON c.h = g.h
+), n2 AS (
+  SELECT CAST(pow(2, floor(log2(count(*)))) AS BIGINT) AS m FROM ser0
+), l0 AS MATERIALIZED (
+  SELECT t, a FROM ser0 CROSS JOIN n2 WHERE t < n2.m
+), {chain}
+{sel}
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -17718,4 +17849,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "ref_integrity": (q_ref_integrity, _sql_ref_integrity()),
     "runs_test": (q_runs_test, _sql_runs_test()),
     "bfs_hops": (q_bfs_hops, _sql_bfs_hops()),
+    "haar_energy": (q_haar_energy, _sql_haar_energy()),
 }

@@ -6204,3 +6204,55 @@ def test_bfs_hops_pure_python_replay_and_bfs_invariants():
         else:
             assert (d, reachable) == (None, 0)
     assert ecc >= 1
+
+
+def test_haar_energy_pure_python_replay_and_parseval():
+    """Haar (`haar_energy`): a pure-Python unnormalized Haar cascade
+    must match the DuckDB oracle at sf0.001 EXACTLY (all-BIGINT, zero
+    rounding surface); the exact Parseval accounting holds level by
+    level (2·E_{l-1} = detail_l + approx_l for unnormalized pairs);
+    the daily cycle puts the normalized 16h- or 32h-band detail energy
+    above the 2h band's."""
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import HAAR_LEVELS, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    hrs = con.execute(
+        "SELECT epoch_us(date_trunc('hour', ts)) FROM events"
+    ).fetchall()
+    c = Counter(h for (h,) in hrs)
+    grid = list(range(min(c), max(c) + 1, 3_600_000_000))
+    xs = [c.get(h, 0) for h in grid]
+    m = 1 << (len(xs).bit_length() - 1)
+    a = xs[:m]
+    exp = {}
+    prev_energy = sum(v * v for v in a)
+    for lvl in range(1, HAAR_LEVELS + 1):
+        na = [a[2 * i] + a[2 * i + 1] for i in range(len(a) // 2)]
+        d = [a[2 * i] - a[2 * i + 1] for i in range(len(a) // 2)]
+        de = sum(v * v for v in d)
+        ae = sum(v * v for v in na)
+        # unnormalized Parseval: sum over pairs of (x0²+x1²)·2 =
+        # (x0+x1)² + (x0−x1)²
+        assert 2 * prev_energy == de + ae
+        exp[lvl] = (len(na), de, ae)
+        prev_energy = ae
+        a = na
+    rows = con.execute(QUERIES["haar_energy"][1]).fetchall()
+    assert len(rows) == HAAR_LEVELS
+    norm = {}
+    for level, scale, n_coeffs, de, ae, in rows:
+        en, ede, eae = exp[level]
+        assert (n_coeffs, de, ae) == (en, ede, eae)
+        assert scale == 2 ** level
+        # orthonormal per-coefficient detail power: the unnormalized
+        # level-l coefficient is sqrt(2^l) times the orthonormal one
+        norm[scale] = de / (n_coeffs * 2 ** level)
+    assert max(norm[16], norm[32]) > norm[2], norm
