@@ -543,6 +543,10 @@ DRIVER_CAP_OVERFLOW = (
     # integer-exact multiresolution decomposition; the daily cycle's
     # 16-32h band dominates
     "haar_energy",
+    # round-6 new, born-overflow: Theil-Sen robust slope — exact-rank
+    # median of bit-identical pairwise slopes; recovers the planted
+    # staircase drift the MK test detects
+    "theil_sen",
 )
 
 

@@ -17684,6 +17684,161 @@ WITH bounds AS (
 """
 
 
+# --------------------------------------------------------------------------
+# Theil-Sen slope (`theil_sen`): the robust trend ESTIMATOR companion to
+# mann_kendall's trend TEST (Sen 1968) — the median of all pairwise
+# slopes, immune to the outliers that wreck OLS. Shares mann_kendall's
+# scopes: 'same' (slope ≈ 0) and 'trended' (the planted +t·MK_RATE/
+# MK_GRID staircase drift — the estimate must recover ≈ MK_RATE/MK_GRID,
+# asserted within 20%). Every pairwise slope is ONE division of exact
+# integers (bit-identical doubles), the median is an exact rank with the
+# (t_i, t_j) tie-break, and the intercept is the exact-rank median of
+# y − slope·t. The median pair's (t_i, t_j) ride along as the integer
+# parity anchor.
+#
+# Scale shape: the O(n²) pair join runs over the BOUNDED hourly summary
+# (mann_kendall's class); medians via exact_global_rank
+# (range-partitioned) on Spark, row_number in DuckDB.
+# --------------------------------------------------------------------------
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ranking import exact_global_rank
+
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count("*").alias("c")
+    )
+    w = Window.orderBy("h")
+    ser = (
+        grid.join(cnt, "h", "left")
+        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("x"))
+        .select("x", F.row_number().over(w).cast("long").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for scope in ("same", "trended"):
+        y = (
+            F.col("x")
+            + F.expr(f"cast((t * {MK_RATE}) div {MK_GRID} as bigint)")
+            if scope == "trended"
+            else F.col("x")
+        )
+        s = ser.select("t", y.alias("y")).localCheckpoint(eager=True)
+        pairs = (
+            s.alias("a")
+            .join(s.alias("b"), F.col("b.t") > F.col("a.t"))
+            .select(
+                F.col("a.t").alias("ti"),
+                F.col("b.t").alias("tj"),
+                (
+                    (F.col("b.y") - F.col("a.y")).cast("double")
+                    / (F.col("b.t") - F.col("a.t")).cast("double")
+                ).alias("slope"),
+            )
+        )
+        ranked = exact_global_rank(pairs, "slope", ("ti", "tj"))
+        med = ranked.filter(
+            F.col("global_rank")
+            == F.expr("cast((global_count + 1) div 2 as bigint)")
+        ).select(
+            F.col("slope").alias("med_slope"),
+            F.col("ti").alias("med_ti"),
+            F.col("tj").alias("med_tj"),
+            F.col("global_count").alias("n_pairs"),
+        )
+        resid = s.crossJoin(F.broadcast(med)).select(
+            "t",
+            (
+                F.col("y").cast("double")
+                - F.col("med_slope") * F.col("t").cast("double")
+            ).alias("r"),
+        )
+        rr = exact_global_rank(resid, "r", ("t",))
+        inter = rr.filter(
+            F.col("global_rank")
+            == F.expr("cast((global_count + 1) div 2 as bigint)")
+        ).select(F.col("r").alias("intercept"))
+        part = med.crossJoin(F.broadcast(inter)).select(
+            F.lit(scope).alias("scope"),
+            "n_pairs",
+            "med_ti",
+            "med_tj",
+            F.round("med_slope", 6).alias("slope"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _sql_theil_sen() -> str:
+    scopes = []
+    for scope in ("same", "trended"):
+        yexpr = (
+            f"x + CAST((t * {MK_RATE}) // {MK_GRID} AS BIGINT)"
+            if scope == "trended"
+            else "x"
+        )
+        scopes.append(f"SELECT '{scope}' AS scope, t, {yexpr} AS y FROM ser")
+    scoped_union = "\n  UNION ALL\n  ".join(scopes)
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), cnt AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS c
+  FROM events GROUP BY 1
+), ser AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY g.h) AS BIGINT) AS t,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS x
+  FROM grid g LEFT JOIN cnt c ON c.h = g.h
+), scoped AS MATERIALIZED (
+  {scoped_union}
+), pairs AS MATERIALIZED (
+  SELECT a.scope, a.t AS ti, b.t AS tj,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.t - a.t AS DOUBLE) AS slope
+  FROM scoped a JOIN scoped b ON b.scope = a.scope AND b.t > a.t
+), med AS MATERIALIZED (
+  SELECT scope, slope AS med_slope, ti AS med_ti, tj AS med_tj,
+         n AS n_pairs
+  FROM (
+    SELECT scope, slope, ti, tj,
+           row_number() OVER (PARTITION BY scope
+                              ORDER BY slope, ti, tj) AS rk,
+           count(*) OVER (PARTITION BY scope) AS n
+    FROM pairs)
+  WHERE rk = CAST((n + 1) // 2 AS BIGINT)
+), inter AS MATERIALIZED (
+  SELECT scope, r AS intercept FROM (
+    SELECT s.scope,
+           CAST(s.y AS DOUBLE) - m.med_slope * CAST(s.t AS DOUBLE) AS r,
+           row_number() OVER (PARTITION BY s.scope
+                              ORDER BY CAST(s.y AS DOUBLE)
+                                       - m.med_slope
+                                         * CAST(s.t AS DOUBLE), s.t)
+             AS rk,
+           count(*) OVER (PARTITION BY s.scope) AS n
+    FROM scoped s JOIN med m USING (scope))
+  WHERE rk = CAST((n + 1) // 2 AS BIGINT)
+)
+SELECT m.scope, CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       m.med_ti, m.med_tj,
+       round(m.med_slope, 6) AS slope,
+       round(i.intercept, 6) AS intercept
+FROM med m JOIN inter i USING (scope)
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -17850,4 +18005,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "runs_test": (q_runs_test, _sql_runs_test()),
     "bfs_hops": (q_bfs_hops, _sql_bfs_hops()),
     "haar_energy": (q_haar_energy, _sql_haar_energy()),
+    "theil_sen": (q_theil_sen, _sql_theil_sen()),
 }

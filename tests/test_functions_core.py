@@ -6256,3 +6256,64 @@ def test_haar_energy_pure_python_replay_and_parseval():
         # level-l coefficient is sqrt(2^l) times the orthonormal one
         norm[scale] = de / (n_coeffs * 2 ** level)
     assert max(norm[16], norm[32]) > norm[2], norm
+
+
+def test_theil_sen_pure_python_replay_and_recovery():
+    """Theil-Sen (`theil_sen`): a brute-force pairwise-slope replay with
+    the (slope, ti, tj) exact-rank median and the residual-median
+    intercept must match the DuckDB oracle at sf0.001; the trended
+    scope's slope recovers the planted MK_RATE/MK_GRID drift within
+    20% while the raw scope's slope is an order of magnitude smaller;
+    the median pair indices anchor the rank exactly."""
+    import math
+    from collections import Counter
+
+    import duckdb
+
+    from htep_spark.driver_queries import MK_GRID, MK_RATE, QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    hrs = con.execute(
+        "SELECT epoch_us(date_trunc('hour', ts)) FROM events"
+    ).fetchall()
+    c = Counter(h for (h,) in hrs)
+    grid = list(range(min(c), max(c) + 1, 3_600_000_000))
+    xs = [c.get(h, 0) for h in grid]
+    exp = {}
+    for scope in ("same", "trended"):
+        ys = [
+            x + ((t * MK_RATE) // MK_GRID if scope == "trended" else 0)
+            for t, x in enumerate(xs, 1)
+        ]
+        n = len(ys)
+        pairs = [
+            ((ys[j] - ys[i]) / (j - i), i + 1, j + 1)
+            for i in range(n)
+            for j in range(i + 1, n)
+        ]
+        pairs.sort()
+        np_ = len(pairs)
+        slope, ti, tj = pairs[(np_ + 1) // 2 - 1]
+        resid = sorted(
+            (ys[t - 1] - slope * t, t) for t in range(1, n + 1)
+        )
+        intercept = resid[(n + 1) // 2 - 1][0]
+        exp[scope] = (np_, ti, tj, slope, intercept)
+    drift = MK_RATE / MK_GRID
+    assert abs(exp["trended"][3] - drift) < 0.2 * drift, exp["trended"]
+    assert abs(exp["same"][3]) < drift / 10, exp["same"]
+    rows = con.execute(QUERIES["theil_sen"][1]).fetchall()
+    assert len(rows) == 2
+    for scope, n_pairs, ti, tj, slope, intercept in rows:
+        enp, eti, etj, es, ei = exp[scope]
+        assert (n_pairs, ti, tj) == (enp, eti, etj)
+        for got, e in ((slope, es), (intercept, ei)):
+            frac = abs(abs(e) * 1e6 - math.floor(abs(e) * 1e6) - 0.5)
+            assert frac > 1e-4 or frac < 1e-12, (scope, e)
+            assert got == math.copysign(
+                math.floor(abs(e) * 1e6 + 0.5), e
+            ) / 1e6
