@@ -306,6 +306,8 @@ def main() -> None:
         "ref_integrity",
         "runs_test",
         "bfs_hops",
+        "haar_energy",
+        "theil_sen",
     ):
         if name not in QUERIES:
             continue
