@@ -547,6 +547,10 @@ DRIVER_CAP_OVERFLOW = (
     # median of bit-identical pairwise slopes; recovers the planted
     # staircase drift the MK test detects
     "theil_sen",
+    # round-6 new, born-overflow: Fisher dispersion test per event type —
+    # planted burst (over) and constant (under) series pin both verdicts;
+    # BIGINT moments
+    "poisson_dispersion",
 )
 
 

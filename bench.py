@@ -308,6 +308,7 @@ def main() -> None:
         "bfs_hops",
         "haar_energy",
         "theil_sen",
+        "poisson_dispersion",
     ):
         if name not in QUERIES:
             continue

@@ -17839,6 +17839,172 @@ FROM med m JOIN inter i USING (scope)
 """
 
 
+# --------------------------------------------------------------------------
+# Poisson dispersion test (`poisson_dispersion`): the count-model
+# diagnostic — is a per-type hourly arrival series consistent with a
+# Poisson process (D = s²/x̄ ≈ 1), overdispersed (bursty/clustered,
+# D > 1) or underdispersed (regularized, D < 1)? Fisher's index with
+# the normal approximation z = (D−1)·√((n−1)/2) at |z| > 1.959964.
+# The five real event types ride alongside two PLANTED series that pin
+# both verdict branches: 'planted_burst' (the corpus series doubled on
+# alternating 12-hour blocks — strongly overdispersed) and
+# 'planted_const' (a constant series — D = 0, underdispersed). Moments
+# are BIGINT over the dense per-type grid; D/z are fixed-order doubles.
+#
+# Scale shape: the dense grid is hour-sequence × types (broadcast);
+# counts one map-side agg; everything downstream is |types|-sized.
+# --------------------------------------------------------------------------
+
+PD_BLOCK_H = 12  # planted burst: counts double on alternating blocks
+PD_CONST = 5
+
+
+def q_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    w = Window.orderBy("h")
+    idx = grid.select("h", (F.row_number().over(w) - 1).cast("long").alias("t"))
+    ser = (
+        idx.crossJoin(F.broadcast(types))
+        .join(cnt, ["h", "event_type"], "left")
+        .select(
+            F.col("event_type").alias("series"),
+            "t",
+            F.coalesce("c", F.lit(0)).cast("long").alias("x"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    total = ser.groupBy("t").agg(F.sum("x").cast("long").alias("x"))
+    burst = total.select(
+        F.lit("planted_burst").alias("series"),
+        "t",
+        F.when(
+            F.expr(f"(t div {PD_BLOCK_H}) % 2 = 0"), 2 * F.col("x")
+        )
+        .otherwise(F.col("x"))
+        .cast("long")
+        .alias("x"),
+    )
+    const = idx.select(
+        F.lit("planted_const").alias("series"),
+        "t",
+        F.lit(PD_CONST).cast("long").alias("x"),
+    )
+    allser = ser.unionByName(burst).unionByName(const)
+    per = allser.groupBy("series").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("s").cast("double") / nd
+    var = (F.col("ss").cast("double") - nd * mean * mean) / (nd - F.lit(1.0))
+    disp = var / mean
+    z = (disp - F.lit(1.0)) * F.sqrt((nd - F.lit(1.0)) / F.lit(2.0))
+    verdict = (
+        F.when(z > _MK_CRIT, F.lit("overdispersed"))
+        .when(z < -_MK_CRIT, F.lit("underdispersed"))
+        .otherwise(F.lit("poisson"))
+    )
+    return per.select(
+        "series",
+        "n",
+        "s",
+        "ss",
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("var"),
+        F.round(disp, 6).alias("dispersion"),
+        F.round(z, 6).alias("z"),
+        verdict.alias("verdict"),
+    )
+
+
+def _sql_poisson_dispersion() -> str:
+    crit = _MK_CRIT
+    return f"""
+WITH bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0,
+         date_trunc('hour', max(ts)) AS h1
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds
+), idx AS MATERIALIZED (
+  SELECT h, CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS t
+  FROM grid
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), cnt AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+), ser AS MATERIALIZED (
+  SELECT ty.event_type AS series, i.t,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS x
+  FROM idx i
+  CROSS JOIN types ty
+  LEFT JOIN cnt c ON c.h = i.h AND c.event_type = ty.event_type
+), total AS (
+  SELECT t, CAST(sum(x) AS BIGINT) AS x FROM ser GROUP BY t
+), allser AS MATERIALIZED (
+  SELECT series, t, x FROM ser
+  UNION ALL
+  SELECT 'planted_burst', t,
+         CAST(CASE WHEN (t // {PD_BLOCK_H}) % 2 = 0
+                   THEN 2 * x ELSE x END AS BIGINT)
+  FROM total
+  UNION ALL
+  SELECT 'planted_const', t, CAST({PD_CONST} AS BIGINT) FROM idx
+), per AS MATERIALIZED (
+  SELECT series, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(x * x) AS BIGINT) AS ss
+  FROM allser GROUP BY series
+)
+SELECT series, n, s, ss,
+       round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+       round((CAST(ss AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(n AS DOUBLE) - 1.0), 6) AS var,
+       round(((CAST(ss AS DOUBLE)
+               - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+              / (CAST(n AS DOUBLE) - 1.0))
+             / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS dispersion,
+       round((((CAST(ss AS DOUBLE)
+                - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+               / (CAST(n AS DOUBLE) - 1.0))
+              / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0)
+             * sqrt((CAST(n AS DOUBLE) - 1.0) / 2.0), 6) AS z,
+       CASE WHEN (((CAST(ss AS DOUBLE)
+                - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+               / (CAST(n AS DOUBLE) - 1.0))
+              / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0)
+             * sqrt((CAST(n AS DOUBLE) - 1.0) / 2.0) > {crit}
+              THEN 'overdispersed'
+            WHEN (((CAST(ss AS DOUBLE)
+                - CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+               / (CAST(n AS DOUBLE) - 1.0))
+              / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) - 1.0)
+             * sqrt((CAST(n AS DOUBLE) - 1.0) / 2.0) < -{crit}
+              THEN 'underdispersed'
+            ELSE 'poisson' END AS verdict
+FROM per
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -18006,4 +18172,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "bfs_hops": (q_bfs_hops, _sql_bfs_hops()),
     "haar_energy": (q_haar_energy, _sql_haar_energy()),
     "theil_sen": (q_theil_sen, _sql_theil_sen()),
+    "poisson_dispersion": (q_poisson_dispersion, _sql_poisson_dispersion()),
 }

@@ -6317,3 +6317,74 @@ def test_theil_sen_pure_python_replay_and_recovery():
             assert got == math.copysign(
                 math.floor(abs(e) * 1e6 + 0.5), e
             ) / 1e6
+
+
+def test_poisson_dispersion_pure_python_replay_and_verdicts():
+    """Dispersion (`poisson_dispersion`): a pure-Python replay — dense
+    per-type grids, BIGINT moments, Fisher's D and z — must match the
+    DuckDB oracle at sf0.001; the planted burst series reads
+    overdispersed and the planted constant underdispersed (D == 0);
+    all five real types present; margins on rounded doubles."""
+    import math
+    from collections import Counter, defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import (
+        _MK_CRIT,
+        PD_BLOCK_H,
+        PD_CONST,
+        QUERIES,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT event_type, epoch_us(date_trunc('hour', ts)) FROM events"
+    ).fetchall()
+    c = Counter(raw)
+    hset = [h for (_t, h) in raw]
+    grid = list(range(min(hset), max(hset) + 1, 3_600_000_000))
+    types = sorted({t for t, _h in raw})
+    series = {}
+    for ty in types:
+        series[ty] = [c.get((ty, h), 0) for h in grid]
+    total = [sum(series[ty][i] for ty in types) for i in range(len(grid))]
+    series["planted_burst"] = [
+        2 * x if (t // PD_BLOCK_H) % 2 == 0 else x
+        for t, x in enumerate(total)
+    ]
+    series["planted_const"] = [PD_CONST] * len(grid)
+    exp = {}
+    for name, xs in series.items():
+        n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+        mean = s / n
+        var = (ss - n * mean * mean) / (n - 1)
+        d = var / mean
+        z = (d - 1.0) * math.sqrt((n - 1) / 2.0)
+        v = (
+            "overdispersed"
+            if z > _MK_CRIT
+            else "underdispersed"
+            if z < -_MK_CRIT
+            else "poisson"
+        )
+        exp[name] = (n, s, ss, mean, var, d, z, v)
+    assert exp["planted_burst"][7] == "overdispersed"
+    assert exp["planted_const"][7] == "underdispersed"
+    assert exp["planted_const"][5] == 0.0
+    rows = con.execute(QUERIES["poisson_dispersion"][1]).fetchall()
+    assert len(rows) == len(types) + 2
+    for name, n, s, ss, mean, var, d, z, v in rows:
+        en, es, ess, em, ev_, ed, ez, evd = exp[name]
+        assert (n, s, ss) == (en, es, ess)
+        for got, e in ((mean, em), (var, ev_), (d, ed), (z, ez)):
+            frac = abs(abs(e) * 1e6 - math.floor(abs(e) * 1e6) - 0.5)
+            assert frac > 1e-4 or frac < 1e-12, (name, e)
+            assert got == math.copysign(
+                math.floor(abs(e) * 1e6 + 0.5), e
+            ) / 1e6
+        assert v == evd
