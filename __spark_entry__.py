@@ -551,6 +551,11 @@ DRIVER_CAP_OVERFLOW = (
     # planted burst (over) and constant (under) series pin both verdicts;
     # BIGINT moments
     "poisson_dispersion",
+    # round-6 new, born-overflow: per-source exact quartiles + IQR by
+    # rank selection — the grouped variant of token_quantiles; zero
+    # doubles (the Spark-div-vs-DuckDB-floor negative-division trap
+    # avoided with positive-operand ceilings)
+    "group_quantiles",
 )
 
 

@@ -309,6 +309,7 @@ def main() -> None:
         "haar_energy",
         "theil_sen",
         "poisson_dispersion",
+        "group_quantiles",
     ):
         if name not in QUERIES:
             continue

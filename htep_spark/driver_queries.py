@@ -18005,6 +18005,105 @@ FROM per
 """
 
 
+# --------------------------------------------------------------------------
+# Grouped exact quantiles (`group_quantiles`): per-source token-count
+# quartiles (q1/median/q3) + IQR by exact rank selection — the GROUPED
+# variant `token_quantiles` (global) leaves open, and the BI staple
+# behind every box plot. Rank r_q = ceil(q·n) per group (the lower
+# quantile convention, integer-exact); the quartile VALUES are integers,
+# so the whole operator is BIGINT except nothing — zero doubles.
+#
+# Scale shape: ranks are windows PARTITIONED by source (bounded 25-doc
+# groups — never single-partition); the three rank selections are one
+# filtered pass re-aggregated per group; at ragged scale the same plan
+# runs per-group unchanged.
+# --------------------------------------------------------------------------
+
+GQ_QS = ((1, 4), (2, 4), (3, 4))  # q1, median, q3 as fractions
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ntok = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
+    ).cast("long")
+    base = _docs(spark, sf_dir).select(
+        "source", "doc_id", ntok.alias("v")
+    )
+    w = Window.partitionBy("source").orderBy("v", "doc_id")
+    ranked = base.select(
+        "source",
+        "v",
+        F.row_number().over(w).cast("long").alias("rk"),
+        F.count("*")
+        .over(Window.partitionBy("source"))
+        .cast("long")
+        .alias("n"),
+    )
+    sel = None
+    for num, den in GQ_QS:
+        # ceiling with POSITIVE operands only: Spark `div` truncates
+        # toward zero while DuckDB `//` floors — they diverge on
+        # negatives, so the -(-a div b) ceiling trick is engine-unsafe
+        part = ranked.filter(
+            F.col("rk")
+            == F.expr(
+                f"cast(({num} * n + {den} - 1) div {den} as bigint)"
+            )
+        ).select(
+            "source",
+            "n",
+            F.lit(f"q{num * 100 // den}").alias("q"),
+            F.col("v").alias("value"),
+        )
+        sel = part if sel is None else sel.unionByName(part)
+    wide = sel.groupBy("source", "n").agg(
+        F.max(F.when(F.col("q") == "q25", F.col("value"))).alias("q25"),
+        F.max(F.when(F.col("q") == "q50", F.col("value"))).alias("q50"),
+        F.max(F.when(F.col("q") == "q75", F.col("value"))).alias("q75"),
+    )
+    return wide.select(
+        "source",
+        "n",
+        F.col("q25").cast("long").alias("q25"),
+        F.col("q50").cast("long").alias("q50"),
+        F.col("q75").cast("long").alias("q75"),
+        (F.col("q75") - F.col("q25")).cast("long").alias("iqr"),
+    )
+
+
+def _sql_group_quantiles() -> str:
+    cases = []
+    for num, den in GQ_QS:
+        label = f"q{num * 100 // den}"
+        cases.append(
+            f"max(CASE WHEN rk = CAST(({num} * n + {den} - 1) // {den}"
+            f" AS BIGINT) THEN v END) AS {label}"
+        )
+    sel = ",\n       ".join(cases)
+    return f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}'))
+              AS BIGINT) AS v
+  FROM documents
+), ranked AS MATERIALIZED (
+  SELECT source, v,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY v, doc_id)
+              AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM base
+)
+SELECT source, n,
+       {sel},
+       CAST(max(CASE WHEN rk = CAST((3 * n + 3) // 4 AS BIGINT)
+                     THEN v END)
+            - max(CASE WHEN rk = CAST((1 * n + 3) // 4 AS BIGINT)
+                       THEN v END) AS BIGINT) AS iqr
+FROM ranked
+GROUP BY source, n
+"""
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {
     "fusion": (q_fusion, SQL_FUSION),
     "fusion_events": (q_fusion_events, SQL_FUSION_EVENTS),
@@ -18173,4 +18272,5 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], Optional[str]
     "haar_energy": (q_haar_energy, _sql_haar_energy()),
     "theil_sen": (q_theil_sen, _sql_theil_sen()),
     "poisson_dispersion": (q_poisson_dispersion, _sql_poisson_dispersion()),
+    "group_quantiles": (q_group_quantiles, _sql_group_quantiles()),
 }

@@ -6388,3 +6388,42 @@ def test_poisson_dispersion_pure_python_replay_and_verdicts():
                 math.floor(abs(e) * 1e6 + 0.5), e
             ) / 1e6
         assert v == evd
+
+
+def test_group_quantiles_pure_python_replay():
+    """Grouped quartiles (`group_quantiles`): a pure-Python exact-rank
+    replay (ceil(q*n) lower-quantile convention) must match the DuckDB
+    oracle at sf0.001 EXACTLY (zero doubles); q25 <= q50 <= q75 per
+    source; IQR reconciles; every source present."""
+    import math
+    import re
+    from collections import defaultdict
+
+    import duckdb
+
+    from htep_spark.driver_queries import QUERIES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    raw = con.execute("SELECT source, doc_id, text FROM documents").fetchall()
+    groups = defaultdict(list)
+    for src, d, t in raw:
+        groups[src].append((len(re.findall("[a-z0-9]+", t.lower())), d))
+    exp = {}
+    for src, items in groups.items():
+        items.sort()
+        n = len(items)
+        qs = {}
+        for num, den, label in ((1, 4, "q25"), (2, 4, "q50"), (3, 4, "q75")):
+            qs[label] = items[math.ceil(num * n / den) - 1][0]
+        exp[src] = (n, qs["q25"], qs["q50"], qs["q75"])
+    rows = con.execute(QUERIES["group_quantiles"][1]).fetchall()
+    assert len(rows) == len(groups)
+    for src, n, q25, q50, q75, iqr in rows:
+        en, e25, e50, e75 = exp[src]
+        assert (n, q25, q50, q75) == (en, e25, e50, e75)
+        assert q25 <= q50 <= q75
+        assert iqr == q75 - q25
