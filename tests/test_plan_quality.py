@@ -532,3 +532,66 @@ def test_pca_power_single_corpus_scan(spark):
     )
     assert plan.count("FileScan") <= 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_stage_udf_pruning(spark):
+    """Round-7 split-UDF surface (guide §4.1): consumers that read only a
+    slice of the extraction struct must NOT evaluate the stage UDFs for the
+    fields they never touch. conv_metrics reads core-group fields only →
+    exactly one ArrowEvalPython (extract_core_udf); the flagship slice
+    (document_type/urgency/matched/corrected/n_segments) must drop the
+    fields/entities/deid kernels; the full struct runs every group."""
+    from pyspark.sql import functions as F
+
+    from htep_spark.plans.pipeline import per_conversation_metrics, run_extraction
+    from htep_spark.sources.io import synthesize_transcripts
+
+    tr = synthesize_transcripts(spark, 200, partitions=2)
+
+    def udf_names(df):
+        import re
+
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return set(re.findall(r"(\w+_udf)", plan))
+
+    cm = udf_names(per_conversation_metrics(run_extraction(tr)))
+    assert cm == {"extract_core_udf"}, cm
+
+    flagship_slice = run_extraction(tr).select(
+        "conv_id",
+        "result.document_type",
+        "result.urgency",
+        F.array_join(F.array_sort("result.matched_drugs"), "|").alias("d"),
+        "result.corrected_text",
+        F.col("result.metrics.n_segments"),
+    )
+    fl = udf_names(flagship_slice)
+    assert fl == {"extract_core_udf", "classify_udf", "segments_udf"}, fl
+
+    full = udf_names(run_extraction(tr))
+    assert full == {
+        "extract_core_udf",
+        "segments_udf",
+        "fields_udf",
+        "classify_udf",
+        "entities_udf",
+        "deid_udf",
+    }, full
+
+
+def test_bm25_no_single_partition_window(spark):
+    """VERDICT r06 #2: bm25's global top-K must be a distributed
+    TakeOrderedAndProject, never an unpartitioned row_number window that
+    sorts the corpus-proportional scored frame in one task. (The rank
+    window that remains runs over a frame already bounded at
+    BM25_TOP_DOCS rows by the limit.)"""
+    from htep_spark.driver_queries import q_bm25
+
+    plan = (
+        q_bm25(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
