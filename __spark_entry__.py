@@ -618,17 +618,27 @@ def _deid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: per-conversation applyInPandas rollup, viewing each
     ``source`` as a conversation of its documents in doc_id order."""
-    from pyspark.sql.window import Window
-
     from htep_spark.driver_queries import _clinical_col
     from htep_spark.operators.conversation import conversation_rollup
     from htep_spark.plans.pipeline import run_extraction
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    w = Window.partitionBy("source").orderBy("doc_id")
+    # ``turn_idx`` is only ever an ORDER key inside the grouped-map rollup
+    # (``_rollup`` sorts by it and emits n_turns/first-non-null — never the
+    # index values themselves), and within a source ``doc_id`` induces the
+    # identical order as ``row_number() - 1`` over it. Passing doc_id
+    # directly therefore yields byte-identical rollup rows while deleting
+    # the row_number window — and with it a whole exchange + two sorts
+    # (guide §2.4): the old plan shuffled the raw docs by source for the
+    # window, ran extraction mid-stream, then re-shuffled the extracted
+    # light columns for the grouped map (EvalPython nodes drop the
+    # partitioning info, so the planner could not reuse the first
+    # exchange). Now extraction runs over the UNSHUFFLED scan
+    # (embarrassingly parallel) and the single exchange moves only the
+    # projected light columns.
     transcripts = docs.select(
         F.col("source").alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
         F.lit("user").alias("role"),
         _clinical_col().alias("text"),
         F.lit("").alias("tool"),

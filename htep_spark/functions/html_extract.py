@@ -30,6 +30,7 @@ oracle and the Spark UDF share this exact function.
 from __future__ import annotations
 
 import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import Dict, List, Tuple
 
@@ -139,8 +140,153 @@ class _BlockCollector(HTMLParser):
         self._flush()
 
 
+# ---------------------------------------------------------------------------
+# Round-7 fast path (guide §4.2 — make the per-task Python work cheap): a
+# regex tokenizer for the SIMPLE HTML SUBSET, result-identical to the
+# html.parser event stream by construction and differentially tested
+# (tests/test_html_fast_path.py + the golden corpus byte-equality gate).
+# Anything outside the subset returns None and the stdlib parser runs.
+#
+# Subset guard (conservative — any doubt falls back):
+#   - no '\x00' (html.parser's tag machinery special-cases it);
+#   - the document tiles exactly into text runs and tags of the form
+#     `</?name attrs?/?>` with [a-zA-Z][a-zA-Z0-9]* names and attrs whose
+#     quoted values contain no <>, bare values no quotes/slash/<>;
+#   - end tags carry no attrs and no self-close slash (html.parser's
+#     endtagfind is strict there, its tolerant branch diverges);
+#   - script/style content (html.parser CDATA mode, 3.11 semantics:
+#     ``interesting = r'</\s*elem\s*>'`` IGNORECASE) contains a matching
+#     close tag or runs to EOF (discarded, exactly like goahead+close).
+#
+# Within the subset the event stream is identical: one handle_data per
+# inter-tag run — goahead (convert_charrefs mode) finds the next '<' and
+# emits `unescape(run)` in one call, which we replicate verbatim (the
+# &-branches of goahead are unreachable in that mode; a trailing
+# buffered-charref run is flushed by close() as the same single chunk) —
+# handle_starttag/endtag with the lowercased name, self-closing tags ->
+# startendtag -> start+end (the default handle_startendtag), CDATA
+# content as one ignored raw data chunk.
+# Bare attr values deliberately include '/' (greedy), mirroring
+# html.parser's attrfind_tolerant `[^>\s]*`: in `<p id=q1/>` the slash is
+# part of the VALUE there, so the tag is a plain start tag, not
+# self-closing — the fast path must agree (hypothesis-found case).
+_SIMPLE_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z][a-zA-Z0-9_-]*"
+    r"(?:=(?:'[^'<>]*'|\"[^\"<>]*\"|[^\s'\"<>]+))?)*)\s*(/?)>"
+)
+_CDATA_CLOSE = {
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
+}
+
+
+def _fast_blocks(html_text: str):
+    """Simple-subset tokenizer: returns the block list, or None to fall
+    back to html.parser. Inlines the _BlockCollector state machine over
+    the token stream (identical transitions, no per-event dispatch)."""
+    if "\x00" in html_text:
+        return None
+    blocks: List[Dict] = []
+    text_parts: List[str] = []
+    anchor_chars = 0
+    anchor_depth = 0
+    boiler_depth = 0
+    depth = 0
+    ws_sub = _WS_RE.sub
+
+    def flush() -> None:
+        nonlocal anchor_chars
+        text = ws_sub(" ", "".join(text_parts)).strip()
+        if text:
+            blocks.append(
+                {
+                    "block_idx": len(blocks),
+                    "text": text,
+                    "n_chars": len(text),
+                    "anchor_chars": min(anchor_chars, len(text)),
+                    "in_boilerplate": boiler_depth > 0,
+                    "depth": depth,
+                }
+            )
+        text_parts.clear()
+        anchor_chars = 0
+
+    i = 0
+    n = len(html_text)
+    while i < n:
+        j = html_text.find("<", i)
+        if j < 0:
+            j = n
+        if i < j:
+            data = unescape(html_text[i:j])
+            text_parts.append(data)
+            if anchor_depth:
+                anchor_chars += len(ws_sub(" ", data).strip())
+        if j == n:
+            break
+        m = _SIMPLE_TAG_RE.match(html_text, j)
+        if m is None:
+            return None  # outside the subset — stdlib parser decides
+        closing, tag, attrs, selfclose = m.groups()
+        tag = tag.lower()
+        i = m.end()
+        if closing:
+            if attrs.strip() or selfclose:
+                return None  # html.parser's tolerant end-tag branch
+            # handle_endtag
+            if tag in _SKIP_TAGS:
+                continue  # skip-depth bookkeeping is CDATA-internal here
+            if tag in _BLOCK_TAGS:
+                flush()
+            if tag in _BOILER_CONTAINERS:
+                boiler_depth = max(0, boiler_depth - 1)
+            elif tag == "a":
+                anchor_depth = max(0, anchor_depth - 1)
+            if tag not in _VOID_TAGS:
+                depth = max(0, depth - 1)
+            continue
+        # handle_starttag (+ immediate endtag when self-closing)
+        if tag in _SKIP_TAGS:
+            if selfclose:
+                continue  # start+end cancel; no CDATA for self-closing
+            close_m = _CDATA_CLOSE[tag].search(html_text, i)
+            if close_m is None:
+                break  # unterminated CDATA: goahead buffers, close() drops
+            # content is one ignored data chunk (skip depth > 0); the close
+            # tag matches endtagfind and pops the skip depth
+            i = close_m.end()
+            continue
+        if tag in _BLOCK_TAGS:
+            flush()
+        if tag in _BOILER_CONTAINERS:
+            boiler_depth += 1
+        elif tag == "a":
+            anchor_depth += 1
+        if tag not in _VOID_TAGS:
+            depth += 1
+        if selfclose:
+            # default handle_startendtag -> handle_endtag right away
+            if tag in _BLOCK_TAGS:
+                flush()
+            if tag in _BOILER_CONTAINERS:
+                boiler_depth = max(0, boiler_depth - 1)
+            elif tag == "a":
+                anchor_depth = max(0, anchor_depth - 1)
+            if tag not in _VOID_TAGS:
+                depth = max(0, depth - 1)
+    flush()  # close() -> final _flush
+    return blocks
+
+
 def tokenize_blocks(html_text: str) -> List[Dict]:
     """O2: HTML → reading-order block structs with density features."""
+    try:
+        fast = _fast_blocks(html_text)
+        if fast is not None:
+            return fast
+    except Exception:
+        pass  # any fast-path doubt → the stdlib parser is authoritative
     parser = _BlockCollector()
     try:
         parser.feed(html_text)

@@ -216,26 +216,37 @@ class MultiWordMatcher:
         groups = defaultdict(list)
         for entry in multi_dict:
             groups[entry.count(" ") + 1].append(entry)
-        # per word-count group: entries + stacked char-count matrix for a
-        # vectorized multiset upper bound (valid since LCS <= multiset
-        # intersection size)
-        self.by_n: Dict[int, tuple] = {}
+        # ONE combined char-count matrix across every word-count group
+        # (round 7): a text's memo misses — regardless of word count — are
+        # scored in a single numpy broadcast instead of one per group,
+        # amortizing the fixed numpy dispatch cost that dominated the miss
+        # path on number-bearing corpora (IDs/dates/vitals make those
+        # windows unique per document, so the memo never converges there).
+        # Per-group row indices are kept CONTIGUOUS so ascending row order
+        # within a group equals the group's entry insertion order — the
+        # order the per-ngram hit tuples must preserve. The multiset upper
+        # bound stays valid since LCS <= multiset intersection size, and
+        # only byte columns the dict side can populate are kept (for any
+        # other byte, min(entry_count=0, x) = 0, so dropping those columns
+        # changes nothing).
+        all_entries: List[str] = []
+        self.by_n: Dict[int, tuple] = {}  # n -> (entries, rows, lmin, lmax)
         for n, entries in groups.items():
-            mat = np.stack([self._charvec(e) for e in entries])
-            lens = np.array([len(e) for e in entries], dtype=np.int64)
-            # restrict the multiset bound to the byte columns the DICT side
-            # can populate: for any other byte, min(entry_count=0, x) = 0,
-            # so dropping those columns changes nothing — and shrinks the
-            # (M, E, 256) broadcast ~8x (only ~30 columns are alive)
-            active = np.nonzero(mat.sum(axis=0))[0]
-            self.by_n[n] = (
-                entries,
-                np.ascontiguousarray(mat[:, active]),
-                lens,
-                int(lens.min()),
-                int(lens.max()),
-                active,
+            rows = np.arange(
+                len(all_entries), len(all_entries) + len(entries), dtype=np.int64
             )
+            lens = [len(e) for e in entries]
+            self.by_n[n] = (entries, rows, min(lens), max(lens))
+            all_entries.extend(entries)
+        self._entries = all_entries
+        if all_entries:
+            mat = np.stack([self._charvec(e) for e in all_entries])
+            active = np.nonzero(mat.sum(axis=0))[0]
+            self._mat = np.ascontiguousarray(mat[:, active])
+            self._lens = np.array(
+                [len(e) for e in all_entries], dtype=np.int64
+            )
+            self._active = active
         self._memo: Dict[str, Tuple[str, ...]] = {}
 
     @staticmethod
@@ -263,58 +274,58 @@ class MultiWordMatcher:
         np.add.at(out, (rows[keep], b[keep]), 1)
         return out
 
-    def _match_ngram(self, ngram: str) -> Tuple[str, ...]:
-        hit = self._memo.get(ngram)
-        if hit is not None:
-            return hit
-        group = self.by_n.get(ngram.count(" ") + 1)
-        if group is None:
-            return ()
-        return self._match_miss(ngram, group)
-
-    def _match_miss(self, ngram: str, group) -> Tuple[str, ...]:
-        return self._match_misses([ngram], group)[ngram]
-
-    def _match_misses(self, ngrams, group) -> Dict[str, Tuple[str, ...]]:
-        """Memo-miss path, batched: one numpy broadcast scores every miss
-        n-gram of a text against the whole entry group at once.
+    def _match_misses(self, misses: Dict[str, int]) -> Dict[str, Tuple[str, ...]]:
+        """Memo-miss path, batched across EVERY word-count group: one numpy
+        broadcast scores all of a text's miss n-grams against the combined
+        entry matrix; hits are then masked to the n-gram's own group rows
+        (cross-group comparisons never happened in the per-group form and
+        must not produce hits here).
 
         The length bound ``200·min(L,lg)/(L+lg)`` is maximized at entry
         length L = lg (increasing below, decreasing above), so clamping lg
         into the group's [lmin, lmax] gives an exact upper bound over every
-        entry — n-grams failing even that skip the charvec work entirely."""
+        group entry — n-grams failing even that skip the charvec work
+        entirely (O(1) python, no numpy dispatch)."""
         import numpy as np
 
-        entries, mat, lens, lmin, lmax, active = group
+        threshold = self.threshold
         out: Dict[str, Tuple[str, ...]] = {}
-        # vectorized length prefilter: the bound 200*min(L,lg)/(L+lg) is
-        # maximized at L = clamp(lg, lmin, lmax) (see docstring)
-        all_lgs = np.fromiter((len(g) for g in ngrams), np.int64, len(ngrams))
-        best = np.clip(all_lgs, lmin, lmax)
-        ok = (
-            200.0 * np.minimum(best, all_lgs) / (best + all_lgs)
-            >= self.threshold
-        )
-        survivors = [g for g, o in zip(ngrams, ok) if o]
-        for g, o in zip(ngrams, ok):
-            if not o:
+        survivors: List[str] = []
+        s_lgs: List[int] = []
+        s_rows = []
+        for g, n in misses.items():
+            lg = len(g)
+            _entries, rows, lmin, lmax = self.by_n[n]
+            best = lmin if lg < lmin else (lmax if lg > lmax else lg)
+            if 200.0 * (best if best < lg else lg) / (best + lg) >= threshold:
+                survivors.append(g)
+                s_lgs.append(lg)
+                s_rows.append(rows)
+            else:
                 out[g] = ()
         if survivors:
-            vecs = self._charvec_batch(survivors)[:, active]
-            lgs = all_lgs[ok]
+            vecs = self._charvec_batch(survivors)[:, self._active]
+            lgs = np.array(s_lgs, dtype=np.int64)
             # (M, E) multiset-intersection sizes in one broadcast
-            common = np.minimum(mat[None, :, :], vecs[:, None, :]).sum(axis=2)
+            common = np.minimum(self._mat[None, :, :], vecs[:, None, :]).sum(
+                axis=2
+            )
             bound = (
                 200.0
-                * np.minimum(common, np.minimum(lens[None, :], lgs[:, None]))
-                / (lens[None, :] + lgs[:, None])
+                * np.minimum(
+                    common, np.minimum(self._lens[None, :], lgs[:, None])
+                )
+                / (self._lens[None, :] + lgs[:, None])
             )
-            hits = bound >= self.threshold
+            hits = bound >= threshold
+            entries_all = self._entries
             for m, g in enumerate(survivors):
+                rows = s_rows[m]
+                cand = rows[hits[m, rows]]
                 out[g] = tuple(
-                    entries[e]
-                    for e in np.nonzero(hits[m])[0]
-                    if indel_ratio(g, entries[e]) >= self.threshold
+                    entries_all[e]
+                    for e in cand.tolist()
+                    if indel_ratio(g, entries_all[e]) >= threshold
                 )
         if len(self._memo) < 2_000_000:
             self._memo.update(out)
@@ -326,21 +337,39 @@ class MultiWordMatcher:
         matched: List[str] = []
         seen = set()
         memo = self._memo
-        for n, group in self.by_n.items():
+        # phase 1: enumerate windows + memo probe for every group (() misses
+        # are cached too, so None = true miss); unrolled concatenation for
+        # the common window widths beats join-over-slice ~2x
+        staged = []
+        misses: Dict[str, int] = {}
+        for n in self.by_n:
             if n > nwords:
                 continue
-            ngrams = [" ".join(words[i : i + n]) for i in range(nwords - n + 1)]
-            # memo probe — () misses are cached too, so None = true miss;
-            # the hit-dominated steady state stays a single list pass
-            hits = [memo.get(g) for g in ngrams]
-            misses = [g for g, h in zip(ngrams, hits) if h is None]
-            if misses:
-                extra = self._match_misses(misses, group)
-                hits = [
-                    extra[g] if h is None else h for g, h in zip(ngrams, hits)
+            if n == 2:
+                ngrams = [a + " " + b for a, b in zip(words, words[1:])]
+            elif n == 3:
+                ngrams = [
+                    a + " " + b + " " + c
+                    for a, b, c in zip(words, words[1:], words[2:])
                 ]
-            for hit in hits:
-                for entry in hit:
+            else:
+                ngrams = [
+                    " ".join(words[i : i + n]) for i in range(nwords - n + 1)
+                ]
+            hits = [memo.get(g) for g in ngrams]
+            for g, h in zip(ngrams, hits):
+                if h is None:
+                    misses[g] = n
+            staged.append((ngrams, hits))
+        # phase 2: one batched scoring call for all misses of this text
+        extra = self._match_misses(misses) if misses else None
+        # phase 3: assemble in the original (group order, window order,
+        # in-group entry order) first-seen sequence
+        for ngrams, hits in staged:
+            for g, h in zip(ngrams, hits):
+                if h is None:
+                    h = extra[g]
+                for entry in h:
                     if entry not in seen:
                         seen.add(entry)
                         matched.append(entry)
@@ -363,6 +392,12 @@ def _find_multi_word_matches(
 
 
 _NON_ALPHA_ALL_RE = re.compile(r"[^A-Za-z]")
+
+# word -> stripped-lowercase form. A pure per-string function, memoized at
+# module level like the fuzzy lookup memos (round 7): template corpora
+# repeat tokens massively, and the dict probe is ~20x cheaper than the
+# regex sub + lower it replaces. Bounded like every other memo here.
+_CLEAN_MEMO: Dict[str, str] = {}
 
 
 def dictionary_correct(
@@ -393,8 +428,13 @@ def dictionary_correct(
     if memo is None:
         memo = {}
 
+    clean_memo = _CLEAN_MEMO
     for word in text.split():
-        clean = _NON_ALPHA_ALL_RE.sub("", word).lower()
+        clean = clean_memo.get(word)
+        if clean is None:
+            clean = _NON_ALPHA_ALL_RE.sub("", word).lower()
+            if len(clean_memo) < 1_000_000:
+                clean_memo[word] = clean
         if len(clean) < 3:
             new_words.append(word)
             continue

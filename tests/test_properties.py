@@ -64,7 +64,7 @@ def naive_multiword(text, multi_dict, threshold):
     words,
     st.lists(
         st.tuples(tokens.filter(bool), tokens.filter(bool)).map(" ".join),
-        min_size=1,
+        min_size=0,  # empty dict: the r7 combined-matrix ctor must not stack
         max_size=8,
     ),
     st.sampled_from([60.0, 75.0, 85.0]),
@@ -72,6 +72,10 @@ def naive_multiword(text, multi_dict, threshold):
 def test_multiword_matcher_equals_naive(text, multi_dict, threshold):
     got = set(MultiWordMatcher(multi_dict, threshold).find(text))
     assert got == naive_multiword(text, multi_dict, threshold)
+
+
+def test_multiword_matcher_empty_dict():
+    assert MultiWordMatcher([], 85.0).find("hello world there") == []
 
 
 @settings(max_examples=300, deadline=None)
