@@ -7243,80 +7243,55 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_num = F.substring(F.col("source"), 4, 10).cast("long")
     s = (src_num % PR_N_NODES).alias("src")
     t = ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst")
-    raw = docs.select(s, t)
-
-    # graph tables: derived from one corpus scan, aggregated to <= N^2
-    # rows, then PINNED — iterations must never re-trigger the scan
-    nodes = (
-        raw.select(F.col("src").alias("node"))
-        .union(raw.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    edges = (
-        raw.filter(
-            (F.col("src") != F.col("dst"))
-            & (F.col("src") % 7 != PR_DANGLE_MOD)
-        )
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    outw = (
-        edges.groupBy("src")
-        .agg(F.sum("w").cast("long").alias("ow"))
-        .localCheckpoint(eager=True)
-    )
-    n_in = edges.groupBy("dst").agg(F.count("*").cast("long").alias("n_in"))
-    e = edges.join(F.broadcast(outw), "src").select(
-        "src", "dst", (F.col("w") / F.col("ow")).alias("frac")
-    )
-    ncnt = nodes.agg(F.count("*").cast("double").alias("n"))
-
-    ranks = nodes.crossJoin(F.broadcast(ncnt)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("r")
-    )
+    # ONE corpus pass (round 7, guide §2.4/§5): the (src, dst) universe is
+    # bounded at N^2 = 576 rows at ANY scale factor, so a single map-side-
+    # aggregated groupBy carries everything downstream (node universe,
+    # filtered edge weights). The bounded collect is the sanctioned
+    # dimension-sized class (cf. the 4096-row IVF sample / 1-row argmaxes);
+    # the 8 damped power-iteration rounds then run on the driver over <= 24
+    # values with the exact same expressions — replacing 2 extra corpus
+    # scans, 9 localCheckpoints and ~25 tiny shuffle jobs per call.
+    pairs = (
+        docs.select(s, t).groupBy("src", "dst").agg(F.count("*").alias("w"))
+    ).collect()
+    nodes = sorted({r["src"] for r in pairs} | {r["dst"] for r in pairs})
+    ew = {
+        (r["src"], r["dst"]): r["w"]
+        for r in pairs
+        if r["src"] != r["dst"] and r["src"] % 7 != PR_DANGLE_MOD
+    }
+    outw: Dict[int, int] = {}
+    n_in: Dict[int, int] = {}
+    for (u, v), w in sorted(ew.items()):
+        outw[u] = outw.get(u, 0) + w
+        n_in[v] = n_in.get(v, 0) + 1
+    frac = {(u, v): w / outw[u] for (u, v), w in ew.items()}
+    n = float(len(nodes))
     d = PR_DAMPING
+    ranks = {nd: 1.0 / n for nd in nodes}
     for _ in range(PR_ITERS):
-        contrib = (
-            ranks.join(e, ranks["node"] == e["src"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("frac") * F.col("r")).alias("c"))
-        )
-        dang = (
-            ranks.join(outw, ranks["node"] == outw["src"], "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
-        )
-        ranks = (
-            nodes.crossJoin(F.broadcast(ncnt))
-            .crossJoin(F.broadcast(dang))
-            .join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - d)) / F.col("n")
-                    + F.lit(d)
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("n"))
-                ).alias("r"),
-            )
-            # pin each round (the hits discipline): ranks is referenced by
-            # contrib, dang AND the next update — triple-referenced lineage
-            # re-executes ~3^K times otherwise (measured: 25.7s -> ~2s at
-            # sf0.1 in the round-6 bench)
-            .localCheckpoint(eager=True)
-        )
-    return (
-        ranks.join(F.broadcast(outw), ranks["node"] == outw["src"], "left")
-        .join(F.broadcast(n_in), ranks["node"] == n_in["dst"], "left")
-        .select(
-            "node",
-            F.coalesce(F.col("ow"), F.lit(0)).cast("long").alias("out_weight"),
-            F.coalesce(F.col("n_in"), F.lit(0)).cast("long").alias("n_in"),
-            F.when(F.col("ow").isNull(), 1).otherwise(0).cast("long").alias(
-                "dangling"
-            ),
-            F.round(F.col("r"), 6).alias("pr"),
-        )
+        contrib: Dict[int, float] = {}
+        for (u, v), fr in sorted(frac.items()):
+            contrib[v] = contrib.get(v, 0.0) + fr * ranks[u]
+        dm = sum(ranks[nd] for nd in nodes if nd not in outw)
+        ranks = {
+            nd: (1.0 - d) / n
+            + d * (contrib.get(nd, 0.0) + dm / n)
+            for nd in nodes
+        }
+    rows = [
+        (nd, outw.get(nd), n_in.get(nd), ranks[nd]) for nd in nodes
+    ]
+    return spark.createDataFrame(
+        rows, "node long, ow long, n_in long, r double"
+    ).select(
+        "node",
+        F.coalesce(F.col("ow"), F.lit(0)).cast("long").alias("out_weight"),
+        F.coalesce(F.col("n_in"), F.lit(0)).cast("long").alias("n_in"),
+        F.when(F.col("ow").isNull(), 1).otherwise(0).cast("long").alias(
+            "dangling"
+        ),
+        F.round(F.col("r"), 6).alias("pr"),
     )
 
 
@@ -7810,86 +7785,76 @@ HITS_ITERS = 8
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     src_num = F.substring(F.col("source"), 4, 10).cast("long")
-    raw = docs.select(
-        (src_num % PR_N_NODES).alias("src"),
-        ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst"),
-    )
-    nodes = (
-        raw.select(F.col("src").alias("node"))
-        .union(raw.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    edges = (
-        raw.filter(
-            (F.col("src") != F.col("dst"))
-            & (F.col("src") % 7 != PR_DANGLE_MOD)
+    # ONE corpus pass (round 7, guide §2.4/§5 — the pagerank discipline):
+    # (src, dst) is bounded at N^2 = 576 rows at any SF; the unfiltered
+    # groupBy carries both the node universe and (after the edge filter)
+    # the weighted edges. The 2*HITS_ITERS normalize/propagate half-steps
+    # then run on the driver over <= 24 values with the exact same
+    # expressions — replacing 3 corpus scans, 18 localCheckpoints and ~50
+    # tiny shuffle jobs per call.
+    pairs = (
+        docs.select(
+            (src_num % PR_N_NODES).alias("src"),
+            ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias(
+                "dst"
+            ),
         )
         .groupBy("src", "dst")
         .agg(F.count("*").cast("double").alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    ncnt = nodes.agg(F.count("*").cast("double").alias("n"))
-    auth = nodes.crossJoin(F.broadcast(ncnt)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("a")
-    )
-    hub = None
+    ).collect()
+    nodes = sorted({r["src"] for r in pairs} | {r["dst"] for r in pairs})
+    ew = {
+        (r["src"], r["dst"]): r["w"]
+        for r in pairs
+        if r["src"] != r["dst"] and r["src"] % 7 != PR_DANGLE_MOD
+    }
+    edges = sorted(ew.items())
+    n = float(len(nodes))
+    auth = {nd: 1.0 / n for nd in nodes}
+    hub: Dict[int, float] = {}
     for _ in range(HITS_ITERS):
-        hraw = (
-            nodes.join(
-                edges.join(auth, edges["dst"] == auth["node"])
-                .groupBy("src")
-                .agg(F.sum(F.col("w") * F.col("a")).alias("hv")),
-                nodes["node"] == F.col("src"),
-                "left",
-            )
-            .select("node", F.coalesce("hv", F.lit(0.0)).alias("hv"))
+        hv = {nd: 0.0 for nd in nodes}
+        for (u, v), w in edges:
+            if v in auth:
+                hv[u] += w * auth[v]
+        hs = sum(hv[nd] for nd in nodes)
+        hub = {nd: hv[nd] / hs for nd in nodes}
+        av = {nd: 0.0 for nd in nodes}
+        for (u, v), w in edges:
+            av[v] += w * hub[u]
+        asum = sum(av[nd] for nd in nodes)
+        auth = {nd: av[nd] / asum for nd in nodes}
+    outd: Dict[int, Tuple[int, float]] = {}
+    ind: Dict[int, Tuple[int, float]] = {}
+    for (u, v), w in edges:
+        c, sw = outd.get(u, (0, 0.0))
+        outd[u] = (c + 1, sw + w)
+        c, sw = ind.get(v, (0, 0.0))
+        ind[v] = (c + 1, sw + w)
+    rows = [
+        (
+            nd,
+            outd[nd][0] if nd in outd else None,
+            int(outd[nd][1]) if nd in outd else None,
+            ind[nd][0] if nd in ind else None,
+            int(ind[nd][1]) if nd in ind else None,
+            hub[nd],
+            auth[nd],
         )
-        # pin each half-iteration (the connected-components discipline):
-        # the normalizer agg + the next phase both re-read this frame, and
-        # without a checkpoint the doubly-referenced lineage re-executes
-        # exponentially across the 2*HITS_ITERS half-steps
-        hraw = hraw.localCheckpoint(eager=True)
-        hs = hraw.agg(F.sum("hv").alias("s"))
-        hub = hraw.crossJoin(F.broadcast(hs)).select(
-            "node", (F.col("hv") / F.col("s")).alias("h")
-        )
-        araw = (
-            nodes.join(
-                edges.join(hub, edges["src"] == hub["node"])
-                .groupBy("dst")
-                .agg(F.sum(F.col("w") * F.col("h")).alias("av")),
-                nodes["node"] == F.col("dst"),
-                "left",
-            )
-            .select("node", F.coalesce("av", F.lit(0.0)).alias("av"))
-        )
-        araw = araw.localCheckpoint(eager=True)
-        asum = araw.agg(F.sum("av").alias("s"))
-        auth = araw.crossJoin(F.broadcast(asum)).select(
-            "node", (F.col("av") / F.col("s")).alias("a")
-        )
-    outd = edges.groupBy("src").agg(
-        F.count("*").cast("long").alias("n_out"),
-        F.sum("w").cast("long").alias("out_w"),
-    )
-    ind = edges.groupBy("dst").agg(
-        F.count("*").cast("long").alias("n_in"),
-        F.sum("w").cast("long").alias("in_w"),
-    )
-    return (
-        hub.join(auth, "node")
-        .join(F.broadcast(outd), F.col("node") == outd["src"], "left")
-        .join(F.broadcast(ind), F.col("node") == ind["dst"], "left")
-        .select(
-            "node",
-            F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
-            F.coalesce("out_w", F.lit(0)).cast("long").alias("out_w"),
-            F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
-            F.coalesce("in_w", F.lit(0)).cast("long").alias("in_w"),
-            F.round("h", 6).alias("hub"),
-            F.round("a", 6).alias("auth"),
-        )
+        for nd in nodes
+    ]
+    return spark.createDataFrame(
+        rows,
+        "node long, n_out long, out_w long, n_in long, in_w long, "
+        "h double, a double",
+    ).select(
+        "node",
+        F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+        F.coalesce("out_w", F.lit(0)).cast("long").alias("out_w"),
+        F.coalesce("n_in", F.lit(0)).cast("long").alias("n_in"),
+        F.coalesce("in_w", F.lit(0)).cast("long").alias("in_w"),
+        F.round("h", 6).alias("hub"),
+        F.round("a", 6).alias("auth"),
     )
 
 
@@ -8309,59 +8274,56 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         (src_num % PR_N_NODES).alias("src"),
         ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst"),
     )
-    nodes = (
-        raw.select(F.col("src").alias("node"))
-        .union(raw.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    w = raw.filter(
-        (F.col("src") != F.col("dst")) & (F.col("src") % 7 != PR_DANGLE_MOD)
-    ).groupBy("src", "dst").agg(F.count("*").cast("long").alias("w"))
-    und = (
-        w.select(F.col("src").alias("node"), F.col("dst").alias("nbr"), "w")
-        .union(
-            w.select(F.col("dst").alias("node"), F.col("src").alias("nbr"), "w")
-        )
-        .groupBy("node", "nbr")
-        .agg(F.sum("w").cast("long").alias("w"))
-        .localCheckpoint(eager=True)
-    )
-    labels = nodes.select("node", F.col("node").alias("lab"))
+    # ONE corpus pass (round 7, guide §2.4/§5 — the pagerank discipline):
+    # the unfiltered (src, dst) groupBy is bounded at N^2 = 576 rows at
+    # any SF and carries both the node universe and (after the edge
+    # filter) the weighted edges; the LPA_ITERS synchronous vote rounds
+    # then run on the driver with the exact same packed-argmin integer
+    # arithmetic — replacing 2 extra corpus scans and ~8 localCheckpoints
+    # / ~25 tiny shuffle jobs per call.
+    pairs = (
+        raw.groupBy("src", "dst").agg(F.count("*").cast("long").alias("w"))
+    ).collect()
+    nodes = sorted({r["src"] for r in pairs} | {r["dst"] for r in pairs})
+    und: Dict[Tuple[int, int], int] = {}
+    for r in pairs:
+        u, v, w = r["src"], r["dst"], r["w"]
+        if u != v and u % 7 != PR_DANGLE_MOD:
+            und[(u, v)] = und.get((u, v), 0) + w
+            und[(v, u)] = und.get((v, u), 0) + w
+    und_edges = sorted(und.items())
+    labels = {nd: nd for nd in nodes}
     for _ in range(LPA_ITERS):
-        votes = (
-            und.join(
-                labels.select(F.col("node").alias("nbr"), "lab"), "nbr"
-            )
-            .groupBy("node", "lab")
-            .agg(F.sum("w").cast("long").alias("ws"))
+        votes: Dict[Tuple[int, int], int] = {}
+        for (node, nbr), w in und_edges:
+            key = (node, labels[nbr])
+            votes[key] = votes.get(key, 0) + w
+        pick: Dict[int, int] = {}
+        for (node, lab), ws in sorted(votes.items()):
+            pk = (_LPA_PACK - ws) * 100 + lab
+            if node not in pick or pk < pick[node]:
+                pick[node] = pk
+        labels = {
+            nd: (pick[nd] % 100 if nd in pick else nd) for nd in nodes
+        }
+    sizes: Dict[int, int] = {}
+    for nd in nodes:
+        sizes[labels[nd]] = sizes.get(labels[nd], 0) + 1
+    n_comms = len(sizes)
+    rows = [
+        (
+            nd,
+            labels[nd],
+            sizes[labels[nd]],
+            n_comms,
+            1 if labels[nd] == nd else 0,
         )
-        pick = votes.select(
-            "node",
-            ((F.lit(_LPA_PACK) - F.col("ws")) * 100 + F.col("lab")).alias(
-                "pk"
-            ),
-        ).groupBy("node").agg(F.min("pk").alias("mp"))
-        labels = (
-            nodes.join(pick, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("mp") % 100, F.col("node")).alias("lab"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    sizes = labels.groupBy("lab").agg(F.count("*").cast("long").alias("csize"))
-    ncomm = sizes.agg(F.count("*").cast("long").alias("n_comms"))
-    return (
-        labels.join(F.broadcast(sizes), "lab")
-        .crossJoin(F.broadcast(ncomm))
-        .select(
-            "node",
-            F.col("lab").alias("community"),
-            "csize",
-            "n_comms",
-            (F.col("lab") == F.col("node")).cast("long").alias("own_label"),
-        )
+        for nd in nodes
+    ]
+    return spark.createDataFrame(
+        rows,
+        "node long, community long, csize long, n_comms long, "
+        "own_label long",
     )
 
 
@@ -13643,108 +13605,62 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_num = F.substring(F.col("source"), 4, 10).cast("long")
     a = (src_num % PR_N_NODES).alias("src")
     b = ((src_num * 7 + F.col("doc_id") * 13 + 3) % (src_num % PR_N_NODES + 1)).alias("dst")
-    raw = docs.select(a, b).filter(F.col("src") != F.col("dst"))
-    und = (
-        raw.select(
+    # ONE corpus pass (round 7, guide §2.4/§5 — the pagerank discipline):
+    # the undirected edge universe is bounded at N^2/2 rows at any SF; the
+    # KC_ROUNDS peel rounds over both scopes then run on the driver with
+    # the exact same integer arithmetic — replacing 2 corpus scans and
+    # ~15 localCheckpoints / ~60 tiny shuffle jobs per call.
+    und = sorted(
+        (r["u"], r["v"])
+        for r in docs.select(a, b)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
             F.least("src", "dst").alias("u"),
             F.greatest("src", "dst").alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    nodes0 = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    scopes_df = None
+    nodes0 = sorted({u for u, _ in und} | {v for _, v in und})
+    rows = []
     for scope, k in KC_SCOPES:
-        part = nodes0.select(
-            F.lit(scope).alias("scope"), "node", F.lit(k).cast("long").alias("k")
-        )
-        scopes_df = part if scopes_df is None else scopes_df.unionByName(part)
-    alive = scopes_df.localCheckpoint(eager=True)
-    nodes = alive  # (scope, node, k) universe
-    removed = None
-    prev = None
-    for i in range(1, KC_ROUNDS + 1):
-        e_alive = (
-            alive.select("scope", F.col("node").alias("u"))
-            .join(und, "u")
-            .join(
-                alive.select("scope", F.col("node").alias("v")),
-                ["scope", "v"],
+        alive = set(nodes0)
+        removed_round: Dict[int, int] = {}
+        prev = set(alive)
+        for i in range(1, KC_ROUNDS + 1):
+            deg: Dict[int, int] = {}
+            for u, v in und:
+                if u in alive and v in alive:
+                    deg[u] = deg.get(u, 0) + 1
+                    deg[v] = deg.get(v, 0) + 1
+            keep = {nd for nd in alive if deg.get(nd, 0) >= k}
+            for nd in alive - keep:
+                removed_round[nd] = i
+            prev = alive
+            alive = keep
+        core_deg: Dict[int, int] = {}
+        for u, v in und:
+            if u in alive and v in alive:
+                core_deg[u] = core_deg.get(u, 0) + 1
+                core_deg[v] = core_deg.get(v, 0) + 1
+        n_core, n_prev = len(alive), len(prev)
+        for nd in nodes0:
+            rows.append(
+                (
+                    scope,
+                    nd,
+                    removed_round.get(nd),
+                    1 if nd in alive else 0,
+                    core_deg.get(nd, 0),
+                    k,
+                    n_core,
+                    1 if n_core == n_prev else 0,
+                )
             )
-        )
-        deg = (
-            e_alive.select("scope", F.col("u").alias("node"))
-            .union(e_alive.select("scope", F.col("v").alias("node")))
-            .groupBy("scope", "node")
-            .agg(F.count("*").cast("long").alias("deg"))
-        )
-        keep = (
-            alive.join(deg, ["scope", "node"], "left")
-            .filter(F.coalesce("deg", F.lit(0)) >= F.col("k"))
-            .select("scope", "node", "k")
-            .localCheckpoint(eager=True)
-        )
-        dead = alive.join(keep, ["scope", "node"], "left_anti").select(
-            "scope", "node", F.lit(i).cast("long").alias("removed_round")
-        )
-        removed = dead if removed is None else removed.unionByName(dead)
-        prev = alive
-        alive = keep
-    core_edges = (
-        alive.select("scope", F.col("node").alias("u"))
-        .join(und, "u")
-        .join(alive.select("scope", F.col("node").alias("v")), ["scope", "v"])
-    )
-    core_deg = (
-        core_edges.select("scope", F.col("u").alias("node"))
-        .union(core_edges.select("scope", F.col("v").alias("node")))
-        .groupBy("scope", "node")
-        .agg(F.count("*").cast("long").alias("core_degree"))
-    )
-    ncore = alive.groupBy("scope").agg(
-        F.count("*").cast("long").alias("n_core")
-    )
-    nprev = prev.groupBy("scope").agg(
-        F.count("*").cast("long").alias("n_prev")
-    )
-    scope_all = nodes.select("scope").distinct()
-    sizes = (
-        scope_all.join(ncore, "scope", "left")
-        .join(nprev, "scope", "left")
-        .select(
-            "scope",
-            F.coalesce("n_core", F.lit(0)).cast("long").alias("n_core"),
-            F.coalesce("n_prev", F.lit(0)).cast("long").alias("n_prev"),
-        )
-    )
-    return (
-        nodes.join(removed, ["scope", "node"], "left")
-        .join(
-            alive.select("scope", "node", F.lit(1).alias("ic")),
-            ["scope", "node"],
-            "left",
-        )
-        .join(core_deg, ["scope", "node"], "left")
-        .join(F.broadcast(sizes), "scope")
-        .select(
-            "scope",
-            "node",
-            F.col("removed_round").cast("long").alias("removed_round"),
-            F.coalesce("ic", F.lit(0)).cast("long").alias("in_core"),
-            F.coalesce("core_degree", F.lit(0))
-            .cast("long")
-            .alias("core_degree"),
-            "k",
-            "n_core",
-            (F.col("n_core") == F.col("n_prev")).cast("long").alias(
-                "converged"
-            ),
-        )
+    return spark.createDataFrame(
+        rows,
+        "scope string, node long, removed_round long, in_core long, "
+        "core_degree long, k long, n_core long, converged long",
     )
 
 
@@ -16247,93 +16163,63 @@ def q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_num = F.substring(F.col("source"), 4, 10).cast("long")
     s = (src_num % PR_N_NODES).alias("src")
     t = ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst")
-    raw = docs.select(s, t).filter(F.col("src") != F.col("dst"))
-    edges = (
-        raw.select(
+    # ONE corpus pass (round 7, guide §2.4/§5 — the pagerank discipline):
+    # the u<v DAG edge table is bounded at N^2/2 rows at any SF; the
+    # CP_ROUNDS value-iteration rounds then run on the driver with the
+    # exact same packed-argmin integer arithmetic — replacing a second
+    # corpus scan and ~16 localCheckpoints / ~45 tiny shuffle jobs per
+    # call.
+    edges = sorted(
+        ((r["u"], r["v"]), r["w"])
+        for r in docs.select(s, t)
+        .filter(F.col("src") != F.col("dst"))
+        .select(
             F.least("src", "dst").alias("u"),
             F.greatest("src", "dst").alias("v"),
         )
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("w"))
-        .localCheckpoint(eager=True)
+        .collect()
     )
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .union(edges.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    dist = nodes.select(
-        "node",
-        F.lit(0).cast("long").alias("dist"),
-        F.lit(None).cast("long").alias("pred"),
-    ).localCheckpoint(eager=True)
-    prev = None
+    nodes = sorted({u for (u, _), _ in edges} | {v for (_, v), _ in edges})
+    dist = {nd: 0 for nd in nodes}
+    pred: Dict[int, Optional[int]] = {nd: None for nd in nodes}
+    prev = dict(dist)
     for _ in range(CP_ROUNDS):
-        cand = (
-            edges.join(
-                dist.select(F.col("node").alias("u"),
-                            F.col("dist").alias("du")),
-                "u",
-            )
-            .groupBy(F.col("v").alias("node"))
-            .agg(
-                F.min(
-                    F.struct(
-                        (-(F.col("du") + F.col("w"))).alias("negd"),
-                        F.col("u").alias("u"),
-                    )
-                ).alias("b")
-            )
-            .select(
-                "node",
-                (-F.col("b.negd")).cast("long").alias("cd"),
-                F.col("b.u").alias("cp"),
-            )
-        )
+        cand: Dict[int, Tuple[int, int]] = {}  # v -> (negd, u) struct-min
+        for (u, v), w in edges:
+            b = (-(dist[u] + w), u)
+            if v not in cand or b < cand[v]:
+                cand[v] = b
         prev = dist
-        dist = (
-            nodes.join(cand, "node", "left")
-            .select(
-                "node",
-                F.greatest(
-                    F.coalesce("cd", F.lit(0)), F.lit(0)
-                )
-                .cast("long")
-                .alias("dist"),
-                F.when(
-                    F.coalesce("cd", F.lit(0)) > 0, F.col("cp")
-                )
-                .cast("long")
-                .alias("pred"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    crit = dist.agg(
-        F.min(
-            F.struct((-F.col("dist")).alias("negd"), F.col("node").alias("n"))
-        ).alias("b")
-    ).select(
-        (-F.col("b.negd")).cast("long").alias("crit_len"),
-        F.col("b.n").alias("crit_sink"),
+        new_dist: Dict[int, int] = {}
+        for nd in nodes:
+            c = cand.get(nd)
+            cd = -c[0] if c is not None else 0
+            new_dist[nd] = max(cd, 0)
+            pred[nd] = c[1] if cd > 0 else None
+        dist = new_dist
+    crit_len, crit_sink = (
+        min((-dist[nd], nd) for nd in nodes) if nodes else (0, None)
     )
-    conv = (
-        dist.select("node", F.col("dist").alias("d1"))
-        .join(prev.select("node", F.col("dist").alias("d0")), "node")
-        .agg(
-            F.sum((F.col("d1") != F.col("d0")).cast("long"))
-            .cast("long")
-            .alias("n_changed")
+    crit_len = -crit_len
+    n_changed = sum(1 for nd in nodes if dist[nd] != prev[nd])
+    rows = [
+        (
+            nd,
+            dist[nd],
+            pred[nd],
+            crit_len,
+            crit_sink,
+            1 if nd == crit_sink else 0,
+            1 if n_changed == 0 else 0,
         )
-    )
-    return dist.crossJoin(F.broadcast(crit)).crossJoin(F.broadcast(conv)).select(
-        "node",
-        "dist",
-        "pred",
-        "crit_len",
-        "crit_sink",
-        (F.col("node") == F.col("crit_sink")).cast("long").alias("is_sink"),
-        (F.col("n_changed") == 0).cast("long").alias("converged"),
+        for nd in nodes
+    ]
+    return spark.createDataFrame(
+        rows,
+        "node long, dist long, pred long, crit_len long, crit_sink long, "
+        "is_sink long, converged long",
     )
 
 
@@ -17443,85 +17329,67 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_num = F.substring(F.col("source"), 4, 10).cast("long")
     a = (src_num % PR_N_NODES).alias("src")
     b = ((src_num * 7 + F.col("doc_id") * 13 + 3) % PR_N_NODES).alias("dst")
-    raw = docs.select(a, b).filter(F.col("src") != F.col("dst"))
-    und0 = raw.select(
-        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-    ).distinct()
-    und = (
-        und0.unionByName(
-            und0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        .localCheckpoint(eager=True)
-    )
-    nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )
-    root = nodes.agg(F.min("node").alias("r"))
-    dist = (
-        nodes.crossJoin(F.broadcast(root))
+    # ONE corpus pass (round 7, guide §2.4/§5 — the pagerank discipline):
+    # the distinct undirected edge set is bounded at N^2/2 rows at any SF;
+    # the BFS_ROUNDS synchronous relaxations then run on the driver with
+    # the exact same integer arithmetic — replacing a second corpus scan
+    # and ~15 localCheckpoints / ~40 tiny shuffle jobs per call.
+    und0 = sorted(
+        (r["u"], r["v"])
+        for r in docs.select(a, b)
+        .filter(F.col("src") != F.col("dst"))
         .select(
-            "node",
-            F.when(F.col("node") == F.col("r"), 0)
-            .cast("long")
-            .alias("dist"),
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
         )
-        .localCheckpoint(eager=True)
+        .distinct()
+        .collect()
     )
-    prev = None
+    und = und0 + [(v, u) for u, v in und0]
+    nodes = sorted({u for u, _ in und})
+    root = min(nodes) if nodes else None
+    dist: Dict[int, Optional[int]] = {
+        nd: (0 if nd == root else None) for nd in nodes
+    }
+    prev = dict(dist)
     for _ in range(BFS_ROUNDS):
-        cand = (
-            und.join(
-                dist.select(F.col("node").alias("u"),
-                            F.col("dist").alias("du")),
-                "u",
-            )
-            .filter(F.col("du").isNotNull())
-            .groupBy(F.col("v").alias("node"))
-            .agg((F.min("du") + 1).cast("long").alias("nd"))
-        )
+        cand: Dict[int, int] = {}
+        for u, v in und:
+            du = dist[u]
+            if du is not None and (v not in cand or du + 1 < cand[v]):
+                cand[v] = du + 1
         prev = dist
-        dist = (
-            dist.join(cand, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.coalesce("dist", F.lit(None)),
-                    F.coalesce("nd", F.col("dist")),
-                )
-                .cast("long")
-                .alias("dist"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    ecc = dist.agg(F.max("dist").cast("long").alias("eccentricity"))
-    conv = (
-        dist.select("node", F.col("dist").alias("d1"))
-        .join(prev.select("node", F.col("dist").alias("d0")), "node")
-        .agg(
-            F.sum(
-                (
-                    ~(
-                        (F.col("d1") == F.col("d0"))
-                        | (F.col("d1").isNull() & F.col("d0").isNull())
-                    )
-                ).cast("long")
-            )
-            .cast("long")
-            .alias("n_changed")
-        )
+        new_dist: Dict[int, Optional[int]] = {}
+        for nd in nodes:
+            d, c = dist[nd], cand.get(nd)
+            new_dist[nd] = d if c is None else (c if d is None else min(d, c))
+        dist = new_dist
+    finite = [d for d in dist.values() if d is not None]
+    ecc = max(finite) if finite else None
+    # mirrors the SQL/Spark null semantics: a null<->value flip yields a
+    # NULL comparison that sum() skips, so only non-null != non-null counts
+    n_changed = sum(
+        1
+        for nd in nodes
+        if dist[nd] is not None
+        and prev[nd] is not None
+        and dist[nd] != prev[nd]
     )
-    return (
-        dist.crossJoin(F.broadcast(root))
-        .crossJoin(F.broadcast(ecc))
-        .crossJoin(F.broadcast(conv))
-        .select(
-            "node",
-            "dist",
-            F.col("r").alias("root"),
-            "eccentricity",
-            F.col("dist").isNotNull().cast("long").alias("reachable"),
-            (F.col("n_changed") == 0).cast("long").alias("converged"),
+    rows = [
+        (
+            nd,
+            dist[nd],
+            root,
+            ecc,
+            1 if dist[nd] is not None else 0,
+            1 if n_changed == 0 else 0,
         )
+        for nd in nodes
+    ]
+    return spark.createDataFrame(
+        rows,
+        "node long, dist long, root long, eccentricity long, "
+        "reachable long, converged long",
     )
 
 

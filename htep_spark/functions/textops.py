@@ -399,6 +399,69 @@ _NON_ALPHA_ALL_RE = re.compile(r"[^A-Za-z]")
 # regex sub + lower it replaces. Bounded like every other memo here.
 _CLEAN_MEMO: Dict[str, str] = {}
 
+# Per-(fuzzy-memo, hence per dictionary+threshold) raw-word -> action memo,
+# stored INSIDE the caller's fuzzy memo dict under an object-identity key
+# (cannot collide with its string keys, lives and dies with that dict).
+# The whole per-word decision — clean/strip, length gate, exact-set probe,
+# fuzzy lookup, prefix/suffix peel, recasing — is a pure function of the
+# raw word, so one dict probe replaces the entire chain on repeats
+# (round 7). Values: (output_word, matched_term_or_None, score_or_None);
+# a non-None score means the word was rewritten and a correction recorded.
+_ACTION_MEMO_KEY: object = object()
+_MISS: object = object()
+
+
+def _word_action(
+    word: str,
+    single_dict: Sequence[str],
+    exact_set: frozenset,
+    threshold: float,
+    memo: Dict,
+) -> Tuple[str, Optional[str], Optional[int]]:
+    """Uncached per-word decision of ``dictionary_correct`` (semantics of
+    ``src/nlp/ocr_postprocessor.py:188-283``, see its docstring)."""
+    clean_memo = _CLEAN_MEMO
+    clean = clean_memo.get(word)
+    if clean is None:
+        clean = _NON_ALPHA_ALL_RE.sub("", word).lower()
+        if len(clean_memo) < 1_000_000:
+            clean_memo[word] = clean
+    if len(clean) < 3:
+        return (word, None, None)
+    if clean in exact_set:
+        return (word, clean, None)
+
+    result = memo.get(clean, _MISS)
+    if result is _MISS:
+        result = extract_one(clean, single_dict, score_cutoff=threshold)
+        memo[clean] = result
+    if result is None:
+        return (word, None, None)
+
+    match_term, score = result
+    if match_term == clean:
+        return (word, match_term, None)
+
+    # Peel non-alpha prefix/suffix (``:238-247``).
+    prefix = ""
+    suffix = ""
+    stripped = word
+    while stripped and not stripped[0].isalpha():
+        prefix += stripped[0]
+        stripped = stripped[1:]
+    while stripped and not stripped[-1].isalpha():
+        suffix = stripped[-1] + suffix
+        stripped = stripped[:-1]
+
+    if stripped.isupper():
+        corrected = match_term.upper()
+    elif stripped and stripped[0].isupper():
+        corrected = match_term.capitalize()
+    else:
+        corrected = match_term
+
+    return (prefix + corrected + suffix, match_term, int(score))
+
 
 def dictionary_correct(
     text: str,
@@ -427,61 +490,24 @@ def dictionary_correct(
     new_words: List[str] = []
     if memo is None:
         memo = {}
+    actions = memo.get(_ACTION_MEMO_KEY)
+    if actions is None:
+        actions = memo[_ACTION_MEMO_KEY] = {}
 
-    clean_memo = _CLEAN_MEMO
     for word in text.split():
-        clean = clean_memo.get(word)
-        if clean is None:
-            clean = _NON_ALPHA_ALL_RE.sub("", word).lower()
-            if len(clean_memo) < 1_000_000:
-                clean_memo[word] = clean
-        if len(clean) < 3:
-            new_words.append(word)
-            continue
-        if clean in exact_set:
-            matched.append(clean)
-            new_words.append(word)
-            continue
-
-        if clean in memo:
-            result = memo[clean]
-        else:
-            result = extract_one(clean, single_dict, score_cutoff=threshold)
-            memo[clean] = result
-        if result is None:
-            new_words.append(word)
-            continue
-
-        match_term, score = result
-        if match_term == clean:
-            matched.append(match_term)
-            new_words.append(word)
-            continue
-
-        # Peel non-alpha prefix/suffix (``:238-247``).
-        prefix = ""
-        suffix = ""
-        stripped = word
-        while stripped and not stripped[0].isalpha():
-            prefix += stripped[0]
-            stripped = stripped[1:]
-        while stripped and not stripped[-1].isalpha():
-            suffix = stripped[-1] + suffix
-            stripped = stripped[:-1]
-
-        if stripped.isupper():
-            corrected = match_term.upper()
-        elif stripped and stripped[0].isupper():
-            corrected = match_term.capitalize()
-        else:
-            corrected = match_term
-
-        full = prefix + corrected + suffix
-        corrections.append(
-            {"from": word, "to": full, "type": label, "score": int(score)}
-        )
+        act = actions.get(word)
+        if act is None:
+            act = _word_action(word, single_dict, exact_set, threshold, memo)
+            if len(actions) < 1_000_000:
+                actions[word] = act
+        full, match_term, score = act
         new_words.append(full)
-        matched.append(match_term)
+        if match_term is not None:
+            matched.append(match_term)
+            if score is not None:
+                corrections.append(
+                    {"from": word, "to": full, "type": label, "score": score}
+                )
 
     out_text = " ".join(new_words)
     for entry in _find_multi_word_matches(out_text, multi_dict, threshold):

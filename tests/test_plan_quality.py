@@ -323,13 +323,11 @@ def test_dup_longest_plan_is_shuffle_free(spark):
 
 
 def test_pagerank_iterations_never_rescan_corpus(spark):
-    """pagerank's scale claim (docstring): graph tables are derived from
-    ONE corpus scan and pinned with eager localCheckpoint — the K power
-    iterations join only the tiny checkpointed frames, so the returned
-    plan contains ZERO FileScans (the scan already happened), no
-    cartesian product, and no Python stage. Scalar 1-row aggregates
-    (N, dangling mass) over the <= PR_N_NODES-row frames are the only
-    single-partition work, by construction."""
+    """pagerank's scale claim (docstring): ONE bounded corpus pass (the
+    <= N^2-row (src, dst) groupBy) feeds a driver-side power iteration
+    (round 7); the returned frame is a local table plus the final
+    projection, so the plan contains ZERO FileScans, ZERO Exchanges, no
+    cartesian product, and no Python stage."""
     from htep_spark.driver_queries import q_pagerank
 
     plan = (
@@ -339,16 +337,16 @@ def test_pagerank_iterations_never_rescan_corpus(spark):
         .toString()
     )
     assert "FileScan" not in plan, plan
+    assert "Exchange" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
 
 
 def test_hits_iterations_never_rescan_corpus(spark):
-    """hits shares pagerank's scale claim: graph tables pinned with eager
-    localCheckpoint, each half-iteration additionally pinned (the
-    doubly-referenced normalizer lineage would otherwise re-execute
-    exponentially) — so the returned plan contains ZERO FileScans, no
-    cartesian product, and no Python stage."""
+    """hits shares pagerank's scale claim (round 7): one bounded corpus
+    pass, driver-side half-iterations, local-table result — the returned
+    plan contains ZERO FileScans, ZERO Exchanges, no cartesian product,
+    and no Python stage."""
     from htep_spark.driver_queries import q_hits
 
     plan = (
@@ -358,6 +356,7 @@ def test_hits_iterations_never_rescan_corpus(spark):
         .toString()
     )
     assert "FileScan" not in plan, plan
+    assert "Exchange" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan, plan
 
@@ -461,10 +460,11 @@ def test_tpch_big_orders_plan_shape(spark):
 
 
 def test_k_core_iterations_never_rescan_corpus(spark):
-    """k_core follows the pagerank pin discipline: und/nodes/per-round
-    alive frames are eagerly checkpointed, so the returned plan contains
-    ZERO FileScans, no cartesian product, and no Python stage — the 12
-    peel rounds never re-touch the corpus."""
+    """k_core follows the pagerank discipline (round 7): one bounded
+    corpus pass (distinct u<v edge set), driver-side peel rounds,
+    local-table result — ZERO FileScans, ZERO Exchanges, no cartesian
+    product, no Python stage; the 12 peel rounds never re-touch the
+    corpus."""
     from htep_spark.driver_queries import q_k_core
 
     plan = (
@@ -474,6 +474,7 @@ def test_k_core_iterations_never_rescan_corpus(spark):
         .toString()
     )
     assert "FileScan" not in plan, plan
+    assert "Exchange" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "EvalPython" not in plan, plan
 
