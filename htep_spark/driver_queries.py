@@ -1971,15 +1971,53 @@ WHERE round(list_dot_product(a.v, b.v) /
 EMBED_KEEPER_THRESHOLD = 0.3  # 0.2 merges everything into one component
 
 
-def q_embed_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import connected_components
+def _min_label_components(pairs) -> Dict[int, int]:
+    """(a, b) edge list -> {node: min id of its connected component} —
+    the exact fixpoint of ``operators.dedup.connected_components``
+    (cluster_id = min doc_id of the component), via min-rooted union-find
+    on the driver for BOUNDED pair sets (round 7, guide §5: the
+    dimension-sized collect class)."""
+    parent: Dict[int, int] = {}
 
-    pairs = (
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {nd: find(nd) for nd in parent}
+
+
+def q_embed_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 7: the pair universe is bounded by EMBED_DUP_N = 100 vectors
+    # at any SF, so the iterative pointer-jumping rounds are replaced by a
+    # bounded collect + driver-side union-find with the identical
+    # min-id-per-component labels; pair generation (all float math) stays
+    # in Spark unchanged.
+    pair_rows = (
         q_embed_near_dup(spark, sf_dir)
         .filter(F.col("cosine") >= EMBED_KEEPER_THRESHOLD)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    ).collect()
+    labels = _min_label_components(
+        [(r["doc_a"], r["doc_b"]) for r in pair_rows]
     )
-    comps = connected_components(pairs)
+    comps = spark.createDataFrame(
+        list(labels.items()) or [],
+        "doc_id long, cluster_id long",
+    )
     vecs = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") < EMBED_DUP_N)
@@ -1987,7 +2025,7 @@ def q_embed_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cluster = F.coalesce("cluster_id", F.col("vec_id"))
     return vecs.join(
-        comps, vecs["vec_id"] == comps["doc_id"], "left"
+        F.broadcast(comps), vecs["vec_id"] == comps["doc_id"], "left"
     ).select(
         "vec_id",
         cluster.alias("cluster_id"),
@@ -2111,8 +2149,6 @@ SEMDEDUP_THRESHOLD = 0.3  # within-cluster duplicate-pair cosine gate
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import connected_components
-
     emb = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") < SEMDEDUP_N)
@@ -2142,10 +2178,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    # pinned (round 7): assigned feeds the pair self-join AND the labeled
+    # output — one materialization of the SEMDEDUP_N-row frame
     assigned = (
         sims.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") == 1)
         .select("vec_id", "v", "cell", F.col("sim").alias("centroid_sim"))
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "cell"
@@ -2167,9 +2206,18 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= SEMDEDUP_THRESHOLD)
         .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
     )
-    comps = connected_components(pairs)
+    # Round 7: within-cell pairs over SEMDEDUP_N = 200 vectors are bounded
+    # at any SF — bounded collect + driver-side union-find replaces the
+    # pointer-jumping rounds (identical min-id labels); every cosine stays
+    # in Spark unchanged.
+    labels = _min_label_components(
+        [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    )
+    comps = spark.createDataFrame(
+        list(labels.items()) or [], "doc_id long, cluster_id long"
+    )
     labeled = assigned.join(
-        comps, assigned["vec_id"] == comps["doc_id"], "left"
+        F.broadcast(comps), assigned["vec_id"] == comps["doc_id"], "left"
     ).select(
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
@@ -10815,23 +10863,6 @@ FROM per_doc d CROSS JOIN corp
 SPEARMAN_PAIRS = ("chars_tokens", "noise_tokens")
 
 
-def _spearman_ranks(df: DataFrame, col: str) -> DataFrame:
-    """Tie-averaged ranks for ``col``: per-value groups, cum_before via
-    exact_global_cumsum, avg rank = cum_before + (cnt + 1)/2."""
-    from .operators.ranking import exact_global_cumsum
-
-    g = df.groupBy(col).agg(F.count("*").alias("cnt"))
-    c = exact_global_cumsum(g, col, "cnt")
-    ranks = c.select(
-        col,
-        (
-            F.col("cum_before").cast("double")
-            + (F.col("cnt").cast("double") + F.lit(1.0)) / F.lit(2.0)
-        ).alias(f"r_{col}"),
-    )
-    return df.join(ranks, col)
-
-
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntok = F.size(
         F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
@@ -10839,37 +10870,63 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise = _md5_bucket_spark(
         F.concat_ws("|", F.lit("sp"), F.col("doc_id")), 1000
     )
+    # Round 7 (guide §2.4, the kmv discipline): pin the tokenizing corpus
+    # projection ONCE — the three chained rank joins each re-ran it (and
+    # the two per-pair aggregations re-ran the whole chain again). The
+    # per-value rank tables are all derived from the pinned frame (joins
+    # only add columns one-to-one, so the per-value counts are identical),
+    # and ALL moment sums for both pairs come from ONE aggregation pass,
+    # pinned at 1 row before the two output projections read it.
     rows = _docs(spark, sf_dir).select(
         "doc_id",
         F.col("n_chars").cast("long").alias("xc"),
         noise.alias("xn"),
         ntok.alias("y"),
-    )
-    ranked = _spearman_ranks(
-        _spearman_ranks(_spearman_ranks(rows, "xc"), "xn"), "y"
-    )
-    out = []
-    for pair, xr in (("chars_tokens", "r_xc"), ("noise_tokens", "r_xn")):
-        m = ranked.agg(
-            F.count("*").cast("double").alias("n"),
-            F.sum(xr).alias("sx"),
-            F.sum("r_y").alias("sy"),
-            F.sum(F.col(xr) * F.col(xr)).alias("sxx"),
-            F.sum(F.col("r_y") * F.col("r_y")).alias("syy"),
-            F.sum(F.col(xr) * F.col("r_y")).alias("sxy"),
-        ).select(
-            F.lit(pair).alias("pair"),
-            F.col("n").cast("long").alias("n"),
-            F.round(
-                (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
-                / F.sqrt(
-                    (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-                    * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
-                ),
-                6,
-            ).alias("rho"),
+    ).localCheckpoint(eager=True)
+    ranked = rows
+    for col in ("xc", "xn", "y"):
+        from .operators.ranking import exact_global_cumsum
+
+        g = rows.groupBy(col).agg(F.count("*").alias("cnt"))
+        c = exact_global_cumsum(g, col, "cnt")
+        ranks = c.select(
+            col,
+            (
+                F.col("cum_before").cast("double")
+                + (F.col("cnt").cast("double") + F.lit(1.0)) / F.lit(2.0)
+            ).alias(f"r_{col}"),
         )
-        out.append(m)
+        ranked = ranked.join(ranks, col)
+    m = ranked.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("r_xc").alias("sx_c"),
+        F.sum("r_xn").alias("sx_n"),
+        F.sum("r_y").alias("sy"),
+        F.sum(F.col("r_xc") * F.col("r_xc")).alias("sxx_c"),
+        F.sum(F.col("r_xn") * F.col("r_xn")).alias("sxx_n"),
+        F.sum(F.col("r_y") * F.col("r_y")).alias("syy"),
+        F.sum(F.col("r_xc") * F.col("r_y")).alias("sxy_c"),
+        F.sum(F.col("r_xn") * F.col("r_y")).alias("sxy_n"),
+    ).localCheckpoint(eager=True)
+    out = []
+    for pair, sx, sxx, sxy in (
+        ("chars_tokens", "sx_c", "sxx_c", "sxy_c"),
+        ("noise_tokens", "sx_n", "sxx_n", "sxy_n"),
+    ):
+        out.append(
+            m.select(
+                F.lit(pair).alias("pair"),
+                F.col("n").cast("long").alias("n"),
+                F.round(
+                    (F.col(sxy) - F.col(sx) * F.col("sy") / F.col("n"))
+                    / F.sqrt(
+                        (F.col(sxx) - F.col(sx) * F.col(sx) / F.col("n"))
+                        * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))
+                    ),
+                    6,
+                ).alias("rho"),
+            )
+        )
     return out[0].unionByName(out[1])
 
 
@@ -11602,7 +11659,6 @@ _KMV_M = float(1 << 60)  # hash space size (md5_prefix60 is 60-bit)
 
 def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.hashing import md5_prefix60_spark
-    from .operators.ranking import exact_global_rank
 
     n = KMV_SHINGLE_N
     toks_expr = F.regexp_extract_all(
@@ -11622,14 +11678,28 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     sh = docs.select(half.alias("b"), F.explode(shingle_arr).alias("token"))
+    # Round 7 (guide §2.4, the bm25 discipline): pin the corpus-sized
+    # distinct (b, u) frame ONCE — it feeds both 64-row sketches AND the
+    # exact-count arm, and without the pin each of the ~7 downstream
+    # references re-ran the tokenize/shingle/md5/distinct chain. The
+    # bottom-K sketches are then distributed top-K (orderBy + limit =
+    # TakeOrderedAndProject, identical rows under the total order on u)
+    # instead of exact_global_rank's corpus-wide rank machinery; ranks are
+    # re-derived by row_number over the <= 2K-row union, which is bounded.
     hashed = (
         sh.select("b", md5_prefix60_spark(F.col("token")).alias("u"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sk = {}
     for b in (0, 1):
-        r = exact_global_rank(hashed.filter(F.col("b") == b), "u", ("u",))
-        sk[b] = r.filter(F.col("global_rank") <= KMV_K).select("u")
+        sk[b] = (
+            hashed.filter(F.col("b") == b)
+            .select("u")
+            .orderBy("u")
+            .limit(KMV_K)
+            .localCheckpoint(eager=True)
+        )
     est = {
         b: sk[b].agg(
             (
@@ -11640,9 +11710,20 @@ def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b, n in ((0, "a"), (1, "b"))
     }
-    uni = exact_global_rank(
-        sk[0].unionByName(sk[1]).distinct(), "u", ("u",)
-    ).filter(F.col("global_rank") <= KMV_K)
+    uni = (
+        sk[0]
+        .unionByName(sk[1])
+        .distinct()
+        .orderBy("u")
+        .limit(KMV_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("u"))
+            .cast("long")
+            .alias("global_rank"),
+            "u",
+        )
+    )
     usk = (
         uni.join(sk[0].select("u", F.lit(1).alias("ia")), "u", "left")
         .join(sk[1].select("u", F.lit(1).alias("ib")), "u", "left")
@@ -17597,79 +17678,70 @@ WITH bounds AS (
 
 
 def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.ranking import exact_global_rank
-
     ev = _events(spark, sf_dir)
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
-    )
-    grid = bounds.select(
-        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
-    )
-    cnt = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
-        F.count("*").alias("c")
-    )
-    w = Window.orderBy("h")
-    ser = (
-        grid.join(cnt, "h", "left")
-        .select("h", F.coalesce("c", F.lit(0)).cast("long").alias("x"))
-        .select("x", F.row_number().over(w).cast("long").alias("t"))
-        .localCheckpoint(eager=True)
-    )
-    out = None
-    for scope in ("same", "trended"):
-        y = (
-            F.col("x")
-            + F.expr(f"cast((t * {MK_RATE}) div {MK_GRID} as bigint)")
-            if scope == "trended"
-            else F.col("x")
+    # ONE corpus pass (round 7, guide §2.4/§5 — the pagerank discipline):
+    # the hourly count table is bounded by the fixed 720-hour event window
+    # at any SF (verified 719h span at sf0.001/0.01/0.1), and the grid
+    # bounds are its own min/max keys, so a single map-side-aggregated
+    # groupBy carries everything. The O(|hours|^2) pairwise slopes and
+    # both exact-rank medians (identical (slope, ti, tj) / (r, t)
+    # orderings, rank (n+1) div 2) then run on the driver — replacing 4
+    # localCheckpoints and ~10 shuffle/rank jobs per call.
+    cnt = {
+        r["h"]: r["c"]
+        for r in ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h")
         )
-        s = ser.select("t", y.alias("y")).localCheckpoint(eager=True)
-        pairs = (
-            s.alias("a")
-            .join(s.alias("b"), F.col("b.t") > F.col("a.t"))
-            .select(
-                F.col("a.t").alias("ti"),
-                F.col("b.t").alias("tj"),
-                (
-                    (F.col("b.y") - F.col("a.y")).cast("double")
-                    / (F.col("b.t") - F.col("a.t")).cast("double")
-                ).alias("slope"),
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    import datetime as _dt
+
+    hours = sorted(cnt)
+    rows = []
+    if hours:
+        h0, h1 = hours[0], hours[-1]
+        grid = []
+        h = h0
+        while h <= h1:
+            grid.append(h)
+            h = h + _dt.timedelta(hours=1)
+        xs = [cnt.get(h, 0) for h in grid]
+        ts = list(range(1, len(grid) + 1))
+        for scope in ("same", "trended"):
+            if scope == "trended":
+                ys = [x + (t * MK_RATE) // MK_GRID for x, t in zip(xs, ts)]
+            else:
+                ys = xs
+            pairs = [
+                ((ys[j] - ys[i]) / (ts[j] - ts[i]), ts[i], ts[j])
+                for i in range(len(ts))
+                for j in range(i + 1, len(ts))
+            ]
+            pairs.sort()
+            n_pairs = len(pairs)
+            if n_pairs == 0:  # single-hour grid: no median row (as before)
+                continue
+            med_slope, med_ti, med_tj = pairs[(n_pairs + 1) // 2 - 1]
+            resid = sorted(
+                (y - med_slope * t, t) for t, y in zip(ts, ys)
             )
-        )
-        ranked = exact_global_rank(pairs, "slope", ("ti", "tj"))
-        med = ranked.filter(
-            F.col("global_rank")
-            == F.expr("cast((global_count + 1) div 2 as bigint)")
-        ).select(
-            F.col("slope").alias("med_slope"),
-            F.col("ti").alias("med_ti"),
-            F.col("tj").alias("med_tj"),
-            F.col("global_count").alias("n_pairs"),
-        )
-        resid = s.crossJoin(F.broadcast(med)).select(
-            "t",
-            (
-                F.col("y").cast("double")
-                - F.col("med_slope") * F.col("t").cast("double")
-            ).alias("r"),
-        )
-        rr = exact_global_rank(resid, "r", ("t",))
-        inter = rr.filter(
-            F.col("global_rank")
-            == F.expr("cast((global_count + 1) div 2 as bigint)")
-        ).select(F.col("r").alias("intercept"))
-        part = med.crossJoin(F.broadcast(inter)).select(
-            F.lit(scope).alias("scope"),
-            "n_pairs",
-            "med_ti",
-            "med_tj",
-            F.round("med_slope", 6).alias("slope"),
-            F.round("intercept", 6).alias("intercept"),
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+            intercept = resid[(len(resid) + 1) // 2 - 1][0]
+            rows.append(
+                (scope, n_pairs, med_ti, med_tj, med_slope, intercept)
+            )
+    return spark.createDataFrame(
+        rows,
+        "scope string, n_pairs long, med_ti long, med_tj long, "
+        "med_slope double, intercept double",
+    ).select(
+        "scope",
+        "n_pairs",
+        "med_ti",
+        "med_tj",
+        F.round("med_slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+    )
 
 
 def _sql_theil_sen() -> str:
