@@ -8982,7 +8982,8 @@ def _kmeans_frames(spark: SparkSession, sf_dir: str):
 
 def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, cents = _kmeans_frames(spark, sf_dir)
-    final = _kmeans_assign(emb, cents)
+    # pinned (round 7): final feeds sizes, inertia AND the output join
+    final = _kmeans_assign(emb, cents).localCheckpoint(eager=True)
     sizes = final.groupBy("cid").agg(
         F.count("*").cast("long").alias("csize")
     )
@@ -9103,26 +9104,33 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     dists = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cid", F.sqrt(_kmeans_d2_col()).alias("d")
     )
-    own = dists.groupBy("vec_id").agg(
-        F.min(F.struct(F.col("d"), F.col("cid"))).alias("m")
-    ).select(
-        "vec_id", F.col("m.cid").alias("cid"), F.col("m.d").alias("a")
-    )
-    other = (
-        dists.join(own.select("vec_id", F.col("cid").alias("own_cid")), "vec_id")
-        .filter(F.col("cid") != F.col("own_cid"))
-        .groupBy("vec_id")
-        .agg(F.min("d").alias("b"))
-    )
-    per = own.join(other, "vec_id").select(
-        "vec_id",
-        "cid",
-        "a",
-        "b",
-        (
-            (F.col("b") - F.col("a"))
-            / F.greatest(F.col("a"), F.col("b"))
-        ).alias("s"),
+    # ONE groupBy replaces own + other + their joins (round 7): each cid
+    # appears exactly once per vec_id, so sorting the K (d, cid) structs
+    # gives own = arr[0] and b = arr[1].d — the min d over cids != own cid
+    # under the identical (d, cid) tie-break. No arithmetic changes, only
+    # selection; 3 exchanges + 2 joins -> 1 exchange. `per` is pinned: it
+    # feeds cmean, gmean AND the output join.
+    arr = F.array_sort(F.collect_list(F.struct("d", "cid")))
+    per = (
+        dists.groupBy("vec_id")
+        .agg(arr.alias("arr"))
+        .select(
+            "vec_id",
+            F.col("arr")[0]["cid"].alias("cid"),
+            F.col("arr")[0]["d"].alias("a"),
+            F.col("arr")[1]["d"].alias("b"),
+        )
+        .select(
+            "vec_id",
+            "cid",
+            "a",
+            "b",
+            (
+                (F.col("b") - F.col("a"))
+                / F.greatest(F.col("a"), F.col("b"))
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
     )
     cmean = per.groupBy("cid").agg(
         (F.sum("s") / F.count("*")).alias("cluster_sil"),
