@@ -178,7 +178,12 @@ def _capped_band_pairs(
     pcols_a = [F.col(f"a.{payload}").alias(f"{payload}_a")] if payload else []
     pcols_b = [F.col(f"b.{payload}").alias(f"{payload}_b")] if payload else []
     sizes = bands.groupBy(*keys).agg(F.count("*").alias("_bn"))
-    tagged = bands.join(sizes, keys)
+    # pinned (round 7): tagged feeds the small-bucket self-join (both
+    # aliases), the big-bucket filter and the representative agg — four
+    # subtree references that would each re-run the band derivation (and
+    # its upstream corpus chain) without the pin; the materialization is
+    # O(n·bands) light rows, the same order as the shuffle it feeds
+    tagged = bands.join(sizes, keys).localCheckpoint(eager=True)
     small = tagged.filter(F.col("_bn") <= max_bucket_size).drop("_bn")
     big = tagged.filter(F.col("_bn") > max_bucket_size).drop("_bn")
     cand_small = (
@@ -227,6 +232,13 @@ def lsh_candidate_pairs(
     guarantee the rep-member pair passes the threshold). The cap trades
     that edge case inside degenerate buckets for a hard O(n·bands) bound;
     the DuckDB oracle models the identical capped plan."""
+    # pin the signature relation ONCE (round 7): it feeds the band
+    # explode AND both per-side est_jaccard joins, and Spark's exchange
+    # reuse does not fire across these aliased subtrees — without the pin
+    # the whole tokenize/shingle/minhash corpus chain re-executed per
+    # reference (measured: 20 parquet scans, 0 ReusedExchange in the
+    # minhash_lsh plan)
+    signatures = signatures.localCheckpoint(eager=True)
     rows_per_band = NUM_HASHES // BANDS
     bands = signatures.select(
         "doc_id",
