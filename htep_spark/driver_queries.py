@@ -12271,10 +12271,15 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             arr, (F.pmod(pos - 1 + shift, F.lit(k)) + 1).cast("int")
         ),
     ).otherwise(F.col("label_a"))
+    # pinned (round 7): the <= |labels|^2-row confusion matrix feeds the
+    # row/col marginals, the scalar aggregates AND the output join — each
+    # reference re-ran the whole classify corpus chain without the pin
+    # (measured: 18 parquet scans in the plan)
     conf = (
         cls.select("label_a", label_b.alias("label_b"))
         .groupBy("label_a", "label_b")
         .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=True)
     )
     rowm = conf.groupBy("label_a").agg(
         F.sum("n").cast("long").alias("row_n")
