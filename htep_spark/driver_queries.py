@@ -7666,7 +7666,13 @@ def _zipf_freq_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ranking import exact_global_rank
 
-    freq = _zipf_freq_spark(spark, sf_dir).withColumn("neg", -F.col("n"))
+    # pinned (round 7): both per-scope rank calls re-ran the token-count
+    # corpus chain without the pin (2 corpus scans -> 1)
+    freq = (
+        _zipf_freq_spark(spark, sf_dir)
+        .withColumn("neg", -F.col("n"))
+        .localCheckpoint(eager=True)
+    )
     tops = []
     for scope in ("corpus", "planted"):
         ranked = exact_global_rank(
@@ -11120,7 +11126,7 @@ RBO_P = 0.9
 
 
 def q_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.ranking import exact_global_cumsum, exact_global_rank
+    from .operators.ranking import exact_global_cumsum
 
     half = _md5_bucket_spark(
         F.concat_ws("|", F.lit("ks"), F.col("doc_id")), 2
@@ -11131,19 +11137,37 @@ def q_rbo_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0)
         ).alias("token"),
     )
-    freq = toks.groupBy("b", "token").agg(F.count("*").alias("c"))
+    # pinned (round 7): the aggregated (half, token, c) frame feeds BOTH
+    # per-half heads — without the pin each re-ran the token explode +
+    # groupBy corpus chain; the K=100 heads are distributed top-K
+    # (orderBy+limit = TakeOrderedAndProject, the bm25 discipline) with
+    # ranks re-derived by row_number over the bounded K-row result —
+    # identical rows/ranks under the same (-c, token) total order
+    freq = (
+        toks.groupBy("b", "token")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
 
     def head(b):
-        r = exact_global_rank(
-            freq.filter(F.col("b") == b).withColumn("neg", -F.col("c")),
-            "neg",
-            ("token",),
+        top = (
+            freq.filter(F.col("b") == b)
+            .withColumn("neg", -F.col("c"))
+            .orderBy("neg", "token")
+            .limit(RBO_K)
         )
-        return r.filter(F.col("global_rank") <= RBO_K).select(
-            "token", F.col("global_rank").alias(f"r{b}")
+        return top.select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy("neg", "token"))
+            .cast("long")
+            .alias(f"r{b}"),
         )
-    matched = head(0).join(head(1), "token").select(
-        "token", "r0", "r1", F.greatest("r0", "r1").alias("m")
+    matched = (
+        head(0)
+        .join(head(1), "token")
+        .select("token", "r0", "r1", F.greatest("r0", "r1").alias("m"))
+        .localCheckpoint(eager=True)
     )
     n_match = matched.agg(F.count("*").cast("long").alias("nm"))
     depth = spark.range(1, RBO_K + 1).select(F.col("id").alias("d"))
@@ -13581,13 +13605,20 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("long").alias("monetary"),
     )
     horizon = ev.agg(F.max("um").alias("hz"))
-    base = per.crossJoin(F.broadcast(horizon)).select(
-        "user_id",
-        F.expr(f"cast((hz - last_um) div {_DAY_US} as bigint)").alias(
-            "recency_days"
-        ),
-        "freq",
-        "monetary",
+    # pinned (round 7): base feeds the three score rank calls AND the
+    # output join — each re-ran the per-user aggregation corpus chain
+    # without the pin (4 corpus scans -> 1); four numeric columns
+    base = (
+        per.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.expr(f"cast((hz - last_um) div {_DAY_US} as bigint)").alias(
+                "recency_days"
+            ),
+            "freq",
+            "monetary",
+        )
+        .localCheckpoint(eager=True)
     )
 
     def score(df: DataFrame, col: str, desc: bool, out: str) -> DataFrame:
@@ -13878,10 +13909,17 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.regexp_extract_all(
         F.lower(F.col("text")), F.lit(_TOKEN_PATTERN), 0
     )
-    base = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(toks).cast("long").alias("ntok"),
-        F.size(F.array_distinct(toks)).cast("long").alias("ndis"),
+    # pinned (round 7): base feeds both rank calls AND the scored join —
+    # each re-ran the double-tokenize projection without the pin (3 corpus
+    # scans -> 1); three numeric columns, cheap to materialize
+    base = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("ntok"),
+            F.size(F.array_distinct(toks)).cast("long").alias("ndis"),
+        )
+        .localCheckpoint(eager=True)
     )
 
     def rank_of(col: str, out: str) -> DataFrame:
@@ -16603,7 +16641,14 @@ def q_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == 0
     )
-    base = _docs(spark, sf_dir).select("doc_id", ntok.alias("v0"))
+    # pinned (round 7): both per-scope rank calls re-ran the tokenizing
+    # projection without the pin (2 corpus scans -> 1); the frame is two
+    # numeric columns — cheap to materialize
+    base = (
+        _docs(spark, sf_dir)
+        .select("doc_id", ntok.alias("v0"))
+        .localCheckpoint(eager=True)
+    )
     out = None
     for scope in ("clean", "polluted"):
         v = (
