@@ -14377,21 +14377,26 @@ def q_benford_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 1
     )
     ev = _events(spark, sf_dir).filter(F.col("value") > 0)
-    rows = (
-        ev.select(F.lit("raw").alias("scope"), raw_digit.alias("digit"))
-        .unionByName(
-            ev.select(
-                F.lit("benford").alias("scope"),
-                syn_digit.cast("long").alias("digit"),
+    # ONE corpus scan (round 7, guide §2.4): the three scope projections
+    # become one inline-exploded array of (scope, digit) structs — the
+    # exact row multiset of the 3-way union they replace
+    rows = ev.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("raw").alias("scope"), raw_digit.alias("digit")
+                ),
+                F.struct(
+                    F.lit("benford").alias("scope"),
+                    syn_digit.cast("long").alias("digit"),
+                ),
+                F.struct(
+                    F.lit("uniform").alias("scope"),
+                    uni_digit.cast("long").alias("digit"),
+                ),
             )
-        )
-        .unionByName(
-            ev.select(
-                F.lit("uniform").alias("scope"),
-                uni_digit.cast("long").alias("digit"),
-            )
-        )
-    )
+        ).alias("t")
+    ).select(F.col("t.scope").alias("scope"), F.col("t.digit").alias("digit"))
     cnt = rows.groupBy("scope", "digit").agg(
         F.count("*").cast("long").alias("observed")
     )

@@ -385,13 +385,13 @@ def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
     transparently accepts either encoding."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, fmt_tag, ba, rate, n_samples, data = 12, None, 0, 0, None, None
+    pos, fmt_tag, n_ch, ba, rate, n_samples, data = 12, None, 1, 0, 0, None, None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = payload[pos + 8 : pos + 8 + ln]
         if tag == b"fmt ":
-            fmt_tag, _ch, rate = struct.unpack("<HHI", body[:8])
+            fmt_tag, n_ch, rate = struct.unpack("<HHI", body[:8])
             ba = struct.unpack("<H", body[12:14])[0]
         elif tag == b"fact":
             (n_samples,) = struct.unpack("<I", body[:4])
@@ -401,6 +401,10 @@ def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
     if fmt_tag == 0x11:
         if data is None or n_samples is None:
             raise ValueError("IMA ADPCM WAV missing data/fact chunk")
+        if n_ch != 1:
+            # the mono reconstruction below would silently interleave
+            # garbage for multi-channel format-0x11 payloads (ADVICE r06)
+            raise ValueError(f"unsupported IMA ADPCM channel count {n_ch}")
         return _ima_decode(data, ba, n_samples).reshape(-1, 1), rate
     with wave.open(io.BytesIO(payload), "rb") as wf:
         if wf.getsampwidth() != 2:
@@ -1388,12 +1392,32 @@ def decode_png_frames(payload: bytes):
         sub = sub.reshape(fh, fw, channels)
         prev = canvas[y : y + fh, x : x + fw].copy()
         if blend == 1 and channels == 4:
-            # OVER: out = src*a + dst*(1-a), alpha-composited per pixel
-            a = sub[:, :, 3:4].astype(np.uint16)
-            dst = canvas[y : y + fh, x : x + fw].astype(np.uint16)
-            srcp = sub.astype(np.uint16)
-            comp = (srcp * a + dst * (255 - a) + 127) // 255
-            canvas[y : y + fh, x : x + fw] = comp.astype(np.uint8)
+            # OVER: the PNG/APNG spec compositing operator WITH destination
+            # alpha (ADVICE r06 — the earlier src-alpha weighted average
+            # ignored dst alpha, so compositing onto a transparent region
+            # returned src*a/255 instead of src):
+            #   out_a   = sa + da*(1-sa)
+            #   out_rgb = (src*sa + dst*da*(1-sa)) / out_a   (0 if out_a=0)
+            # in exact /255-normalized integer arithmetic (num_a below is
+            # 255^2 * out_a). Where dst is opaque this reduces to the old
+            # formula; where dst alpha is 0, OVER degenerates to SOURCE —
+            # which also makes the spec's first-frame OVER-as-SOURCE rule
+            # hold by construction on the transparent initial canvas.
+            sa = sub[:, :, 3:4].astype(np.uint32)
+            da = canvas[y : y + fh, x : x + fw, 3:4].astype(np.uint32)
+            dst = canvas[y : y + fh, x : x + fw].astype(np.uint32)
+            srcp = sub.astype(np.uint32)
+            num_a = sa * 255 + da * (255 - sa)  # 255^2 * out_a
+            num_rgb = srcp[:, :, :3] * sa * 255 + dst[:, :, :3] * da * (
+                255 - sa
+            )
+            safe = np.maximum(num_a, 1)
+            comp = np.empty_like(sub)
+            comp[:, :, :3] = np.where(
+                num_a > 0, (num_rgb + safe // 2) // safe, 0
+            ).astype(np.uint8)
+            comp[:, :, 3:4] = ((num_a + 127) // 255).astype(np.uint8)
+            canvas[y : y + fh, x : x + fw] = comp
         else:
             # blend 0 (source), or OVER on alpha-less images (= source)
             canvas[y : y + fh, x : x + fw] = sub

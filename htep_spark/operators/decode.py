@@ -248,9 +248,17 @@ def make_strategy_best_udf(
             for payload in series:
                 variants = json.loads(payload) if payload else []
                 # defensive: a NULL-text doc yields a null payload (and a
-                # malformed one could yield <3 or null variants) — emit a
-                # null row instead of crashing the task on results[i]
-                if len(variants) != 3 or any(v is None for v in variants):
+                # malformed one could yield <3 or null variants; a doc
+                # with fewer than 3 uppercase token runs yields null WORDS
+                # inside variants 1/2 via concat of missing array
+                # elements, ADVICE r06) — emit a null row instead of
+                # crashing the task (the DuckDB oracle emits NULL rows for
+                # the same payloads, so this is also the parity behavior)
+                if (
+                    len(variants) != 3
+                    or any(v is None for v in variants)
+                    or any(w is None for v in variants for w in v)
+                ):
                     rows.append(dict(null_row))
                     continue
                 bi, bt, bc, results = predict_line_best_segmented(

@@ -327,9 +327,21 @@ def merge_heavy_hitters(summaries: DataFrame, k: int = 10) -> DataFrame:
     token stays resident) and rank by estimated count with the standard
     (est desc, err asc, token asc) tie-break. The result carries each
     survivor's error bound unchanged."""
-    latest = summaries.groupBy("shard", "token").agg(
-        F.max("est_count").alias("est_count"),
-        F.min("max_err").alias("max_err"),
+    # take the latest generation ATOMICALLY (struct max): pairing the max
+    # est_count with the min max_err across sink generations could
+    # fabricate an (est, err) pair that never existed — a token evicted
+    # and re-inserted between micro-batches re-emits with a larger
+    # max_err, and the fabricated pair can violate
+    # true <= est_count <= true + max_err (ADVICE r06)
+    latest = (
+        summaries.groupBy("shard", "token")
+        .agg(F.max(F.struct("est_count", "max_err")).alias("m"))
+        .select(
+            "shard",
+            "token",
+            F.col("m.est_count").alias("est_count"),
+            F.col("m.max_err").alias("max_err"),
+        )
     )
     w = Window.orderBy(
         F.desc("est_count"), F.asc("max_err"), F.asc("token")

@@ -981,6 +981,67 @@ def test_stream_heavy_hitters(spark, tmp_path):
         assert true <= r["est_count"] <= true + r["max_err"], r
 
 
+def test_merge_heavy_hitters_multi_generation_atomic(spark):
+    """A token evicted and re-inserted between micro-batches leaves TWO
+    sink generations: (est=1, err=0) then (est=51, err=50). The merge must
+    take the latest generation atomically — pairing max(est) with min(err)
+    across generations would fabricate (51, 0), violating
+    true <= est <= true + err (ADVICE r06)."""
+    from htep_spark.streaming.stream import merge_heavy_hitters
+
+    sink = spark.createDataFrame(
+        [
+            (0, "tok", 1, 0),
+            (0, "tok", 51, 50),
+            (0, "other", 10, 0),
+        ],
+        "shard int, token string, est_count long, max_err long",
+    )
+    rows = {r["token"]: r for r in merge_heavy_hitters(sink, k=5).collect()}
+    assert rows["tok"]["est_count"] == 51 and rows["tok"]["max_err"] == 50
+    assert rows["other"]["est_count"] == 10 and rows["other"]["max_err"] == 0
+
+
+def test_decode_wav_rejects_stereo_ima_adpcm():
+    """A stereo (nChannels=2) format-0x11 WAV must raise instead of being
+    decoded through the mono reconstruction (ADVICE r06)."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from htep_spark.functions import codecs
+
+    mono = codecs.encode_wav_ima(
+        np.zeros(64, dtype=np.int16).reshape(-1, 1), 8000
+    )
+    # flip the fmt chunk's channel count to 2 (fmt body starts at 20)
+    idx = mono.index(b"fmt ") + 8
+    stereo = mono[: idx + 2] + _struct.pack("<H", 2) + mono[idx + 4 :]
+    with _pytest.raises(ValueError, match="channel count"):
+        codecs.decode_wav(stereo)
+    codecs.decode_wav(mono)  # the mono original still decodes
+
+
+def test_apng_over_on_transparent_is_source():
+    """OVER onto a fully transparent region must behave as SOURCE (the
+    spec's compositing operator with destination alpha; also the spec's
+    first-frame rule — ADVICE r06)."""
+    import numpy as np
+
+    from htep_spark.functions import codecs
+
+    base = np.zeros((4, 4, 4), np.uint8)  # fully transparent canvas
+    f1 = np.full((2, 2, 4), 200, np.uint8)
+    f1[:, :, 3] = 100  # semi-transparent src over dst alpha 0
+    pay = codecs.encode_apng(
+        [base, f1], offsets=[(0, 0), (1, 1)], dispose_ops=[0, 0],
+        blend_ops=[0, 1],
+    )
+    frames = codecs.decode_png_frames(pay)
+    assert np.array_equal(frames[1][1:3, 1:3], f1)  # OVER == SOURCE here
+
+
 def test_dedup_keepers_connected_components(spark):
     from htep_spark.operators.dedup import connected_components, dedup_keepers
 
@@ -2589,14 +2650,24 @@ def test_apng_codec_roundtrip():
     exp1 = base.copy()
     exp1[2:8, 3:11] = f1
     assert np.array_equal(frames[1], exp1)
-    # dispose 1 cleared f1's region to zero, then f2 blends OVER
+    # dispose 1 cleared f1's region to zero, then f2 blends OVER with the
+    # spec compositing operator (dst alpha respected; over the cleared
+    # dst-alpha-0 pixels OVER degenerates to SOURCE — ADVICE r06)
     canvas = base.copy()
     canvas[2:8, 3:11] = 0
-    dst = canvas[8:13, 9:16].astype(np.uint16)
-    a = f2[:, :, 3:4].astype(np.uint16)
-    comp = (f2.astype(np.uint16) * a + dst * (255 - a) + 127) // 255
+    dst = canvas[8:13, 9:16].astype(np.uint32)
+    sa = f2[:, :, 3:4].astype(np.uint32)
+    da = dst[:, :, 3:4]
+    num_a = sa * 255 + da * (255 - sa)
+    num_rgb = f2.astype(np.uint32)[:, :, :3] * sa * 255 + dst[:, :, :3] * da * (
+        255 - sa
+    )
+    safe = np.maximum(num_a, 1)
+    comp = np.zeros_like(f2)
+    comp[:, :, :3] = np.where(num_a > 0, (num_rgb + safe // 2) // safe, 0)
+    comp[:, :, 3:4] = (num_a + 127) // 255
     exp2 = canvas.copy()
-    exp2[8:13, 9:16] = comp.astype(np.uint8)
+    exp2[8:13, 9:16] = comp
     assert np.array_equal(frames[2], exp2)
     # still-PNG compatibility: default image == frame 0
     assert np.array_equal(codecs.decode_png(pay), base)
