@@ -26,36 +26,37 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full canonical per-turn extraction over the documents table viewed as
     single-turn conversations (clinical prelude makes hits non-vacuous)."""
     from htep_spark.driver_queries import _clinical_col
-    from htep_spark.plans.pipeline import run_extraction
+    from htep_spark.operators.extract import flagship_row_udf
 
     # a small single-file table scans as one partition — spread the
     # UDF-heavy extraction across every core (cheap 5MB exchange)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
         spark.sparkContext.defaultParallelism
     )
-    transcripts = docs.select(
+    # ONE Arrow crossing (round 7, guide §4.1): this surface projects six
+    # small fields, so the dedicated narrow UDF (which calls the monolithic
+    # extract_turn — identical whole-turn semantics by construction)
+    # replaces the stage-split composition that shipped the core struct out
+    # and content/corrected_text back in across four ArrowEvalPython nodes.
+    extracted = docs.select(
         F.concat(F.lit("doc-"), F.col("doc_id")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),
-        F.lit("user").alias("role"),
-        _clinical_col().alias("text"),
-        F.lit("").alias("tool"),
-        F.lit(None).cast("timestamp").alias("ts"),
+        flagship_row_udf(_clinical_col()).alias("r"),
     )
-    extracted = run_extraction(transcripts)
     # driver-facing select: the driver's canonicalizer sorts/hashes with
     # pandas, which cannot hash list cells — serialize arrays to strings
     # (sorted for order-insensitive set semantics). Semantics unchanged.
     return extracted.select(
         "conv_id",
         "turn_idx",
-        F.col("result.document_type").alias("document_type"),
-        F.col("result.urgency").alias("urgency"),
-        F.array_join(F.array_sort("result.matched_drugs"), "|").alias("matched_drugs"),
-        F.array_join(F.array_sort("result.matched_diseases"), "|").alias(
+        F.col("r.document_type").alias("document_type"),
+        F.col("r.urgency").alias("urgency"),
+        F.array_join(F.array_sort("r.matched_drugs"), "|").alias("matched_drugs"),
+        F.array_join(F.array_sort("r.matched_diseases"), "|").alias(
             "matched_diseases"
         ),
-        F.col("result.corrected_text").alias("corrected_text"),
-        F.col("result.metrics.n_segments").alias("n_segments"),
+        F.col("r.corrected_text").alias("corrected_text"),
+        F.col("r.n_segments").alias("n_segments"),
     )
 
 

@@ -402,6 +402,44 @@ def extract_transcripts(df: DataFrame) -> DataFrame:
     return stage2.select("conv_id", "turn_idx", "role", "ts", result.alias("result"))
 
 
+FLAGSHIP_ROW_TYPE = StructType(
+    [
+        StructField("document_type", StringType(), True),
+        StructField("urgency", StringType(), True),
+        StructField("matched_drugs", ArrayType(StringType()), True),
+        StructField("matched_diseases", ArrayType(StringType()), True),
+        StructField("corrected_text", StringType(), True),
+        StructField("n_segments", IntegerType(), True),
+    ]
+)
+
+
+@F.pandas_udf(FLAGSHIP_ROW_TYPE)
+def flagship_row_udf(texts: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+    """text → exactly the six fields the flagship surface projects, in ONE
+    Arrow crossing (round 7, guide §4.1): the full-struct split path paid
+    four ArrowEvalPython nodes and re-shipped content/corrected_text into
+    the stage UDFs, tripling extract_full_docs' wall time. Calls the
+    monolithic ``extract_turn`` so whole-turn stage-isolation semantics
+    (and therefore the rows-only canonical hash) are identical by
+    construction."""
+    for series in texts:
+        rows = []
+        for t in series:
+            r = extract_turn(t if isinstance(t, str) else None)
+            rows.append(
+                {
+                    "document_type": r["document_type"],
+                    "urgency": r["urgency"],
+                    "matched_drugs": r["matched_drugs"],
+                    "matched_diseases": r["matched_diseases"],
+                    "corrected_text": r["corrected_text"],
+                    "n_segments": r["metrics"]["n_segments"],
+                }
+            )
+        yield pd.DataFrame(rows)
+
+
 @F.pandas_udf(StringType())
 def corrected_text_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
     """Narrow variant: text → corrected main-content text only (cheaper
